@@ -1,13 +1,578 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ops.PixelOps
+import graft.stats.HistStats
+
+/** Driver contract — every operator of SURVEY.md §2 exposed as a named
+  * query over the driver's parquet tables, with a DuckDB oracle mirror.
+  *
+  * Numeric-parity conventions (so the driver's hash compare passes while
+  * keeping reference semantics — SURVEY §7.5):
+  *  - sums/means accumulate in DECIMAL (partition-order independent),
+  *    then cast back to DOUBLE;
+  *  - per-row transcendental outputs (log10/pow chains) are rounded to 6
+  *    decimals at the comparison boundary only;
+  *  - quantized outputs stay exact INTs;
+  *  - the Spark expression trees and the oracle SQL perform the same
+  *    IEEE-754 operations in the same shape.
+  */
 object SparkEntry {
+
+  // ---------------------------------------------------------------- helpers
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** dB-domain pixel view of lineitem: the SAR "band" fixture per
+    * FIXTURES.md §C (l_extendedprice as the pixel magnitude).
+    */
+  private def liPixels(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      PixelOps.toDb(col("l_extendedprice")).as("db"))
+
+  private val liPixelsSqlBase =
+    "SELECT l_orderkey, l_linenumber, 10.0*log10(GREATEST(CAST(l_extendedprice AS DOUBLE), 1e-10)) AS db FROM lineitem"
+
+  private def statsWith(rest: String): String =
+    "WITH base AS (" + liPixelsSqlBase + "),\n" +
+      HistStats.statsCtesSql("SELECT db FROM base WHERE db > -50.0") + rest
+
+  /** Quantize SQL fragment mirroring [[PixelOps.clipQuantizeMasked]]. */
+  private def quantizeSql(low: String, high: String, gamma: String, maxVal: String): String =
+    s"CASE WHEN db > -50.0 THEN CAST(FLOOR(LEAST(GREATEST(pow((LEAST(GREATEST(db, $low), $high) - $low) / GREATEST($high - $low, 1.0), $gamma) * $maxVal, 0.0), $maxVal)) AS INT) ELSE 0 END"
+
+  private case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  // ------------------------------------------------------------ §2.2 pixels
+
+  private val p1DbMask = Q("p1_db_mask",
+    (s, dir) => {
+      val db = PixelOps.toDb(col("l_extendedprice"))
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(db, 6).as("db"),
+        PixelOps.validMask(db).cast("int").as("valid"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+      ROUND(10.0*log10(GREATEST(CAST(l_extendedprice AS DOUBLE), 1e-10)), 6) AS db,
+      CASE WHEN 10.0*log10(GREATEST(CAST(l_extendedprice AS DOUBLE), 1e-10)) > -50.0 THEN 1 ELSE 0 END AS valid
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  private def bandQ(name: String, aCol: String, bCol: String,
+                    f: (Column, Column) => Column, sqlExpr: String): Q = Q(name,
+    (s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        f(col(aCol), col(bCol)).as("v"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some(s"SELECT l_orderkey, l_linenumber, $sqlExpr AS v FROM lineitem ORDER BY l_orderkey, l_linenumber"))
+
+  private def fr(c: String) = s"CAST($c AS REAL)"
+  private val p2 = bandQ("p2_band_sum", "l_extendedprice", "l_quantity", PixelOps.bandSum,
+    s"${fr("l_extendedprice")} + ${fr("l_quantity")}")
+  private val p3 = bandQ("p3_band_diff", "l_extendedprice", "l_quantity", PixelOps.bandDiff,
+    s"${fr("l_extendedprice")} - ${fr("l_quantity")}")
+  // Division runs in f64 over f32-narrowed operands on both engines
+  // (DuckDB REAL/REAL would stay f32; Spark Divide is Double-only).
+  private val p4 = bandQ("p4_band_ratio", "l_extendedprice", "l_tax", PixelOps.bandRatio,
+    s"CASE WHEN abs(${fr("l_tax")}) > CAST(1e-10 AS REAL) THEN CAST(${fr("l_extendedprice")} AS DOUBLE) / CAST(${fr("l_tax")} AS DOUBLE) ELSE 0.0 END")
+  private val p5 = bandQ("p5_band_ndiff", "l_discount", "l_tax", PixelOps.bandNormalizedDiff,
+    s"CASE WHEN abs(${fr("l_discount")} + ${fr("l_tax")}) > CAST(1e-10 AS REAL) THEN CAST(${fr("l_discount")} - ${fr("l_tax")} AS DOUBLE) / CAST(${fr("l_discount")} + ${fr("l_tax")} AS DOUBLE) ELSE 0.0 END")
+
+  /** P6: log-ratio emits the LINEAR ratio; dB applies downstream (P1 ∘ P6,
+    * `ops.rs:35-44`) — both stages exposed.
+    */
+  private val p6 = Q("p6_band_log_ratio",
+    (s, dir) => {
+      val ratio = PixelOps.bandLogRatio(col("l_extendedprice"), col("l_tax"))
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        ratio.as("v_linear"),
+        round(PixelOps.toDb(ratio), 6).as("v_db"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some {
+      val ratio = s"CASE WHEN abs(${fr("l_tax")}) > CAST(1e-10 AS REAL) THEN CAST(${fr("l_extendedprice")} AS DOUBLE) / CAST(${fr("l_tax")} AS DOUBLE) ELSE 0.0 END"
+      s"""SELECT l_orderkey, l_linenumber, $ratio AS v_linear,
+        ROUND(10.0*log10(GREATEST($ratio, 1e-10)), 6) AS v_db
+        FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+    })
+
+  private val p7Default = Q("p7_quantize_default",
+    (s, dir) => {
+      val px = liPixels(s, dir)
+      val st = HistStats.stats(px.filter(PixelOps.validMask(col("db"))))
+      px.crossJoin(broadcast(st)).select(
+        col("l_orderkey"), col("l_linenumber"),
+        PixelOps.clipQuantizeMasked(col("db"), PixelOps.validMask(col("db")),
+          col("p05"), col("p95"), lit(1.0), lit(65535.0)).as("q"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some(statsWith(s"""
+      SELECT l_orderkey, l_linenumber, ${quantizeSql("p05", "p95", "1.0", "65535.0")} AS q
+      FROM base, stats ORDER BY l_orderkey, l_linenumber""")))
+
+  private val legacyParamsSql = s"""lp AS (
+    SELECT GREATEST(CASE WHEN (max_db - min_db) < 15.0 THEN median_db - GREATEST(20.0, (max_db - min_db)*0.8)/2.0
+                         WHEN (p75 - p25) < 5.0 THEN p25 - 2.5*(p75 - p25)
+                         WHEN (max_db - min_db) > 40.0 THEN GREATEST(p02, min_db + 0.02*(max_db - min_db))
+                         ELSE p02 END, min_db) AS low_clip,
+           LEAST(CASE WHEN (max_db - min_db) < 15.0 THEN median_db + GREATEST(20.0, (max_db - min_db)*0.8)/2.0
+                      WHEN (p75 - p25) < 5.0 THEN p75 + 2.5*(p75 - p25)
+                      WHEN (max_db - min_db) > 40.0 THEN LEAST(p98, max_db - 0.02*(max_db - min_db))
+                      ELSE p98 END, max_db) AS high_clip,
+           CASE WHEN (max_db - min_db) < 15.0 THEN 1.1
+                WHEN (p75 - p25) < 5.0 THEN 1.0
+                WHEN (max_db - min_db) > 40.0 THEN 0.9
+                ELSE 1.0 END AS gamma
+    FROM stats)"""
+
+  private val p7Legacy = Q("p7_quantize_legacy",
+    (s, dir) => {
+      val px = liPixels(s, dir)
+      val st = HistStats.stats(px.filter(PixelOps.validMask(col("db"))))
+      val lp = HistStats.legacyParams(st)
+      px.crossJoin(broadcast(lp)).select(
+        col("l_orderkey"), col("l_linenumber"),
+        PixelOps.clipQuantizeMasked(col("db"), PixelOps.validMask(col("db")),
+          col("low_clip"), col("high_clip"), col("gamma"), lit(65535.0)).as("q"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some(statsWith(s""",
+      $legacyParamsSql
+      SELECT l_orderkey, l_linenumber, ${quantizeSql("low_clip", "high_clip", "gamma", "65535.0")} AS q
+      FROM base, lp ORDER BY l_orderkey, l_linenumber""")))
+
+  private val p8U16ToU8 = Q("p8_u16_to_u8",
+    (s, dir) => {
+      val px = liPixels(s, dir)
+      val st = HistStats.stats(px.filter(PixelOps.validMask(col("db"))))
+      val q = px.crossJoin(broadcast(st)).select(
+        col("l_orderkey"), col("l_linenumber"),
+        PixelOps.clipQuantizeMasked(col("db"), PixelOps.validMask(col("db")),
+          col("p05"), col("p95"), lit(1.0), lit(255.0)).as("q"))
+      val mm = q.agg(min(col("q")).as("mn"), max(col("q")).as("mx"))
+      q.crossJoin(broadcast(mm)).select(
+        col("l_orderkey"), col("l_linenumber"),
+        PixelOps.u16ToU8(col("q"), col("mn"), col("mx")).as("q8"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some(statsWith(s""",
+      qb AS (SELECT l_orderkey, l_linenumber, ${quantizeSql("p05", "p95", "1.0", "255.0")} AS q FROM base, stats),
+      mm AS (SELECT MIN(q) AS mn, MAX(q) AS mx FROM qb)
+      SELECT l_orderkey, l_linenumber,
+        CAST(LEAST(GREATEST(ROUND((CAST(q AS DOUBLE) - CAST(mn AS DOUBLE)) * (CASE WHEN mx > mn THEN 255.0/(CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)) ELSE 1.0 END), 0), 0.0), 255.0) AS INT) AS q8
+      FROM qb, mm ORDER BY l_orderkey, l_linenumber""")))
+
+  private val gammaU8Sql: (String, String) => String = (v, g) =>
+    s"CAST(LEAST(GREATEST(ROUND(pow(CAST($v AS DOUBLE)/255.0, $g)*255.0, 0), 0.0), 255.0) AS INT)"
+
+  private val p9 = Q("p9_gamma_lut",
+    (s, dir) => {
+      val v = col("p_partkey") % 256
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        PixelOps.gammaU8(v, 0.7).as("r"),
+        PixelOps.gammaU8(v, 0.9).as("g"))
+        .orderBy("p_partkey")
+    },
+    Some(s"""SELECT p_partkey,
+      ${gammaU8Sql("p_partkey % 256", "0.7")} AS r,
+      ${gammaU8Sql("p_partkey % 256", "0.9")} AS g
+      FROM part ORDER BY p_partkey"""))
+
+  private val blueSqlExpr: (String, String) => String = (b1, b2) =>
+    s"""CASE WHEN $b2 = 0 THEN 0 ELSE CAST(ROUND(LEAST(GREATEST(pow(CAST(${gammaU8Sql(b1, "0.7")} AS DOUBLE)/CAST(${gammaU8Sql(b2, "0.9")} AS DOUBLE), 0.1)*255.0*0.24, 0.0), 255.0), 0) AS INT) END"""
+
+  private val p10 = Q("p10_blue_ratio",
+    (s, dir) => {
+      val b1 = col("p_partkey") % 256
+      val b2 = (col("p_partkey") * 7 + 3) % 256
+      t(s, dir, "part").select(
+        col("p_partkey"), PixelOps.blueRatio(b1, b2).as("b"))
+        .orderBy("p_partkey")
+    },
+    Some(s"""SELECT p_partkey, ${blueSqlExpr("p_partkey % 256", "(p_partkey*7 + 3) % 256")} AS b
+      FROM part ORDER BY p_partkey"""))
+
+  private val p11 = Q("p11_rgb_compose",
+    (s, dir) => {
+      val b1 = col("p_partkey") % 256
+      val b2 = (col("p_partkey") * 7 + 3) % 256
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        PixelOps.gammaU8(b1, 0.7).as("r"),
+        PixelOps.gammaU8(b2, 0.9).as("g"),
+        PixelOps.blueRatio(b1, b2).as("b"))
+        .orderBy("p_partkey")
+    },
+    Some(s"""SELECT p_partkey,
+      ${gammaU8Sql("p_partkey % 256", "0.7")} AS r,
+      ${gammaU8Sql("(p_partkey*7 + 3) % 256", "0.9")} AS g,
+      ${blueSqlExpr("p_partkey % 256", "(p_partkey*7 + 3) % 256")} AS b
+      FROM part ORDER BY p_partkey"""))
+
+  // Resize-dimension calc shared by p14/r1 (resize.rs:6-30): long side →
+  // target, short side scaled proportionally, keep-original when target
+  // exceeds the long side.
+  private def resizeDims(cols: Column, rows: Column, target: Int): (Column, Column) = {
+    val longSide = greatest(cols, rows)
+    val shortSide = least(cols, rows)
+    val newShort = round(shortSide.cast("double") * (lit(target.toDouble) / longSide.cast("double")), 0).cast("int")
+    val nc = when(lit(target) > longSide, cols)
+      .otherwise(when(cols > rows, lit(target)).otherwise(newShort))
+    val nr = when(lit(target) > longSide, rows)
+      .otherwise(when(cols > rows, newShort).otherwise(lit(target)))
+    (nc, nr)
+  }
+
+  private def resizeDimsSql(cols: String, rows: String, target: Int): (String, String) = {
+    val newShort = s"CAST(ROUND(CAST(LEAST($cols, $rows) AS DOUBLE) * ($target.0/CAST(GREATEST($cols, $rows) AS DOUBLE)), 0) AS INT)"
+    (s"CASE WHEN $target > GREATEST($cols, $rows) THEN $cols ELSE (CASE WHEN $cols > $rows THEN $target ELSE $newShort END) END",
+      s"CASE WHEN $target > GREATEST($cols, $rows) THEN $rows ELSE (CASE WHEN $cols > $rows THEN $newShort ELSE $target END) END")
+  }
+
+  private val p14 = Q("p14_geotransform",
+    (s, dir) => {
+      val g = t(s, dir, "supplier").select(
+        col("s_suppkey"),
+        (lit(1000) + col("s_suppkey") % 2000).cast("int").as("cols"),
+        (lit(800) + col("s_suppkey") % 1500).cast("int").as("rows_"),
+        col("s_acctbal").cast("double").as("gt0"),
+        (lit(10.0) + (col("s_suppkey") % 5).cast("double")).as("gt1"),
+        lit(0.0).as("gt2"),
+        (lit(0.0) - col("s_acctbal").cast("double")).as("gt3"),
+        lit(0.0).as("gt4"),
+        (lit(0.0) - (lit(10.0) + (col("s_nationkey") % 7).cast("double"))).as("gt5"))
+      val (nc, nr) = resizeDims(col("cols"), col("rows_"), 512)
+      val d = g.withColumn("new_cols", nc).withColumn("new_rows", nr)
+        .withColumn("fd", greatest(col("new_cols"), col("new_rows")))
+        .withColumn("pad_left", ((col("fd") - col("new_cols")) / 2).cast("int"))
+        .withColumn("pad_top", ((col("fd") - col("new_rows")) / 2).cast("int"))
+      val out = PixelOps.geotransformRewrite(
+        Seq(col("gt0"), col("gt1"), col("gt2"), col("gt3"), col("gt4"), col("gt5")),
+        col("cols"), col("rows_"), col("fd"), col("fd"), col("pad_left"), col("pad_top"))
+      d.select(col("s_suppkey") +: out.zipWithIndex.map { case (c, i) => c.as(s"gt${i}_out") }: _*)
+        .orderBy("s_suppkey")
+    },
+    Some {
+      val (nc, nr) = resizeDimsSql("cols", "rows_", 512)
+      s"""WITH g AS (SELECT s_suppkey,
+           CAST(1000 + s_suppkey % 2000 AS INT) AS cols,
+           CAST(800 + s_suppkey % 1500 AS INT) AS rows_,
+           CAST(s_acctbal AS DOUBLE) AS gt0,
+           10.0 + CAST(s_suppkey % 5 AS DOUBLE) AS gt1,
+           0.0 AS gt2,
+           0.0 - CAST(s_acctbal AS DOUBLE) AS gt3,
+           0.0 AS gt4,
+           0.0 - (10.0 + CAST(s_nationkey % 7 AS DOUBLE)) AS gt5
+         FROM supplier),
+       r AS (SELECT *, $nc AS new_cols, $nr AS new_rows FROM g),
+       p AS (SELECT *, GREATEST(new_cols, new_rows) AS fd,
+                    (GREATEST(new_cols, new_rows) - new_cols)//2 AS pad_left,
+                    (GREATEST(new_cols, new_rows) - new_rows)//2 AS pad_top FROM r)
+       SELECT s_suppkey,
+         gt0 - CAST(pad_left AS DOUBLE) * (gt1 * (CAST(cols AS DOUBLE)/CAST(fd AS DOUBLE))) AS gt0_out,
+         gt1 * (CAST(cols AS DOUBLE)/CAST(fd AS DOUBLE)) AS gt1_out,
+         gt2 AS gt2_out,
+         gt3 - CAST(pad_top AS DOUBLE) * (gt5 * (CAST(rows_ AS DOUBLE)/CAST(fd AS DOUBLE))) AS gt3_out,
+         gt4 AS gt4_out,
+         gt5 * (CAST(rows_ AS DOUBLE)/CAST(fd AS DOUBLE)) AS gt5_out
+       FROM p ORDER BY s_suppkey"""
+    })
+
+  private val p15 = Q("p15_op_label",
+    (s, dir) => {
+      val opName = when(col("n_nationkey") % 8 === 0, "single_band")
+        .when(col("n_nationkey") % 8 === 1, "sum")
+        .when(col("n_nationkey") % 8 === 2, "difference")
+        .when(col("n_nationkey") % 8 === 3, "ratio")
+        .when(col("n_nationkey") % 8 === 4, "normalized_diff")
+        .when(col("n_nationkey") % 8 === 5, "log_ratio")
+        .when(col("n_nationkey") % 8 === 6, "multiband_vv_vh")
+        .otherwise("multiband_hh_hv")
+      val hasVvVh = col("n_nationkey") % 2 === 0
+      val hasHhHv = col("n_nationkey") % 3 === 0
+      val joined = when(hasVvVh, "VV,VH").when(hasHhHv, "HH,HV").otherwise("VV")
+      t(s, dir, "nation").select(
+        col("n_nationkey"), opName.as("op_name"),
+        PixelOps.polarizationLabel(opName, hasVvVh, hasHhHv, joined).as("polarizations"))
+        .orderBy("n_nationkey")
+    },
+    Some("""WITH g AS (SELECT n_nationkey,
+        CASE WHEN n_nationkey % 8 = 0 THEN 'single_band'
+             WHEN n_nationkey % 8 = 1 THEN 'sum'
+             WHEN n_nationkey % 8 = 2 THEN 'difference'
+             WHEN n_nationkey % 8 = 3 THEN 'ratio'
+             WHEN n_nationkey % 8 = 4 THEN 'normalized_diff'
+             WHEN n_nationkey % 8 = 5 THEN 'log_ratio'
+             WHEN n_nationkey % 8 = 6 THEN 'multiband_vv_vh'
+             ELSE 'multiband_hh_hv' END AS op_name,
+        n_nationkey % 2 = 0 AS has_vv_vh,
+        n_nationkey % 3 = 0 AS has_hh_hv,
+        CASE WHEN n_nationkey % 2 = 0 THEN 'VV,VH' WHEN n_nationkey % 3 = 0 THEN 'HH,HV' ELSE 'VV' END AS joined
+      FROM nation)
+      SELECT n_nationkey, op_name,
+        CASE WHEN op_name = 'sum' THEN (CASE WHEN has_vv_vh THEN 'SUM(VV, VH)' WHEN has_hh_hv THEN 'SUM(HH, HV)' ELSE joined END)
+             WHEN op_name = 'difference' THEN (CASE WHEN has_vv_vh THEN 'DIFF(VV, VH)' WHEN has_hh_hv THEN 'DIFF(HH, HV)' ELSE joined END)
+             WHEN op_name = 'ratio' THEN (CASE WHEN has_vv_vh THEN 'RATIO(VV, VH)' WHEN has_hh_hv THEN 'RATIO(HH, HV)' ELSE joined END)
+             WHEN op_name = 'normalized_diff' THEN (CASE WHEN has_vv_vh THEN 'NORM_DIFF(VV, VH)' WHEN has_hh_hv THEN 'NORM_DIFF(HH, HV)' ELSE joined END)
+             WHEN op_name = 'log_ratio' THEN (CASE WHEN has_vv_vh THEN 'LOG_RATIO(VV, VH)' WHEN has_hh_hv THEN 'LOG_RATIO(HH, HV)' ELSE joined END)
+             WHEN op_name = 'multiband_vv_vh' THEN 'MULTIBAND(VV, VH)'
+             WHEN op_name = 'multiband_hh_hv' THEN 'MULTIBAND(HH, HV)'
+             ELSE joined END AS polarizations
+      FROM g ORDER BY n_nationkey"""))
+
+  // ------------------------------------------------------------- §2.3 aggs
+
+  private val a1 = Q("a1_stats",
+    (s, dir) => {
+      val st = HistStats.stats(liPixels(s, dir).filter(PixelOps.validMask(col("db"))))
+      st.select(col("n"), round(col("min_db"), 6).as("min_db"),
+        round(col("max_db"), 6).as("max_db"), round(col("mean_db"), 6).as("mean_db"),
+        round(col("std_db"), 6).as("std_db"))
+    },
+    Some(statsWith("""
+      SELECT n, ROUND(min_db, 6) AS min_db, ROUND(max_db, 6) AS max_db,
+             ROUND(mean_db, 6) AS mean_db, ROUND(std_db, 6) AS std_db
+      FROM stats""")))
+
+  private val a1Grouped = Q("a1_stats_grouped",
+    (s, dir) => {
+      val px = t(s, dir, "lineitem").select(
+        col("l_returnflag"), PixelOps.toDb(col("l_extendedprice")).as("db"))
+        .filter(PixelOps.validMask(col("db")))
+      val agg = px.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        min(col("db")).as("mn"), max(col("db")).as("mx"),
+        sum(col("db").cast(DecimalType(28, 10))).cast("double").as("sum_db"),
+        sum((col("db") * col("db")).cast(DecimalType(38, 10))).cast("double").as("sum_db2"))
+      val meanDb = col("sum_db") / col("n")
+      agg.select(col("l_returnflag"), col("n"),
+        round(col("mn"), 6).as("min_db"), round(col("mx"), 6).as("max_db"),
+        round(meanDb, 6).as("mean_db"),
+        round(when(col("n") <= 1, lit(0.0))
+          .otherwise(sqrt(greatest(col("sum_db2") / col("n") - meanDb * meanDb, lit(0.0)))), 6).as("std_db"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH px AS (SELECT l_returnflag, 10.0*log10(GREATEST(CAST(l_extendedprice AS DOUBLE), 1e-10)) AS db
+        FROM lineitem WHERE 10.0*log10(GREATEST(CAST(l_extendedprice AS DOUBLE), 1e-10)) > -50.0),
+      agg AS (SELECT l_returnflag, COUNT(*) AS n, MIN(db) AS mn, MAX(db) AS mx,
+        CAST(SUM(CAST(db AS DECIMAL(28,10))) AS DOUBLE) AS sum_db,
+        CAST(SUM(CAST(db*db AS DECIMAL(38,10))) AS DOUBLE) AS sum_db2
+        FROM px GROUP BY 1)
+      SELECT l_returnflag, n, ROUND(mn, 6) AS min_db, ROUND(mx, 6) AS max_db,
+        ROUND(sum_db/n, 6) AS mean_db,
+        ROUND(CASE WHEN n <= 1 THEN 0.0 ELSE sqrt(GREATEST(sum_db2/n - (sum_db/n)*(sum_db/n), 0.0)) END, 6) AS std_db
+      FROM agg ORDER BY l_returnflag"""))
+
+  private val a2 = Q("a2_percentiles",
+    (s, dir) => {
+      val st = HistStats.stats(liPixels(s, dir).filter(PixelOps.validMask(col("db"))))
+      st.select(col("n") +: HistStats.Percentiles.map { case (nm, _) =>
+        round(col(nm), 6).as(nm)
+      }: _*)
+    },
+    Some(statsWith(s"""
+      SELECT n, ${HistStats.Percentiles.map { case (nm, _) => s"ROUND($nm, 6) AS $nm" }.mkString(", ")}
+      FROM stats""")))
+
+  private val a3 = Q("a3_strategy_params",
+    (s, dir) => {
+      val st = HistStats.stats(liPixels(s, dir).filter(PixelOps.validMask(col("db"))))
+      HistStats.advancedParams(st).select(
+        col("strategy"), round(col("low_clip"), 6).as("low_clip"),
+        round(col("high_clip"), 6).as("high_clip"), col("gamma"))
+        .orderBy("strategy")
+    },
+    Some {
+      val skew = "(mean_db - median_db)/GREATEST(abs(std_db), 1.0)"
+      val tail = "(p99 - p95)/GREATEST(p95 - p75, 1.0)"
+      statsWith(s"""
+      SELECT strategy, ROUND(low_clip, 6) AS low_clip, ROUND(high_clip, 6) AS high_clip, gamma FROM (
+        SELECT 'robust' AS strategy,
+          GREATEST(GREATEST(p25 - 2.5*(p75 - p25), p01), min_db) AS low_clip,
+          LEAST(LEAST(p75 + 2.5*(p75 - p25), p99), max_db) AS high_clip, 1.0 AS gamma FROM stats
+        UNION ALL SELECT 'adaptive',
+          CASE WHEN abs($skew) > 0.5 THEN (CASE WHEN $skew > 0.0 THEN p02 ELSE p05 END)
+               WHEN $tail > 2.0 THEN p10 ELSE p05 END,
+          CASE WHEN abs($skew) > 0.5 THEN (CASE WHEN $skew > 0.0 THEN p98 ELSE p95 END)
+               WHEN $tail > 2.0 THEN p90 ELSE p95 END,
+          CASE WHEN abs($skew) > 0.5 THEN (CASE WHEN $skew > 0.0 THEN 0.9 ELSE 1.1 END)
+               WHEN $tail > 2.0 THEN 0.8 ELSE 1.0 END FROM stats
+        UNION ALL SELECT 'equalized', p01, p99, 1.0 FROM stats
+        UNION ALL SELECT 'clahe', p01, p99, 1.0 FROM stats
+        UNION ALL SELECT 'tamed', p25, p99, 1.0 FROM stats
+        UNION ALL SELECT 'standard', p05, p95, 1.0 FROM stats
+        UNION ALL SELECT 'default', p05, p95, 1.0 FROM stats
+      ) ORDER BY strategy""")
+    })
+
+  private val a3Legacy = Q("a3_legacy_params",
+    (s, dir) => {
+      val st = HistStats.stats(liPixels(s, dir).filter(PixelOps.validMask(col("db"))))
+      HistStats.legacyParams(st).select(
+        round(col("low_clip"), 6).as("low_clip"),
+        round(col("high_clip"), 6).as("high_clip"), col("gamma"))
+    },
+    Some(statsWith(s""",
+      $legacyParamsSql
+      SELECT ROUND(low_clip, 6) AS low_clip, ROUND(high_clip, 6) AS high_clip, gamma FROM lp""")))
+
+  private val a6 = Q("a6_hist_floor",
+    (s, dir) => {
+      val part = t(s, dir, "part")
+      val vals = part.select((col("p_partkey") % 256).as("v"))
+        .unionAll(part.select(((col("p_partkey") * 7 + 3) % 256).as("v")))
+      val tot = vals.agg(count(lit(1)).as("total"))
+      val hist = vals.groupBy(col("v")).agg(count(lit(1)).as("h"))
+      val cum = hist.select(col("v"),
+        sum(col("h")).over(Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)).as("c"))
+      cum.crossJoin(broadcast(tot))
+        .filter(col("c") >= round(col("total").cast("double") * 0.05, 0).cast("long"))
+        .agg(min(col("v")).cast("int").as("p05_level"),
+          least(min(col("v")) + 3, lit(40L)).cast("int").as("floor_value"))
+    },
+    Some("""WITH vals AS (SELECT p_partkey % 256 AS v FROM part UNION ALL SELECT (p_partkey*7 + 3) % 256 AS v FROM part),
+      tot AS (SELECT COUNT(*) AS total FROM vals),
+      hist AS (SELECT v, COUNT(*) AS h FROM vals GROUP BY 1),
+      cum AS (SELECT v, SUM(h) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM hist)
+      SELECT CAST(MIN(v) AS INT) AS p05_level, CAST(LEAST(MIN(v) + 3, 40) AS INT) AS floor_value
+      FROM cum, tot WHERE c >= CAST(ROUND(CAST(total AS DOUBLE)*0.05, 0) AS BIGINT)"""))
+
+  private val a7 = Q("a7_batch_report",
+    (s, dir) => t(s, dir, "orders").groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n")).orderBy("o_orderstatus"),
+    Some("SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1 ORDER BY 1"))
+
+  // ------------------------------------------------------------ §2.4 joins
+
+  private val j1 = Q("j1_band_align",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice").as("va"))
+      val b = li.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity").as("vb"))
+      a.join(b, Seq("l_orderkey", "l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          PixelOps.bandRatio(col("va"), col("vb")).as("ratio"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some(s"""SELECT l_orderkey, l_linenumber,
+      CASE WHEN abs(CAST(vb AS REAL)) > CAST(1e-10 AS REAL) THEN CAST(CAST(va AS REAL) AS DOUBLE)/CAST(CAST(vb AS REAL) AS DOUBLE) ELSE 0.0 END AS ratio
+      FROM (SELECT l_orderkey, l_linenumber, l_extendedprice AS va FROM lineitem) a
+      JOIN (SELECT l_orderkey, l_linenumber, l_quantity AS vb FROM lineitem) b USING (l_orderkey, l_linenumber)
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  // ----------------------------------------------------- §2.7 restructuring
+
+  private val r1 = Q("r1_resize_dims",
+    (s, dir) => {
+      val g = t(s, dir, "part").select(
+        col("p_partkey"),
+        (lit(1) + col("p_partkey") % 5000).cast("int").as("cols"),
+        (lit(1) + (col("p_partkey") * 13) % 4000).cast("int").as("rows_"))
+      val (nc, nr) = resizeDims(col("cols"), col("rows_"), 2048)
+      g.select(col("p_partkey"), col("cols"), col("rows_"), nc.as("new_cols"), nr.as("new_rows"))
+        .orderBy("p_partkey")
+    },
+    Some {
+      val (nc, nr) = resizeDimsSql("cols", "rows_", 2048)
+      s"""WITH g AS (SELECT p_partkey, CAST(1 + p_partkey % 5000 AS INT) AS cols,
+           CAST(1 + (p_partkey*13) % 4000 AS INT) AS rows_ FROM part)
+         SELECT p_partkey, cols, rows_, $nc AS new_cols, $nr AS new_rows FROM g ORDER BY p_partkey"""
+    })
+
+  private val r4 = Q("r4_pad_square",
+    (s, dir) => {
+      val g = t(s, dir, "part").select(
+        col("p_partkey"),
+        (lit(1) + col("p_partkey") % 5000).cast("int").as("cols"),
+        (lit(1) + (col("p_partkey") * 13) % 4000).cast("int").as("rows_"))
+      val maxDim = greatest(col("cols"), col("rows_"))
+      val padCols = ((maxDim - col("cols")) / 2).cast("int")
+      val padRows = ((maxDim - col("rows_")) / 2).cast("int")
+      g.select(col("p_partkey"), maxDim.as("max_dim"),
+        padCols.as("pad_cols"), padRows.as("pad_rows"),
+        ((col("p_partkey") % col("rows_")).cast("int") + padRows).as("ny"),
+        ((col("p_partkey") % col("cols")).cast("int") + padCols).as("nx"))
+        .orderBy("p_partkey")
+    },
+    Some("""WITH g AS (SELECT p_partkey, CAST(1 + p_partkey % 5000 AS INT) AS cols,
+        CAST(1 + (p_partkey*13) % 4000 AS INT) AS rows_ FROM part)
+      SELECT p_partkey, GREATEST(cols, rows_) AS max_dim,
+        CAST((GREATEST(cols, rows_) - cols)//2 AS INT) AS pad_cols,
+        CAST((GREATEST(cols, rows_) - rows_)//2 AS INT) AS pad_rows,
+        CAST(p_partkey % rows_ AS INT) + CAST((GREATEST(cols, rows_) - rows_)//2 AS INT) AS ny,
+        CAST(p_partkey % cols AS INT) + CAST((GREATEST(cols, rows_) - cols)//2 AS INT) AS nx
+      FROM g ORDER BY p_partkey"""))
+
+  // -------------------------------------------------- relational flagship
+
+  private val q1 = Q("q1_agg",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      // Exact decimal domain: raw values are 2-dp, so double→DECIMAL(p,2)
+      // rounds identically in Spark and DuckDB and every product/sum below
+      // is exact — partition-order independent by construction.
+      val price = col("l_extendedprice").cast(DecimalType(18, 2))
+      val disc = col("l_discount").cast(DecimalType(4, 2))
+      val tax = col("l_tax").cast(DecimalType(4, 2))
+      val one = lit(1).cast(DecimalType(3, 2))
+      val discPrice = price * (one - disc)
+      li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        sum(discPrice * (one + tax)).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sum_qty"), col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
+          (col("sum_qty") / col("count_order")).as("avg_qty"),
+          (col("sum_base_price") / col("count_order")).as("avg_price"),
+          col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price, sum_charge,
+        sum_qty/count_order AS avg_qty, sum_base_price/count_order AS avg_price, count_order
+      FROM (
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+          COUNT(*) AS count_order
+        FROM lineitem GROUP BY 1, 2)
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  // --------------------------------------------------------------- registry
+
+  private val registry: Seq[Q] = Seq(
+    q1, p1DbMask, p2, p3, p4, p5, p6, p7Default, p7Legacy, p8U16ToU8,
+    p9, p10, p11, p14, p15,
+    a1, a1Grouped, a2, a3, a3Legacy, a6, a7,
+    j1, r1, r4)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    q1.fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }
