@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.ext.{Dedup, Events, Similarity, TextOps}
 import graft.ops.PixelOps
 import graft.stats.HistStats
 
@@ -554,13 +555,33 @@ object SparkEntry {
         FROM lineitem GROUP BY 1, 2)
       ORDER BY l_returnflag, l_linestatus"""))
 
+  // ------------------------------------------- extensions (SURVEY §7.2.8)
+
+  private val extQueries: Seq[Q] = Seq(
+    Q("e1_sessionize", Events.sessionize, Some(Events.sessionizeSql)),
+    Q("e2_tumbling_window", Events.tumbling, Some(Events.tumblingSql)),
+    Q("e3_topk_per_user", Events.topkPerUser, Some(Events.topkPerUserSql)),
+    Q("e4_asof_click_error", Events.asofClickBeforeError, Some(Events.asofClickBeforeErrorSql)),
+    Q("e5_json_extract", Events.jsonExtract, Some(Events.jsonExtractSql)),
+    Q("t1_token_stats", TextOps.tokenStats, Some(TextOps.tokenStatsSql)),
+    Q("t2_quality_score", TextOps.qualityScore, Some(TextOps.qualityScoreSql)),
+    Q("t3_lang_id", TextOps.langId, Some(TextOps.langIdSql)),
+    Q("t4_fingerprint", TextOps.fingerprint, Some(TextOps.fingerprintSql)),
+    Q("d1_exact_dedup", Dedup.exact, Some(Dedup.exactSql)),
+    Q("d2_ngram_jaccard", Dedup.ngramJaccard, Some(Dedup.ngramJaccardSql)),
+    Q("d3_minhash_lsh", Dedup.minhashLsh, Some(Dedup.minhashLshSql)),
+    Q("d4_simhash", Dedup.simhash, Some(Dedup.simhashSql)),
+    Q("s1_cosine_topk", Similarity.cosineTopk, Some(Similarity.cosineTopkSql)),
+    Q("s2_lsh_ann_topk", Similarity.lshAnnTopk, Some(Similarity.lshAnnTopkSql)),
+    Q("s3_cosine_neardup", Similarity.cosineNeardup, Some(Similarity.cosineNeardupSql)))
+
   // --------------------------------------------------------------- registry
 
   private val registry: Seq[Q] = Seq(
     q1, p1DbMask, p2, p3, p4, p5, p6, p7Default, p7Legacy, p8U16ToU8,
     p9, p10, p11, p14, p15,
     a1, a1Grouped, a2, a3, a3Legacy, a6, a7,
-    j1, r1, r4)
+    j1, r1, r4) ++ extQueries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,217 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table — exact, n-gram
+  * Jaccard, MinHash+LSH, and SimHash. These are the training-corpus
+  * dedup tiers; each is a pure shuffle-based plan:
+  *
+  *  - exact: one hash aggregate on the text key;
+  *  - n-gram Jaccard: inverted-index self-join on shingles (the candidate
+  *    generation never materializes the O(n²) pair space);
+  *  - MinHash/LSH: signature = 16 min-aggregates over shingle hashes;
+  *    banding turns near-dup search into an equi-join on band keys;
+  *  - SimHash: 48-bit sign fingerprint; 12-bit blocks give pigeonhole-
+  *    complete candidate recall for hamming ≤ 3.
+  *
+  * At 100 TB the only skew risk is high-document-frequency shingles in
+  * the inverted index; production pipelines cap shingle df (drop
+  * stop-shingles) before the join — the join shape here is unchanged.
+  *
+  * All hashes derive from MD5 hex prefixes (engine-identical), all
+  * arithmetic is exact integers, so every output hash-matches DuckDB.
+  */
+object Dedup {
+
+  private def t(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** D1: exact dedup — canonical id = min doc_id per identical text. */
+  def exact(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("text")
+    t(s, dir)
+      .withColumn("canonical_id", min("doc_id").over(w))
+      .select(col("doc_id"), col("canonical_id"),
+        (col("doc_id") =!= col("canonical_id")).cast("int").as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  val exactSql: String = """SELECT doc_id, canonical_id,
+      CAST(doc_id != canonical_id AS INT) AS is_dup
+    FROM (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS canonical_id FROM documents)
+    ORDER BY doc_id"""
+
+  // ------------------------------------------------------------- shingles
+
+  /** Distinct word-3-gram shingles per document (space-joined). */
+  private def shingleDf(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val sh = when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array())
+    t(s, dir)
+      .select(col("doc_id"), explode(sh).as("shingle"))
+      .distinct()
+  }
+
+  private val shingleCte: String = s"""shing AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+        THEN list_transform(range(1, len(toks) - 1), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        ELSE [] END) AS shingle
+      FROM (SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents)))"""
+
+  /** D2: n-gram Jaccard near-dup — top-50 candidate pairs by Jaccard.
+    * Candidates come from the shingle inverted index (docs sharing ≥1
+    * shingle); Jaccard = |∩| / (|A|+|B|−|∩|) is one exact division.
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleDf(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val pairs = sh.as("a").join(sh.as("b"), "shingle")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    val j = pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") /
+          (col("na") + col("nb") - col("common")).cast("double")).as("jaccard"))
+    j.withColumn("rk", row_number().over(
+        Window.orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))))
+      .filter(col("rk") <= 50)
+      .select(col("rk"), col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  val ngramJaccardSql: String = s"""WITH $shingleCte,
+    sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shing GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    j AS (
+      SELECT doc_a, doc_b,
+        CAST(common AS DOUBLE) / CAST(sa.nsh + sb.nsh - common AS DOUBLE) AS jaccard
+      FROM pairs JOIN sizes sa ON pairs.doc_a = sa.doc_id
+                 JOIN sizes sb ON pairs.doc_b = sb.doc_id)
+    SELECT rk, doc_a, doc_b, jaccard FROM (
+      SELECT *, row_number() OVER (ORDER BY jaccard DESC, doc_a, doc_b) AS rk FROM j)
+    WHERE rk <= 50"""
+
+  // -------------------------------------------------------------- minhash
+
+  val NumHashes = 16
+  val NumBands = 4
+  val MinhashPrime: Long = 4294967311L // smallest prime > 2^32
+  def hashA(i: Int): Long = 2L * i + 1
+  def hashB(i: Int): Long = 11L * i + 7
+
+  /** D3: MinHash signatures + LSH banding. Signature = per-doc min of 16
+    * affine hashes over shingle hashes; 4 bands × 4 rows; docs sharing a
+    * band key become candidate pairs; estimated Jaccard = matching
+    * signature fraction. One agg + one equi-join — no pairwise scan.
+    */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleDf(s, dir)
+      .select(col("doc_id"), TextOps.tokenHash(col("shingle")).as("h"))
+    val minExprs = (0 until NumHashes).map(i =>
+      min((lit(hashA(i)) * col("h") + lit(hashB(i))) % MinhashPrime).as(s"m$i"))
+    val sig = sh.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until NumBands).map(b => struct(lit(b).as("band"),
+        concat_ws("_", (0 until NumHashes / NumBands).map(r => col(s"m${b * (NumHashes / NumBands) + r}")): _*).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val cand = bands.as("x").join(bands.as("y"), Seq("band", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val matches = (0 until NumHashes).map(i =>
+      when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0)).reduce(_ + _)
+    cand.join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val minhashLshSql: String = {
+    val mins = (0 until NumHashes).map(i =>
+      s"MIN((${hashA(i)} * h + ${hashB(i)}) % $MinhashPrime) AS m$i").mkString(", ")
+    val bandRows = (0 until NumBands).map { b =>
+      val key = (0 until NumHashes / NumBands)
+        .map(r => s"m${b * (NumHashes / NumBands) + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('_', $key) AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    val matches = (0 until NumHashes).map(i =>
+      s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $shingleCte,
+    sh AS (SELECT doc_id, ${TextOps.tokenHashSql("shingle")} AS h FROM shing),
+    sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+    bands AS ($bandRows),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+    SELECT doc_a, doc_b, CAST($matches AS DOUBLE) / ${NumHashes.toDouble} AS est_jaccard
+    FROM cand JOIN sig a ON cand.doc_a = a.doc_id JOIN sig b ON cand.doc_b = b.doc_id
+    ORDER BY doc_a, doc_b"""
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  val SimhashBits = 48
+  val SimhashBlocks = 4
+  val BlockBits: Int = SimhashBits / SimhashBlocks
+
+  /** D4: SimHash near-dup — 48-bit sign fingerprint over distinct token
+    * hashes; candidates from 12-bit block equality (pigeonhole-complete
+    * for hamming ≤ 3); emits candidate pairs with hamming ≤ 20.
+    */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val toksDf = t(s, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .distinct()
+      .select(col("doc_id"), TextOps.tokenHash(col("tok")).as("h"))
+    val sumExprs = (0 until SimhashBits).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$j"))
+    val bitSums = toksDf.groupBy("doc_id").agg(sumExprs.head, sumExprs.tail: _*)
+    val sim = bitSums.select(col("doc_id"),
+      (0 until SimhashBits).map(j =>
+        shiftleft(when(col(s"s$j") > 0, 1L).otherwise(0L), j)).reduce(_ + _).as("simhash"))
+    val blocks = sim.select(col("doc_id"), col("simhash"), explode(array(
+      (0 until SimhashBlocks).map(b => struct(lit(b).as("blk"),
+        shiftright(col("simhash"), b * BlockBits).bitwiseAND(lit((1L << BlockBits) - 1)).as("bval"))): _*)).as("e"))
+      .select(col("doc_id"), col("simhash"), col("e.blk"), col("e.bval"))
+    blocks.as("x").join(blocks.as("y"), Seq("blk", "bval"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 20)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val simhashSql: String = {
+    val sums = (0 until SimhashBits).map(j =>
+      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")
+    val bits = (0 until SimhashBits).map(j =>
+      s"(CASE WHEN s$j > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << $j)").mkString(" + ")
+    val blockRows = (0 until SimhashBlocks).map(b =>
+      s"SELECT doc_id, simhash, $b AS blk, (simhash >> ${b * BlockBits}) & ${(1L << BlockBits) - 1} AS bval FROM sim")
+      .mkString(" UNION ALL ")
+    s"""WITH toks AS (
+      SELECT doc_id, ${TextOps.tokenHashSql("tok")} AS h FROM (
+        SELECT DISTINCT doc_id, unnest(${TextOps.tokensSql}) AS tok FROM documents)),
+    bitsums AS (SELECT doc_id, $sums FROM toks GROUP BY doc_id),
+    sim AS (SELECT doc_id, $bits AS simhash FROM bitsums),
+    blocks AS ($blockRows)
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      bit_count(xor(x.simhash, y.simhash)) AS hamming
+    FROM blocks x JOIN blocks y ON x.blk = y.blk AND x.bval = y.bval AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= 20
+    ORDER BY doc_a, doc_b"""
+  }
+}

@@ -1,0 +1,155 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-stream batch analytics over the `events` table — the
+  * large-scale-pipeline extension surface (the reference has no temporal
+  * operators; time-series is its roadmap Phase 7,
+  * `/root/reference/ROADMAP.md:16`). All operators are shuffle-based
+  * window/agg plans that scale: partitioned by `user_id` (sessionize,
+  * as-of) or by window key (tumbling), never a driver collect.
+  *
+  * Determinism conventions: timestamps compared in exact epoch
+  * microseconds; double sums accumulate in DECIMAL; window orderings
+  * always carry `event_id` as the tiebreaker.
+  */
+object Events {
+
+  /** events.parquet carries TIMESTAMP(NANOS); Spark reads it as a long
+    * (`spark.sql.legacy.parquet.nanosAsLong=true`, set by Verify/Bench).
+    * All temporal logic runs in exact integer epoch MICROSECONDS (`us`,
+    * nanos div 1000) — the same value DuckDB's `epoch_us(ts)` yields,
+    * since its micros timestamp truncates the nanos identically.
+    */
+  private def t(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("us", expr("ts div 1000"))
+
+  val SessionGapUs: Long = 1800L * 1000000L // 30 min
+
+  /** E1: sessionization — gap > 30 min starts a new session; per-session
+    * aggregate. The classic mapGroups-free formulation: lag + cumulative
+    * sum over a user-partitioned window (one shuffle by user_id).
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val gap = col("us") - lag(col("us"), 1).over(w)
+    t(s, dir)
+      .withColumn("new_sess", when(gap.isNull || gap > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("us")).as("session_start_us"),
+        max(col("us")).as("session_end_us"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  val sessionizeSql: String = s"""WITH sess AS (
+      SELECT *, CASE WHEN lagus IS NULL OR us - lagus > $SessionGapUs THEN 1 ELSE 0 END AS new_sess
+      FROM (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS lagus
+            FROM (SELECT *, epoch_us(ts) AS us FROM events))),
+    numbered AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM sess)
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+      MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM numbered GROUP BY user_id, session_seq ORDER BY user_id, session_seq"""
+
+  val WindowUs: Long = 300L * 1000000L // 5 min tumbling
+
+  /** E2: tumbling 5-minute windows × event_type. A single hash aggregate
+    * on (window, type) — partial aggregation makes this one small shuffle
+    * regardless of input size.
+    */
+  def tumbling(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)
+      .withColumn("win_start_us", expr(s"us div $WindowUs") * WindowUs)
+      .groupBy(col("win_start_us"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .orderBy("win_start_us", "event_type")
+
+  val tumblingSql: String = s"""SELECT
+      CAST(epoch_us(ts) // $WindowUs AS BIGINT) * $WindowUs AS win_start_us,
+      event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** E3: top-3 events by value per user — the rank-then-filter pattern
+    * (window shuffle by user, no global sort).
+    */
+  def topkPerUser(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+    t(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("user_id"), col("rk"), col("event_id"), col("value"))
+      .orderBy("user_id", "rk")
+  }
+
+  val topkPerUserSql: String = """SELECT user_id, rk, event_id, value FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+      FROM events) WHERE rk <= 3 ORDER BY user_id, rk"""
+
+  /** E4: as-of join — for each `error` event, the most recent `click` by
+    * the same user at-or-before it. Implemented as the scalable
+    * union+carry-forward formulation (one shuffle by user_id, linear
+    * state) rather than a range join: `last(..., ignoreNulls)` over an
+    * ordered user window carries the latest click down to each error row.
+    * Event order at equal ts is event_id order (the tiebreak both engines
+    * apply).
+    */
+  def asofClickBeforeError(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t(s, dir)
+      .withColumn("click_us", when(col("event_type") === "click", col("us")))
+      .withColumn("click_id", when(col("event_type") === "click", col("event_id")))
+      .withColumn("last_click_us", last(col("click_us"), ignoreNulls = true).over(w))
+      .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"),
+        col("last_click_id"),
+        (col("us") - col("last_click_us")).as("gap_us"))
+      .orderBy("user_id", "error_id")
+  }
+
+  val asofClickBeforeErrorSql: String = """SELECT user_id, event_id AS error_id, last_click_id,
+      us - last_click_us AS gap_us
+    FROM (
+      SELECT *,
+        last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us,
+        last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+      FROM (SELECT *, epoch_us(ts) AS us FROM events))
+    WHERE event_type = 'error' ORDER BY user_id, error_id"""
+
+  /** E5: semi-structured extraction — pull `k` out of the JSON `props`
+    * column and aggregate. `get_json_object` is codegen'd; the aggregate
+    * is exact integer arithmetic.
+    */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val jsonExtractSql: String = """SELECT event_type, COUNT(*) AS n,
+      SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+    FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+    GROUP BY 1 ORDER BY 1"""
+}

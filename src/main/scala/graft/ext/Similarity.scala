@@ -1,0 +1,162 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over the `embeddings` table (64-dim
+  * Array[Float]): brute-force cosine top-k as the exactness baseline and
+  * a sign-LSH (random-hyperplane) bucketed variant as the scale path.
+  *
+  * Determinism across engines: dot products are UNROLLED left-associative
+  * chains `e[1]*f[1] + e[2]*f[2] + …` — the identical IEEE-754 op
+  * sequence in Spark (codegen'd, no higher-order-function overhead) and
+  * DuckDB, so cosines are bit-equal and no comparison rounding is needed.
+  * Hyperplane signs are ±1 literals from a deterministic integer mix,
+  * embedded identically in both expression trees.
+  *
+  * Scale path: the query side is broadcast (top-k against a fixed query
+  * set is a map-side join); the LSH variant shuffles once on the bucket
+  * code. An IVF refinement would replace the code by a learned coarse
+  * centroid id — same join shape.
+  */
+object Similarity {
+
+  val Dim = 64
+
+  private def t(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Unrolled left-assoc dot product of two Array[Float] columns. */
+  def dot(a: Column, b: Column): Column =
+    (1 to Dim).map(i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double")).reduce(_ + _)
+
+  def dotSql(a: String, b: String): String =
+    (1 to Dim).map(i =>
+      s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)").mkString(" + ")
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+  def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", norm(col("embedding")))
+
+  private val normCte =
+    s"en AS (SELECT vec_id, embedding, label, ${normSql("embedding")} AS nrm FROM embeddings)"
+
+  val NumQueries = 20
+  val TopK = 5
+
+  /** S1: brute-force cosine top-k — queries (vec_id < 20) are broadcast
+    * against the full corpus; ranking is a per-query window. At scale the
+    * corpus side stays partitioned and never shuffles.
+    */
+  def cosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(t(s, dir))
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val cos = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("oid"),
+        (dot(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+    cos.withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("oid"))))
+      .filter(col("rk") <= TopK)
+      .select(col("qid"), col("rk"), col("oid"), col("cos"))
+      .orderBy("qid", "rk")
+  }
+
+  val cosineTopkSql: String = s"""WITH $normCte,
+    q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM en WHERE vec_id < $NumQueries),
+    cos AS (
+      SELECT qid, en.vec_id AS oid,
+        (${dotSql("qe", "en.embedding")}) / (qn * nrm) AS cos
+      FROM en CROSS JOIN q WHERE en.vec_id != qid)
+    SELECT qid, rk, oid, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, oid) AS rk FROM cos)
+    WHERE rk <= $TopK ORDER BY qid, rk"""
+
+  // ------------------------------------------------------- sign-LSH (ANN)
+
+  val NumPlanes = 8
+  val NeardupPlanes = 4
+
+  /** Deterministic ±1 hyperplane signs (Knuth multiplicative mix). */
+  def planeSign(j: Int, d: Int): Double =
+    if ((((j * Dim + d) * 2654435761L >>> 16) & 1L) == 1L) 1.0 else -1.0
+
+  private def code(e: Column, planes: Int): Column =
+    (0 until planes).map { j =>
+      val proj = (1 to Dim).map(d =>
+        lit(planeSign(j, d - 1)) * element_at(e, d).cast("double")).reduce(_ + _)
+      shiftleft(when(proj > 0, 1L).otherwise(0L), j)
+    }.reduce(_ + _)
+
+  private def codeSql(e: String, planes: Int): String =
+    (0 until planes).map { j =>
+      val proj = (1 to Dim).map(d =>
+        s"(${planeSign(j, d - 1)})*CAST($e[$d] AS DOUBLE)").mkString(" + ")
+      s"(CASE WHEN ($proj) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << $j)"
+    }.mkString(" + ")
+
+  /** S2: LSH-bucketed ANN top-3 — 8 hyperplanes → 256 buckets; candidates
+    * share the query's bucket; exact cosine re-rank within. One shuffle
+    * on the code; recall trades off via `NumPlanes`.
+    */
+  def lshAnnTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(t(s, dir)).withColumn("code", code(col("embedding"), NumPlanes))
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("code"))
+    val cos = emb.join(broadcast(q), Seq("code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("oid"),
+        (dot(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+    cos.withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("oid"))))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("oid"), col("cos"))
+      .orderBy("qid", "rk")
+  }
+
+  val lshAnnTopkSql: String = s"""WITH $normCte,
+    coded AS (SELECT *, ${codeSql("embedding", NumPlanes)} AS code FROM en),
+    q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn, code FROM coded WHERE vec_id < $NumQueries),
+    cos AS (
+      SELECT qid, c.vec_id AS oid,
+        (${dotSql("qe", "c.embedding")}) / (qn * c.nrm) AS cos
+      FROM coded c JOIN q ON c.code = q.code WHERE c.vec_id != qid)
+    SELECT qid, rk, oid, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, oid) AS rk FROM cos)
+    WHERE rk <= 3 ORDER BY qid, rk"""
+
+  /** S3: embedding near-dup — all bucket-cohabiting pairs (4 planes → 16
+    * coarse buckets), exact cosine, top-20 pairs. The embedding-cosine
+    * tier of the dedup stack.
+    */
+  def cosineNeardup(s: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(t(s, dir)).withColumn("code", code(col("embedding"), NeardupPlanes))
+    val a = emb.select(col("code"), col("vec_id").as("va"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = emb.select(col("code"), col("vec_id").as("vb"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("code")).filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+    pairs.withColumn("rk", row_number().over(
+        Window.orderBy(col("cos").desc, col("va"), col("vb"))))
+      .filter(col("rk") <= 20)
+      .select(col("rk"), col("va"), col("vb"), col("cos"))
+  }
+
+  val cosineNeardupSql: String = s"""WITH $normCte,
+    coded AS (SELECT *, ${codeSql("embedding", NeardupPlanes)} AS code FROM en),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+        (${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cos
+      FROM coded a JOIN coded b ON a.code = b.code AND a.vec_id < b.vec_id)
+    SELECT rk, va, vb, cos FROM (
+      SELECT *, row_number() OVER (ORDER BY cos DESC, va, vb) AS rk FROM pairs)
+    WHERE rk <= 20"""
+}

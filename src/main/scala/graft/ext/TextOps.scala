@@ -1,0 +1,138 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis over the `documents` table — training-data-pipeline
+  * operators (language ID, quality scoring, token stats, fingerprinting).
+  * Everything is a codegen'd projection/aggregate over one scan; no UDFs,
+  * no driver-side work — the shapes that survive a 100 TB corpus.
+  *
+  * Cross-engine determinism: token hashes come from MD5 hex prefixes
+  * (identical bytes in Spark and DuckDB), folds run in exact integer
+  * arithmetic mod 1e9+7, and each ratio is a single double division.
+  */
+object TextOps {
+
+  private def t(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Non-empty whitespace tokens of a text column. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), x => x =!= lit(""))
+
+  val tokensSql: String = "list_filter(string_split(text, ' '), x -> x != '')"
+
+  /** First-8-hex-digits-of-MD5 token hash — a 32-bit integer identical in
+    * any engine with a standard MD5 (used by minhash/simhash/fingerprint).
+    */
+  def tokenHash(w: Column): Column =
+    conv(substring(md5(w), 1, 8), 16, 10).cast("long")
+
+  def tokenHashSql(w: String): String =
+    s"CAST(concat('0x', substr(md5($w), 1, 8)) AS BIGINT)"
+
+  /** T1: token statistics — count, distinct count, mean token length. */
+  def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    t(s, dir).select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      (length(regexp_replace(col("text"), " ", "")).cast("double") /
+        size(toks).cast("double")).as("mean_token_len"))
+      .orderBy("doc_id")
+  }
+
+  val tokenStatsSql: String = s"""SELECT doc_id,
+      len($tokensSql) AS n_tokens,
+      len(list_distinct($tokensSql)) AS n_distinct,
+      CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len($tokensSql) AS DOUBLE) AS mean_token_len
+    FROM documents ORDER BY doc_id"""
+
+  /** Stopword sets used by the quality/language heuristics. */
+  val EnStop: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  val EsStop: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "un")
+  val DeStop: Seq[String] = Seq("der", "die", "das", "und", "ist", "ein", "zu")
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, x => words.map(w => x === lit(w)).reduce(_ || _)))
+
+  private def hitsSql(words: Seq[String]): String =
+    s"len(list_filter($tokensSql, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  /** T2: quality scoring — length, stopword ratio, uppercase ratio,
+    * digit ratio, and a composite score. Mirrors the shape of published
+    * web-corpus quality filters (length/punct/stopword heuristics).
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val stopRatio = hits(toks, EnStop).cast("double") / nTok
+    val upperRatio = length(regexp_replace(col("text"), "[^A-Z]", "")).cast("double") /
+      length(col("text")).cast("double")
+    val digitRatio = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+      length(col("text")).cast("double")
+    val lenScore = least(nTok / lit(100.0), lit(1.0))
+    t(s, dir).select(
+      col("doc_id"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(upperRatio, 6).as("upper_ratio"),
+      round(digitRatio, 6).as("digit_ratio"),
+      round(lit(0.5) * stopRatio + lit(0.3) * lenScore + lit(0.2) * (lit(1.0) - digitRatio), 6)
+        .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val qualityScoreSql: String = {
+    val nTok = s"CAST(len($tokensSql) AS DOUBLE)"
+    val stop = s"CAST(${hitsSql(EnStop)} AS DOUBLE) / $nTok"
+    val upper = "CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)"
+    val digit = "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)"
+    val lenScore = s"LEAST($nTok / 100.0, 1.0)"
+    s"""SELECT doc_id,
+      ROUND($stop, 6) AS stopword_ratio,
+      ROUND($upper, 6) AS upper_ratio,
+      ROUND($digit, 6) AS digit_ratio,
+      ROUND(0.5 * ($stop) + 0.3 * $lenScore + 0.2 * (1.0 - ($digit)), 6) AS quality
+    FROM documents ORDER BY doc_id"""
+  }
+
+  /** T3: language ID by stopword-hit argmax (en/es/de, ties resolved in
+    * that order) — the n-gram-free heuristic tier of a language filter.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val en = hits(toks, EnStop); val es = hits(toks, EsStop); val de = hits(toks, DeStop)
+    t(s, dir).select(
+      col("doc_id"), en.as("en_hits"), es.as("es_hits"), de.as("de_hits"),
+      when(en >= es && en >= de, "en").when(es >= de, "es").otherwise("de")
+        .as("predicted_lang"))
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String = s"""SELECT doc_id,
+      ${hitsSql(EnStop)} AS en_hits, ${hitsSql(EsStop)} AS es_hits, ${hitsSql(DeStop)} AS de_hits,
+      CASE WHEN ${hitsSql(EnStop)} >= ${hitsSql(EsStop)} AND ${hitsSql(EnStop)} >= ${hitsSql(DeStop)} THEN 'en'
+           WHEN ${hitsSql(EsStop)} >= ${hitsSql(DeStop)} THEN 'es' ELSE 'de' END AS predicted_lang
+    FROM documents ORDER BY doc_id"""
+
+  val FingerprintMod: Long = 1000000007L
+
+  /** T4: document fingerprint — rolling polynomial hash over token hashes
+    * (acc*31 + h) mod 1e9+7, folded left-to-right. Exact integer
+    * arithmetic: bit-identical across engines and partition layouts.
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).select(
+      col("doc_id"),
+      aggregate(tokens(col("text")), lit(0L),
+        (acc, w) => (acc * 31L + tokenHash(w)) % FingerprintMod).as("fingerprint"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String = s"""SELECT doc_id,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT), list_transform($tokensSql, w -> ${tokenHashSql("w")})),
+        (a, b) -> (a * 31 + b) % $FingerprintMod) AS fingerprint
+    FROM documents ORDER BY doc_id"""
+}
