@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.enhance.{Clahe, LocalStats, SynRgbSuppressed}
 import graft.ext.{Dedup, Events, Similarity, TextOps}
 import graft.ops.PixelOps
 import graft.stats.HistStats
@@ -557,6 +558,11 @@ object SparkEntry {
 
   // ------------------------------------------- extensions (SURVEY §7.2.8)
 
+  private val enhanceQueries: Seq[Q] = Seq(
+    Q("a4_clahe", Clahe.query, Some(Clahe.querySql)),
+    Q("a5_local_median_range", LocalStats.query, Some(LocalStats.querySql)),
+    Q("p12_synrgb_suppressed", SynRgbSuppressed.query, Some(SynRgbSuppressed.querySql)))
+
   private val extQueries: Seq[Q] = Seq(
     Q("e1_sessionize", Events.sessionize, Some(Events.sessionizeSql)),
     Q("e2_tumbling_window", Events.tumbling, Some(Events.tumblingSql)),
@@ -581,7 +587,7 @@ object SparkEntry {
     q1, p1DbMask, p2, p3, p4, p5, p6, p7Default, p7Legacy, p8U16ToU8,
     p9, p10, p11, p14, p15,
     a1, a1Grouped, a2, a3, a3Legacy, a6, a7,
-    j1, r1, r4) ++ extQueries
+    j1, r1, r4) ++ enhanceQueries ++ extQueries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

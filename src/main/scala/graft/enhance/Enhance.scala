@@ -1,0 +1,359 @@
+package graft.enhance
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.PixelOps
+import graft.stats.HistStats
+
+/** Shared 2-D grid fixture: lineitem rows laid out row-major into a
+  * complete `rows × 250` image (ordered by (l_orderkey, l_linenumber),
+  * truncated to whole rows), pixel value = dB of l_extendedprice.
+  * This gives the spatial operators (CLAHE tiles, 3×3 neighborhoods) a
+  * deterministic raster to chew on at any scale factor.
+  */
+object Grid {
+  val Cols = 250
+
+  def df(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("l_orderkey", "l_linenumber")
+    val px = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(PixelOps.toDb(col("l_extendedprice")).as("db"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("idx", row_number().over(w) - 1)
+    val n = px.agg(count(lit(1)).as("n_total"))
+    px.crossJoin(broadcast(n))
+      .filter(col("idx") < expr(s"n_total div $Cols") * Cols)
+      .select(col("idx"),
+        expr(s"idx div $Cols").as("y"), (col("idx") % Cols).as("x"),
+        col("db"), PixelOps.validMask(col("db")).as("valid"),
+        expr(s"n_total div $Cols").as("rows_"))
+  }
+
+  /** Oracle CTEs `grid(idx,y,x,db,valid)` + `gmeta(rows_)`. */
+  val sqlCtes: String = s"""gbase AS (
+      SELECT 10.0*log10(GREATEST(CAST(l_extendedprice AS DOUBLE), 1e-10)) AS db,
+             row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS idx
+      FROM lineitem),
+    gn AS (SELECT COUNT(*) AS n_total FROM gbase),
+    grid AS (
+      SELECT idx, idx // $Cols AS y, idx % $Cols AS x, db, db > -50.0 AS valid
+      FROM gbase, gn WHERE idx < (n_total // $Cols) * $Cols),
+    gmeta AS (SELECT n_total // $Cols AS rows_ FROM gn)"""
+}
+
+/** A4: CLAHE — contrast-limited adaptive histogram equalization
+  * (`/root/reference/src/core/processing/autoscale.rs:220-345`, invoked
+  * with 8×8 tiles, clip 2.0, 256 bins over the (p01,p99) normalized
+  * window, `autoscale.rs:571-608`).
+  *
+  * Distributed plan (SURVEY §2.3 A4): per-tile histograms are ONE hash
+  * aggregate on (tile_y, tile_x, bin); clip/redistribute/CDF run on the
+  * tiny 64×256 relation; the per-pixel bilinear lookup is FOUR broadcast
+  * joins of that relation back to the pixel table — pixels never shuffle.
+  * At 100 TB the plan shape is unchanged: the CDF table stays ≤ tiles×bins
+  * rows regardless of image size.
+  *
+  * Exactness notes (they are the spec, SURVEY §7.5):
+  *  - `clip_threshold as u32` truncates → `floor(ct)`, while the compare
+  *    `h > ct` uses the unfloored threshold;
+  *  - excess terms are exact dyadic rationals (k/128), so the float sum
+  *    is exact and partition-order independent;
+  *  - remainder round-robin touches bins `0 until rem` (rem < 256);
+  *  - bilinear weights may be negative at the image border (the reference
+  *    floors THEN maxes, so dy = rf − max(floor(rf),0) < 0 on top rows) —
+  *    preserved verbatim;
+  *  - output quantization truncates (`as u16`).
+  */
+object Clahe {
+  val Tiles = 8
+  val NumBins = 256
+  val ClipLimit = 2.0
+  val TileW: Int = (Grid.Cols + Tiles - 1) / Tiles // 32
+
+  def query(s: SparkSession, dir: String): DataFrame = {
+    val g = Grid.df(s, dir)
+    val st = HistStats.stats(g.filter(col("valid")).select(col("db")))
+    val params = st.select(col("p01").as("low"), col("p99").as("high"),
+      greatest(col("p99") - col("p01"), lit(1.0)).as("rng"))
+
+    val px = g.crossJoin(broadcast(params))
+      .withColumn("tile_h", expr(s"(rows_ + ${Tiles - 1}) div $Tiles"))
+      .withColumn("norm", when(col("valid"),
+        (least(greatest(col("db"), col("low")), col("high")) - col("low")) / col("rng"))
+        .otherwise(lit(0.0)))
+      .withColumn("bin",
+        round(least(greatest(col("norm"), lit(0.0)), lit(1.0)) * lit(255.0), 0).cast("int"))
+      .withColumn("ty", expr("y div tile_h"))
+      .withColumn("tx", expr(s"x div $TileW"))
+
+    val hist = px.filter(col("valid"))
+      .groupBy(col("ty"), col("tx"), col("bin")).agg(count(lit(1)).as("h"))
+
+    // Complete 8×8 tile grid (empty tiles keep ct=1, excess=0, cdf=0 like
+    // the reference's zero-filled cdfs).
+    val tileIds = s.range(Tiles).toDF("ty")
+      .crossJoin(s.range(Tiles).toDF("tx"))
+    val tp = px.groupBy(col("ty"), col("tx")).agg(count(lit(1)).as("tp"))
+    val tiles = tileIds.join(tp, Seq("ty", "tx"), "left")
+      .select(col("ty"), col("tx"), coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("ct", greatest(lit(ClipLimit) * (col("tp") / lit(NumBins.toDouble)), lit(1.0)))
+
+    val excess = tiles.join(hist, Seq("ty", "tx"), "left")
+      .groupBy(col("ty"), col("tx"))
+      .agg(coalesce(sum(when(col("h") > col("ct"), col("h") - col("ct")).otherwise(lit(0.0))),
+        lit(0.0)).as("excess"))
+    val tinfo = tiles.join(excess, Seq("ty", "tx"))
+      .withColumn("apb", floor(col("excess") / lit(NumBins.toDouble)))
+      .withColumn("rem", round(col("excess") - col("apb") * lit(NumBins.toDouble), 0))
+
+    val bins = s.range(NumBins).toDF("bin")
+    val full = tinfo.crossJoin(bins)
+      .join(hist, Seq("ty", "tx", "bin"), "left")
+      .withColumn("hfin",
+        coalesce(when(col("h") > col("ct"), floor(col("ct"))).otherwise(col("h")), lit(0.0)) +
+          col("apb") + when(col("bin") < col("rem"), lit(1.0)).otherwise(lit(0.0)))
+    val wTile = Window.partitionBy("ty", "tx")
+    val cdf = full.select(col("ty"), col("tx"), col("bin"),
+      least(greatest(
+        sum(col("hfin")).over(wTile.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)) /
+          greatest(sum(col("hfin")).over(wTile), lit(1.0)), lit(0.0)), lit(1.0)).as("cdf"))
+
+    def corner(name: String, tyC: Column, txC: Column): DataFrame =
+      cdf.select(col("ty").as(s"ty_$name"), col("tx").as(s"tx_$name"),
+        col("bin").as(s"bin_$name"), col("cdf").as(s"c$name"))
+
+    val samp = px
+      .withColumn("rf", col("y").cast("double") / col("tile_h").cast("double") - lit(0.5))
+      .withColumn("cf", col("x").cast("double") / lit(TileW.toDouble) - lit(0.5))
+      .withColumn("tyf", greatest(floor(col("rf")), lit(0.0)))
+      .withColumn("txf", greatest(floor(col("cf")), lit(0.0)))
+      .withColumn("dy", col("rf") - col("tyf"))
+      .withColumn("dx", col("cf") - col("txf"))
+      .withColumn("ty0", least(col("tyf"), lit((Tiles - 1).toDouble)).cast("long"))
+      .withColumn("tx0", least(col("txf"), lit((Tiles - 1).toDouble)).cast("long"))
+      .withColumn("ty1", least(col("tyf") + 1.0, lit((Tiles - 1).toDouble)).cast("long"))
+      .withColumn("tx1", least(col("txf") + 1.0, lit((Tiles - 1).toDouble)).cast("long"))
+
+    val joined = samp
+      .join(broadcast(corner("00", col("ty0"), col("tx0"))),
+        col("ty0") === col("ty_00") && col("tx0") === col("tx_00") && col("bin") === col("bin_00"))
+      .join(broadcast(corner("01", col("ty0"), col("tx1"))),
+        col("ty0") === col("ty_01") && col("tx1") === col("tx_01") && col("bin") === col("bin_01"))
+      .join(broadcast(corner("10", col("ty1"), col("tx0"))),
+        col("ty1") === col("ty_10") && col("tx0") === col("tx_10") && col("bin") === col("bin_10"))
+      .join(broadcast(corner("11", col("ty1"), col("tx1"))),
+        col("ty1") === col("ty_11") && col("tx1") === col("tx_11") && col("bin") === col("bin_11"))
+
+    val top = col("c00") * (lit(1.0) - col("dx")) + col("c01") * col("dx")
+    val bottom = col("c10") * (lit(1.0) - col("dx")) + col("c11") * col("dx")
+    val out = top * (lit(1.0) - col("dy")) + bottom * col("dy")
+    joined.select(col("y"), col("x"),
+      when(col("valid"),
+        floor(least(greatest(out, lit(0.0)), lit(1.0)) * lit(65535.0)).cast("int"))
+        .otherwise(lit(0)).as("q"))
+      .orderBy("y", "x")
+  }
+
+  val querySql: String = {
+    val stats = HistStats.statsCtesSql("SELECT db FROM grid WHERE valid")
+    s"""WITH ${Grid.sqlCtes},
+    $stats,
+    params AS (SELECT p01 AS low, p99 AS high, GREATEST(p99 - p01, 1.0) AS rng FROM stats),
+    px AS (
+      SELECT y, x, valid, (rows_ + ${Tiles - 1}) // $Tiles AS tile_h,
+        CASE WHEN valid THEN (LEAST(GREATEST(db, low), high) - low) / rng ELSE 0.0 END AS norm
+      FROM grid, params, gmeta),
+    px2 AS (
+      SELECT y, x, valid, tile_h,
+        CAST(ROUND(LEAST(GREATEST(norm, 0.0), 1.0) * 255.0, 0) AS INT) AS bin,
+        y // tile_h AS ty, x // $TileW AS tx
+      FROM px),
+    thist AS (SELECT ty, tx, bin, COUNT(*) AS h FROM px2 WHERE valid GROUP BY 1, 2, 3),
+    tiles AS (
+      SELECT ti.ty, ti.tx, COALESCE(c.tp, 0) AS tp,
+        GREATEST($ClipLimit * (COALESCE(c.tp, 0) / ${NumBins.toDouble}), 1.0) AS ct
+      FROM (SELECT a.range AS ty, b.range AS tx FROM range($Tiles) a, range($Tiles) b) ti
+      LEFT JOIN (SELECT ty, tx, COUNT(*) AS tp FROM px2 GROUP BY 1, 2) c
+        ON ti.ty = c.ty AND ti.tx = c.tx),
+    exc AS (
+      SELECT tiles.ty, tiles.tx,
+        COALESCE(SUM(CASE WHEN h > ct THEN h - ct ELSE 0.0 END), 0.0) AS excess
+      FROM tiles LEFT JOIN thist ON tiles.ty = thist.ty AND tiles.tx = thist.tx
+      GROUP BY 1, 2),
+    tinfo AS (
+      SELECT tiles.ty, tiles.tx, ct, excess,
+        FLOOR(excess / ${NumBins.toDouble}) AS apb,
+        ROUND(excess - FLOOR(excess / ${NumBins.toDouble}) * ${NumBins.toDouble}, 0) AS rem
+      FROM tiles JOIN exc ON tiles.ty = exc.ty AND tiles.tx = exc.tx),
+    fullb AS (
+      SELECT tinfo.ty, tinfo.tx, rb.range AS bin,
+        COALESCE(CASE WHEN h > ct THEN FLOOR(ct) ELSE h END, 0.0) + apb +
+          CASE WHEN rb.range < rem THEN 1.0 ELSE 0.0 END AS hfin
+      FROM tinfo CROSS JOIN range($NumBins) rb
+      LEFT JOIN thist ON tinfo.ty = thist.ty AND tinfo.tx = thist.tx AND rb.range = thist.bin),
+    cdf AS (
+      SELECT ty, tx, bin,
+        LEAST(GREATEST(
+          SUM(hfin) OVER (PARTITION BY ty, tx ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) /
+          GREATEST(SUM(hfin) OVER (PARTITION BY ty, tx), 1.0), 0.0), 1.0) AS cdf
+      FROM fullb),
+    samp AS (
+      SELECT y, x, valid, bin,
+        rf - tyf AS dy, cf - txf AS dx,
+        CAST(LEAST(tyf, ${Tiles - 1}.0) AS BIGINT) AS ty0,
+        CAST(LEAST(txf, ${Tiles - 1}.0) AS BIGINT) AS tx0,
+        CAST(LEAST(tyf + 1.0, ${Tiles - 1}.0) AS BIGINT) AS ty1,
+        CAST(LEAST(txf + 1.0, ${Tiles - 1}.0) AS BIGINT) AS tx1
+      FROM (
+        SELECT *, GREATEST(FLOOR(rf), 0.0) AS tyf, GREATEST(FLOOR(cf), 0.0) AS txf
+        FROM (
+          SELECT y, x, valid, bin,
+            CAST(y AS DOUBLE) / CAST(tile_h AS DOUBLE) - 0.5 AS rf,
+            CAST(x AS DOUBLE) / ${TileW.toDouble} - 0.5 AS cf
+          FROM px2)))
+    SELECT y, x,
+      CASE WHEN valid THEN CAST(FLOOR(LEAST(GREATEST(
+        (c00.cdf * (1.0 - dx) + c01.cdf * dx) * (1.0 - dy) +
+        (c10.cdf * (1.0 - dx) + c11.cdf * dx) * dy, 0.0), 1.0) * 65535.0) AS INT)
+      ELSE 0 END AS q
+    FROM samp
+      JOIN cdf c00 ON samp.ty0 = c00.ty AND samp.tx0 = c00.tx AND samp.bin = c00.bin
+      JOIN cdf c01 ON samp.ty0 = c01.ty AND samp.tx1 = c01.tx AND samp.bin = c01.bin
+      JOIN cdf c10 ON samp.ty1 = c10.ty AND samp.tx0 = c10.tx AND samp.bin = c10.bin
+      JOIN cdf c11 ON samp.ty1 = c11.ty AND samp.tx1 = c11.tx AND samp.bin = c11.bin
+    ORDER BY y, x"""
+  }
+}
+
+/** A5: 3×3 local median + range
+  * (`/root/reference/src/core/processing/autoscale.rs:176-213`): over the
+  * ≤9 VALID pixels of the neighborhood (center included), median is the
+  * upper median `sorted[count/2]`, range is max−min; the consumer's local
+  * factor is `1 + 0.1·(v−median)/range` (range>0) else 1
+  * (`autoscale.rs:630-636`).
+  *
+  * Distributed plan: each valid pixel is exploded to its 9 neighbor
+  * positions (a flatMap, no shuffle), then ONE hash aggregate on the
+  * target coordinate collects the neighborhood — the halo-exchange
+  * pattern without tile-boundary special cases. dB values are rounded at
+  * the comparison boundary only (libm log10 may differ in the last ulp).
+  */
+object LocalStats {
+  def query(s: SparkSession, dir: String): DataFrame = {
+    val g = Grid.df(s, dir)
+    val offsets = array((for (dy <- -1 to 1; dx <- -1 to 1)
+      yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)
+    val contrib = g.filter(col("valid"))
+      .select(col("y"), col("x"), col("db"), explode(offsets).as("o"))
+      .select((col("y") + col("o.dy")).as("cy"), (col("x") + col("o.dx")).as("cx"), col("db"))
+    val nb = contrib.groupBy(col("cy"), col("cx")).agg(
+      sort_array(collect_list(col("db"))).as("vals"),
+      count(lit(1)).as("cnt"),
+      min(col("db")).as("mn"), max(col("db")).as("mx"))
+    val med = element_at(col("vals"), (expr("cnt div 2") + 1).cast("int"))
+    val rng = col("mx") - col("mn")
+    g.filter(col("valid"))
+      .join(nb, col("y") === col("cy") && col("x") === col("cx"))
+      .select(col("y"), col("x"), col("cnt").as("n_nb"),
+        round(med, 6).as("median_db"),
+        round(rng, 6).as("range_db"),
+        round(when(rng > 0.0, lit(1.0) + lit(0.1) * (col("db") - med) / rng)
+          .otherwise(lit(1.0)), 6).as("local_factor"))
+      .orderBy("y", "x")
+  }
+
+  val querySql: String = s"""WITH ${Grid.sqlCtes},
+    contrib AS (
+      SELECT y + o.dy AS cy, x + o.dx AS cx, db
+      FROM grid CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) o(dy, dx)
+      WHERE valid),
+    nb AS (
+      SELECT cy, cx, list_sort(list(db)) AS vals, COUNT(*) AS cnt,
+        MIN(db) AS mn, MAX(db) AS mx
+      FROM contrib GROUP BY 1, 2)
+    SELECT y, x, cnt AS n_nb,
+      ROUND(vals[CAST(cnt // 2 + 1 AS INT)], 6) AS median_db,
+      ROUND(mx - mn, 6) AS range_db,
+      ROUND(CASE WHEN mx - mn > 0.0 THEN 1.0 + 0.1 * (db - vals[CAST(cnt // 2 + 1 AS INT)]) / (mx - mn)
+                 ELSE 1.0 END, 6) AS local_factor
+    FROM grid JOIN nb ON grid.y = nb.cy AND grid.x = nb.cx
+    WHERE valid ORDER BY y, x"""
+}
+
+/** P12: suppressed synthetic RGB for maritime scenes
+  * (`/root/reference/src/core/processing/synthetic_rgb.rs:88-178`):
+  * combined-band p05 floor (+3, cap 40); both bands ≤ floor → (0,0,0);
+  * soft floor-subtract with γR=1.15, γG=1.10; blue from the stabilized
+  * ratio (r+8)/(g+8) with gain 0.18.
+  *
+  * The fixture reuses the u8 band pair derived from `part`
+  * (p_partkey%256, (p_partkey·7+3)%256). Two-phase plan: the floor is a
+  * tiny histogram aggregate broadcast back into a per-pixel projection.
+  * Math runs in f64 (the reference uses f32 LUT precompute; at u8
+  * granularity results agree except exact .5-boundary values — the
+  * documented divergence of PixelOps).
+  */
+object SynRgbSuppressed {
+  def query(s: SparkSession, dir: String): DataFrame = {
+    val part = s.read.parquet(s"$dir/part.parquet")
+    val withBands = part.select(col("p_partkey"),
+      (col("p_partkey") % 256).as("b1"),
+      ((col("p_partkey") * 7 + 3) % 256).as("b2"))
+
+    val vals = withBands.select(col("b1").as("v"))
+      .unionAll(withBands.select(col("b2").as("v")))
+    val tot = vals.agg(count(lit(1)).as("total"))
+    val cum = vals.groupBy(col("v")).agg(count(lit(1)).as("h"))
+      .select(col("v"), sum(col("h")).over(
+        Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)).as("c"))
+    val floorDf = cum.crossJoin(broadcast(tot))
+      .filter(col("c") >= round(col("total").cast("double") * 0.05, 0).cast("long"))
+      .agg(least(min(col("v")) + 3, lit(40L)).cast("double").as("floorv"))
+
+    def chan(v: Column, gamma: Double): Column = {
+      val denom = greatest(lit(255.0) - col("floorv"), lit(1.0))
+      val shifted = (v.cast("double") - col("floorv")) / denom
+      when(v.cast("double") <= col("floorv"), lit(0))
+        .otherwise(round(least(greatest(
+          pow(shifted, lit(gamma)) * lit(255.0), lit(0.0)), lit(255.0)), 0).cast("int"))
+    }
+
+    val out = withBands.crossJoin(broadcast(floorDf))
+    val r = chan(col("b1"), 1.15)
+    val gg = chan(col("b2"), 1.10)
+    val blue = round(least(greatest(
+      pow((r.cast("double") + lit(8.0)) / (gg.cast("double") + lit(8.0)), lit(0.1)) *
+        lit(255.0) * lit(0.18), lit(0.0)), lit(255.0)), 0).cast("int")
+    val water = col("b1").cast("double") <= col("floorv") &&
+      col("b2").cast("double") <= col("floorv")
+    out.select(col("p_partkey"),
+      when(water, 0).otherwise(r).as("r"),
+      when(water, 0).otherwise(gg).as("g"),
+      when(water, 0).otherwise(blue).as("b"))
+      .orderBy("p_partkey")
+  }
+
+  val querySql: String = {
+    val chanSql: (String, String) => String = (v, g) =>
+      s"""CASE WHEN CAST($v AS DOUBLE) <= floorv THEN 0
+         ELSE CAST(ROUND(LEAST(GREATEST(pow((CAST($v AS DOUBLE) - floorv) / GREATEST(255.0 - floorv, 1.0), $g) * 255.0, 0.0), 255.0), 0) AS INT) END"""
+    val r = chanSql("b1", "1.15")
+    val gg = chanSql("b2", "1.10")
+    s"""WITH bands AS (
+      SELECT p_partkey, p_partkey % 256 AS b1, (p_partkey*7 + 3) % 256 AS b2 FROM part),
+    vals AS (SELECT b1 AS v FROM bands UNION ALL SELECT b2 AS v FROM bands),
+    tot AS (SELECT COUNT(*) AS total FROM vals),
+    cum AS (SELECT v, SUM(h) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+            FROM (SELECT v, COUNT(*) AS h FROM vals GROUP BY 1)),
+    fl AS (SELECT CAST(LEAST(MIN(v) + 3, 40) AS DOUBLE) AS floorv
+           FROM cum, tot WHERE c >= CAST(ROUND(CAST(total AS DOUBLE)*0.05, 0) AS BIGINT))
+    SELECT p_partkey,
+      CASE WHEN CAST(b1 AS DOUBLE) <= floorv AND CAST(b2 AS DOUBLE) <= floorv THEN 0 ELSE $r END AS r,
+      CASE WHEN CAST(b1 AS DOUBLE) <= floorv AND CAST(b2 AS DOUBLE) <= floorv THEN 0 ELSE $gg END AS g,
+      CASE WHEN CAST(b1 AS DOUBLE) <= floorv AND CAST(b2 AS DOUBLE) <= floorv THEN 0
+        ELSE CAST(ROUND(LEAST(GREATEST(pow((CAST($r AS DOUBLE) + 8.0) / (CAST($gg AS DOUBLE) + 8.0), 0.1) * 255.0 * 0.18, 0.0), 255.0), 0) AS INT) END AS b
+    FROM bands, fl ORDER BY p_partkey"""
+  }
+}
