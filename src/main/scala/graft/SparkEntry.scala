@@ -8,6 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.enhance.{Clahe, LocalStats, SynRgbSuppressed}
 import graft.ext.{Dedup, Events, Similarity, TextOps}
 import graft.ops.PixelOps
+import graft.sources.Multimodal
 import graft.stats.HistStats
 
 /** Driver contract — every operator of SURVEY.md §2 exposed as a named
@@ -579,7 +580,11 @@ object SparkEntry {
     Q("d4_simhash", Dedup.simhash, Some(Dedup.simhashSql)),
     Q("s1_cosine_topk", Similarity.cosineTopk, Some(Similarity.cosineTopkSql)),
     Q("s2_lsh_ann_topk", Similarity.lshAnnTopk, Some(Similarity.lshAnnTopkSql)),
-    Q("s3_cosine_neardup", Similarity.cosineNeardup, Some(Similarity.cosineNeardupSql)))
+    Q("s3_cosine_neardup", Similarity.cosineNeardup, Some(Similarity.cosineNeardupSql)),
+    Q("m1_multimodal_meta", Multimodal.meta, Some(Multimodal.metaSql)),
+    // mapPartitions feature extraction — not SQL-expressible; driver
+    // records the weaker rows-only check.
+    Q("m2_multimodal_features", Multimodal.features, None))
 
   // --------------------------------------------------------------- registry
 

@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: opaque `binary` payloads + typed metadata,
+  * with decode / feature-extract / frame-sample implemented as
+  * `mapPartitions` batch transforms (the Scala analog of `mapInPandas`).
+  *
+  * The actual image/audio codecs are NOT in this container, so the byte-
+  * level "decode" is a clearly-marked deterministic fake — but the
+  * Spark-side plumbing is real and is what matters at 100 TB: binary
+  * payloads stay columnar, the transform is per-partition streaming (no
+  * payload ever crosses to the driver), output schema is declared up
+  * front, and feature vectors come back as fixed-length float arrays
+  * ready for the `graft.ext.Similarity` operators.
+  */
+object Multimodal {
+
+  /** Build a multimodal table from `documents`: payload = UTF-8 bytes of
+    * the text (stand-in for image/audio bytes), modality derived from the
+    * source id.
+    */
+  def table(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        concat(lit("modality_"), col("source")).as("modality"),
+        col("text").cast("binary").as("payload"))
+
+  /** M1: payload metadata — pure column projection over the binary
+    * column (length + derived fake dimensions), fully codegen'd and
+    * SQL-expressible (oracle-checked).
+    */
+  def meta(s: SparkSession, dir: String): DataFrame =
+    table(s, dir).select(
+      col("doc_id"), col("modality"),
+      length(col("payload")).as("byte_len"),
+      (length(col("payload")) % 640 + 1).as("width"),
+      (expr("length(payload) div 7") % 480 + 1).as("height"),
+      (length(col("payload")) % 16 + 1).as("n_frames"))
+      .orderBy("doc_id")
+
+  val metaSql: String = """SELECT doc_id, concat('modality_', source) AS modality,
+      strlen(text) AS byte_len,
+      strlen(text) % 640 + 1 AS width,
+      (strlen(text) // 7) % 480 + 1 AS height,
+      strlen(text) % 16 + 1 AS n_frames
+    FROM documents ORDER BY doc_id"""
+
+  val FeatureBins = 16
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("byte_len", IntegerType),
+    StructField("features", ArrayType(FloatType, containsNull = false))))
+
+  /** M2: per-payload feature extraction via mapPartitions — iterates the
+    * partition's binary payloads and emits a 16-bin normalized byte
+    * histogram as the "embedding". STUB: a real deployment swaps
+    * `fakeDecode` for an actual codec (JPEG decode, resample, model
+    * forward pass); everything around it — partition-streaming iterator,
+    * schema declaration, float-array output — is the production shape.
+    */
+  def features(s: SparkSession, dir: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(featureSchema)
+    table(s, dir)
+      .select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          Row(id, payload.length, fakeDecode(payload))
+        }
+      }(enc)
+      .orderBy("doc_id")
+  }
+
+  /** STUB decoder: 16-bin byte histogram normalized by length — a
+    * deterministic placeholder for codec + feature model output.
+    */
+  private def fakeDecode(payload: Array[Byte]): Array[Float] = {
+    val bins = new Array[Float](FeatureBins)
+    var i = 0
+    while (i < payload.length) {
+      bins((payload(i) & 0xff) % FeatureBins) += 1f
+      i += 1
+    }
+    if (payload.length > 0) {
+      var b = 0
+      while (b < FeatureBins) { bins(b) /= payload.length.toFloat; b += 1 }
+    }
+    bins
+  }
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming slice. The reference has NO streaming surface
+  * (SURVEY §2.9 — temporal composites are its unimplemented roadmap
+  * Phase 7), so this package is pure extension: the streaming duals of
+  * the batch `graft.ext.Events` operators, built on watermarks +
+  * event-time windows so they run identically over `readStream` sources
+  * at cluster scale (state store per key, late data dropped past the
+  * watermark).
+  *
+  * All transforms take a DataFrame with an event-time `ts: Timestamp`
+  * column and are source-agnostic: bind them to `readStream` (kafka,
+  * files) in production or `MemoryStream` in tests — the unit specs
+  * drive them through an actual streaming query with incremental
+  * batches.
+  */
+object StreamOps {
+
+  /** Tumbling-window counts/sums per event type (dual of E2). */
+  def tumblingAgg(events: DataFrame,
+                  windowDur: String = "5 minutes",
+                  watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Event-time sessionization per user with a 30-min gap (dual of E1),
+    * via `session_window` — Spark merges overlapping session state per
+    * key; the watermark bounds state size.
+    */
+  def sessionAgg(events: DataFrame,
+                 gap: String = "30 minutes",
+                 watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Streaming dedup on a key with watermarked state (the streaming tier
+    * of the dedup stack: exact-key within the watermark horizon).
+    */
+  def dedupByKey(events: DataFrame, keyCol: String,
+                 watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+}

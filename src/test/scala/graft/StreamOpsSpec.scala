@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+
+/** Drives the streaming operators through real incremental micro-batches
+  * via MemoryStream + memory sink.
+  */
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(1700000000000L + minutes * 60000)
+
+  test("tumblingAgg aggregates event-time windows incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.tumblingAgg(df, "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("tumbling_test").outputMode("append").start()
+    try {
+      mem.addData((ts(0), "click", 1.0), (ts(1), "click", 2.0), (ts(6), "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first windows
+      mem.addData((ts(60), "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_test").collect()
+      val clicks = rows.find(r => r.getString(2) == "click" && r.getLong(3) == 2)
+      assert(clicks.isDefined, s"expected closed click window, got ${rows.mkString(";")}")
+      assert(clicks.get.getDouble(4) == 3.0)
+    } finally q.stop()
+  }
+
+  test("sessionAgg merges events within the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "value")
+    val q = StreamOps.sessionAgg(df, "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("session_test").outputMode("append").start()
+    try {
+      mem.addData((ts(0), 1L, 1.0), (ts(5), 1L, 2.0), (ts(120), 1L, 5.0))
+      q.processAllAvailable()
+      mem.addData((ts(600), 1L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("session_test").collect()
+      assert(rows.exists(r => r.getLong(3) == 2 && r.getDouble(4) == 3.0),
+        s"expected merged 2-event session, got ${rows.mkString(";")}")
+    } finally q.stop()
+  }
+
+  test("dedupByKey drops duplicate keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "k")
+    val q = StreamOps.dedupByKey(df, "k", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_test").outputMode("append").start()
+    try {
+      mem.addData((ts(0), "a"), (ts(1), "a"), (ts(2), "b"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_test").collect()
+      assert(rows.map(_.getString(1)).sorted.toSeq == Seq("a", "b"))
+    } finally q.stop()
+  }
+}
