@@ -1,0 +1,176 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.api.Engine
+import graft.geom.Geom
+import graft.meta.SafeMeta
+import graft.model._
+import graft.sink.Sinks
+import graft.sources.RasterSource
+
+/** End-to-end engine specs: synthetic raster → full pipeline → real
+  * image files + sidecars, plus the pure geometry/metadata functions.
+  */
+class EngineSpec extends SparkSpec {
+
+  private def tmpDir = Files.createTempDirectory("graft-test").toString
+
+  test("resizeDims: long side to target, proportional short side, no upscale") {
+    assert(Geom.resizeDims(1000, 500, 500) == (500, 250))
+    assert(Geom.resizeDims(500, 1000, 500) == (250, 500))
+    assert(Geom.resizeDims(100, 50, 2048) == (100, 50), "no-op when target > long side")
+    assert(Geom.resizeDims(1000, 333, 100) == (100, 33))
+  }
+
+  test("padToSquare centers with zero border") {
+    val (out, dim, padLeft, padTop) = Geom.padToSquare(Array(1, 2, 3, 4, 5, 6), 3, 2)
+    assert(dim == 3 && padLeft == 0 && padTop == 0)
+    assert(out.take(3).toSeq == Seq(1, 2, 3))
+    assert(out.slice(6, 9).toSeq == Seq(0, 0, 0), "pad row is zeros")
+  }
+
+  test("lanczos resize preserves constant images") {
+    val src = Array.fill(64 * 64)(100)
+    val out = Geom.resizeLanczos(src, 64, 64, 16, 16, 255)
+    assert(out.length == 256)
+    assert(out.forall(v => math.abs(v - 100) <= 1), s"got ${out.distinct.toSeq}")
+  }
+
+  test("lonlatToEpsg: zones, hemispheres, and exceptions") {
+    assert(SafeMeta.lonlatToEpsg(0.5, 45.0) == "EPSG:32631")
+    assert(SafeMeta.lonlatToEpsg(0.5, -45.0) == "EPSG:32731")
+    assert(SafeMeta.lonlatToEpsg(-180.0, 10.0) == "EPSG:32601")
+    assert(SafeMeta.lonlatToEpsg(179.9, 10.0) == "EPSG:32660")
+    assert(SafeMeta.lonlatToEpsg(10.0, 85.0) == "EPSG:32661", "north UPS")
+    assert(SafeMeta.lonlatToEpsg(10.0, -81.0) == "EPSG:32761", "south UPS")
+    assert(SafeMeta.lonlatToEpsg(6.0, 60.0) == "EPSG:32632", "Norway exception")
+    assert(SafeMeta.lonlatToEpsg(10.0, 75.0) == "EPSG:32633", "Svalbard band")
+    assert(SafeMeta.lonlatToEpsg(200.0, 10.0) == SafeMeta.lonlatToEpsg(-160.0, 10.0), "lon wrap")
+  }
+
+  test("manifest XML parse extracts platform and polarisations") {
+    val xml = """<manifest>
+      <platform><familyName>SENTINEL-1</familyName><number>A</number></platform>
+      <startTime>2024-01-01T00:00:00Z</startTime>
+      <stopTime>2024-01-01T00:00:25Z</stopTime>
+      <orbitNumber>12345</orbitNumber>
+      <pass>ASCENDING</pass>
+      <productType>GRD</productType>
+      <transmitterReceiverPolarisation>VV</transmitterReceiverPolarisation>
+      <transmitterReceiverPolarisation>VH</transmitterReceiverPolarisation>
+    </manifest>"""
+    val m = SafeMeta.parseManifest(xml)
+    assert(m.platform.contains("SENTINEL-1A"))
+    assert(m.orbitNumber.contains(12345L))
+    assert(m.passDirection.contains("ASCENDING"))
+    assert(m.productType.contains("GRD"))
+    assert(m.polarizations == Seq("VV", "VH"))
+  }
+
+  test("annotation XML derives velocity and slant range") {
+    val xml = """<product>
+      <prf>1717.13</prf>
+      <radarFrequency>5405000454.33435</radarFrequency>
+      <numberOfLines>16709</numberOfLines>
+      <numberOfSamples>25976</numberOfSamples>
+      <slantRangeTime>5.3e-3</slantRangeTime>
+      <orbit><velocity><vx>3.0</vx><vy>4.0</vy><vz>0.0</vz></velocity></orbit>
+    </product>"""
+    val m = SafeMeta.parseAnnotation(xml)
+    assert(m.prf.contains(1717.13))
+    assert(m.velocity.contains(5.0), "mid state vector norm")
+    assert(m.slantRangeNear.contains(5.3e-3 * 299792458.0 / 2.0))
+    assert(m.lines.contains(16709) && m.samples.contains(25976))
+  }
+
+  test("world file uses pixel-center convention") {
+    val dir = tmpDir
+    val img = s"$dir/x.tiff"
+    val p = Sinks.writeWorldFile(img, Array(100.0, 10.0, 0.0, 200.0, 0.0, -10.0))
+    assert(p.endsWith(".tfw"))
+    val lines = Files.readAllLines(Paths.get(p))
+    assert(lines.get(0).toDouble == 10.0)
+    assert(lines.get(4).toDouble == 105.0, "C = gt0 + 0.5*A")
+    assert(lines.get(5).toDouble == 195.0, "F = gt3 + 0.5*E")
+  }
+
+  test("sidecar JSON infers numbers and lowercases keys") {
+    val json = Sinks.sidecarJson(
+      Seq("PLATFORM" -> "SENTINEL-1A", "ORBIT_NUMBER" -> "12345", "PRF" -> "1717.13"),
+      Some(Array(1.0, 2.0, 0.0, 3.0, 0.0, -2.0)), Some("EPSG:32633"))
+    assert(json.contains("\"platform\": \"SENTINEL-1A\""))
+    assert(json.contains("\"orbit_number\": 12345"))
+    assert(json.contains("\"prf\": 1717.13"))
+    assert(json.contains("\"geotransform\": [1.0, 2.0, 0.0, 3.0, 0.0, -2.0]"))
+    assert(json.contains("\"crs\": \"EPSG:32633\""))
+  }
+
+  test("E2E single band: synthetic raster → TIFF + sidecars") {
+    val dir = tmpDir
+    val out = s"$dir/prod.tiff"
+    val meta = SafeMeta(platform = Some("SENTINEL-1A"),
+      geotransform = Some(Array(500000.0, 10.0, 0.0, 6000000.0, 0.0, -10.0)),
+      crs = Some("EPSG:32633"))
+    Engine.processToPath(spark, "prodA", rows = 200, cols = 300, out,
+      ProcessingParams(autoscale = AutoscaleStrategy.Standard,
+        targetSize = Some(128), pad = true), meta)
+    assert(Files.exists(Paths.get(out)), "tiff written")
+    assert(Files.exists(Paths.get(s"$dir/prod.tfw")), "world file written")
+    assert(Files.exists(Paths.get(s"$dir/prod.prj")), "prj written")
+    assert(Files.exists(Paths.get(s"$dir/prod.tiff.json")), "sidecar written")
+    val img = javax.imageio.ImageIO.read(new java.io.File(out))
+    assert(img.getWidth == 128 && img.getHeight == 128, "resized + padded to square")
+  }
+
+  test("E2E CLAHE default path produces a nonzero image") {
+    val img = Engine.processBand(spark, "prodB", "vv", 100, 100,
+      ProcessingParams(autoscale = AutoscaleStrategy.Clahe, bitDepth = BitDepth.U8))
+    assert(img.gray.exists(_.exists(_ > 0)))
+    assert(img.gray.get.forall(v => v >= 0 && v <= 255))
+  }
+
+  test("E2E multiband synRGB JPEG") {
+    val dir = tmpDir
+    val out = s"$dir/mb.jpg"
+    Engine.processToPath(spark, "prodC", 120, 160, out,
+      ProcessingParams(polarization = Polarization.Multiband,
+        format = OutputFormat.Jpeg, autoscale = AutoscaleStrategy.Tamed,
+        targetSize = Some(64)))
+    val img = javax.imageio.ImageIO.read(new java.io.File(out))
+    assert(img.getWidth == 64)
+  }
+
+  test("decimation pushdown shrinks the scan output") {
+    val full = RasterSource.scan(spark, "p", "vv", 512, 512, decimate = 1)
+    val dec = RasterSource.scan(spark, "p", "vv", 512, 512, decimate = 4)
+    assert(RasterSource.pixelView(dec).count() == 128L * 128)
+    assert(RasterSource.pixelView(full).count() == 512L * 512)
+  }
+
+  test("batch isolates per-product failures") {
+    val dir = tmpDir
+    val report = Engine.processDirectory(spark,
+      Seq(("ok1", 50, 50), ("bad", -5, 50), ("ok2", 40, 60)), dir,
+      ProcessingParams(autoscale = AutoscaleStrategy.Standard))
+    assert(report.processed == 2)
+    assert(report.errors.map(_._1) == Seq("bad"))
+  }
+
+  test("CLI parse round-trips the reference flag surface") {
+    import graft.cli.Cli
+    val r = Cli.parse(Seq("-i", "p:100:100", "-o", "/tmp/x.tiff",
+      "--polarization", "ratio", "--autoscale", "robust",
+      "--bit-depth", "u16", "--format", "tiff", "--size", "512", "--pad"))
+    assert(r.isRight)
+    val a = r.toOption.get
+    assert(a.params.polarization == Polarization.Op(PolarizationOperation.Ratio))
+    assert(a.params.autoscale == AutoscaleStrategy.Robust)
+    assert(a.params.bitDepth == BitDepth.U16)
+    assert(a.params.targetSize.contains(512) && a.params.pad)
+    assert(Cli.parse(Seq("-i", "x")).isLeft, "missing output rejected")
+    assert(Cli.parse(Seq("--size", "nope", "-i", "a:1:1", "-o", "b")).isLeft)
+    assert(Cli.parse(Seq("--batch", "-i", "a:1:1", "-o", "b")).isLeft,
+      "batch requires dirs")
+  }
+}
