@@ -104,6 +104,7 @@ object Engine {
       least(greatest(
         sum(col("hfin")).over(wT.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)) /
           greatest(sum(col("hfin")).over(wT), lit(1.0)), lit(0.0)), lit(1.0)).as("cdf"))
+      .persist()
 
     def corner(n: String): DataFrame =
       cdf.select(col("ty").as(s"ty_$n"), col("tx").as(s"tx_$n"),

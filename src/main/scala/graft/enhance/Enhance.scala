@@ -73,13 +73,16 @@ object Clahe {
   val TileW: Int = (Grid.Cols + Tiles - 1) / Tiles // 32
 
   def query(s: SparkSession, dir: String): DataFrame = {
-    val g = Grid.df(s, dir)
+    // The grid (global row_number) feeds the stats pass, both histograms,
+    // and the sampling pass — cache it so the sort runs once, not 5×.
+    val g = Grid.df(s, dir).persist()
     val st = HistStats.stats(g.filter(col("valid")).select(col("db")))
     val params = st.select(col("p01").as("low"), col("p99").as("high"),
       greatest(col("p99") - col("p01"), lit(1.0)).as("rng"))
 
     val px = g.crossJoin(broadcast(params))
       .withColumn("tile_h", expr(s"(rows_ + ${Tiles - 1}) div $Tiles"))
+      .persist()
       .withColumn("norm", when(col("valid"),
         (least(greatest(col("db"), col("low")), col("high")) - col("low")) / col("rng"))
         .otherwise(lit(0.0)))
@@ -115,10 +118,13 @@ object Clahe {
         coalesce(when(col("h") > col("ct"), floor(col("ct"))).otherwise(col("h")), lit(0.0)) +
           col("apb") + when(col("bin") < col("rem"), lit(1.0)).otherwise(lit(0.0)))
     val wTile = Window.partitionBy("ty", "tx")
+    // persist: each of the four corner broadcasts below would otherwise
+    // recompute the whole histogram lineage
     val cdf = full.select(col("ty"), col("tx"), col("bin"),
       least(greatest(
         sum(col("hfin")).over(wTile.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)) /
           greatest(sum(col("hfin")).over(wTile), lit(1.0)), lit(0.0)), lit(1.0)).as("cdf"))
+      .persist()
 
     def corner(name: String, tyC: Column, txC: Column): DataFrame =
       cdf.select(col("ty").as(s"ty_$name"), col("tx").as(s"tx_$name"),
@@ -242,7 +248,7 @@ object Clahe {
   */
 object LocalStats {
   def query(s: SparkSession, dir: String): DataFrame = {
-    val g = Grid.df(s, dir)
+    val g = Grid.df(s, dir).persist()
     val offsets = array((for (dy <- -1 to 1; dx <- -1 to 1)
       yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)
     val contrib = g.filter(col("valid"))

@@ -69,7 +69,7 @@ object Dedup {
     * shingle); Jaccard = |∩| / (|A|+|B|−|∩|) is one exact division.
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleDf(s, dir)
+    val sh = shingleDf(s, dir).persist() // feeds sizes + both join sides
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val pairs = sh.as("a").join(sh.as("b"), "shingle")
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -81,9 +81,11 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("common").cast("double") /
           (col("na") + col("nb") - col("common")).cast("double")).as("jaccard"))
-    j.withColumn("rk", row_number().over(
+    // Top-50: TakeOrdered (orderBy+limit), then rank the 50 survivors —
+    // never a single-partition window over the full pair set.
+    j.orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(50)
+      .withColumn("rk", row_number().over(
         Window.orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))))
-      .filter(col("rk") <= 50)
       .select(col("rk"), col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
@@ -120,7 +122,8 @@ object Dedup {
       .select(col("doc_id"), TextOps.tokenHash(col("shingle")).as("h"))
     val minExprs = (0 until NumHashes).map(i =>
       min((lit(hashA(i)) * col("h") + lit(hashB(i))) % MinhashPrime).as(s"m$i"))
-    val sig = sh.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
+    // signature table feeds banding + both verification join sides
+    val sig = sh.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*).persist()
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until NumBands).map(b => struct(lit(b).as("band"),
         concat_ws("_", (0 until NumHashes / NumBands).map(r => col(s"m${b * (NumHashes / NumBands) + r}")): _*).as("key"))): _*)).as("bk"))
@@ -175,12 +178,16 @@ object Dedup {
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .distinct()
       .select(col("doc_id"), TextOps.tokenHash(col("tok")).as("h"))
+    // bitsum_j = Σ(2·bit_j(h) − 1) = 2·Σbit_j(h) − n: sum the raw bits
+    // (branch-free, stays in codegen) and compare 2·ones > n.
     val sumExprs = (0 until SimhashBits).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$j"))
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"s$j")) :+
+      count(lit(1)).as("ntok")
     val bitSums = toksDf.groupBy("doc_id").agg(sumExprs.head, sumExprs.tail: _*)
     val sim = bitSums.select(col("doc_id"),
       (0 until SimhashBits).map(j =>
-        shiftleft(when(col(s"s$j") > 0, 1L).otherwise(0L), j)).reduce(_ + _).as("simhash"))
+        shiftleft(when(col(s"s$j") * 2 > col("ntok"), 1L).otherwise(0L), j)).reduce(_ + _).as("simhash"))
+      .persist() // feeds both block-join sides
     val blocks = sim.select(col("doc_id"), col("simhash"), explode(array(
       (0 until SimhashBlocks).map(b => struct(lit(b).as("blk"),
         shiftright(col("simhash"), b * BlockBits).bitwiseAND(lit((1L << BlockBits) - 1)).as("bval"))): _*)).as("e"))
@@ -196,9 +203,9 @@ object Dedup {
 
   val simhashSql: String = {
     val sums = (0 until SimhashBits).map(j =>
-      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")
+      s"SUM((h >> $j) & 1) AS s$j").mkString(", ") + ", COUNT(*) AS ntok"
     val bits = (0 until SimhashBits).map(j =>
-      s"(CASE WHEN s$j > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << $j)").mkString(" + ")
+      s"(CASE WHEN s$j * 2 > ntok THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << $j)").mkString(" + ")
     val blockRows = (0 until SimhashBlocks).map(b =>
       s"SELECT doc_id, simhash, $b AS blk, (simhash >> ${b * BlockBits}) & ${(1L << BlockBits) - 1} AS bval FROM sim")
       .mkString(" UNION ALL ")

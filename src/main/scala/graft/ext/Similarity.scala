@@ -144,9 +144,11 @@ object Similarity {
     val pairs = a.join(b, Seq("code")).filter(col("va") < col("vb"))
       .select(col("va"), col("vb"),
         (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
-    pairs.withColumn("rk", row_number().over(
+    // TakeOrdered top-20, then rank the survivors (no full-pair-set
+    // single-partition window).
+    pairs.orderBy(col("cos").desc, col("va"), col("vb")).limit(20)
+      .withColumn("rk", row_number().over(
         Window.orderBy(col("cos").desc, col("va"), col("vb"))))
-      .filter(col("rk") <= 20)
       .select(col("rk"), col("va"), col("vb"), col("cos"))
   }
 
