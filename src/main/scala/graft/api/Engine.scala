@@ -43,14 +43,14 @@ object Engine {
     px.withColumn("db", db).withColumn("valid", PixelOps.validMask(db))
   }
 
-  /** A1-A3: strategy parameters from one stats pass (driver receives a
-    * single tiny row — the broadcast side of the agg→projection pattern).
+  /** A1-A3: strategy parameters from the single-pass typed Aggregators
+    * (graft.stats.FastStats — two tiny jobs, no shuffle rows beyond the
+    * mergeable buffers; the driver receives one stats row, the broadcast
+    * side of the agg→projection pattern).
     */
   def strategyParams(px: DataFrame, strategy: AutoscaleStrategy): (Double, Double, Double) = {
-    val st = HistStats.stats(px.filter(col("valid")).select(col("db")))
-    val row = HistStats.advancedParams(st)
-      .filter(col("strategy") === strategy.name).collect()(0)
-    (row.getAs[Double]("low_clip"), row.getAs[Double]("high_clip"), row.getAs[Double]("gamma"))
+    val st = graft.stats.FastStats.stats(px.filter(col("valid")).select(col("db")))
+    graft.stats.FastStats.strategyParams(st, strategy.name)
   }
 
   /** P7 quantize to u16 domain (maxVal 255 or 65535). */
@@ -195,11 +195,11 @@ object Engine {
     * p05; high = p99; linear map to u8.
     */
   def tamedSynrgbU8(px: DataFrame, isCopol: Boolean): DataFrame = {
-    val st = HistStats.stats(px.filter(col("valid")).select(col("db"))).collect()(0)
-    if (st.getLong(0) == 0)
+    val st = graft.stats.FastStats.stats(px.filter(col("valid")).select(col("db")))
+    if (st.n == 0)
       return px.select(col("y"), col("x"), lit(0).as("q"))
-    val p02 = st.getAs[Double]("p02"); val p05 = st.getAs[Double]("p05")
-    val p99 = st.getAs[Double]("p99")
+    val p02 = st.percentiles("p02"); val p05 = st.percentiles("p05")
+    val p99 = st.percentiles("p99")
     val low = if (isCopol) math.min(p02, p05) else p05
     val range = math.max(p99 - low, 1.0)
     px.select(col("y"), col("x"),
