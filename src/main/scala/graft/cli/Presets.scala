@@ -1,0 +1,78 @@
+package graft.cli
+
+import java.nio.file.{Files, Paths}
+
+import graft.model._
+
+/** Preset persistence + reproducible-command generation — the GUI-parity
+  * surface (`/root/reference/src/gui/models.rs:208-433`): serialize
+  * params, load them back, and emit the CLI invocation that reproduces a
+  * run.
+  */
+object Presets {
+
+  def toJson(p: ProcessingParams): String = {
+    val size = p.targetSize.map(_.toString).getOrElse("original")
+    s"""{
+  "polarization": "${p.polarization.name}",
+  "format": "${p.format.name}",
+  "bit_depth": "${p.bitDepth.name}",
+  "autoscale": "${p.autoscale.name}",
+  "size": "$size",
+  "pad": ${p.pad},
+  "synrgb_mode": "${p.synRgbMode.name}"
+}"""
+  }
+
+  /** Minimal flat-object JSON reader (string/bool values only — the
+    * preset schema), tolerant of whitespace/ordering.
+    */
+  private def fields(json: String): Map[String, String] =
+    """"([a-z_]+)"\s*:\s*("([^"]*)"|true|false)""".r
+      .findAllMatchIn(json)
+      .map(m => m.group(1) -> Option(m.group(3)).getOrElse(m.group(2)))
+      .toMap
+
+  def fromJson(json: String): Either[String, ProcessingParams] = {
+    val f = fields(json)
+    def get[A](key: String, parse: String => Option[A], default: A): Either[String, A] =
+      f.get(key) match {
+        case None => Right(default)
+        case Some(v) => parse(v).toRight(s"invalid $key: $v")
+      }
+    for {
+      pol <- get("polarization", Polarization.fromString, Polarization.Vv: Polarization)
+      fmt <- get("format", OutputFormat.fromString, OutputFormat.Tiff: OutputFormat)
+      bd <- get("bit_depth", BitDepth.fromString, BitDepth.U8: BitDepth)
+      as <- get("autoscale", AutoscaleStrategy.fromString, AutoscaleStrategy.Clahe: AutoscaleStrategy)
+      size <- get[Option[Int]]("size",
+        v => if (v == "original") Some(None) else v.toIntOption.filter(_ > 0).map(Some(_)), None)
+      pad <- get("pad", v => v.toBooleanOption, false)
+      mode <- get("synrgb_mode", SyntheticRgbMode.fromString, SyntheticRgbMode.Default: SyntheticRgbMode)
+    } yield ProcessingParams(pol, fmt, bd, as, size, pad, mode)
+  }
+
+  def save(path: String, p: ProcessingParams): Unit =
+    Files.writeString(Paths.get(path), toJson(p))
+
+  def load(path: String): Either[String, ProcessingParams] =
+    try fromJson(Files.readString(Paths.get(path)))
+    catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
+
+  /** Reproducible CLI command for a parameter set
+    * (`generate_cli_command`, `gui/models.rs:343-433`).
+    */
+  def generateCliCommand(p: ProcessingParams, input: String, output: String): String = {
+    val base = Seq("graft",
+      "-i", input, "-o", output,
+      "--polarization", p.polarization.name,
+      "--format", p.format.name,
+      "--bit-depth", p.bitDepth.name,
+      "--autoscale", p.autoscale.name,
+      "--size", p.targetSize.map(_.toString).getOrElse("original"))
+    val withPad = if (p.pad) base :+ "--pad" else base
+    val withMode = if (p.synRgbMode != SyntheticRgbMode.Default)
+      withPad ++ Seq("--synrgb-mode", p.synRgbMode.name) else withPad
+    withMode.mkString(" ")
+  }
+}

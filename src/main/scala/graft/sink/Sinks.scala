@@ -57,6 +57,28 @@ object Sinks {
     require(ImageIO.write(bi, "TIFF", new File(path)), s"no TIFF writer for $path")
   }
 
+  /** K2: two-band gray TIFF (multiband) as a multi-page TIFF — the
+    * ImageIO analog of the reference's 2×GrayIndex-band GTiff
+    * (`tiff.rs:34-78`).
+    */
+  def writeTiffMultiband(path: String, b1: Array[Int], b2: Array[Int],
+                         w: Int, h: Int, u16: Boolean): Unit = {
+    val writer = ImageIO.getImageWritersByFormatName("TIFF").next()
+    val out = ImageIO.createImageOutputStream(new File(path))
+    try {
+      writer.setOutput(out)
+      writer.prepareWriteSequence(null)
+      Seq(b1, b2).foreach { band =>
+        val bi = if (u16) grayU16(band, w, h) else grayU8(band, w, h)
+        writer.writeToSequence(new javax.imageio.IIOImage(bi, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      out.close()
+      writer.dispose()
+    }
+  }
+
   /** K3: gray or RGB JPEG (quality via default writer ~ reference uses
     * q=100; ImageIO default is high-quality baseline).
     */
