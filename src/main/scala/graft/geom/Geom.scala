@@ -53,8 +53,7 @@ object Geom {
     val scale = srcLen.toDouble / outLen
     val filterScale = math.max(scale, 1.0)
     val support = LanczosA * filterScale
-    var o = 0
-    while (o < outLen) {
+    java.util.stream.IntStream.range(0, outLen).parallel().forEach { o =>
       val center = (o + 0.5) * scale
       val lo = math.max(0, math.floor(center - support).toInt)
       val hi = math.min(srcLen - 1, math.ceil(center + support).toInt)
@@ -79,7 +78,6 @@ object Geom {
         else dst(o * w + line) = outV
         line += 1
       }
-      o += 1
     }
   }
 

@@ -96,14 +96,24 @@ object FastStats {
   def stats(px: DataFrame, numBins: Int = HistStats.NumBins): FastStatsResult = {
     import px.sparkSession.implicits._
     val ds = px.select(col("db").cast("double")).as[Double]
-    val m = ds.select(WelfordAgg.toColumn).collect()(0)
+    val mr = ds.select(WelfordAgg.toColumn).collect()(0)
+    fromMoments(mr,
+      () => ds.select(new FixedHistAgg(mr.min, mr.max, numBins).toColumn).collect()(0),
+      numBins)
+  }
+
+  /** Degenerate handling + CDF inversion shared by the DF and tile
+    * paths. `histProvider` is only invoked when a histogram is needed.
+    */
+  def fromMoments(m: MomentsResult, histProvider: () => Array[Long],
+                  numBins: Int = HistStats.NumBins): FastStatsResult = {
     if (m.n == 0)
       return FastStatsResult(0, 0.0, 0.0, 0.0, 0.0,
         HistStats.Percentiles.map { case (nm, _) => nm -> 0.0 }.toMap)
     if (m.max == m.min)
       return FastStatsResult(m.n, m.min, m.max, m.mean, m.std,
         HistStats.Percentiles.map { case (nm, _) => nm -> m.min }.toMap)
-    val hist = ds.select(new FixedHistAgg(m.min, m.max, numBins).toColumn).collect()(0)
+    val hist = histProvider()
     val binWidth = (m.max - m.min) / numBins.toDouble
     val cum = new Array[Long](numBins + 1)
     var i = 0
