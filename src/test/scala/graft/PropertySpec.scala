@@ -1,0 +1,150 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Kernels
+import graft.geom.Geom
+import graft.meta.SafeMeta
+
+/** Property-based invariants (SURVEY §5.4): quantization monotonicity and
+  * bounds, resize dimension algebra, geotransform rewrite round-trips,
+  * histogram-percentile accuracy vs exact sort. Uses raw ScalaCheck
+  * generators with a deterministic seed sweep (the scalatest bridge
+  * artifact is not in the offline cache).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private val Trials = 100
+
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    (0 until Trials).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+    }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => f(t._1, t._2))
+
+  private def forAll[A, B, C](ga: Gen[A], gb: Gen[B], gc: Gen[C])(f: (A, B, C) => Unit): Unit =
+    forAll(Gen.zip(ga, gb, gc))(t => f(t._1, t._2, t._3))
+
+  private def forAll[A, B, C, D, E](ga: Gen[A], gb: Gen[B], gc: Gen[C], gd: Gen[D], ge: Gen[E])(
+      f: (A, B, C, D, E) => Unit): Unit =
+    forAll(Gen.zip(ga, gb, gc, gd, ge))(t => f(t._1, t._2, t._3, t._4, t._5))
+
+  private def whenever(cond: Boolean)(f: => Unit): Unit = if (cond) f
+
+  private val dbGen = Gen.chooseNum(-60.0, 60.0)
+
+  test("quantize kernel: output within [0, maxVal], invalid → 0, monotone") {
+    forAll(Gen.listOfN(64, dbGen), Gen.chooseNum(-30.0, 0.0), Gen.chooseNum(0.5, 30.0)) {
+      (dbs, low, width) =>
+        val high = low + width
+        val q = Kernels.quantize(dbs.toArray, low, high, 1.0, 255.0)
+        q.foreach(v => assert(v >= 0 && v <= 255))
+        dbs.zip(q).foreach { case (d, v) => if (d <= -50.0) assert(v == 0) }
+        val sortedValid = dbs.zip(q).filter(_._1 > -50.0).sortBy(_._1)
+        sortedValid.sliding(2).foreach {
+          case Seq((_, q1), (_, q2)) => assert(q1 <= q2)
+          case _ =>
+        }
+    }
+  }
+
+  test("rescaleU8 maps min→0 and max→255 when distinct") {
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(0, 65535))) { qs =>
+      val arr = qs.toArray
+      val out = Kernels.rescaleU8(arr, arr.min, arr.max)
+      out.foreach(v => assert(v >= 0 && v <= 255))
+      if (arr.min != arr.max) {
+        assert(out(arr.indexOf(arr.min)) == 0)
+        assert(out(arr.indexOf(arr.max)) == 255)
+      }
+    }
+  }
+
+  test("resizeDims: long side == min(target, longest); aspect preserved within rounding") {
+    forAll(Gen.chooseNum(1, 30000), Gen.chooseNum(1, 30000), Gen.chooseNum(1, 8192)) {
+      (cols, rows, target) =>
+        val (nc, nr) = Geom.resizeDims(cols, rows, target)
+        if (target > math.max(cols, rows)) assert((nc, nr) == (cols, rows))
+        else {
+          assert(math.max(nc, nr) == target)
+          val origRatio = cols.toDouble / rows
+          val newRatio = nc.toDouble / nr
+          // rounding the short side perturbs the ratio at most by 1 unit
+          assert(math.abs(newRatio - origRatio) <= origRatio / math.min(nc, nr) + 1e-9)
+        }
+    }
+  }
+
+  test("geotransform rewrite preserves image-center world coordinates under resize") {
+    forAll(Gen.chooseNum(-1e6, 1e6), Gen.chooseNum(0.1, 100.0),
+      Gen.chooseNum(64, 512), Gen.chooseNum(64, 512), Gen.chooseNum(32, 512)) {
+      (origin, px, w, h, target) =>
+        val gt = Array(origin, px, 0.0, -origin, 0.0, -px)
+        val src = Array.fill(w * h)(0)
+        val (_, fw, fh, Some(ngt)) = Geom.resizeAndPad(src, w, h, Some(target),
+          pad = false, 255, Some(gt)): @unchecked
+        // center of the image in world coords must be invariant:
+        // origin + (w/2)·px == newOrigin + (fw/2)·newPx
+        val cOld = gt(0) + (w / 2.0) * gt(1)
+        val cNew = ngt(0) + (fw / 2.0) * ngt(1)
+        assert(math.abs(cOld - cNew) < 1e-6 * math.max(1.0, math.abs(cOld)),
+          s"center drift: $cOld vs $cNew (w=$w fw=$fw)")
+        val rOld = gt(3) + (h / 2.0) * gt(5)
+        val rNew = ngt(3) + (fh / 2.0) * ngt(5)
+        assert(math.abs(rOld - rNew) < 1e-6 * math.max(1.0, math.abs(rOld)))
+    }
+  }
+
+  test("histogram percentiles within one bin width of exact-sort percentiles") {
+    forAll(Gen.listOfN(2000, dbGen)) { vals =>
+      whenever(vals.nonEmpty && vals.distinct.size > 1) {
+        val arr = vals.toArray
+        val mn = arr.min; val mx = arr.max
+        val hist = new Array[Long](4096)
+        val inv = 1.0 / (mx - mn)
+        arr.foreach { d =>
+          val t = math.min(math.max((d - mn) * inv, 0.0), 1.0)
+          hist(math.min(math.floor(t * 4096).toLong, 4095L).toInt) += 1
+        }
+        val sorted = arr.sorted
+        val binWidth = (mx - mn) / 4096
+        val cum = hist.scanLeft(0L)(_ + _)
+        Seq(0.05, 0.5, 0.95).foreach { p =>
+          val target = math.min(math.floor(p * arr.length).toLong, arr.length - 1)
+          val bin = cum.indexWhere(_ > target) - 1
+          val v = (mn + bin * binWidth) +
+            ((target - cum(bin)).toDouble / hist(bin)) * binWidth
+          val exact = sorted(target.toInt)
+          assert(math.abs(v - exact) <= binWidth + 1e-9)
+        }
+      }
+    }
+  }
+
+  test("lonlatToEpsg always yields a valid UTM/UPS code") {
+    forAll(Gen.chooseNum(-400.0, 400.0), Gen.chooseNum(-90.0, 90.0)) { (lon, lat) =>
+      val epsg = SafeMeta.lonlatToEpsg(lon, lat)
+      assert(epsg.startsWith("EPSG:32"))
+      val code = epsg.drop(5).toInt
+      assert((code >= 32601 && code <= 32660) || (code >= 32701 && code <= 32760) ||
+        code == 32661 || code == 32761)
+    }
+  }
+
+  test("band ratio kernel: zero-denominator guard and sign") {
+    forAll(Gen.listOfN(32, Gen.chooseNum(-100.0f, 100.0f)),
+      Gen.listOfN(32, Gen.oneOf(Gen.const(0.0f), Gen.chooseNum(-100.0f, 100.0f)))) {
+      (a, b) =>
+        val r = Kernels.bandOp(a.toArray, b.toArray,
+          graft.model.PolarizationOperation.Ratio)
+        b.zipWithIndex.foreach { case (bv, i) =>
+          if (math.abs(bv) <= 1e-10) assert(r(i) == 0.0f)
+          else assert(!r(i).isNaN)
+        }
+    }
+  }
+}
