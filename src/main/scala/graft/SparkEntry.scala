@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.enhance.{Clahe, LocalStats, SynRgbSuppressed}
-import graft.ext.{Dedup, Events, Similarity, TextOps}
+import graft.ext.{Dedup, Events, Ivf, Similarity, TextOps}
 import graft.ops.PixelOps
 import graft.sources.Multimodal
 import graft.stats.HistStats
@@ -581,6 +581,8 @@ object SparkEntry {
     Q("s1_cosine_topk", Similarity.cosineTopk, Some(Similarity.cosineTopkSql)),
     Q("s2_lsh_ann_topk", Similarity.lshAnnTopk, Some(Similarity.lshAnnTopkSql)),
     Q("s3_cosine_neardup", Similarity.cosineNeardup, Some(Similarity.cosineNeardupSql)),
+    // KMeans coarse quantizer — not SQL-expressible; rows-only check.
+    Q("s4_ivf_ann_topk", Ivf.ivfTopk, None),
     Q("m1_multimodal_meta", Multimodal.meta, Some(Multimodal.metaSql)),
     // mapPartitions feature extraction — not SQL-expressible; driver
     // records the weaker rows-only check.

@@ -84,6 +84,26 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN returns ordered ranks with decent recall vs brute force") {
+    val ivf = graft.ext.Ivf.ivfTopk(spark, Sf0001).collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val cs = rows.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(cs == cs.sorted.reverse)
+    }
+    // recall@3 vs the brute-force baseline (loose: coarse cells at tiny SF)
+    val brute = graft.ext.Similarity.cosineTopk(spark, Sf0001).collect()
+      .filter(_.getInt(1) <= 3)
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val got = ivf.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recalls = brute.keys.toSeq.flatMap { q =>
+      got.get(q).map(g => (g intersect brute(q)).size.toDouble / 3.0)
+    }
+    assert(recalls.nonEmpty)
+    assert(recalls.sum / recalls.size > 0.25,
+      s"mean recall@3 too low: ${recalls.sum / recalls.size}")
+  }
+
   test("multimodal features are normalized histograms") {
     val r = Multimodal.features(spark, Sf0001).collect()
     assert(r.nonEmpty)
