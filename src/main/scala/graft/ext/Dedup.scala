@@ -67,11 +67,17 @@ object Dedup {
   /** D2: n-gram Jaccard near-dup — top-50 candidate pairs by Jaccard.
     * Candidates come from the shingle inverted index (docs sharing ≥1
     * shingle); Jaccard = |∩| / (|A|+|B|−|∩|) is one exact division.
+    * Shingles join by their 32-bit MD5-prefix hash (long keys beat
+    * string keys through the exchange; the oracle applies the identical
+    * hash, so any collision affects both engines identically).
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleDf(s, dir).persist() // feeds sizes + both join sides
+    val sh = shingleDf(s, dir)
+      .select(col("doc_id"), TextOps.tokenHash(col("shingle")).as("sh"))
+      .distinct()
+      .persist() // feeds sizes + both join sides
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val pairs = sh.as("a").join(sh.as("b"), "shingle")
+    val pairs = sh.as("a").join(sh.as("b"), "sh")
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
@@ -90,10 +96,11 @@ object Dedup {
   }
 
   val ngramJaccardSql: String = s"""WITH $shingleCte,
-    sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shing GROUP BY 1),
+    shh AS (SELECT DISTINCT doc_id, ${TextOps.tokenHashSql("shingle")} AS sh FROM shing),
+    sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shh GROUP BY 1),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-      FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shh a JOIN shh b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
     j AS (
       SELECT doc_a, doc_b,
