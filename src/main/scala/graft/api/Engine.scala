@@ -278,9 +278,59 @@ object Engine {
     (r, g, b)
   }
 
+  /** Suppressed synRGB compose (P12, `synthetic_rgb.rs:88-178`) on
+    * assembled u8 bands: combined p05 floor (+3, cap 40), water
+    * short-circuit, soft floor-subtract γR=1.15/γG=1.10, stabilized blue
+    * (r+8)/(g+8) with gain 0.18.
+    */
+  def composeSynRgbSuppressed(b1: Array[Int], b2: Array[Int]): (Array[Int], Array[Int], Array[Int]) = {
+    val hist = new Array[Long](256)
+    b1.foreach(v => hist(v & 0xff) += 1)
+    b2.foreach(v => hist(v & 0xff) += 1)
+    val total = (b1.length + b2.length).toLong
+    val target = math.round(total.toDouble * 0.05)
+    var cum = 0L
+    var floorValue = 0
+    var i = 0
+    var found = false
+    while (i < 256 && !found) {
+      cum += hist(i)
+      if (cum >= target) { floorValue = i; found = true }
+      i += 1
+    }
+    val floorC = math.min(floorValue + 3, 40)
+    val floorD = floorC.toDouble
+    val denom = math.max(255.0 - floorD, 1.0)
+    def chan(v: Int, gamma: Double): Int =
+      if (v <= floorC) 0
+      else {
+        val shifted = (v - floorD) / denom
+        math.round(math.min(math.max(math.pow(shifted, gamma) * 255.0, 0.0), 255.0)).toInt
+      }
+    val n = b1.length
+    val r = new Array[Int](n); val g = new Array[Int](n); val b = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      val v1 = b1(i) & 0xff; val v2 = b2(i) & 0xff
+      if (v1 <= floorC && v2 <= floorC) { r(i) = 0; g(i) = 0; b(i) = 0 }
+      else {
+        val rr = chan(v1, 1.15)
+        val gg = chan(v2, 1.10)
+        r(i) = rr; g(i) = gg
+        val ratio = (rr + 8.0) / (gg + 8.0)
+        b(i) = math.round(math.min(math.max(
+          math.pow(ratio, 0.1) * 255.0 * 0.18, 0.0), 255.0)).toInt
+      }
+      i += 1
+    }
+    (r, g, b)
+  }
+
   /** Two-band pipeline (K10): SEQUENTIAL staging — band 1's jobs run and
     * its cache drops before band 2 starts (bounded peak memory,
     * `save.rs:240-280`); synRGB composes on the assembled u8 outputs.
+    * Strategy routing mirrors `synthetic_rgb.rs:182-197`: Tamed/Clahe →
+    * suppressed compose, else default.
     */
   def processMultiband(spark: SparkSession, productId: String,
                        bands: (String, String), rows: Int, cols: Int,
@@ -307,7 +357,11 @@ object Engine {
     }
     val b1 = bandU8(bands._1, isCopol = true)
     val b2 = bandU8(bands._2, isCopol = false)
-    val (r, g, b) = composeSynRgb(b1, b2)
+    val (r, g, b) = params.autoscale match {
+      case AutoscaleStrategy.Tamed | AutoscaleStrategy.Clahe =>
+        composeSynRgbSuppressed(b1, b2)
+      case _ => composeSynRgb(b1, b2)
+    }
     def fit(a: Array[Int]) = Geom.resizeAndPad(a, outCols, outRows,
       params.targetSize, params.pad, 255, gt)
     val (rr, fw, fh, newGt) = fit(r)
@@ -411,9 +465,15 @@ object Engine {
                        params: ProcessingParams): BatchReport = {
     new java.io.File(outDir).mkdirs()
     var processed = 0
+    var skipped = 0
     val errors = scala.collection.mutable.ArrayBuffer[(String, String)]()
     products.foreach { case (id, rows, cols) =>
-      try {
+      // lenient-open semantics (S2): an empty/unsupported product is
+      // SKIPPED with a warning, not an error (`api/mod.rs:502-532`)
+      if (rows == 0 || cols == 0) {
+        System.err.println(s"[batch] skipping unsupported/empty product: $id")
+        skipped += 1
+      } else try {
         val ext = params.format match {
           case OutputFormat.Tiff => "tiff"
           case OutputFormat.Jpeg => "jpg"
@@ -424,6 +484,6 @@ object Engine {
         case e: Exception => errors += (id -> String.valueOf(e.getMessage))
       }
     }
-    BatchReport(processed, 0, errors.toSeq)
+    BatchReport(processed, skipped, errors.toSeq)
   }
 }

@@ -56,4 +56,61 @@ object StreamOps {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCol)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * hand-rolled counterpart of [[sessionAgg]] for session logic
+    * `session_window` can't express (per-user state machine with
+    * event-time timeout). Emits a [[SessionOut]] row when a session
+    * closes: either a later event arrives past the gap, or the
+    * event-time watermark passes the open session's horizon.
+    */
+  def sessionizeWithState(events: DataFrame,
+                          gapMs: Long = 30L * 60 * 1000,
+                          watermark: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[SessionState]) => {
+          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          if (state.hasTimedOut) {
+            state.getOption.foreach(s =>
+              out += SessionOut(user, s.start, s.end, s.n, s.sum))
+            state.remove()
+          } else {
+            val sorted = rows.map { case (_, t, v) => (user, t.getTime, v) }.toSeq.sortBy(_._2)
+            var cur = state.getOption
+            sorted.foreach { case (_, t, v) =>
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + v))
+                case Some(s) =>
+                  out += SessionOut(user, s.start, s.end, s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, v))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, v))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+          }
+          out.iterator
+        })
+      .toDF()
+  }
 }
+
+/** Open-session state for [[StreamOps.sessionizeWithState]]. */
+final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+
+/** Closed-session output row (epoch ms bounds). */
+final case class SessionOut(user_id: Long, session_start_ms: Long,
+                            session_end_ms: Long, n_events: Long, sum_value: Double)

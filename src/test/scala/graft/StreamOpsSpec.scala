@@ -50,6 +50,33 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeWithState closes sessions by gap and by timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "value")
+    val q = StreamOps.sessionizeWithState(df)
+      .writeStream.format("memory").queryName("state_sess_test").outputMode("append").start()
+    try {
+      // session A: 2 events 5 min apart; then an event 40 min later
+      // closes A by gap and opens session B
+      mem.addData((1L, ts(0), 1.0), (1L, ts(5), 2.0))
+      q.processAllAvailable()
+      mem.addData((1L, ts(45), 7.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to time out session B
+      mem.addData((2L, ts(600), 0.0))
+      q.processAllAvailable()
+      mem.addData((2L, ts(1300), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("state_sess_test").collect()
+      val u1 = rows.filter(_.getLong(0) == 1L)
+      assert(u1.exists(r => r.getLong(3) == 2 && r.getDouble(4) == 3.0),
+        s"gap-closed session missing: ${rows.mkString(";")}")
+      assert(u1.exists(r => r.getLong(3) == 1 && r.getDouble(4) == 7.0),
+        s"timeout-closed session missing: ${rows.mkString(";")}")
+    } finally q.stop()
+  }
+
   test("dedupByKey drops duplicate keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
