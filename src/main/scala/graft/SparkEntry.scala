@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.enhance.{Clahe, LocalStats, SynRgbSuppressed}
-import graft.ext.{Dedup, Events, Ivf, Similarity, TextOps}
+import graft.ext.{Dedup, Events, Ivf, Relational, Similarity, TextOps}
 import graft.ops.PixelOps
 import graft.sources.Multimodal
 import graft.stats.HistStats
@@ -564,6 +564,11 @@ object SparkEntry {
     Q("a5_local_median_range", LocalStats.query, Some(LocalStats.querySql)),
     Q("p12_synrgb_suppressed", SynRgbSuppressed.query, Some(SynRgbSuppressed.querySql)))
 
+  private val relationalQueries: Seq[Q] = Seq(
+    Q("x1_shipping_priority", Relational.shippingPriority, Some(Relational.shippingPrioritySql)),
+    Q("x2_local_supplier_volume", Relational.localSupplierVolume, Some(Relational.localSupplierVolumeSql)),
+    Q("x3_revenue_rollup", Relational.revenueRollup, Some(Relational.revenueRollupSql)))
+
   private val extQueries: Seq[Q] = Seq(
     Q("e1_sessionize", Events.sessionize, Some(Events.sessionizeSql)),
     Q("e2_tumbling_window", Events.tumbling, Some(Events.tumblingSql)),
@@ -594,7 +599,7 @@ object SparkEntry {
     q1, p1DbMask, p2, p3, p4, p5, p6, p7Default, p7Legacy, p8U16ToU8,
     p9, p10, p11, p14, p15,
     a1, a1Grouped, a2, a3, a3Legacy, a6, a7,
-    j1, r1, r4) ++ enhanceQueries ++ extQueries
+    j1, r1, r4) ++ enhanceQueries ++ relationalQueries ++ extQueries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,120 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Multi-table relational queries over the TPC-H-ish star schema —
+  * exercising the join planning the raster surface doesn't: selective
+  * dimension filters feeding fact joins (broadcast for small sides,
+  * shuffle for fact-fact), top-k by aggregate, and rollup grouping.
+  *
+  * At 100 TB: region/nation/customer-filter sides broadcast; the
+  * orders⋈lineitem join shuffles on the join key once (or zero times
+  * with orderkey-bucketed tables); aggregates are partial+final. Sums
+  * accumulate in DECIMAL for cross-engine exactness.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val revenue =
+    sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(4, 2)))))
+      .cast("double")
+
+  /** X1 (Q3-shaped): top-10 unshipped-order revenue for one customer
+    * segment — selective dim filter → fact join → group → top-k.
+    */
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(revenue.as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("revenue").desc, col("o_orderkey"))))
+      .select(col("rk"), col("o_orderkey"), col("o_orderdate"), col("revenue"))
+  }
+
+  val shippingPrioritySql: String = """SELECT rk, o_orderkey, o_orderdate, revenue FROM (
+      SELECT *, row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS rk FROM (
+        SELECT o_orderkey, o_orderdate,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY 1, 2))
+    WHERE rk <= 10"""
+
+  /** X2 (Q5-shaped): revenue by nation within one region — a chain of
+    * broadcast dimension joins over the fact tables.
+    */
+  def localSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      .select(col("r_regionkey"))
+    val nation = t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val supp = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  val localSupplierVolumeSql: String = """SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY 1 ORDER BY 1"""
+
+  /** X3: rollup over (returnflag, linestatus) — subtotal/grand-total
+    * grouping the reference lacks entirely.
+    */
+  def revenueRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(revenue.as("revenue"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("revenue"), col("n"))
+      .orderBy("returnflag", "linestatus")
+
+  val revenueRollupSql: String = """SELECT
+      COALESCE(l_returnflag, 'ALL') AS returnflag,
+      COALESCE(l_linestatus, 'ALL') AS linestatus,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus"""
+}
