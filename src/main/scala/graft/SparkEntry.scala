@@ -575,6 +575,7 @@ object SparkEntry {
     Q("e3_topk_per_user", Events.topkPerUser, Some(Events.topkPerUserSql)),
     Q("e4_asof_click_error", Events.asofClickBeforeError, Some(Events.asofClickBeforeErrorSql)),
     Q("e5_json_extract", Events.jsonExtract, Some(Events.jsonExtractSql)),
+    Q("e6_salted_hotkey_agg", Events.saltedHotKeyAgg, Some(Events.saltedHotKeyAggSql)),
     Q("t1_token_stats", TextOps.tokenStats, Some(TextOps.tokenStatsSql)),
     Q("t2_quality_score", TextOps.qualityScore, Some(TextOps.qualityScoreSql)),
     Q("t3_lang_id", TextOps.langId, Some(TextOps.langIdSql)),

@@ -135,6 +135,29 @@ object Events {
       FROM (SELECT *, epoch_us(ts) AS us FROM events))
     WHERE event_type = 'error' ORDER BY user_id, error_id"""
 
+  /** E6: skew-resistant aggregation — the SALTED two-stage pattern for
+    * hot keys: stage 1 pre-aggregates on (key, salt) spreading each hot
+    * key over 16 reducers; stage 2 merges the partials. Counts and
+    * DECIMAL sums re-aggregate losslessly, so the result is identical to
+    * a direct groupBy (which is exactly what the oracle runs). At 100 TB
+    * this is the fallback when AQE skew handling can't split a single
+    * hot aggregation key.
+    */
+  def saltedHotKeyAgg(s: SparkSession, dir: String): DataFrame = {
+    val salted = t(s, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast(DecimalType(18, 2))).as("psum"))
+    salted.groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"), sum(col("psum")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val saltedHotKeyAggSql: String = """SELECT event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1 ORDER BY 1"""
+
   /** E5: semi-structured extraction — pull `k` out of the JSON `props`
     * column and aggregate. `get_json_object` is codegen'd; the aggregate
     * is exact integer arithmetic.
