@@ -84,6 +84,17 @@ object Engine {
     FastStats.strategyParams(st, strategy.name)
   }
 
+  /** Strategy dispatch with the reference's routing
+    * (`pipeline.rs:49-63`): Standard goes through the LEGACY 4-branch
+    * heuristic; every other strategy through the advanced table.
+    */
+  def paramsFor(st: FastStats.FastStatsResult,
+                strategy: AutoscaleStrategy): (Double, Double, Double) =
+    strategy match {
+      case AutoscaleStrategy.Standard => FastStats.legacyParams(st)
+      case s => FastStats.strategyParams(st, s.name)
+    }
+
   // ----------------------------------------------------- tile-kernel stages
 
   private implicit val qTileEnc: org.apache.spark.sql.Encoder[QTile] =
@@ -216,7 +227,7 @@ object Engine {
           val (low, high, _) = FastStats.strategyParams(st, "clahe")
           claheTiles(tiles, outRows, outCols, low, high, maxVal)
         case strat =>
-          val (low, high, gamma) = FastStats.strategyParams(st, strat.name)
+          val (low, high, gamma) = paramsFor(st, strat)
           quantizeTiles(tiles, low, high, gamma, maxVal)
       }
       // U8 output goes through the u16-path quantize then a min-max
@@ -346,7 +357,7 @@ object Engine {
           case AutoscaleStrategy.Tamed => tamedSynrgbU8(tiles, isCopol)
           case strat =>
             val st = tileStats(tiles)
-            val (low, high, gamma) = FastStats.strategyParams(st, strat.name)
+            val (low, high, gamma) = paramsFor(st, strat)
             rescaleTilesU8(quantizeTiles(tiles, low, high, gamma, 255.0).persist())
         }
         assembleTiles(q, outRows, outCols)
@@ -418,12 +429,14 @@ object Engine {
     try {
       val maxVal = params.bitDepth.maxVal
       val st = tileStats(combined)
-      val strat = params.autoscale match {
-        case AutoscaleStrategy.Clahe => AutoscaleStrategy.Standard
-        case s => s
+      val q0 = params.autoscale match {
+        case AutoscaleStrategy.Clahe =>
+          val (low, high, _) = FastStats.strategyParams(st, "clahe")
+          claheTiles(combined, outRows, outCols, low, high, maxVal)
+        case strat =>
+          val (low, high, gamma) = paramsFor(st, strat)
+          quantizeTiles(combined, low, high, gamma, maxVal)
       }
-      val (low, high, gamma) = FastStats.strategyParams(st, strat.name)
-      val q0 = quantizeTiles(combined, low, high, gamma, maxVal)
       val q = if (params.bitDepth == BitDepth.U8) rescaleTilesU8(q0.persist()) else q0
       val arr = assembleTiles(q, outRows, outCols)
       val (rz, fw, fh, newGt) = Geom.resizeAndPad(arr, outCols, outRows,

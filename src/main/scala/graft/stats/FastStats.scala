@@ -129,6 +129,27 @@ object FastStats {
     FastStatsResult(m.n, m.min, m.max, m.mean, m.std, pcts)
   }
 
+  /** Legacy 4-branch autoscale params (`autoscale.rs:404-429`) — the
+    * path the reference routes strategy=Standard through
+    * (`pipeline.rs:49-52`).
+    */
+  def legacyParams(st: FastStatsResult): (Double, Double, Double) = {
+    val p = st.percentiles
+    val dynamicRange = st.max - st.min
+    val iqr = p("p75") - p("p25")
+    val medRange = math.max(20.0, dynamicRange * 0.8)
+    val (low, high, gamma) =
+      if (dynamicRange < 15.0)
+        (p("median_db") - medRange / 2.0, p("median_db") + medRange / 2.0, 1.1)
+      else if (iqr < 5.0)
+        (p("p25") - 2.5 * iqr, p("p75") + 2.5 * iqr, 1.0)
+      else if (dynamicRange > 40.0)
+        (math.max(p("p02"), st.min + 0.02 * dynamicRange),
+          math.min(p("p98"), st.max - 0.02 * dynamicRange), 0.9)
+      else (p("p02"), p("p98"), 1.0)
+    (math.max(low, st.min), math.min(high, st.max), gamma)
+  }
+
   /** A3 strategy selection on the driver-side stats row (same branch
     * logic as [[HistStats.advancedParams]] / `autoscale.rs:491-562`).
     */
