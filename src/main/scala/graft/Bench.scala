@@ -12,18 +12,27 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
+    // Materialize EVERY output column (checksum aggregate): a bare
+    // count() would let Catalyst prune the benchmarked projections.
+    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+            dir: String): Unit = {
+      val d = fn(spark, dir)
+      d.select(sum(xxhash64(struct(d.columns.map(col): _*)))).collect()
+      ()
+    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // Warmup at the smallest SF: triggers codegen compilation + JIT for
     // every plan shape so the timed pass measures steady-state execution,
     // not first-call compilation.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     ordered.foreach { case (_, fn) =>
-      try { fn(spark, warmDir).count() } catch { case _: Throwable => }
+      try run(fn, warmDir) catch { case _: Throwable => }
       spark.catalog.clearCache()
     }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(fn, sfDir) catch { case _: Throwable => }
       val dt = (System.nanoTime() - t0) / 1e9
       // per-query caches (grid/signature persists) must not bleed into
       // the next query's timings

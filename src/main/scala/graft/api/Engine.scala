@@ -20,7 +20,11 @@ final case class ProcessedImage(
     bitDepth: BitDepth,
     gray: Option[Array[Int]],
     rgb: Option[(Array[Int], Array[Int], Array[Int])],
-    geotransform: Option[Array[Double]])
+    geotransform: Option[Array[Double]],
+    /** multiband TIFF payload: the two AUTOSCALED bands (reference
+      * `save.rs` writes raw autoscaled band1/band2 to the 2-band TIFF
+      * and composes synRGB only for JPEG). */
+    bands: Option[(Array[Int], Array[Int])] = None)
 
 /** Quantized output tile. */
 final case class QTile(tile_row: Int, tile_col: Int, h: Int, w: Int, q: Array[Int])
@@ -233,10 +237,8 @@ object Engine {
       // U8 output goes through the u16-path quantize then a min-max
       // rescale (the reference's double normalization, autoscale.rs:662-680).
       val finalQ =
-        if (params.bitDepth == BitDepth.U8) {
-          val cached = quant.persist()
-          try rescaleTilesU8(cached).persist() finally {}
-        } else quant
+        if (params.bitDepth == BitDepth.U8) rescaleTilesU8(quant.persist())
+        else quant
       val img = assembleTiles(finalQ, outRows, outCols)
       val (resized, fw, fh, newGt) = Geom.resizeAndPad(
         img, outCols, outRows, params.targetSize, params.pad, maxVal.toInt, gt)
@@ -339,9 +341,12 @@ object Engine {
 
   /** Two-band pipeline (K10): SEQUENTIAL staging — band 1's jobs run and
     * its cache drops before band 2 starts (bounded peak memory,
-    * `save.rs:240-280`); synRGB composes on the assembled u8 outputs.
-    * Strategy routing mirrors `synthetic_rgb.rs:182-197`: Tamed/Clahe →
-    * suppressed compose, else default.
+    * `save.rs:240-280`). Each band is autoscaled (full strategy dispatch
+    * incl. per-band CLAHE) and RESIZED first; then, for JPEG, synRGB
+    * composes on the final-size u8 bands (`save.rs` order). TIFF output
+    * carries the two autoscaled bands at the requested bit depth;
+    * synRGB strategy routing mirrors `synthetic_rgb.rs:182-197`
+    * (Tamed/Clahe → suppressed compose).
     */
   def processMultiband(spark: SparkSession, productId: String,
                        bands: (String, String), rows: Int, cols: Int,
@@ -349,36 +354,50 @@ object Engine {
                        gt: Option[Array[Double]] = None): ProcessedImage = {
     val outRows = (rows + decimate - 1) / decimate
     val outCols = (cols + decimate - 1) / decimate
-    def bandU8(band: String, isCopol: Boolean): Array[Int] = {
+    val forTiff = params.format == OutputFormat.Tiff
+    // JPEG synRGB consumes u8 bands; TIFF keeps the requested bit depth.
+    val maxVal = if (forTiff) params.bitDepth.maxVal else 255.0
+    val wantU8 = !forTiff || params.bitDepth == BitDepth.U8
+
+    def bandArr(band: String, isCopol: Boolean): (Array[Int], Int, Int, Option[Array[Double]]) = {
       val raw = RasterSource.scan(spark, productId, band, rows, cols, decimate).persist()
       val tiles = toDbTiles(raw)
       try {
         val q = params.autoscale match {
-          case AutoscaleStrategy.Tamed => tamedSynrgbU8(tiles, isCopol)
+          case AutoscaleStrategy.Tamed if !forTiff => tamedSynrgbU8(tiles, isCopol)
+          case AutoscaleStrategy.Clahe =>
+            val st = tileStats(tiles)
+            val (low, high, _) = FastStats.strategyParams(st, "clahe")
+            val c = claheTiles(tiles, outRows, outCols, low, high, maxVal)
+            if (wantU8) rescaleTilesU8(c.persist()) else c
           case strat =>
             val st = tileStats(tiles)
             val (low, high, gamma) = paramsFor(st, strat)
-            rescaleTilesU8(quantizeTiles(tiles, low, high, gamma, 255.0).persist())
+            val qt = quantizeTiles(tiles, low, high, gamma, maxVal)
+            if (wantU8) rescaleTilesU8(qt.persist()) else qt
         }
-        assembleTiles(q, outRows, outCols)
+        val arr = assembleTiles(q, outRows, outCols)
+        // resize BEFORE compose (`save.rs` resizes each band to final
+        // dims, then composes synRGB)
+        Geom.resizeAndPad(arr, outCols, outRows, params.targetSize,
+          params.pad, maxVal.toInt, gt)
       } finally {
         raw.unpersist()
         spark.sharedState.cacheManager.clearCache()
       }
     }
-    val b1 = bandU8(bands._1, isCopol = true)
-    val b2 = bandU8(bands._2, isCopol = false)
-    val (r, g, b) = params.autoscale match {
-      case AutoscaleStrategy.Tamed | AutoscaleStrategy.Clahe =>
-        composeSynRgbSuppressed(b1, b2)
-      case _ => composeSynRgb(b1, b2)
+    val (b1, fw, fh, newGt) = bandArr(bands._1, isCopol = true)
+    val (b2, _, _, _) = bandArr(bands._2, isCopol = false)
+    if (forTiff)
+      ProcessedImage(fw, fh, params.bitDepth, None, None, newGt, Some((b1, b2)))
+    else {
+      val (r, g, b) = params.autoscale match {
+        case AutoscaleStrategy.Tamed | AutoscaleStrategy.Clahe =>
+          composeSynRgbSuppressed(b1, b2)
+        case _ => composeSynRgb(b1, b2)
+      }
+      ProcessedImage(fw, fh, BitDepth.U8, None, Some((r, g, b)), newGt)
     }
-    def fit(a: Array[Int]) = Geom.resizeAndPad(a, outCols, outRows,
-      params.targetSize, params.pad, 255, gt)
-    val (rr, fw, fh, newGt) = fit(r)
-    val (gg, _, _, _) = fit(g)
-    val (bb, _, _, _) = fit(b)
-    ProcessedImage(fw, fh, BitDepth.U8, None, Some((rr, gg, bb)), newGt)
   }
 
   // ------------------------------------------------------------ E1/E2 API
@@ -390,8 +409,18 @@ object Engine {
                     outPath: String, params: ProcessingParams,
                     meta: SafeMeta = SafeMeta(), decimate: Int = 1): Unit = {
     val gt = meta.geotransform
+    // sidecar POLARIZATIONS prefixes per `metadata.rs:40-113` (DIFF /
+    // NORM_DIFF, not the long operation labels)
     val polLabel = params.polarization match {
-      case Polarization.Op(op) => s"${op.label.toUpperCase}(VV, VH)"
+      case Polarization.Op(op) =>
+        val prefix = op match {
+          case PolarizationOperation.Sum => "SUM"
+          case PolarizationOperation.Diff => "DIFF"
+          case PolarizationOperation.Ratio => "RATIO"
+          case PolarizationOperation.NDiff => "NORM_DIFF"
+          case PolarizationOperation.LogRatio => "LOG_RATIO"
+        }
+        s"$prefix(VV, VH)"
       case Polarization.Multiband => "MULTIBAND(VV, VH)"
       case p => p.name.toUpperCase
     }
@@ -451,16 +480,17 @@ object Engine {
   private def writeImage(outPath: String, img: ProcessedImage,
                          params: ProcessingParams, meta: SafeMeta,
                          polLabel: String): Unit = {
-    (params.format, img.rgb, img.gray) match {
-      case (OutputFormat.Tiff, _, Some(gray)) =>
+    (params.format, img.bands, img.rgb, img.gray) match {
+      case (OutputFormat.Tiff, Some((b1, b2)), _, _) =>
+        Sinks.writeTiffMultiband(outPath, b1, b2, img.width, img.height,
+          params.bitDepth == BitDepth.U16)
+      case (OutputFormat.Tiff, _, _, Some(gray)) =>
         Sinks.writeTiffGray(outPath, gray, img.width, img.height,
           params.bitDepth == BitDepth.U16)
-      case (OutputFormat.Jpeg, Some((r, g, b)), _) =>
+      case (OutputFormat.Jpeg, _, Some((r, g, b)), _) =>
         Sinks.writeJpegRgb(outPath, r, g, b, img.width, img.height)
-      case (OutputFormat.Jpeg, _, Some(gray)) =>
+      case (OutputFormat.Jpeg, _, _, Some(gray)) =>
         Sinks.writeJpegGray(outPath, gray, img.width, img.height)
-      case (OutputFormat.Tiff, Some((r, g, _)), _) =>
-        Sinks.writeTiffMultiband(outPath, r, g, img.width, img.height, u16 = false)
       case _ => throw new IllegalStateException("no image data")
     }
     img.geotransform.foreach(Sinks.writeWorldFile(outPath, _))

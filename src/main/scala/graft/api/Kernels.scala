@@ -66,7 +66,9 @@ object Kernels {
     val out = new Array[Int](q.length)
     var i = 0
     while (i < q.length) {
-      out(i) = math.min(math.max(math.rint((q(i).toDouble - mn.toDouble) * scale), 0.0), 255.0).toInt
+      // .round() semantics of the reference (half away from zero; values
+      // here are non-negative → floor(x + 0.5)), matching PixelOps.u16ToU8
+      out(i) = math.min(math.max(math.floor((q(i).toDouble - mn.toDouble) * scale + 0.5), 0.0), 255.0).toInt
       i += 1
     }
     out

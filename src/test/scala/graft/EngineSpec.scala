@@ -130,6 +130,22 @@ class EngineSpec extends SparkSpec {
     assert(img.gray.get.forall(v => v >= 0 && v <= 255))
   }
 
+  test("E2E multiband TIFF carries the two autoscaled bands (2 pages, u16 capable)") {
+    val dir = tmpDir
+    val out = s"$dir/mb16.tiff"
+    Engine.processToPath(spark, "prodT", 100, 120, out,
+      ProcessingParams(polarization = Polarization.Multiband,
+        format = OutputFormat.Tiff, bitDepth = BitDepth.U16,
+        autoscale = AutoscaleStrategy.Robust))
+    val in = javax.imageio.ImageIO.createImageInputStream(new java.io.File(out))
+    val reader = javax.imageio.ImageIO.getImageReaders(in).next()
+    reader.setInput(in)
+    assert(reader.getNumImages(true) == 2, "two autoscaled bands as pages")
+    val img0 = reader.read(0)
+    assert(img0.getColorModel.getPixelSize == 16, "u16 band depth")
+    reader.dispose(); in.close()
+  }
+
   test("E2E multiband synRGB JPEG") {
     val dir = tmpDir
     val out = s"$dir/mb.jpg"
