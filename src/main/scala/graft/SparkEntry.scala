@@ -562,6 +562,8 @@ object SparkEntry {
   private val enhanceQueries: Seq[Q] = Seq(
     Q("a4_clahe", Clahe.query, Some(Clahe.querySql)),
     Q("a5_local_median_range", LocalStats.query, Some(LocalStats.querySql)),
+    Q("a5b_local_enhanced_quantize", LocalStats.enhancedQuantize,
+      Some(LocalStats.enhancedQuantizeSql)),
     Q("p12_synrgb_suppressed", SynRgbSuppressed.query, Some(SynRgbSuppressed.querySql)))
 
   private val relationalQueries: Seq[Q] = Seq(

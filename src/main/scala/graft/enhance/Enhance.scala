@@ -270,6 +270,65 @@ object LocalStats {
       .orderBy("y", "x")
   }
 
+  /** A5 consumer: the (dormant) local-enhancement quantize path
+    * (`autoscale.rs:613-643`): adjusted = v·(1 + 0.1·(v−median)/range)
+    * for valid pixels (every valid center has ≥1 valid neighbor —
+    * itself), then the standard clip/normalize/gamma/quantize with the
+    * standard-strategy window (p05, p95, γ=1).
+    */
+  def enhancedQuantize(s: SparkSession, dir: String): DataFrame = {
+    val g = Grid.df(s, dir).persist()
+    val st = HistStats.stats(g.filter(col("valid")).select(col("db")))
+    val params = st.select(col("p05").as("low"), col("p95").as("high"),
+      greatest(col("p95") - col("p05"), lit(1.0)).as("rng"))
+    val offsets = array((for (dy <- -1 to 1; dx <- -1 to 1)
+      yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)
+    val contrib = g.filter(col("valid"))
+      .select(col("y"), col("x"), col("db"), explode(offsets).as("o"))
+      .select((col("y") + col("o.dy")).as("cy"), (col("x") + col("o.dx")).as("cx"), col("db"))
+    val nb = contrib.groupBy(col("cy"), col("cx")).agg(
+      sort_array(collect_list(col("db"))).as("vals"),
+      count(lit(1)).as("cnt"),
+      min(col("db")).as("mn"), max(col("db")).as("mx"))
+    val med = element_at(col("vals"), (expr("cnt div 2") + 1).cast("int"))
+    val lrng = col("mx") - col("mn")
+    val factor = when(lrng > 0.0, lit(1.0) + lit(0.1) * (col("db") - med) / lrng)
+      .otherwise(lit(1.0))
+    val adjusted = col("db") * factor
+    val clipped = least(greatest(adjusted, col("low")), col("high"))
+    val q = floor(least(greatest(
+      pow((clipped - col("low")) / col("rng"), lit(1.0)) * lit(65535.0),
+      lit(0.0)), lit(65535.0))).cast("int")
+    g.join(nb, col("y") === col("cy") && col("x") === col("cx"))
+      .crossJoin(broadcast(params))
+      .select(col("y"), col("x"), when(col("valid"), q).otherwise(lit(0)).as("q"))
+      .orderBy("y", "x")
+  }
+
+  val enhancedQuantizeSql: String = {
+    val stats = HistStats.statsCtesSql("SELECT db FROM grid WHERE valid")
+    s"""WITH ${Grid.sqlCtes},
+    $stats,
+    params AS (SELECT p05 AS low, p95 AS high, GREATEST(p95 - p05, 1.0) AS rng FROM stats),
+    contrib AS (
+      SELECT y + o.dy AS cy, x + o.dx AS cx, db
+      FROM grid CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) o(dy, dx)
+      WHERE valid),
+    nb AS (
+      SELECT cy, cx, list_sort(list(db)) AS vals, COUNT(*) AS cnt,
+        MIN(db) AS mn, MAX(db) AS mx
+      FROM contrib GROUP BY 1, 2)
+    SELECT y, x,
+      CASE WHEN valid THEN CAST(FLOOR(LEAST(GREATEST(
+        pow((LEAST(GREATEST(
+          db * (CASE WHEN mx - mn > 0.0
+                THEN 1.0 + 0.1 * (db - vals[CAST(cnt // 2 + 1 AS INT)]) / (mx - mn)
+                ELSE 1.0 END), low), high) - low) / rng, 1.0) * 65535.0,
+        0.0), 65535.0)) AS INT) ELSE 0 END AS q
+    FROM grid JOIN nb ON grid.y = nb.cy AND grid.x = nb.cx, params
+    ORDER BY y, x"""
+  }
+
   val querySql: String = s"""WITH ${Grid.sqlCtes},
     contrib AS (
       SELECT y + o.dy AS cy, x + o.dx AS cx, db
