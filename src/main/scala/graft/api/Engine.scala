@@ -435,6 +435,56 @@ object Engine {
     writeImage(outPath, img, params, meta, polLabel)
   }
 
+  /** E3: in-memory result (`process_safe_to_buffer`,
+    * `api/mod.rs:65-371`) — same plan matrix as [[processToPath]], the
+    * ProcessedImage buffers returned instead of written.
+    */
+  def processToBuffer(spark: SparkSession, productId: String, rows: Int,
+                      cols: Int, params: ProcessingParams,
+                      meta: SafeMeta = SafeMeta(),
+                      decimate: Int = 1): ProcessedImage =
+    params.polarization match {
+      case Polarization.Multiband =>
+        processMultiband(spark, productId, ("vv", "vh"), rows, cols, params,
+          decimate, meta.geotransform)
+      case Polarization.Op(op) =>
+        processBandOp(spark, productId, op, rows, cols, params, decimate,
+          meta.geotransform)
+      case p =>
+        processBand(spark, productId, p.name, rows, cols, params, decimate,
+          meta.geotransform)
+    }
+
+  /** `load_polarization` (`api/mod.rs:859-881`): the raw band as a tile
+    * Dataset — the library's typed data-access surface.
+    */
+  def loadPolarization(spark: SparkSession, productId: String, band: String,
+                       rows: Int, cols: Int, decimate: Int = 1): Dataset[Tile] =
+    RasterSource.scan(spark, productId, band, rows, cols, decimate)
+
+  /** `load_operation` (`api/mod.rs:884-916`): band algebra result as
+    * dB-domain tiles.
+    */
+  def loadOperation(spark: SparkSession, productId: String,
+                    op: PolarizationOperation, rows: Int, cols: Int,
+                    decimate: Int = 1): Dataset[DbTile] = {
+    implicit val tileEnc: org.apache.spark.sql.Encoder[Tile] =
+      org.apache.spark.sql.Encoders.product[Tile]
+    val a = RasterSource.scan(spark, productId, "vv", rows, cols, decimate)
+    val b = RasterSource.scan(spark, productId, "vh", rows, cols, decimate)
+    a.joinWith(b, a("tile_row") === b("tile_row") && a("tile_col") === b("tile_col"))
+      .map { case (ta, tb) => DbTile(ta.tile_row, ta.tile_col, ta.h, ta.w,
+        Kernels.toDb(Kernels.bandOp(ta.pixels, tb.pixels, op))) }
+  }
+
+  /** `save_image`/`save_multiband_image` (`api/mod.rs:803-856`): write a
+    * ProcessedImage with its sidecars.
+    */
+  def saveImage(outPath: String, img: ProcessedImage, params: ProcessingParams,
+                meta: SafeMeta = SafeMeta(), polLabel: String = ""): Unit =
+    writeImage(outPath, img, params, meta,
+      if (polLabel.nonEmpty) polLabel else params.polarization.name.toUpperCase)
+
   /** Band algebra (P2-P6) pipeline: both bands' tiles joined on the tile
     * key and combined by a zip kernel — positional alignment with no
     * pixel shuffle (SURVEY §2.4: bands are co-partitioned by
