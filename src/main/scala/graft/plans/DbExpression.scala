@@ -1,0 +1,51 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression for the engine's hottest scalar: the fused
+  * dB transform `10·log10(max(v, 1e-10))`
+  * (`/root/reference/src/core/processing/pipeline.rs:18-20`).
+  *
+  * The composed builtin form (`lit(10)*log10(greatest(v, 1e-10))`) is
+  * three expression nodes; this is one, with `doGenCode` emitting the
+  * fused Java directly into whole-stage codegen — the (b)-tier extension
+  * point of SURVEY §2.10 (native Expression > UDF), kept semantically
+  * identical to `PixelOps.toDb` (verified by spec).
+  *
+  * Registered as SQL function `graft_db` via [[GraftExtensions]]
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`), so plain SQL
+  * users get the fused form too.
+  */
+case class DbExpression(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    10.0 * math.log10(math.max(input.asInstanceOf[Double], 1e-10))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"10.0 * java.lang.Math.log10(java.lang.Math.max($c, 1e-10))")
+
+  override protected def withNewChildInternal(newChild: Expression): DbExpression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_db"
+}
+
+/** SparkSessionExtensions installer: `graft_db` as a SQL function.
+  * Activate with `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_db"),
+      new ExpressionInfo(classOf[DbExpression].getName, "graft_db"),
+      (children: Seq[Expression]) =>
+        DbExpression(Cast(children.head, DoubleType))))
+  }
+}
