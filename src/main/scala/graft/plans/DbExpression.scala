@@ -38,14 +38,26 @@ case class DbExpression(child: Expression)
 }
 
 /** SparkSessionExtensions installer: `graft_db` as a SQL function.
-  * Activate with `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  * Activate with `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+  * at session build time, or [[GraftExtensions.register]] on a live
+  * session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("graft_db"),
-      new ExpressionInfo(classOf[DbExpression].getName, "graft_db"),
-      (children: Seq[Expression]) =>
-        DbExpression(Cast(children.head, DoubleType))))
+    ext.injectFunction(GraftExtensions.dbFunction)
   }
+}
+
+object GraftExtensions {
+  val dbFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_db"),
+    new ExpressionInfo(classOf[DbExpression].getName, "graft_db"),
+    (children: Seq[Expression]) => DbExpression(Cast(children.head, DoubleType)))
+
+  /** Register on an already-created session (e.g. when getOrCreate
+    * returned a session built without the extensions config).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      dbFunction._1, dbFunction._2, dbFunction._3)
 }

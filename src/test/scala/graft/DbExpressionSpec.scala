@@ -11,13 +11,19 @@ import graft.ops.PixelOps
   */
 class DbExpressionSpec extends AnyFunSuite {
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .appName("graft-ext-test")
-    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark: SparkSession = {
+    // getOrCreate may return a session another suite built without the
+    // extensions config — the live-session registration path covers it.
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.plans.GraftExtensions.register(s)
+    s
+  }
 
   test("graft_db SQL function matches the composed builtin form") {
     import spark.implicits._
