@@ -37,9 +37,13 @@ object Ivf {
       .withColumn("nrm", Similarity.norm(col("embedding")))
       .persist()
 
+    // Fit the coarse quantizer on a deterministic SAMPLE — at corpus
+    // scale the quantizer never trains on all vectors; assignment does
+    // see every vector below.
+    val trainFrac = math.min(1.0, 2000.0 / math.max(emb.count(), 1L))
     val model = new KMeans().setK(NList).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(emb)
+      .fit(emb.sample(withReplacement = false, trainFrac, seed = 42L))
     val centroids = model.clusterCenters
 
     val corpus = model.transform(emb)

@@ -50,6 +50,35 @@ object TextOps {
       CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len($tokensSql) AS DOUBLE) AS mean_token_len
     FROM documents ORDER BY doc_id"""
 
+  /** BPE-ish token pattern: letter runs, single digits, or single
+    * non-alphanumeric marks — the regex tier of token counting (simple
+    * character classes only, so Java regex and RE2 agree).
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+  /** T5: regex token counting — whitespace tokens vs BPE-ish subword
+    * count vs characters, plus the tokens-per-word expansion ratio.
+    */
+  def bpeTokenCount(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nBpe = size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+    t(s, dir).select(
+      col("doc_id"),
+      size(toks).as("n_words"),
+      nBpe.as("n_bpe_tokens"),
+      length(col("text")).as("n_chars_"),
+      round(nBpe.cast("double") / size(toks).cast("double"), 6).as("tokens_per_word"))
+      .orderBy("doc_id")
+  }
+
+  val bpeTokenCountSql: String = s"""SELECT doc_id,
+      len($tokensSql) AS n_words,
+      len(regexp_extract_all(text, '$BpePattern')) AS n_bpe_tokens,
+      length(text) AS n_chars_,
+      ROUND(CAST(len(regexp_extract_all(text, '$BpePattern')) AS DOUBLE) /
+            CAST(len($tokensSql) AS DOUBLE), 6) AS tokens_per_word
+    FROM documents ORDER BY doc_id"""
+
   /** Stopword sets used by the quality/language heuristics. */
   val EnStop: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
   val EsStop: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "un")
