@@ -1,8 +1,10 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Greatest, Literal, Log10, Multiply, UnaryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
@@ -37,6 +39,25 @@ case class DbExpression(child: Expression)
   override def prettyName: String = "graft_db"
 }
 
+/** Optimizer rule: rewrite the composed-builtin dB pattern
+  * `10.0 * log10(greatest(x, 1e-10))` (the shape every `PixelOps.toDb`
+  * call site produces) into the fused native [[DbExpression]] — one
+  * codegen'd node instead of three. Semantics are identical
+  * (`Math.log10`/`Math.max` are exactly the builtin implementations), so
+  * this is a pure physical rewrite.
+  */
+object FuseDbRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Multiply(Literal(10.0, DoubleType),
+          Log10(Greatest(Seq(x, Literal(1e-10, DoubleType)))), _) =>
+        DbExpression(x)
+      case Multiply(Log10(Greatest(Seq(x, Literal(1e-10, DoubleType)))),
+          Literal(10.0, DoubleType), _) =>
+        DbExpression(x)
+    }
+}
+
 /** SparkSessionExtensions installer: `graft_db` as a SQL function.
   * Activate with `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
   * at session build time, or [[GraftExtensions.register]] on a live
@@ -45,6 +66,7 @@ case class DbExpression(child: Expression)
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dbFunction)
+    ext.injectOptimizerRule(_ => FuseDbRule)
   }
 }
 
@@ -57,7 +79,11 @@ object GraftExtensions {
   /** Register on an already-created session (e.g. when getOrCreate
     * returned a session built without the extensions config).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       dbFunction._1, dbFunction._2, dbFunction._3)
+    if (!spark.experimental.extraOptimizations.contains(FuseDbRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ FuseDbRule
+  }
 }

@@ -37,6 +37,19 @@ class DbExpressionSpec extends AnyFunSuite {
     assert(native(3) == 0.0)
   }
 
+  test("FuseDbRule rewrites the composed PixelOps.toDb pattern into the native node") {
+    // non-foldable source (a literal relation would be constant-folded
+    // before the fused node is observable)
+    val df = spark.range(1, 4)
+      .select(PixelOps.toDb(org.apache.spark.sql.functions.col("id")).as("db"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_db"),
+      s"expected fused node in optimized plan:\n$optimized")
+    // and the rewrite preserves values exactly
+    val fused = df.collect().map(_.getDouble(0)).toSeq
+    assert(fused == Seq(1L, 2L, 3L).map(v => 10.0 * math.log10(v.toDouble)))
+  }
+
   test("graft_db participates in whole-stage codegen (no fallback errors) and aggregates") {
     val n = spark.sql(
       "SELECT COUNT(*) FROM (SELECT graft_db(CAST(id AS DOUBLE)) AS d FROM RANGE(10000)) WHERE d > 0")
