@@ -12,6 +12,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.register(spark)
     import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
     // Materialize EVERY output column (checksum aggregate): a bare
     // count() would let Catalyst prune the benchmarked projections.

@@ -17,6 +17,9 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fused-dB optimizer rule + graft_db function active in the oracle
+    // runs — the rewrite must be value-invisible or the hash gate fails
+    graft.plans.GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
