@@ -13,13 +13,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.register(spark)
-    import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
+    import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
     // Materialize EVERY output column (checksum aggregate): a bare
     // count() would let Catalyst prune the benchmarked projections.
+    // bit_xor (not sum): summing full-range xxhash64 longs overflows
+    // under Spark 4's default ANSI mode and aborts the query.
     def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
             dir: String): Unit = {
       val d = fn(spark, dir)
-      d.select(sum(xxhash64(struct(d.columns.map(col): _*)))).collect()
+      d.select(bit_xor(xxhash64(struct(d.columns.map(col): _*)))).collect()
       ()
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -31,14 +33,21 @@ object Bench {
       try run(fn, warmDir) catch { case _: Throwable => }
       spark.catalog.clearCache()
     }
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try run(fn, sfDir) catch { case _: Throwable => }
+      val ok = try { run(fn, sfDir); true } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          failed += name
+          false
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // per-query caches (grid/signature persists) must not bleed into
       // the next query's timings
       spark.catalog.clearCache()
-      name -> dt
+      // a failed query must not masquerade as a fast timing
+      name -> (if (ok) dt else -1.0)
     }
     // Raster-pipeline E2E measurements — the direct comparables to the
     // reference's published numbers (BASELINE.md: single-product
@@ -59,16 +68,22 @@ object Bench {
       try { f() } catch { case _: Throwable => } // warm
       val dt = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try f() catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { f(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            failed += name
+            false
+        }
+        if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
       }.min
-      name -> dt
+      name -> (if (dt == Double.MaxValue) -1.0 else dt)
     }
     val all = results ++ rasterResults
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = all.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = all.map(_._2).filter(_ >= 0).sum
+    val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -236,16 +236,19 @@ object Engine {
       }
       // U8 output goes through the u16-path quantize then a min-max
       // rescale (the reference's double normalization, autoscale.rs:662-680).
-      val finalQ =
-        if (params.bitDepth == BitDepth.U8) rescaleTilesU8(quant.persist())
-        else quant
-      val img = assembleTiles(finalQ, outRows, outCols)
-      val (resized, fw, fh, newGt) = Geom.resizeAndPad(
-        img, outCols, outRows, params.targetSize, params.pad, maxVal.toInt, gt)
-      ProcessedImage(fw, fh, params.bitDepth, Some(resized), None, newGt)
+      val quantP = if (params.bitDepth == BitDepth.U8) Some(quant.persist()) else None
+      try {
+        val finalQ = quantP.map(rescaleTilesU8).getOrElse(quant)
+        val img = assembleTiles(finalQ, outRows, outCols)
+        val (resized, fw, fh, newGt) = Geom.resizeAndPad(
+          img, outCols, outRows, params.targetSize, params.pad, maxVal.toInt, gt)
+        ProcessedImage(fw, fh, params.bitDepth, Some(resized), None, newGt)
+      } finally quantP.foreach(_.unpersist())
     } finally {
+      // unpersist only THIS pipeline's caches — a library entry point must
+      // not clear the shared session's cache manager out from under
+      // unrelated concurrent work
       raw.unpersist()
-      spark.sharedState.cacheManager.clearCache()
     }
   }
 
@@ -362,6 +365,12 @@ object Engine {
     def bandArr(band: String, isCopol: Boolean): (Array[Int], Int, Int, Option[Array[Double]]) = {
       val raw = RasterSource.scan(spark, productId, band, rows, cols, decimate).persist()
       val tiles = toDbTiles(raw)
+      // track this pipeline's own persists; never touch the session-wide
+      // cache manager (other workloads may own caches in this session)
+      var own: List[org.apache.spark.sql.Dataset[QTile]] = Nil
+      def cached(ds: org.apache.spark.sql.Dataset[QTile]) = {
+        val p = ds.persist(); own ::= p; p
+      }
       try {
         val q = params.autoscale match {
           case AutoscaleStrategy.Tamed if !forTiff => tamedSynrgbU8(tiles, isCopol)
@@ -369,12 +378,12 @@ object Engine {
             val st = tileStats(tiles)
             val (low, high, _) = FastStats.strategyParams(st, "clahe")
             val c = claheTiles(tiles, outRows, outCols, low, high, maxVal)
-            if (wantU8) rescaleTilesU8(c.persist()) else c
+            if (wantU8) rescaleTilesU8(cached(c)) else c
           case strat =>
             val st = tileStats(tiles)
             val (low, high, gamma) = paramsFor(st, strat)
             val qt = quantizeTiles(tiles, low, high, gamma, maxVal)
-            if (wantU8) rescaleTilesU8(qt.persist()) else qt
+            if (wantU8) rescaleTilesU8(cached(qt)) else qt
         }
         val arr = assembleTiles(q, outRows, outCols)
         // resize BEFORE compose (`save.rs` resizes each band to final
@@ -383,7 +392,7 @@ object Engine {
           params.pad, maxVal.toInt, gt)
       } finally {
         raw.unpersist()
-        spark.sharedState.cacheManager.clearCache()
+        own.foreach(_.unpersist())
       }
     }
     val (b1, fw, fh, newGt) = bandArr(bands._1, isCopol = true)
@@ -516,14 +525,17 @@ object Engine {
           val (low, high, gamma) = paramsFor(st, strat)
           quantizeTiles(combined, low, high, gamma, maxVal)
       }
-      val q = if (params.bitDepth == BitDepth.U8) rescaleTilesU8(q0.persist()) else q0
-      val arr = assembleTiles(q, outRows, outCols)
-      val (rz, fw, fh, newGt) = Geom.resizeAndPad(arr, outCols, outRows,
-        params.targetSize, params.pad, maxVal.toInt, gt)
-      ProcessedImage(fw, fh, params.bitDepth, Some(rz), None, newGt)
+      val q0P = if (params.bitDepth == BitDepth.U8) Some(q0.persist()) else None
+      try {
+        val q = q0P.map(rescaleTilesU8).getOrElse(q0)
+        val arr = assembleTiles(q, outRows, outCols)
+        val (rz, fw, fh, newGt) = Geom.resizeAndPad(arr, outCols, outRows,
+          params.targetSize, params.pad, maxVal.toInt, gt)
+        ProcessedImage(fw, fh, params.bitDepth, Some(rz), None, newGt)
+      } finally q0P.foreach(_.unpersist())
     } finally {
+      // only this pipeline's caches — never the shared cache manager
       combined.unpersist()
-      spark.sharedState.cacheManager.clearCache()
     }
   }
 
@@ -535,8 +547,11 @@ object Engine {
         Sinks.writeTiffMultiband(outPath, b1, b2, img.width, img.height,
           params.bitDepth == BitDepth.U16)
       case (OutputFormat.Tiff, _, _, Some(gray)) =>
-        Sinks.writeTiffGray(outPath, gray, img.width, img.height,
-          params.bitDepth == BitDepth.U16)
+        // K8: embed geo + metadata as TIFF tags (skip-identity gt /
+        // projection-only-with-gt rules live in Sinks.tiffFieldNodes)
+        Sinks.writeTiffGrayTagged(outPath, gray, img.width, img.height,
+          params.bitDepth == BitDepth.U16, img.geotransform, meta.crs,
+          Sinks.metadataFields(meta, polLabel))
       case (OutputFormat.Jpeg, _, Some((r, g, b)), _) =>
         Sinks.writeJpegRgb(outPath, r, g, b, img.width, img.height)
       case (OutputFormat.Jpeg, _, _, Some(gray)) =>

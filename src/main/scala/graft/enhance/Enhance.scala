@@ -16,14 +16,34 @@ import graft.stats.HistStats
 object Grid {
   val Cols = 250
 
+  /** Orderkeys-per-bucket for the two-phase global index. */
+  val Bucket = 1000
+
+  /** Global row index by (l_orderkey, l_linenumber) WITHOUT a global
+    * single-partition window (the textbook scale-killer): phase 1 ranks
+    * rows inside coarse orderkey buckets (parallel windows, one per
+    * bucket); phase 2 computes per-bucket row counts and a running offset
+    * over the tiny bucket relation (thousands of rows, not billions),
+    * broadcast back. idx = bucket_offset + local_rank − 1 reproduces the
+    * global `row_number() OVER (ORDER BY l_orderkey, l_linenumber)`
+    * exactly, because bucket = l_orderkey div B preserves the sort order
+    * across buckets.
+    */
   def df(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy("l_orderkey", "l_linenumber")
-    val px = s.read.parquet(s"$dir/lineitem.parquet")
+    val base = s.read.parquet(s"$dir/lineitem.parquet")
       .select(PixelOps.toDb(col("l_extendedprice")).as("db"),
         col("l_orderkey"), col("l_linenumber"))
-      .withColumn("idx", row_number().over(w) - 1)
-    val n = px.agg(count(lit(1)).as("n_total"))
-    px.crossJoin(broadcast(n))
+      .withColumn("bkt", expr(s"l_orderkey div $Bucket"))
+    val wLocal = Window.partitionBy("bkt").orderBy("l_orderkey", "l_linenumber")
+    val local = base.withColumn("lrk", row_number().over(wLocal))
+    val wOff = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("bkt").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum("bn").over(wOff), lit(0L)))
+    val n = offsets.agg(sum("bn").as("n_total"))
+    local.join(broadcast(offsets.select(col("bkt"), col("off"))), "bkt")
+      .withColumn("idx", col("off") + col("lrk") - 1)
+      .crossJoin(broadcast(n))
       .filter(col("idx") < expr(s"n_total div $Cols") * Cols)
       .select(col("idx"),
         expr(s"idx div $Cols").as("y"), (col("idx") % Cols).as("x"),

@@ -17,8 +17,8 @@ import org.apache.spark.sql.functions._
   *    complete candidate recall for hamming ≤ 3.
   *
   * At 100 TB the only skew risk is high-document-frequency shingles in
-  * the inverted index; production pipelines cap shingle df (drop
-  * stop-shingles) before the join — the join shape here is unchanged.
+  * the inverted index; [[MaxShingleDf]] caps shingle df (drops
+  * stop-shingles) before the join, bounding every join bucket.
   *
   * All hashes derive from MD5 hex prefixes (engine-identical), all
   * arithmetic is exact integers, so every output hash-matches DuckDB.
@@ -64,6 +64,16 @@ object Dedup {
         ELSE [] END) AS shingle
       FROM (SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents)))"""
 
+  /** Stop-shingle document-frequency cap: a shingle appearing in more
+    * than this many documents is dropped before the inverted-index
+    * self-join. Without it one hot shingle (boilerplate, "terms of
+    * service") makes its posting list quadratic — df ≤ cap bounds every
+    * join bucket to cap² pairs regardless of corpus size. Applied to the
+    * shingle sets themselves (standard stop-shingle removal), so sizes
+    * and intersections stay consistent; the oracle applies the same cap.
+    */
+  val MaxShingleDf = 100
+
   /** D2: n-gram Jaccard near-dup — top-50 candidate pairs by Jaccard.
     * Candidates come from the shingle inverted index (docs sharing ≥1
     * shingle); Jaccard = |∩| / (|A|+|B|−|∩|) is one exact division.
@@ -72,9 +82,13 @@ object Dedup {
     * hash, so any collision affects both engines identically).
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleDf(s, dir)
+    val raw = shingleDf(s, dir)
       .select(col("doc_id"), TextOps.tokenHash(col("shingle")).as("sh"))
       .distinct()
+    val keep = raw.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf)
+      .select("sh")
+    val sh = raw.join(keep, "sh")
       .persist() // feeds sizes + both join sides
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val pairs = sh.as("a").join(sh.as("b"), "sh")
@@ -96,7 +110,9 @@ object Dedup {
   }
 
   val ngramJaccardSql: String = s"""WITH $shingleCte,
-    shh AS (SELECT DISTINCT doc_id, ${TextOps.tokenHashSql("shingle")} AS sh FROM shing),
+    shraw AS (SELECT DISTINCT doc_id, ${TextOps.tokenHashSql("shingle")} AS sh FROM shing),
+    shh AS (SELECT shraw.* FROM shraw
+      JOIN (SELECT sh FROM shraw GROUP BY sh HAVING COUNT(*) <= $MaxShingleDf) k USING (sh)),
     sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shh GROUP BY 1),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
@@ -177,14 +193,15 @@ object Dedup {
   val BlockBits: Int = SimhashBits / SimhashBlocks
 
   /** D4: SimHash near-dup — 48-bit sign fingerprint over distinct token
-    * hashes; candidates from 12-bit block equality (pigeonhole-complete
-    * for hamming ≤ 3); emits candidate pairs with hamming ≤ 20.
+    * hashes (48-bit MD5 prefixes, so every block has real entropy);
+    * candidates from 12-bit block equality (pigeonhole-complete for
+    * hamming ≤ 3); emits candidate pairs with hamming ≤ 20.
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     val toksDf = t(s, dir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .distinct()
-      .select(col("doc_id"), TextOps.tokenHash(col("tok")).as("h"))
+      .select(col("doc_id"), TextOps.tokenHash48(col("tok")).as("h"))
     // bitsum_j = Σ(2·bit_j(h) − 1) = 2·Σbit_j(h) − n: sum the raw bits
     // (branch-free, stays in codegen) and compare 2·ones > n.
     val sumExprs = (0 until SimhashBits).map(j =>
@@ -217,7 +234,7 @@ object Dedup {
       s"SELECT doc_id, simhash, $b AS blk, (simhash >> ${b * BlockBits}) & ${(1L << BlockBits) - 1} AS bval FROM sim")
       .mkString(" UNION ALL ")
     s"""WITH toks AS (
-      SELECT doc_id, ${TextOps.tokenHashSql("tok")} AS h FROM (
+      SELECT doc_id, ${TextOps.tokenHash48Sql("tok")} AS h FROM (
         SELECT DISTINCT doc_id, unnest(${TextOps.tokensSql}) AS tok FROM documents)),
     bitsums AS (SELECT doc_id, $sums FROM toks GROUP BY doc_id),
     sim AS (SELECT doc_id, $bits AS simhash FROM bitsums),

@@ -55,8 +55,10 @@ object Events {
       FROM (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS lagus
             FROM (SELECT *, epoch_us(ts) AS us FROM events))),
     numbered AS (
-      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM sess)
+      -- CAST: DuckDB's SUM over integers yields HUGEINT, which the
+      -- driver's pandas bridge coerces to float64 and the hash diverges
+      SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM sess)
     SELECT user_id, session_seq, COUNT(*) AS n_events,
       MIN(us) AS session_start_us, MAX(us) AS session_end_us,
       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -172,7 +174,7 @@ object Events {
       .orderBy("event_type")
 
   val jsonExtractSql: String = """SELECT event_type, COUNT(*) AS n,
-      SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+      CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
     FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
     GROUP BY 1 ORDER BY 1"""
 }

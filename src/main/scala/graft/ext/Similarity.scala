@@ -80,7 +80,9 @@ object Similarity {
   // ------------------------------------------------------- sign-LSH (ANN)
 
   val NumPlanes = 8
-  val NeardupPlanes = 4
+  val NeardupPlanes = 16
+  val NeardupBands = 2
+  val NeardupBandBits: Int = NeardupPlanes / NeardupBands
 
   /** Deterministic ±1 hyperplane signs (Knuth multiplicative mix). */
   def planeSign(j: Int, d: Int): Double =
@@ -131,17 +133,29 @@ object Similarity {
       SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, oid) AS rk FROM cos)
     WHERE rk <= 3 ORDER BY qid, rk"""
 
-  /** S3: embedding near-dup — all bucket-cohabiting pairs (4 planes → 16
-    * coarse buckets), exact cosine, top-20 pairs. The embedding-cosine
-    * tier of the dedup stack.
+  /** S3: embedding near-dup — 16-plane sign code banded into 2×8-bit
+    * bands (the D3/MinHash banding shape): candidates are pairs agreeing
+    * on a full band (256 bucket values per band, so each join bucket
+    * holds ~N/256 vectors — never the O(N²/16) all-pairs a 16-bucket
+    * code produces), distinct-deduped, then exact cosine re-rank via two
+    * joins back to the embeddings. Pigeonhole: any pair differing in ≤1
+    * of the 16 sign bits is guaranteed a shared band. Top-20 pairs.
     */
   def cosineNeardup(s: SparkSession, dir: String): DataFrame = {
-    val emb = withNorm(t(s, dir)).withColumn("code", code(col("embedding"), NeardupPlanes))
-    val a = emb.select(col("code"), col("vec_id").as("va"),
-      col("embedding").as("ea"), col("nrm").as("na"))
-    val b = emb.select(col("code"), col("vec_id").as("vb"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
-    val pairs = a.join(b, Seq("code")).filter(col("va") < col("vb"))
+    val emb = withNorm(t(s, dir))
+      .withColumn("code", code(col("embedding"), NeardupPlanes))
+    val bands = emb.select(col("vec_id"), explode(array(
+      (0 until NeardupBands).map(b => struct(lit(b).as("blk"),
+        shiftright(col("code"), b * NeardupBandBits)
+          .bitwiseAND(lit((1L << NeardupBandBits) - 1)).as("bval"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.blk"), col("e.bval"))
+    val cand = bands.as("x").join(bands.as("y"), Seq("blk", "bval"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+      .distinct()
+    val ea = emb.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
+    val eb = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val pairs = cand.join(ea, "va").join(eb, "vb")
       .select(col("va"), col("vb"),
         (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
     // TakeOrdered top-20, then rank the survivors (no full-pair-set
@@ -152,13 +166,21 @@ object Similarity {
       .select(col("rk"), col("va"), col("vb"), col("cos"))
   }
 
-  val cosineNeardupSql: String = s"""WITH $normCte,
+  val cosineNeardupSql: String = {
+    val bandRows = (0 until NeardupBands).map(b =>
+      s"SELECT vec_id, $b AS blk, (code >> ${b * NeardupBandBits}) & ${(1L << NeardupBandBits) - 1} AS bval FROM coded")
+      .mkString(" UNION ALL ")
+    s"""WITH $normCte,
     coded AS (SELECT *, ${codeSql("embedding", NeardupPlanes)} AS code FROM en),
+    bands AS ($bandRows),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+      FROM bands x JOIN bands y ON x.blk = y.blk AND x.bval = y.bval AND x.vec_id < y.vec_id),
     pairs AS (
-      SELECT a.vec_id AS va, b.vec_id AS vb,
-        (${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cos
-      FROM coded a JOIN coded b ON a.code = b.code AND a.vec_id < b.vec_id)
+      SELECT va, vb, (${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cos
+      FROM cand JOIN coded a ON cand.va = a.vec_id JOIN coded b ON cand.vb = b.vec_id)
     SELECT rk, va, vb, cos FROM (
       SELECT *, row_number() OVER (ORDER BY cos DESC, va, vb) AS rk FROM pairs)
     WHERE rk <= 20"""
+  }
 }

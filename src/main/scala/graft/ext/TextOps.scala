@@ -32,6 +32,17 @@ object TextOps {
   def tokenHashSql(w: String): String =
     s"CAST(concat('0x', substr(md5($w), 1, 8)) AS BIGINT)"
 
+  /** First-12-hex-digits-of-MD5 — a 48-bit hash for SimHash: every one of
+    * the 4×12-bit fingerprint blocks must discriminate, which a 32-bit
+    * hash can't (its bits 32-47 would be constant-zero and the block join
+    * on them would degenerate to an all-pairs cross join).
+    */
+  def tokenHash48(w: Column): Column =
+    conv(substring(md5(w), 1, 12), 16, 10).cast("long")
+
+  def tokenHash48Sql(w: String): String =
+    s"CAST(concat('0x', substr(md5($w), 1, 12)) AS BIGINT)"
+
   /** T1: token statistics — count, distinct count, mean token length. */
   def tokenStats(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))

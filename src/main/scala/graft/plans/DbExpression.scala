@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
@@ -26,12 +27,31 @@ case class DbExpression(child: Expression)
     extends UnaryExpression with Serializable {
 
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(input: Any): Any =
-    10.0 * math.log10(math.max(input.asInstanceOf[Double], 1e-10))
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"10.0 * java.lang.Math.log10(java.lang.Math.max($c, 1e-10))")
+  /** Null semantics match the composed form exactly: `Greatest` skips
+    * NULL operands, so `greatest(NULL, 1e-10) = 1e-10` and the composed
+    * expression yields `10*log10(1e-10) = -100.0` for NULL input. This
+    * expression must be value-invisible under [[FuseDbRule]], so NULL maps
+    * to -100.0 too and the result is never null.
+    */
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    val x = if (v == null) 1e-10 else math.max(v.asInstanceOf[Double], 1e-10)
+    10.0 * math.log10(x)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+        ${childGen.code}
+        double ${ev.value} = 10.0 * java.lang.Math.log10(
+          ${childGen.isNull} ? 1e-10 : java.lang.Math.max(${childGen.value}, 1e-10));
+      """
+    ev.copy(code = code, isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): DbExpression =
     copy(child = newChild)

@@ -79,6 +79,125 @@ object Sinks {
     }
   }
 
+  // ------------------------------------------------------ K8: TIFF tags
+
+  /** GeoTIFF/GDAL tag numbers used by the embed (public TIFF registry). */
+  object TiffTags {
+    val ModelPixelScale = 33550
+    val ModelTiepoint = 33922
+    val ModelTransformation = 34264
+    val GeoKeyDirectory = 34735
+    val GeoAsciiParams = 34737
+    val GdalMetadata = 42112
+  }
+
+  /** K8: the tag set for one image
+    * (`/root/reference/src/io/writers/metadata.rs:297-341` semantics):
+    *  - geotransform → ModelPixelScale+ModelTiepoint (axis-aligned) or
+    *    ModelTransformation (rotated), SKIPPED when gt is the identity
+    *    `[0,1,0,0,0,1]`;
+    *  - projection → GeoKeyDirectory + GeoAsciiParams citation, written
+    *    ONLY if a (non-identity) geotransform was set;
+    *  - metadata pairs → GDAL_METADATA XML items (tag 42112, the GDAL
+    *    convention; needs a custom TIFFTag since it's not in the JDK's
+    *    baseline/geo tag sets).
+    */
+  def tiffFields(gt: Option[Array[Double]], projection: Option[String],
+                 fields: Seq[(String, String)]): Seq[javax.imageio.plugins.tiff.TIFFField] = {
+    import javax.imageio.plugins.tiff.{GeoTIFFTagSet, TIFFField, TIFFTag}
+    val geo = GeoTIFFTagSet.getInstance()
+    def doubles(tagNum: Int, vs: Array[Double]) =
+      new TIFFField(geo.getTag(tagNum), TIFFTag.TIFF_DOUBLE, vs.length, vs)
+    val isIdentity = gt.exists(g =>
+      g(0) == 0 && g(1) == 1 && g(2) == 0 && g(3) == 0 && g(4) == 0 && g(5) == 1)
+    val geoGt = gt.filter(_ => !isIdentity)
+    val gtFields = geoGt.toSeq.flatMap { g =>
+      if (g(2) == 0 && g(4) == 0)
+        Seq(
+          doubles(TiffTags.ModelPixelScale, Array(g(1), -g(5), 0.0)),
+          doubles(TiffTags.ModelTiepoint, Array(0.0, 0.0, 0.0, g(0), g(3), 0.0)))
+      else
+        // rotated affine: full 4×4 model transformation row-major
+        Seq(doubles(TiffTags.ModelTransformation, Array(
+          g(1), g(2), 0.0, g(0), g(4), g(5), 0.0, g(3),
+          0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0)))
+    }
+    // projection only rides along when a geotransform was embedded
+    val projFields = projection.filter(_.nonEmpty).filter(_ => geoGt.nonEmpty).toSeq.flatMap { p =>
+      val ascii = p + "|"
+      Seq(
+        // header (version, rev, minor, nkeys) + GTCitationGeoKey → ascii params
+        new TIFFField(geo.getTag(TiffTags.GeoKeyDirectory), TIFFTag.TIFF_SHORT, 8,
+          Array[Char](1, 1, 0, 1, 1026, TiffTags.GeoAsciiParams.toChar, ascii.length.toChar, 0)),
+        new TIFFField(geo.getTag(TiffTags.GeoAsciiParams), TIFFTag.TIFF_ASCII, 1, Array(ascii)))
+    }
+    val mdFields = if (fields.isEmpty) Nil else {
+      val items = fields.map { case (k, v) =>
+        s"""  <Item name="${xmlEsc(k)}">${xmlEsc(v)}</Item>"""
+      }.mkString("\n")
+      val gdalTag = new TIFFTag("GDAL_METADATA", TiffTags.GdalMetadata, 1 << TIFFTag.TIFF_ASCII)
+      Seq(new TIFFField(gdalTag, TIFFTag.TIFF_ASCII, 1,
+        Array(s"<GDALMetadata>\n$items\n</GDALMetadata>")))
+    }
+    gtFields ++ projFields ++ mdFields
+  }
+
+  private def xmlEsc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace("\"", "&quot;")
+
+  /** K1+K8: gray TIFF with embedded geo/metadata tags. */
+  def writeTiffGrayTagged(path: String, img: Array[Int], w: Int, h: Int, u16: Boolean,
+                          gt: Option[Array[Double]], projection: Option[String],
+                          fields: Seq[(String, String)]): Unit = {
+    import javax.imageio.plugins.tiff.TIFFDirectory
+    val bi = if (u16) grayU16(img, w, h) else grayU8(img, w, h)
+    val writer = ImageIO.getImageWritersByFormatName("TIFF").next()
+    val out = ImageIO.createImageOutputStream(new File(path))
+    try {
+      writer.setOutput(out)
+      val wparam = writer.getDefaultWriteParam
+      val spec = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(bi)
+      val meta = writer.getDefaultImageMetadata(spec, wparam)
+      val dir = TIFFDirectory.createFromMetadata(meta)
+      tiffFields(gt, projection, fields).foreach(dir.addTIFFField)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, dir.getAsMetadata), wparam)
+    } finally {
+      out.close()
+      writer.dispose()
+    }
+  }
+
+  /** Read back TIFF tag values (for specs + downstream consumers):
+    * tag number → flattened value strings.
+    */
+  def readTiffTags(path: String): Map[Int, Seq[String]] = {
+    import javax.imageio.plugins.tiff.{TIFFDirectory, TIFFImageReadParam, TIFFTag}
+    val iis = ImageIO.createImageInputStream(new File(path))
+    try {
+      val reader = ImageIO.getImageReaders(iis).next()
+      try {
+        reader.setInput(iis)
+        // readUnknownTags: keep non-baseline tags (e.g. GDAL_METADATA)
+        val param = new TIFFImageReadParam()
+        param.setReadUnknownTags(true)
+        val all = reader.readAll(0, param)
+        val dir = TIFFDirectory.createFromMetadata(all.getMetadata)
+        dir.getTIFFFields.map { f =>
+          val vals = (0 until f.getCount).map { i =>
+            f.getType match {
+              case TIFFTag.TIFF_ASCII => f.getAsString(i)
+              case TIFFTag.TIFF_DOUBLE | TIFFTag.TIFF_FLOAT |
+                   TIFFTag.TIFF_RATIONAL | TIFFTag.TIFF_SRATIONAL =>
+                f.getAsDouble(i).toString
+              case _ => f.getAsLong(i).toString
+            }
+          }
+          f.getTagNumber -> vals.toSeq
+        }.toMap
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
   /** K3: gray or RGB JPEG (quality via default writer ~ reference uses
     * q=100; ImageIO default is high-quality baseline).
     */

@@ -51,17 +51,20 @@ object Multimodal {
 
   val FeatureBins = 16
 
-  private val featureSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("byte_len", IntegerType),
-    StructField("features", ArrayType(FloatType, containsNull = false))))
+  private val featureSchema = StructType(
+    StructField("doc_id", LongType) +:
+    StructField("byte_len", IntegerType) +:
+    (0 until FeatureBins).map(i => StructField(s"f$i", FloatType)))
 
   /** M2: per-payload feature extraction via mapPartitions — iterates the
     * partition's binary payloads and emits a 16-bin normalized byte
     * histogram as the "embedding". STUB: a real deployment swaps
     * `fakeDecode` for an actual codec (JPEG decode, resample, model
     * forward pass); everything around it — partition-streaming iterator,
-    * schema declaration, float-array output — is the production shape.
+    * schema declaration, fixed-width float output — is the production
+    * shape. Bins are emitted as scalar columns f0..f15 (not an array)
+    * so downstream row-wise comparison tooling can sort on them; the
+    * array view is one `array(f0..f15)` projection away.
     */
   def features(s: SparkSession, dir: String): DataFrame = {
     val enc = RowEncoder.encoderFor(featureSchema)
@@ -71,7 +74,8 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
-          Row(id, payload.length, fakeDecode(payload))
+          val bins = fakeDecode(payload)
+          Row.fromSeq(id +: payload.length +: bins.toSeq)
         }
       }(enc)
       .orderBy("doc_id")

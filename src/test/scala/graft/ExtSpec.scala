@@ -108,7 +108,7 @@ class ExtSpec extends SparkSpec {
     val r = Multimodal.features(spark, Sf0001).collect()
     assert(r.nonEmpty)
     r.take(20).foreach { row =>
-      val f = row.getSeq[Float](2)
+      val f = (0 until Multimodal.FeatureBins).map(i => row.getFloat(2 + i))
       assert(f.length == Multimodal.FeatureBins)
       assert(math.abs(f.sum - 1.0f) < 1e-3, "histogram must sum to ~1")
     }
