@@ -66,17 +66,18 @@ object Bench {
         decimate = 8); () }))
     val rasterResults = rasterCases.map { case (name, f) =>
       try { f() } catch { case _: Throwable => } // warm
-      val dt = (1 to 2).map { _ =>
+      // a query is `failed` only when EVERY timed iteration fails; a
+      // partial failure still yields a valid (min-of-successes) timing
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        val ok = try { f(); true } catch {
+        try { f(); Some((System.nanoTime() - t0) / 1e9) } catch {
           case e: Throwable =>
             System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            failed += name
-            false
+            None
         }
-        if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
-      }.min
-      name -> (if (dt == Double.MaxValue) -1.0 else dt)
+      }
+      if (times.isEmpty) { failed += name; name -> -1.0 }
+      else name -> times.min
     }
     val all = results ++ rasterResults
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }

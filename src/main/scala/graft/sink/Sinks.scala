@@ -125,10 +125,31 @@ object Sinks {
     // projection only rides along when a geotransform was embedded
     val projFields = projection.filter(_.nonEmpty).filter(_ => geoGt.nonEmpty).toSeq.flatMap { p =>
       val ascii = p + "|"
+      // Self-describing GeoTIFF: for an EPSG:NNNN projection emit
+      // GTModelTypeGeoKey (1024) plus the CRS code key — GeographicType
+      // (2048) for EPSG:4326, ProjectedCSType (3072) otherwise (the
+      // reference's auto-CRS only ever emits 4326/UTM/UPS, all of which
+      // standard consumers recover from these two keys). The citation
+      // (1026) stays as the fallback for non-EPSG strings.
+      val epsg = {
+        val up = p.trim.toUpperCase
+        if (up.startsWith("EPSG:")) up.stripPrefix("EPSG:").toIntOption else None
+      }
+      // (keyId, tagLocation, count, value) — keyIds must be ascending
+      val crsKeys: Seq[(Int, Int, Int, Int)] = epsg match {
+        case Some(4326) => Seq((1024, 0, 1, 2), (2048, 0, 1, 4326))
+        case Some(code) => Seq((1024, 0, 1, 1), (3072, 0, 1, code))
+        case None => Nil
+      }
+      val keys = (crsKeys :+ ((1026, TiffTags.GeoAsciiParams, ascii.length, 0)))
+        .sortBy(_._1)
+      val dirShorts = Array[Char](1, 1, 0, keys.length.toChar) ++
+        keys.flatMap { case (id, loc, cnt, v) =>
+          Array(id.toChar, loc.toChar, cnt.toChar, v.toChar)
+        }
       Seq(
-        // header (version, rev, minor, nkeys) + GTCitationGeoKey → ascii params
-        new TIFFField(geo.getTag(TiffTags.GeoKeyDirectory), TIFFTag.TIFF_SHORT, 8,
-          Array[Char](1, 1, 0, 1, 1026, TiffTags.GeoAsciiParams.toChar, ascii.length.toChar, 0)),
+        new TIFFField(geo.getTag(TiffTags.GeoKeyDirectory), TIFFTag.TIFF_SHORT,
+          dirShorts.length, dirShorts),
         new TIFFField(geo.getTag(TiffTags.GeoAsciiParams), TIFFTag.TIFF_ASCII, 1, Array(ascii)))
     }
     val mdFields = if (fields.isEmpty) Nil else {
