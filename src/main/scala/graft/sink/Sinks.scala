@@ -135,9 +135,17 @@ object Sinks {
         val up = p.trim.toUpperCase
         if (up.startsWith("EPSG:")) up.stripPrefix("EPSG:").toIntOption else None
       }
-      // (keyId, tagLocation, count, value) — keyIds must be ascending
+      // (keyId, tagLocation, count, value) — keyIds must be ascending.
+      // EPSG 4000-4999 is the geographic-CRS code block (4326, 4269, 4258,
+      // …) → GTModelType=Geographic + GeographicTypeGeoKey (2048); other
+      // codes → GTModelType=Projected + ProjectedCSTypeGeoKey (3072).
+      // GeoKey values are unsigned shorts — a code that doesn't fit in 16
+      // bits can't be represented, so fall back to the citation (1026) only
+      // rather than silently truncating via toChar.
       val crsKeys: Seq[(Int, Int, Int, Int)] = epsg match {
-        case Some(4326) => Seq((1024, 0, 1, 2), (2048, 0, 1, 4326))
+        case Some(code) if code < 0 || code > 65535 => Nil
+        case Some(code) if code >= 4000 && code <= 4999 =>
+          Seq((1024, 0, 1, 2), (2048, 0, 1, code))
         case Some(code) => Seq((1024, 0, 1, 1), (3072, 0, 1, code))
         case None => Nil
       }

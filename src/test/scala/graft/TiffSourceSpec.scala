@@ -132,6 +132,14 @@ class TiffSourceSpec extends SparkSpec {
 
   // ------------------------------------------------------------ K8 tags
 
+  /** Parse a GeoKeyDirectory short vector into keyId -> value (inline
+    * SHORT values only, i.e. tagLocation == 0).
+    */
+  private def geoKeys(dir: Seq[String]): Map[Int, Int] =
+    dir.map(_.toInt).drop(4).grouped(4).collect {
+      case Seq(id, 0, 1, v) => id -> v
+    }.toMap
+
   test("K8: geo + metadata tags embed and read back") {
     val dir = tmpDir
     val (w, h) = (10, 10)
@@ -144,13 +152,43 @@ class TiffSourceSpec extends SparkSpec {
     assert(tags(Sinks.TiffTags.ModelTiepoint).map(_.toDouble) ==
       Seq(0.0, 0.0, 0.0, 500000.0, 4100000.0, 0.0))
     assert(tags(Sinks.TiffTags.GeoAsciiParams).exists(_.contains("EPSG:32633")))
-    assert(tags(Sinks.TiffTags.GeoKeyDirectory).take(4).map(_.toInt) == Seq(1, 1, 0, 1))
+    // self-describing CRS: header says 3 keys (GTModelType + citation +
+    // ProjectedCSType), and the model-type/code entries round-trip
+    val keys = geoKeys(tags(Sinks.TiffTags.GeoKeyDirectory))
+    assert(tags(Sinks.TiffTags.GeoKeyDirectory).take(4).map(_.toInt) == Seq(1, 1, 0, 3))
+    assert(keys(1024) == 1, "GTModelTypeGeoKey must be Projected for EPSG:32633")
+    assert(keys(3072) == 32633, "ProjectedCSTypeGeoKey must carry the EPSG code")
     val md = tags(Sinks.TiffTags.GdalMetadata).mkString
     assert(md.contains("""name="PLATFORM""""), md)
     assert(md.contains("S1A") && md.contains("42"))
     // pixels still intact under the tagged writer
     val (dh, dw, _) = TiffSource.decode(Files.readAllBytes(java.nio.file.Paths.get(path)), 1, 0)
     assert((dh, dw) == (h, w))
+  }
+
+  test("K8: geographic CRS block and oversize codes classified correctly") {
+    val dir = tmpDir
+    val (w, h) = (6, 6)
+    val gt = Array(10.0, 0.01, 0.0, 50.0, 0.0, -0.01)
+    def keysFor(proj: String, name: String): (Seq[String], Map[Int, Int]) = {
+      val p = s"$dir/$name.tiff"
+      Sinks.writeTiffGrayTagged(p, ramp(w, h, 255), w, h, u16 = false, Some(gt), Some(proj), Nil)
+      val t = Sinks.readTiffTags(p)
+      (t(Sinks.TiffTags.GeoKeyDirectory), geoKeys(t(Sinks.TiffTags.GeoKeyDirectory)))
+    }
+    // EPSG:4326 and any 4000-4999 code → geographic model + GeographicType
+    val (_, k4326) = keysFor("EPSG:4326", "g4326")
+    assert(k4326(1024) == 2 && k4326(2048) == 4326)
+    val (_, k4269) = keysFor("EPSG:4269", "g4269")
+    assert(k4269(1024) == 2 && k4269(2048) == 4269)
+    // projected code outside the geographic block
+    val (_, k32633) = keysFor("EPSG:32633", "p32633")
+    assert(k32633(1024) == 1 && k32633(3072) == 32633)
+    // a code that can't fit in an unsigned short: citation-only, no
+    // truncated CRS keys
+    val (raw, kBig) = keysFor("EPSG:104903", "big")
+    assert(raw.take(4).map(_.toInt) == Seq(1, 1, 0, 1), "citation key only")
+    assert(!kBig.contains(1024) && !kBig.contains(3072) && !kBig.contains(2048))
   }
 
   test("K8: identity geotransform skipped; projection only rides with a gt") {
