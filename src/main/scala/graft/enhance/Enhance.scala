@@ -16,24 +16,34 @@ import graft.stats.HistStats
 object Grid {
   val Cols = 250
 
-  /** Orderkeys-per-bucket for the two-phase global index. */
-  val Bucket = 1000
+  /** Ceiling on the bucket-relation size for the two-phase global index.
+    * Bucket WIDTH is derived from the data (`ceil(maxKey / TargetBuckets)`)
+    * so the offsets relation stays ≤ TargetBuckets rows at ANY scale
+    * factor — a fixed width would grow the relation linearly with the key
+    * domain and blow past the broadcast + single-partition-window budget
+    * at the 100 TB design point.
+    */
+  val TargetBuckets = 4096L
 
   /** Global row index by (l_orderkey, l_linenumber) WITHOUT a global
     * single-partition window (the textbook scale-killer): phase 1 ranks
     * rows inside coarse orderkey buckets (parallel windows, one per
     * bucket); phase 2 computes per-bucket row counts and a running offset
-    * over the tiny bucket relation (thousands of rows, not billions),
+    * over the tiny bucket relation (≤4096 rows by construction),
     * broadcast back. idx = bucket_offset + local_rank − 1 reproduces the
     * global `row_number() OVER (ORDER BY l_orderkey, l_linenumber)`
     * exactly, because bucket = l_orderkey div B preserves the sort order
     * across buckets.
     */
   def df(s: SparkSession, dir: String): DataFrame = {
-    val base = s.read.parquet(s"$dir/lineitem.parquet")
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    // one cheap single-column agg (driver scalar) to size the buckets
+    val maxKey = li.agg(max(col("l_orderkey").cast("long"))).head.getLong(0)
+    val bucket = math.max(1L, (maxKey + TargetBuckets - 1) / TargetBuckets)
+    val base = li
       .select(PixelOps.toDb(col("l_extendedprice")).as("db"),
         col("l_orderkey"), col("l_linenumber"))
-      .withColumn("bkt", expr(s"l_orderkey div $Bucket"))
+      .withColumn("bkt", expr(s"l_orderkey div $bucket"))
     val wLocal = Window.partitionBy("bkt").orderBy("l_orderkey", "l_linenumber")
     val local = base.withColumn("lrk", row_number().over(wLocal))
     val wOff = Window.orderBy("bkt")

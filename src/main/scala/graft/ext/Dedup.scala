@@ -85,6 +85,7 @@ object Dedup {
     val raw = shingleDf(s, dir)
       .select(col("doc_id"), TextOps.tokenHash(col("shingle")).as("sh"))
       .distinct()
+      .persist() // the explode+distinct dominates; feeds both the df cap and the join
     val keep = raw.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf)
       .select("sh")

@@ -129,7 +129,9 @@ object TiffSource {
     * scan `measurement/` for `*.tif[f]`, classify by case-insensitive
     * substring `vv`/`vh`/`hh`/`hv`, SKIP `_warped` intermediates, and —
     * for a single unlabeled file — fall back to the metadata-declared
-    * polarization list (first entry claims the file).
+    * polarization list (first RECOGNIZED entry claims the file — the
+    * reference iterates all declared polarizations, so an unknown lead
+    * entry like ["XX","VV"] still resolves to VV).
     *
     * Driver-side directory listing, exactly like Spark's own file-source
     * discovery; the per-file pixel work stays distributed.
@@ -152,13 +154,12 @@ object TiffSource {
     // metadata fallback: one unlabeled file + a declared polarization
     if (pf.all.isEmpty && files.length == 1 && declaredPols.nonEmpty) {
       val f = Some(files.head)
-      pf = declaredPols.head.toLowerCase match {
+      pf = declaredPols.map(_.toLowerCase).collectFirst {
         case "vv" => PolFiles(f, None, None, None)
         case "vh" => PolFiles(None, f, None, None)
         case "hh" => PolFiles(None, None, f, None)
         case "hv" => PolFiles(None, None, None, f)
-        case _ => pf
-      }
+      }.getOrElse(pf)
     }
     pf
   }

@@ -114,6 +114,12 @@ class TiffSourceSpec extends SparkSpec {
     val pf2 = TiffSource.identifyPolarizationFiles(dir2, declaredPols = Seq("HH"))
     assert(pf2.hh.exists(_.endsWith("measurement-0001.tiff")))
     assert(pf2.vv.isEmpty)
+
+    // fallback iterates ALL declared polarizations: an unknown lead entry
+    // must not mask a recognized one later in the list
+    val pf3 = TiffSource.identifyPolarizationFiles(dir2, declaredPols = Seq("XX", "VV"))
+    assert(pf3.vv.exists(_.endsWith("measurement-0001.tiff")))
+    assert(pf3.hh.isEmpty && pf3.vh.isEmpty && pf3.hv.isEmpty)
   }
 
   test("openProduct dispatches the polarization hint over discovered files") {
