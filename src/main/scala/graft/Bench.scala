@@ -33,7 +33,19 @@ object Bench {
       try run(fn, warmDir) catch { case _: Throwable => }
       spark.catalog.clearCache()
     }
+    // Contention sentinel: a fixed trivial job timed AFTER warmup. Its
+    // wall time depends only on machine load, never on query code, so a
+    // poisoned run (contended sandbox, as in round 3's invalid bench) is
+    // detectable by gate consumers: sentinel >> its idle-machine value
+    // (~0.1-0.3s at local[32]) means discard the whole measurement.
+    val sentinel = {
+      spark.range(100000000L).selectExpr("count(*)").collect() // warm the shape
+      val t0 = System.nanoTime()
+      spark.range(100000000L).selectExpr("count(*)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val flaky = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { run(fn, sfDir); true } catch {
@@ -67,8 +79,10 @@ object Bench {
     val rasterResults = rasterCases.map { case (name, f) =>
       try { f() } catch { case _: Throwable => } // warm
       // a query is `failed` only when EVERY timed iteration fails; a
-      // partial failure still yields a valid (min-of-successes) timing
-      val times = (1 to 2).flatMap { _ =>
+      // partial failure yields a min-of-successes timing but is reported
+      // in `flaky` so gate consumers can tell it apart from a clean pass
+      val attempts = 2
+      val times = (1 to attempts).flatMap { _ =>
         val t0 = System.nanoTime()
         try { f(); Some((System.nanoTime() - t0) / 1e9) } catch {
           case e: Throwable =>
@@ -77,14 +91,18 @@ object Bench {
         }
       }
       if (times.isEmpty) { failed += name; name -> -1.0 }
-      else name -> times.min
+      else {
+        if (times.length < attempts) flaky += name
+        name -> times.min
+      }
     }
     val all = results ++ rasterResults
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val flakyJson = flaky.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson,"sentinel":$sentinel,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
