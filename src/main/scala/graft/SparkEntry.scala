@@ -590,12 +590,14 @@ object SparkEntry {
     Q("s1_cosine_topk", Similarity.cosineTopk, Some(Similarity.cosineTopkSql)),
     Q("s2_lsh_ann_topk", Similarity.lshAnnTopk, Some(Similarity.lshAnnTopkSql)),
     Q("s3_cosine_neardup", Similarity.cosineNeardup, Some(Similarity.cosineNeardupSql)),
-    // KMeans coarse quantizer — not SQL-expressible; rows-only check.
+    // KMeans coarse quantizer — not SQL-expressible; rows-only check,
+    // but the output embeds its own exact-baseline recall columns.
     Q("s4_ivf_ann_topk", Ivf.ivfTopk, None),
     Q("m1_multimodal_meta", Multimodal.meta, Some(Multimodal.metaSql)),
-    // mapPartitions feature extraction — not SQL-expressible; driver
-    // records the weaker rows-only check.
-    Q("m2_multimodal_features", Multimodal.features, None))
+    // mapPartitions feature extraction — the byte-nibble histogram IS
+    // SQL-expressible (hex trick, see Multimodal.featuresSql), so the
+    // full hash gate applies despite the imperative decode plumbing.
+    Q("m2_multimodal_features", Multimodal.features, Some(Multimodal.featuresSql)))
 
   // --------------------------------------------------------------- registry
 

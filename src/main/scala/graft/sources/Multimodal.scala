@@ -81,6 +81,29 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** DuckDB oracle for [[features]]. The 16-bin histogram bins on
+    * `byte % 16`, which is exactly the LOW HEX NIBBLE of each byte — so
+    * the oracle extracts the 2nd character of every hex pair of the
+    * UTF-8 payload (one regexp_replace, no per-byte unnest) and counts
+    * each hex digit via length-after-replace. Normalization is FLOAT /
+    * FLOAT division, which DuckDB (like Spark's FloatType) evaluates in
+    * IEEE-754 single precision, so cells are bit-equal to the
+    * mapPartitions output and the full hash gate applies.
+    */
+  val featuresSql: String = {
+    val fcols = (0 until FeatureBins).map { k =>
+      val d = "0123456789ABCDEF" (k)
+      s"""CASE WHEN len = 0 THEN CAST(0 AS FLOAT)
+           ELSE CAST(strlen(low) - strlen(replace(low, '$d', '')) AS FLOAT) / CAST(len AS FLOAT) END AS f$k"""
+    }.mkString(", ")
+    s"""WITH b AS (
+        SELECT doc_id, strlen(text) AS len,
+               regexp_replace(hex(encode(text)), '.(.)', '\\1', 'g') AS low
+        FROM documents)
+      SELECT doc_id, CAST(len AS INTEGER) AS byte_len, $fcols
+      FROM b ORDER BY doc_id"""
+  }
+
   /** STUB decoder: 16-bin byte histogram normalized by length — a
     * deterministic placeholder for codec + feature model output.
     */

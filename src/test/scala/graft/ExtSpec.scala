@@ -102,6 +102,20 @@ class ExtSpec extends SparkSpec {
     assert(recalls.nonEmpty)
     assert(recalls.sum / recalls.size > 0.25,
       s"mean recall@3 too low: ${recalls.sum / recalls.size}")
+    // the embedded ground-truth columns must agree with the external
+    // computation: recall3 = per-query mean of exact_hit
+    ivf.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val hits = rows.count(_.getAs[Boolean]("exact_hit"))
+      val emb = rows.head.getAs[Double]("recall3")
+      assert(math.abs(emb - hits.toDouble / graft.ext.Ivf.TopK) < 1e-12,
+        s"embedded recall3 mismatch for query $q")
+      brute.get(q).foreach { bset =>
+        rows.foreach { r =>
+          assert(r.getAs[Boolean]("exact_hit") == bset.contains(r.getLong(2)),
+            s"exact_hit disagrees with brute force for query $q")
+        }
+      }
+    }
   }
 
   test("multimodal features are normalized histograms") {
