@@ -139,6 +139,152 @@ object Engine {
     out
   }
 
+  /** R2/R3 at scale: separable Lanczos3 resize as a DISTRIBUTED two-phase
+    * tile pass, bit-identical to the driver-side `Geom.resizeLanczos`
+    * (shared `Geom.convWindows` kernels, same accumulation order, one
+    * final round+clamp).
+    *
+    * Phase 1 (horizontal): tiles regroup into tile-row strips
+    * (≤tileSize × srcCols); each strip convolves its rows to dstCols.
+    * One shuffle, keyed on tile_row. Phase 2 (vertical): each strip is
+    * replicated to the output-row strips whose convolution windows
+    * overlap it (bounded halo = 3·scale rows), then each output strip
+    * reduces its window — a second bounded shuffle of the already-
+    * narrowed (dstCols-wide) intermediate. The driver never sees
+    * source-resolution data. A >10⁵-pixel-wide scene would additionally
+    * chunk strips horizontally; at Sentinel-1 widths (~26k) one strip is
+    * ~50 MB — comfortably inside an executor task.
+    */
+  def resizeTilesLanczos(tq: Dataset[QTile], srcRows: Int, srcCols: Int,
+                         dstRows: Int, dstCols: Int, maxVal: Int,
+                         tileSize: Int = DefaultTileSize): Dataset[QTile] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val spark = tq.sparkSession
+    val sc = spark.sparkContext
+    val vWin = Geom.convWindows(srcRows, dstRows)
+    val bH = sc.broadcast(Geom.convWindows(srcCols, dstCols))
+    val bV = sc.broadcast(vWin)
+
+    val stripEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt,
+      ExpressionEncoder[Array[Double]]())
+    val hstrips = tq.groupByKey(_.tile_row)(Encoders.scalaInt)
+      .mapGroups { (tr, it) =>
+        val tiles = it.toArray
+        val h = tiles.iterator.map(_.h).max
+        val strip = new Array[Double](h * srcCols)
+        tiles.foreach { t =>
+          val x0 = t.tile_col * tileSize
+          var y = 0
+          while (y < t.h) {
+            var x = 0
+            while (x < t.w) { strip(y * srcCols + x0 + x) = t.q(y * t.w + x).toDouble; x += 1 }
+            y += 1
+          }
+        }
+        val win = bH.value
+        val out = new Array[Double](h * dstCols)
+        var y = 0
+        while (y < h) {
+          var o = 0
+          while (o < dstCols) {
+            val cw = win(o)
+            var acc = 0.0
+            var k = 0
+            while (k < cw.weights.length) {
+              acc += strip(y * srcCols + cw.lo + k) * cw.weights(k); k += 1
+            }
+            out(y * dstCols + o) = if (cw.wsum != 0.0) acc / cw.wsum else 0.0
+            o += 1
+          }
+          y += 1
+        }
+        (tr, h, out)
+      }(stripEnc)
+
+    // source-row window needed by each output-row strip (driver-side:
+    // dstRows is output-size, tiny)
+    val nStrips = (dstRows + tileSize - 1) / tileSize
+    val ranges = Array.tabulate(nStrips) { s =>
+      val o0 = s * tileSize; val o1 = math.min(dstRows, o0 + tileSize)
+      var lo = Int.MaxValue; var hi = Int.MinValue
+      var o = o0
+      while (o < o1) {
+        val cw = vWin(o)
+        lo = math.min(lo, cw.lo); hi = math.max(hi, cw.lo + cw.weights.length - 1)
+        o += 1
+      }
+      (lo, hi)
+    }
+    val bRanges = sc.broadcast(ranges)
+
+    val contribEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt,
+      Encoders.scalaInt, ExpressionEncoder[Array[Double]]())
+    hstrips.flatMap { case (tr, h, data) =>
+      val sr0 = tr * tileSize; val sr1 = sr0 + h - 1
+      bRanges.value.iterator.zipWithIndex.collect {
+        case ((lo, hi), s) if hi >= sr0 && lo <= sr1 => (s, tr, h, data)
+      }
+    }(contribEnc)
+      .groupByKey(_._1)(Encoders.scalaInt)
+      .mapGroups { (s, it) =>
+        val parts = it.map { case (_, tr, _, d) => tr -> d }.toMap
+        val o0 = s * tileSize; val o1 = math.min(dstRows, o0 + tileSize)
+        val win = bV.value
+        val q = new Array[Int]((o1 - o0) * dstCols)
+        var o = o0
+        while (o < o1) {
+          val cw = win(o)
+          var c = 0
+          while (c < dstCols) {
+            var acc = 0.0
+            var k = 0
+            while (k < cw.weights.length) {
+              val srcRow = cw.lo + k
+              val d = parts(srcRow / tileSize)
+              acc += d((srcRow - (srcRow / tileSize) * tileSize) * dstCols + c) * cw.weights(k)
+              k += 1
+            }
+            val v = if (cw.wsum != 0.0) acc / cw.wsum else 0.0
+            q((o - o0) * dstCols + c) = math.max(0, math.min(maxVal, math.round(v).toInt))
+            c += 1
+          }
+          o += 1
+        }
+        QTile(s, 0, o1 - o0, dstCols, q)
+      }(qTileEnc)
+  }
+
+  /** Above this source-pixel count the resize runs distributed; below it
+    * the image is collected and resized on the driver (IntStream-parallel
+    * over local cores — no shuffle). Both paths are bit-identical
+    * (EngineSpec proves it), so this is purely a cost model: 32 M px is a
+    * ~128 MB driver buffer, well under any sane driver heap, while the
+    * two extra shuffles of the distributed path cost more than the
+    * local convolution at that size.
+    */
+  val DriverResizeMaxPixels: Long = 32L * 1024 * 1024
+
+  /** Collect the output image at its FINAL (post-resize) size: when the
+    * target shrinks a LARGE image, the separable Lanczos runs distributed
+    * BEFORE the collect, so the driver only ever holds target-size
+    * buffers (a native-res 26544² scene would otherwise collect ~2.8 GB
+    * just to throw most of it away in the resize).
+    */
+  def collectResized(tq: Dataset[QTile], rows: Int, cols: Int,
+                     target: Option[Int], maxVal: Int,
+                     tileSize: Int = DefaultTileSize): (Array[Int], Int, Int) = {
+    val (nw, nh) = target.map(t => Geom.resizeDims(cols, rows, t)).getOrElse((cols, rows))
+    if (nw == cols && nh == rows) (assembleTiles(tq, rows, cols, tileSize), cols, rows)
+    else if (rows.toLong * cols <= DriverResizeMaxPixels) {
+      val img = assembleTiles(tq, rows, cols, tileSize)
+      (Geom.resizeLanczos(img, cols, rows, nw, nh, maxVal), nw, nh)
+    } else {
+      val rz = resizeTilesLanczos(tq, rows, cols, nh, nw, maxVal, tileSize)
+      (assembleTiles(rz, nh, nw, tileSize), nw, nh)
+    }
+  }
+
   /** A4 CLAHE over tiles: per-(tile,bin) histogram = one mapPartitions
     * reduce (flat 64×256 buffer); clip/redistribute/CDF = the reference's
     * exact scalar loop on the driver (`autoscale.rs:271-305`); per-pixel
@@ -239,10 +385,12 @@ object Engine {
       val quantP = if (params.bitDepth == BitDepth.U8) Some(quant.persist()) else None
       try {
         val finalQ = quantP.map(rescaleTilesU8).getOrElse(quant)
-        val img = assembleTiles(finalQ, outRows, outCols)
-        val (resized, fw, fh, newGt) = Geom.resizeAndPad(
-          img, outCols, outRows, params.targetSize, params.pad, maxVal.toInt, gt)
-        ProcessedImage(fw, fh, params.bitDepth, Some(resized), None, newGt)
+        // resize runs distributed; the driver collects target-size tiles
+        val (resized, nw, nh) = collectResized(
+          finalQ, outRows, outCols, params.targetSize, maxVal.toInt)
+        val (img, fw, fh, newGt) = Geom.padAndRescaleGt(
+          resized, nw, nh, outCols, outRows, params.pad, gt)
+        ProcessedImage(fw, fh, params.bitDepth, Some(img), None, newGt)
       } finally quantP.foreach(_.unpersist())
     } finally {
       // unpersist only THIS pipeline's caches — a library entry point must
@@ -385,11 +533,11 @@ object Engine {
             val qt = quantizeTiles(tiles, low, high, gamma, maxVal)
             if (wantU8) rescaleTilesU8(cached(qt)) else qt
         }
-        val arr = assembleTiles(q, outRows, outCols)
         // resize BEFORE compose (`save.rs` resizes each band to final
-        // dims, then composes synRGB)
-        Geom.resizeAndPad(arr, outCols, outRows, params.targetSize,
-          params.pad, maxVal.toInt, gt)
+        // dims, then composes synRGB) — distributed, target-size collect
+        val (resized, nw, nh) = collectResized(
+          q, outRows, outCols, params.targetSize, maxVal.toInt)
+        Geom.padAndRescaleGt(resized, nw, nh, outCols, outRows, params.pad, gt)
       } finally {
         raw.unpersist()
         own.foreach(_.unpersist())

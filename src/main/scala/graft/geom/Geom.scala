@@ -31,6 +31,34 @@ object Geom {
     }
   }
 
+  /** One output position's convolution window: source range start +
+    * normalized-at-use weights. Shared by the driver-side resize and the
+    * distributed tile-level resize (Engine.resizeTilesLanczos) so both
+    * produce bit-identical kernels.
+    */
+  final case class ConvWindow(lo: Int, weights: Array[Double], wsum: Double)
+    extends Serializable
+
+  /** Lanczos3 windows for every output position along one axis. */
+  def convWindows(srcLen: Int, outLen: Int): Array[ConvWindow] = {
+    val scale = srcLen.toDouble / outLen
+    val filterScale = math.max(scale, 1.0)
+    val support = LanczosA * filterScale
+    Array.tabulate(outLen) { o =>
+      val center = (o + 0.5) * scale
+      val lo = math.max(0, math.floor(center - support).toInt)
+      val hi = math.min(srcLen - 1, math.ceil(center + support).toInt)
+      var wsum = 0.0
+      val weights = new Array[Double](hi - lo + 1)
+      var k = lo
+      while (k <= hi) {
+        val wt = lanczos3((k + 0.5 - center) / filterScale)
+        weights(k - lo) = wt; wsum += wt; k += 1
+      }
+      ConvWindow(lo, weights, wsum)
+    }
+  }
+
   /** R2: separable Lanczos3 resample of a row-major image (u8/u16 domain
     * passed as Int). Matches the reference's algorithm class
     * (`fast_image_resize` Lanczos3, `resize.rs:32-89`); bit-exactness vs
@@ -50,30 +78,21 @@ object Geom {
                          horizontal: Boolean, dst: Array[Double]): Unit = {
     val srcLen = if (horizontal) w else h
     val lines = if (horizontal) h else w
-    val scale = srcLen.toDouble / outLen
-    val filterScale = math.max(scale, 1.0)
-    val support = LanczosA * filterScale
+    val windows = convWindows(srcLen, outLen)
     java.util.stream.IntStream.range(0, outLen).parallel().forEach { o =>
-      val center = (o + 0.5) * scale
-      val lo = math.max(0, math.floor(center - support).toInt)
-      val hi = math.min(srcLen - 1, math.ceil(center + support).toInt)
-      var wsum = 0.0
-      val weights = new Array[Double](hi - lo + 1)
-      var k = lo
-      while (k <= hi) {
-        val wt = lanczos3((k + 0.5 - center) / filterScale)
-        weights(k - lo) = wt; wsum += wt; k += 1
-      }
+      val cw = windows(o)
+      val lo = cw.lo
+      val hi = lo + cw.weights.length - 1
       var line = 0
       while (line < lines) {
         var acc = 0.0
-        k = lo
+        var k = lo
         while (k <= hi) {
           val v = if (horizontal) src(line * w + k) else src(k * w + line)
-          acc += v * weights(k - lo)
+          acc += v * cw.weights(k - lo)
           k += 1
         }
-        val outV = if (wsum != 0.0) acc / wsum else 0.0
+        val outV = if (cw.wsum != 0.0) acc / cw.wsum else 0.0
         if (horizontal) dst(line * outLen + o) = outV
         else dst(o * w + line) = outV
         line += 1
@@ -107,14 +126,26 @@ object Geom {
                    gt: Option[Array[Double]]): (Array[Int], Int, Int, Option[Array[Double]]) = {
     val (nw, nh) = target.map(t => resizeDims(w, h, t)).getOrElse((w, h))
     val resized = if (nw == w && nh == h) src else resizeLanczos(src, w, h, nw, nh, maxVal)
+    padAndRescaleGt(resized, nw, nh, w, h, pad, gt)
+  }
+
+  /** Pad + geotransform rewrite for an ALREADY-RESIZED image. `origW`/
+    * `origH` are the pre-resize dims the geotransform refers to (the gt
+    * rescale must use the true source-to-final ratio). Split out so the
+    * distributed resize path (Engine.resizeTilesLanczos → assemble) can
+    * finish identically to the driver-side path.
+    */
+  def padAndRescaleGt(resized: Array[Int], nw: Int, nh: Int,
+                      origW: Int, origH: Int, pad: Boolean,
+                      gt: Option[Array[Double]]): (Array[Int], Int, Int, Option[Array[Double]]) = {
     val (img, fw, fh, padLeft, padTop) =
       if (pad && nw != nh) {
         val (p, d, pl, pt) = padToSquare(resized, nw, nh)
         (p, d, d, pl, pt)
       } else (resized, nw, nh, 0, 0)
     val newGt = gt.map { g =>
-      val g1 = g(1) * (w.toDouble / fw)
-      val g5 = g(5) * (h.toDouble / fh)
+      val g1 = g(1) * (origW.toDouble / fw)
+      val g5 = g(5) * (origH.toDouble / fh)
       Array(g(0) - padLeft * g1, g1, g(2), g(3) - padTop * g5, g(4), g5)
     }
     (img, fw, fh, newGt)
