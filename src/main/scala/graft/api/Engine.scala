@@ -566,6 +566,17 @@ object Engine {
                     outPath: String, params: ProcessingParams,
                     meta: SafeMeta = SafeMeta(), decimate: Int = 1): Unit = {
     val gt = meta.geotransform
+    // S8: resolve any requested reprojection BEFORE the pixel pipeline.
+    // A source already in the target CRS short-circuits to a direct read
+    // (the reference's skip guard); a real warp is unsupported in this
+    // environment and raises, carrying the exact gdalwarp invocation.
+    graft.geom.Warp.resolveTargetCrs(params.targetCrs,
+      gt.map(g => (g(0) + g(1) * cols / 2.0, g(3) + g(5) * rows / 2.0))
+    ).foreach { dst =>
+      graft.geom.Warp.execute(graft.geom.Warp.resolveWarp(
+        meta.crs, dst, params.resampleAlg, params.targetSize,
+        srcCols = cols, srcRows = rows, input = productId))
+    }
     // sidecar POLARIZATIONS prefixes per `metadata.rs:40-113` (DIFF /
     // NORM_DIFF, not the long operation labels)
     val polLabel = params.polarization match {

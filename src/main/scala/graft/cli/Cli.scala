@@ -51,6 +51,12 @@ object Cli {
       case "--synrgb-mode" :: v :: t =>
         SyntheticRgbMode.fromString(v).toRight(s"invalid synrgb mode: $v")
           .flatMap(m => loop(t, acc.copy(params = acc.params.copy(synRgbMode = m))))
+      case "--target-crs" :: v :: t =>
+        loop(t, acc.copy(params = acc.params.copy(targetCrs = Some(v))))
+      case "--resample-alg" :: v :: t =>
+        if (Set("nearest", "bilinear", "cubic", "lanczos")(v.toLowerCase))
+          loop(t, acc.copy(params = acc.params.copy(resampleAlg = Some(v))))
+        else Left(s"invalid resample alg: $v")
       case flag :: _ => Left(s"unknown or incomplete flag: $flag")
     }
     loop(argv.toList, Args()).flatMap { a =>

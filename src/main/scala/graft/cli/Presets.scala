@@ -20,7 +20,9 @@ object Presets {
   "autoscale": "${p.autoscale.name}",
   "size": "$size",
   "pad": ${p.pad},
-  "synrgb_mode": "${p.synRgbMode.name}"
+  "synrgb_mode": "${p.synRgbMode.name}",
+  "target_crs": "${p.targetCrs.getOrElse("none")}",
+  "resample_alg": "${p.resampleAlg.getOrElse("auto")}"
 }"""
   }
 
@@ -49,7 +51,12 @@ object Presets {
         v => if (v == "original") Some(None) else v.toIntOption.filter(_ > 0).map(Some(_)), None)
       pad <- get("pad", v => v.toBooleanOption, false)
       mode <- get("synrgb_mode", SyntheticRgbMode.fromString, SyntheticRgbMode.Default: SyntheticRgbMode)
-    } yield ProcessingParams(pol, fmt, bd, as, size, pad, mode)
+      crs <- get[Option[String]]("target_crs",
+        v => Some(Some(v).filterNot(_.equalsIgnoreCase("none"))), None)
+      alg <- get[Option[String]]("resample_alg",
+        v => Some(Some(v.toLowerCase).filterNot(_ == "auto")
+          .filter(Set("nearest", "bilinear", "cubic", "lanczos"))), None)
+    } yield ProcessingParams(pol, fmt, bd, as, size, pad, mode, crs, alg)
   }
 
   def save(path: String, p: ProcessingParams): Unit =
@@ -73,6 +80,8 @@ object Presets {
     val withPad = if (p.pad) base :+ "--pad" else base
     val withMode = if (p.synRgbMode != SyntheticRgbMode.Default)
       withPad ++ Seq("--synrgb-mode", p.synRgbMode.name) else withPad
-    withMode.mkString(" ")
+    val withCrs = p.targetCrs.fold(withMode)(c => withMode ++ Seq("--target-crs", c))
+    val withAlg = p.resampleAlg.fold(withCrs)(a => withCrs ++ Seq("--resample-alg", a))
+    withAlg.mkString(" ")
   }
 }

@@ -108,4 +108,9 @@ final case class ProcessingParams(
     autoscale: AutoscaleStrategy = AutoscaleStrategy.Clahe,
     targetSize: Option[Int] = None,
     pad: Boolean = false,
-    synRgbMode: SyntheticRgbMode = SyntheticRgbMode.Default)
+    synRgbMode: SyntheticRgbMode = SyntheticRgbMode.Default,
+    /** S8 `--target-crs`: None/`none` disables, `auto` derives UTM/UPS
+      * from the scene center (S9), else an explicit CRS string. */
+    targetCrs: Option[String] = None,
+    /** S8 `--resample-alg` (nearest/bilinear/cubic/lanczos). */
+    resampleAlg: Option[String] = None)

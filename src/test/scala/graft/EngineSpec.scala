@@ -141,6 +141,28 @@ class EngineSpec extends SparkSpec {
     assert(img.gray.exists(g => g.max > g.min), "image must be non-degenerate")
   }
 
+  test("S8: processToPath skips a warp to the source CRS, raises on a real one") {
+    val dir = tmpDir
+    val meta = SafeMeta(crs = Some("EPSG:32633"),
+      geotransform = Some(Array(500000.0, 10.0, 0.0, 4100000.0, 0.0, -10.0)))
+    // already in the target CRS: the skip guard lets the pipeline run
+    Engine.processToPath(spark, "w1", 64, 64, s"$dir/ok.tiff",
+      ProcessingParams(autoscale = AutoscaleStrategy.Standard,
+        targetCrs = Some("EPSG:32633")), meta)
+    assert(Files.exists(Paths.get(s"$dir/ok.tiff")))
+    // a genuine reprojection is unsupported here and must say so
+    intercept[UnsupportedOperationException] {
+      Engine.processToPath(spark, "w2", 64, 64, s"$dir/no.tiff",
+        ProcessingParams(autoscale = AutoscaleStrategy.Standard,
+          targetCrs = Some("EPSG:4326")), meta)
+    }
+    // targetCrs "none" disables entirely
+    Engine.processToPath(spark, "w3", 64, 64, s"$dir/none.tiff",
+      ProcessingParams(autoscale = AutoscaleStrategy.Standard,
+        targetCrs = Some("none")), meta)
+    assert(Files.exists(Paths.get(s"$dir/none.tiff")))
+  }
+
   test("E2E single band: synthetic raster → TIFF + sidecars") {
     val dir = tmpDir
     val out = s"$dir/prod.tiff"
