@@ -48,7 +48,10 @@ object Grid {
     val local = base.withColumn("lrk", row_number().over(wLocal))
     val wOff = Window.orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy("bkt").agg(count(lit(1)).as("bn"))
+    // bucket counts come from BASE, not the windowed relation — the
+    // count per bucket is window-invariant, and deriving it from `local`
+    // would execute the (expensive) ranking window twice in one plan
+    val offsets = base.groupBy("bkt").agg(count(lit(1)).as("bn"))
       .withColumn("off", coalesce(sum("bn").over(wOff), lit(0L)))
     val n = offsets.agg(sum("bn").as("n_total"))
     local.join(broadcast(offsets.select(col("bkt"), col("off"))), "bkt")
