@@ -46,20 +46,32 @@ object Bench {
     }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val flaky = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { run(fn, sfDir); true } catch {
-        case e: Throwable =>
-          System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
-          failed += name
-          false
+    // min of 2 timed iterations (like the raster cases below): a single
+    // pass is one scheduler hiccup away from recording noise as a
+    // regression — round 3's bench artifact was exactly that.
+    val BenchIters = 2
+    def timed(name: String, f: () => Unit): Double = {
+      val times = (1 to BenchIters).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { f(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            false
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // per-query caches (grid/signature persists) must not bleed into
+        // the next iteration's or query's timings
+        spark.catalog.clearCache()
+        if (ok) Some(dt) else None
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // per-query caches (grid/signature persists) must not bleed into
-      // the next query's timings
-      spark.catalog.clearCache()
-      // a failed query must not masquerade as a fast timing
-      name -> (if (ok) dt else -1.0)
+      if (times.isEmpty) { failed += name; -1.0 }
+      else {
+        if (times.length < BenchIters) flaky += name
+        times.min
+      }
+    }
+    val results = ordered.map { case (name, fn) =>
+      name -> timed(name, () => run(fn, sfDir))
     }
     // Raster-pipeline E2E measurements — the direct comparables to the
     // reference's published numbers (BASELINE.md: single-product
@@ -78,23 +90,7 @@ object Bench {
         decimate = 8); () }))
     val rasterResults = rasterCases.map { case (name, f) =>
       try { f() } catch { case _: Throwable => } // warm
-      // a query is `failed` only when EVERY timed iteration fails; a
-      // partial failure yields a min-of-successes timing but is reported
-      // in `flaky` so gate consumers can tell it apart from a clean pass
-      val attempts = 2
-      val times = (1 to attempts).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { f(); Some((System.nanoTime() - t0) / 1e9) } catch {
-          case e: Throwable =>
-            System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            None
-        }
-      }
-      if (times.isEmpty) { failed += name; name -> -1.0 }
-      else {
-        if (times.length < attempts) flaky += name
-        name -> times.min
-      }
+      name -> timed(name, f)
     }
     val all = results ++ rasterResults
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
