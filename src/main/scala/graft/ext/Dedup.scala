@@ -45,7 +45,14 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Distinct word-3-gram shingles per document (space-joined). */
+  /** Word-3-gram shingles per document (space-joined), WITH duplicates:
+    * deduplication happens downstream where it's cheap — D2 distincts on
+    * the 64-bit hash (so the exchange carries longs, not shingle
+    * strings, and one dedup replaces two), D3's min-aggregation is
+    * duplicate-insensitive and needs no dedup at all. A string-level
+    * DISTINCT here would shuffle the widest relation in the whole dedup
+    * tier for no semantic effect.
+    */
   private def shingleDf(s: SparkSession, dir: String): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     val sh = when(size(toks) >= 3,
@@ -54,15 +61,13 @@ object Dedup {
       .otherwise(array())
     t(s, dir)
       .select(col("doc_id"), explode(sh).as("shingle"))
-      .distinct()
   }
 
   private val shingleCte: String = s"""shing AS (
-    SELECT DISTINCT doc_id, shingle FROM (
       SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
         THEN list_transform(range(1, len(toks) - 1), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
         ELSE [] END) AS shingle
-      FROM (SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents)))"""
+      FROM (SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents))"""
 
   /** Stop-shingle document-frequency cap: a shingle appearing in more
     * than this many documents is dropped before the inverted-index
