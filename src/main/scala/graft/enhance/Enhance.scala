@@ -113,9 +113,12 @@ object Clahe {
     val params = st.select(col("p01").as("low"), col("p99").as("high"),
       greatest(col("p99") - col("p01"), lit(1.0)).as("rng"))
 
+    // bin/tile assignment computed BEFORE the persist and projected
+    // narrow: the cache then holds exactly what the three consumers
+    // (histogram, tile counts, bilinear sampling) read, instead of
+    // re-deriving norm/bin per consumer and caching dead stat columns
     val px = g.crossJoin(broadcast(params))
       .withColumn("tile_h", expr(s"(rows_ + ${Tiles - 1}) div $Tiles"))
-      .persist()
       .withColumn("norm", when(col("valid"),
         (least(greatest(col("db"), col("low")), col("high")) - col("low")) / col("rng"))
         .otherwise(lit(0.0)))
@@ -123,6 +126,9 @@ object Clahe {
         round(least(greatest(col("norm"), lit(0.0)), lit(1.0)) * lit(255.0), 0).cast("int"))
       .withColumn("ty", expr("y div tile_h"))
       .withColumn("tx", expr(s"x div $TileW"))
+      .select(col("y"), col("x"), col("valid"), col("tile_h"),
+        col("bin"), col("ty"), col("tx"))
+      .persist()
 
     val hist = px.filter(col("valid"))
       .groupBy(col("ty"), col("tx"), col("bin")).agg(count(lit(1)).as("h"))

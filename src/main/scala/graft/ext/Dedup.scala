@@ -204,10 +204,13 @@ object Dedup {
     * hamming ≤ 3); emits candidate pairs with hamming ≤ 20.
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
+    // distinct on the 48-bit hash, not the token string: the exchange
+    // carries longs, and the (engine-identical) hash is what the bit
+    // sums consume anyway
     val toksDf = t(s, dir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-      .distinct()
       .select(col("doc_id"), TextOps.tokenHash48(col("tok")).as("h"))
+      .distinct()
     // bitsum_j = Σ(2·bit_j(h) − 1) = 2·Σbit_j(h) − n: sum the raw bits
     // (branch-free, stays in codegen) and compare 2·ones > n.
     val sumExprs = (0 until SimhashBits).map(j =>
@@ -240,8 +243,8 @@ object Dedup {
       s"SELECT doc_id, simhash, $b AS blk, (simhash >> ${b * BlockBits}) & ${(1L << BlockBits) - 1} AS bval FROM sim")
       .mkString(" UNION ALL ")
     s"""WITH toks AS (
-      SELECT doc_id, ${TextOps.tokenHash48Sql("tok")} AS h FROM (
-        SELECT DISTINCT doc_id, unnest(${TextOps.tokensSql}) AS tok FROM documents)),
+      SELECT DISTINCT doc_id, ${TextOps.tokenHash48Sql("tok")} AS h FROM (
+        SELECT doc_id, unnest(${TextOps.tokensSql}) AS tok FROM documents)),
     bitsums AS (SELECT doc_id, $sums FROM toks GROUP BY doc_id),
     sim AS (SELECT doc_id, $bits AS simhash FROM bitsums),
     blocks AS ($blockRows)
