@@ -57,6 +57,39 @@ object Sinks {
     require(ImageIO.write(bi, "TIFF", new File(path)), s"no TIFF writer for $path")
   }
 
+  /** Gray TIFF with an explicit on-disk layout — real Sentinel-1
+    * measurement rasters are tiled and/or compressed GeoTIFFs
+    * (`/root/reference/src/io/sentinel1.rs:183-389` reads them through
+    * GDAL), so the source-side decode must handle those layouts too.
+    * Used to build such fixtures for the decode round-trip specs.
+    *
+    * @param compression TIFF compression type name (e.g. "Deflate",
+    *                    "LZW", "PackBits"), or null for uncompressed
+    * @param tile        tile edge (multiple of 16), or 0 for strips
+    */
+  def writeTiffGrayLayout(path: String, img: Array[Int], w: Int, h: Int, u16: Boolean,
+                          compression: String, tile: Int): Unit = {
+    val bi = if (u16) grayU16(img, w, h) else grayU8(img, w, h)
+    val writer = ImageIO.getImageWritersByFormatName("TIFF").next()
+    val out = ImageIO.createImageOutputStream(new File(path))
+    try {
+      writer.setOutput(out)
+      val p = writer.getDefaultWriteParam
+      if (compression != null) {
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionType(compression)
+      }
+      if (tile > 0) {
+        p.setTilingMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setTiling(tile, tile, 0, 0)
+      }
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), p)
+    } finally {
+      out.close()
+      writer.dispose()
+    }
+  }
+
   /** K2: two-band gray TIFF (multiband) as a multi-page TIFF — the
     * ImageIO analog of the reference's 2×GrayIndex-band GTiff
     * (`tiff.rs:34-78`).

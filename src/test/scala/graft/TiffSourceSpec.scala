@@ -76,6 +76,30 @@ class TiffSourceSpec extends SparkSpec {
     }
   }
 
+  test("tiled and compressed TIFF layouts decode pixel-exact (S1 real-product shapes)") {
+    // Sentinel-1 measurement rasters are tiled/compressed GeoTIFFs — the
+    // decode path must not assume baseline strips
+    val (w, h) = (300, 200) // not a tile multiple: exercises partial tiles
+    val img = ramp(w, h, 65535)
+    for ((comp, tile) <- Seq(("Deflate", 0), ("LZW", 0), ("PackBits", 0),
+                             (null, 64), ("Deflate", 64), ("LZW", 128))) {
+      val dir = tmpDir
+      val path = s"$dir/layout.tiff"
+      Sinks.writeTiffGrayLayout(path, img, w, h, u16 = true, comp, tile)
+      val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+      val (dh, dw, px) = TiffSource.decode(bytes, 1, 0)
+      assert((dh, dw) == (h, w), s"dims under comp=$comp tile=$tile")
+      for (i <- img.indices)
+        assert(px(i) == img(i).toFloat, s"pixel $i under comp=$comp tile=$tile")
+      // decimation pushdown must hold on non-baseline layouts too
+      val (sh2, sw2, px2) = TiffSource.decode(bytes, 3, 0)
+      assert(sh2 == (h + 2) / 3 && sw2 == (w + 2) / 3)
+      for (y <- 0 until sh2; x <- 0 until sw2)
+        assert(px2(y * sw2 + x) == img(y * 3 * w + x * 3).toFloat,
+          s"decimated pixel ($y,$x) under comp=$comp tile=$tile")
+    }
+  }
+
   test("engine pipeline runs end-to-end on a TiffSource scan") {
     // write a synthetic band as a real file, re-open through the real
     // source, and push it through the tile stats + quantize kernels
