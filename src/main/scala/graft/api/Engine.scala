@@ -715,7 +715,7 @@ object Engine {
         Sinks.writeJpegRgb(outPath, r, g, b, img.width, img.height)
       case (OutputFormat.Jpeg, _, _, Some(gray)) =>
         Sinks.writeJpegGray(outPath, gray, img.width, img.height)
-      case _ => throw new IllegalStateException("no image data")
+      case _ => throw graft.model.GraftException.Processing("no image data")
     }
     img.geotransform.foreach(Sinks.writeWorldFile(outPath, _))
     meta.crs.foreach(Sinks.writePrj(outPath, _))
@@ -748,6 +748,10 @@ object Engine {
         processToPath(spark, id, rows, cols, s"$outDir/$id.$ext", params)
         processed += 1
       } catch {
+        // an unsupported product is SKIPPED (the reference's early
+        // viability check, `api/mod.rs:486-532`), any other failure is
+        // recorded and the batch continues
+        case _: graft.model.GraftException.UnsupportedProduct => skipped += 1
         case e: Exception => errors += (id -> String.valueOf(e.getMessage))
       }
     }

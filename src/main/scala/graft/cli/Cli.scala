@@ -93,13 +93,13 @@ object Cli {
         try {
           if (args.batch) {
             val specs = args.inputDir.get.split(',').toSeq
-              .map(parseProduct(_).fold(e => throw new IllegalArgumentException(e), identity))
+              .map(parseProduct(_).fold(e => throw graft.model.GraftException.ParseError(e), identity))
             val report = Engine.processDirectory(spark, specs, args.outputDir.get, args.params)
             println(s"processed=${report.processed} skipped=${report.skipped} errors=${report.errors.size}")
             report.errors.foreach { case (id, e) => System.err.println(s"  $id: $e") }
           } else {
             val (id, rows, cols) = parseProduct(args.input.get)
-              .fold(e => throw new IllegalArgumentException(e), identity)
+              .fold(e => throw graft.model.GraftException.ParseError(e), identity)
             Engine.processToPath(spark, id, rows, cols, args.output.get, args.params)
             println(s"wrote ${args.output.get}")
           }

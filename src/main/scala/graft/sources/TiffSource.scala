@@ -34,7 +34,8 @@ object TiffSource {
     val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
     try {
       val readers = ImageIO.getImageReaders(iis)
-      require(readers.hasNext, "no TIFF reader for payload")
+      if (!readers.hasNext)
+        throw graft.model.GraftException.NotTiff("<payload>")
       val reader: ImageReader = readers.next()
       try {
         reader.setInput(iis)
@@ -174,7 +175,8 @@ object TiffSource {
     val pf = identifyPolarizationFiles(measurementDir, declaredPols)
     RasterSource.bandsFor(hint).map { band =>
       val path = pf.get(band).getOrElse(
-        throw new IllegalArgumentException(s"band $band not found in $measurementDir"))
+        throw graft.model.GraftException.IncompleteDataPair(
+          hint, pf.all.map(_._1).mkString(", ")))
       band -> scan(spark, path, band, decimate, page = 0, tileSize = tileSize)
     }.toMap
   }

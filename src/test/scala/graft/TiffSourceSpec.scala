@@ -155,9 +155,12 @@ class TiffSourceSpec extends SparkSpec {
     val bands = TiffSource.openProduct(spark, dir, "multiband")
     assert(bands.keySet == Set("vv", "vh"))
     assert(bands("vv").collect().map(t => t.h.toLong * t.w).sum == h.toLong * w)
-    intercept[IllegalArgumentException] {
+    val e = intercept[graft.model.GraftException.IncompleteDataPair] {
       TiffSource.openProduct(spark, dir, "hh_hv_pair")
     }
+    // message template matches the reference's thiserror format
+    assert(e.getMessage ==
+      "No complete polarization data available for operation: hh_hv_pair. Available: vv, vh")
   }
 
   // ------------------------------------------------------------ K8 tags
