@@ -687,9 +687,12 @@ object Engine {
       val q0P = if (params.bitDepth == BitDepth.U8) Some(q0.persist()) else None
       try {
         val q = q0P.map(rescaleTilesU8).getOrElse(q0)
-        val arr = assembleTiles(q, outRows, outCols)
-        val (rz, fw, fh, newGt) = Geom.resizeAndPad(arr, outCols, outRows,
-          params.targetSize, params.pad, maxVal.toInt, gt)
+        // same target-size collect as processBand: large sources resize
+        // distributed before anything reaches the driver
+        val (resized, nw, nh) = collectResized(
+          q, outRows, outCols, params.targetSize, maxVal.toInt)
+        val (rz, fw, fh, newGt) = Geom.padAndRescaleGt(
+          resized, nw, nh, outCols, outRows, params.pad, gt)
         ProcessedImage(fw, fh, params.bitDepth, Some(rz), None, newGt)
       } finally q0P.foreach(_.unpersist())
     } finally {

@@ -108,28 +108,32 @@ class EngineSpec extends SparkSpec {
 
   test("distributed Lanczos resize is bit-identical to the driver-side resize") {
     import spark.implicits._
-    val (w, h) = (613, 487) // odd dims exercise edge tiles + windows
-    val (dw, dh) = Geom.resizeDims(w, h, 200)
-    val src = Array.tabulate(h * w)(i => (i * 2654435761L % 256).toInt)
-    // driver path
-    val want = Geom.resizeLanczos(src, w, h, dw, dh, 255)
-    // distributed path: same pixels as QTiles
-    val ts = 256
-    val tiles = (for {
-      tr <- 0 until (h + ts - 1) / ts
-      tc <- 0 until (w + ts - 1) / ts
-    } yield {
-      val th = math.min(ts, h - tr * ts); val tw = math.min(ts, w - tc * ts)
-      val q = Array.tabulate(th * tw)(i =>
-        src((tr * ts + i / tw) * w + tc * ts + i % tw))
-      graft.api.QTile(tr, tc, th, tw, q)
-    }).toDS()
-    val got = Engine.assembleTiles(
-      Engine.resizeTilesLanczos(tiles, h, w, dh, dw, 255), dh, dw)
-    assert(got.length == want.length)
-    val mismatch = got.indices.find(i => got(i) != want(i))
-    assert(mismatch.isEmpty,
-      mismatch.map(i => s"first mismatch at $i: ${got(i)} vs ${want(i)}").getOrElse(""))
+    // odd dims exercise edge tiles + windows; exact-tile dims the clean
+    // path; tall/near-unit scales the vertical halo ranges
+    for ((w, h, target) <- Seq((613, 487, 200), (512, 256, 100),
+                               (100, 700, 333), (300, 200, 299))) {
+      val (dw, dh) = Geom.resizeDims(w, h, target)
+      val src = Array.tabulate(h * w)(i => (i * 2654435761L % 256).toInt)
+      // driver path
+      val want = Geom.resizeLanczos(src, w, h, dw, dh, 255)
+      // distributed path: same pixels as QTiles
+      val ts = 256
+      val tiles = (for {
+        tr <- 0 until (h + ts - 1) / ts
+        tc <- 0 until (w + ts - 1) / ts
+      } yield {
+        val th = math.min(ts, h - tr * ts); val tw = math.min(ts, w - tc * ts)
+        val q = Array.tabulate(th * tw)(i =>
+          src((tr * ts + i / tw) * w + tc * ts + i % tw))
+        graft.api.QTile(tr, tc, th, tw, q)
+      }).toDS()
+      val got = Engine.assembleTiles(
+        Engine.resizeTilesLanczos(tiles, h, w, dh, dw, 255), dh, dw)
+      assert(got.length == want.length, s"case ($w,$h,$target)")
+      val mismatch = got.indices.find(i => got(i) != want(i))
+      assert(mismatch.isEmpty, mismatch.map(i =>
+        s"case ($w,$h,$target): first mismatch at $i: ${got(i)} vs ${want(i)}").getOrElse(""))
+    }
   }
 
   test("native-res pipeline collects only target-size buffers (8192² → 1024)") {
