@@ -566,17 +566,8 @@ object Engine {
                     outPath: String, params: ProcessingParams,
                     meta: SafeMeta = SafeMeta(), decimate: Int = 1): Unit = {
     val gt = meta.geotransform
-    // S8: resolve any requested reprojection BEFORE the pixel pipeline.
-    // A source already in the target CRS short-circuits to a direct read
-    // (the reference's skip guard); a real warp is unsupported in this
-    // environment and raises, carrying the exact gdalwarp invocation.
-    graft.geom.Warp.resolveTargetCrs(params.targetCrs,
-      gt.map(g => (g(0) + g(1) * cols / 2.0, g(3) + g(5) * rows / 2.0))
-    ).foreach { dst =>
-      graft.geom.Warp.execute(graft.geom.Warp.resolveWarp(
-        meta.crs, dst, params.resampleAlg, params.targetSize,
-        srcCols = cols, srcRows = rows, input = productId))
-    }
+    requireSupported(meta)
+    gateWarp(productId, rows, cols, params, meta)
     // sidecar POLARIZATIONS prefixes per `metadata.rs:40-113` (DIFF /
     // NORM_DIFF, not the long operation labels)
     val polLabel = params.polarization match {
@@ -603,6 +594,41 @@ object Engine {
     writeImage(outPath, img, params, meta, polLabel)
   }
 
+  /** S8: resolve any requested reprojection BEFORE the pixel pipeline —
+    * shared by the path and buffer APIs (the reference resolves the
+    * target CRS once at reader open, `sentinel1.rs:168-176`, so BOTH
+    * `process_safe_to_path` and `process_safe_to_buffer` see it). A
+    * source already in the target CRS short-circuits to a direct read
+    * (the skip guard); a real warp is unsupported in this environment
+    * and raises, carrying the exact gdalwarp invocation. The `auto`
+    * scene center is only trusted when the source CRS is geographic —
+    * projected geotransform coordinates are NOT lon/lat, and the
+    * reference likewise refuses non-geographic GCP projections
+    * (`sentinel1.rs:1663-1687`).
+    */
+  /** S1 viability check at open (`sentinel1.rs:155-161`): only GRD
+    * products are supported; a declared non-GRD type raises
+    * [[graft.model.GraftException.UnsupportedProduct]], which the batch
+    * path counts as SKIPPED rather than an error.
+    */
+  private def requireSupported(meta: SafeMeta): Unit =
+    meta.productType.map(_.trim.toUpperCase).filter(_.nonEmpty).foreach {
+      case t if t.startsWith("GRD") => ()
+      case other => throw graft.model.GraftException.UnsupportedProduct(other)
+    }
+
+  private def gateWarp(productId: String, rows: Int, cols: Int,
+                       params: ProcessingParams, meta: SafeMeta): Unit =
+    graft.geom.Warp.resolveTargetCrs(params.targetCrs,
+      meta.geotransform
+        .filter(_ => graft.geom.Warp.isGeographic(meta.crs))
+        .map(g => (g(0) + g(1) * cols / 2.0, g(3) + g(5) * rows / 2.0))
+    ).foreach { dst =>
+      graft.geom.Warp.execute(graft.geom.Warp.resolveWarp(
+        meta.crs, dst, params.resampleAlg, params.targetSize,
+        srcCols = cols, srcRows = rows, input = productId))
+    }
+
   /** E3: in-memory result (`process_safe_to_buffer`,
     * `api/mod.rs:65-371`) — same plan matrix as [[processToPath]], the
     * ProcessedImage buffers returned instead of written.
@@ -610,7 +636,9 @@ object Engine {
   def processToBuffer(spark: SparkSession, productId: String, rows: Int,
                       cols: Int, params: ProcessingParams,
                       meta: SafeMeta = SafeMeta(),
-                      decimate: Int = 1): ProcessedImage =
+                      decimate: Int = 1): ProcessedImage = {
+    requireSupported(meta)
+    gateWarp(productId, rows, cols, params, meta)
     params.polarization match {
       case Polarization.Multiband =>
         processMultiband(spark, productId, ("vv", "vh"), rows, cols, params,
@@ -622,6 +650,7 @@ object Engine {
         processBand(spark, productId, p.name, rows, cols, params, decimate,
           meta.geotransform)
     }
+  }
 
   /** `load_polarization` (`api/mod.rs:859-881`): the raw band as a tile
     * Dataset — the library's typed data-access surface.
@@ -748,7 +777,11 @@ object Engine {
           case OutputFormat.Tiff => "tiff"
           case OutputFormat.Jpeg => "jpg"
         }
-        processToPath(spark, id, rows, cols, s"$outDir/$id.$ext", params)
+        // the product type declared by the SAFE-style name (no manifest
+        // for synthetic ids) feeds the same viability check the
+        // reference runs at reader open (`sentinel1.rs:155-161`)
+        val meta = SafeMeta(productType = SafeMeta.productTypeFromId(id))
+        processToPath(spark, id, rows, cols, s"$outDir/$id.$ext", params, meta)
         processed += 1
       } catch {
         // an unsupported product is SKIPPED (the reference's early

@@ -22,8 +22,14 @@ object Cli {
       params: ProcessingParams = ProcessingParams(),
       batch: Boolean = false)
 
-  def parse(argv: Seq[String]): Either[String, Args] = {
-    def loop(rest: List[String], acc: Args): Either[String, Args] = rest match {
+  /** Typed parse errors (`cli/errors.rs:5-31`): invalid values →
+    * [[GraftException.InvalidArgument]], `--size 0` →
+    * [[GraftException.ZeroSize]] (`cli/runner.rs:43-55`), absent
+    * required flags → [[GraftException.MissingArgument]]
+    * (`cli/runner.rs:278-350`).
+    */
+  def parse(argv: Seq[String]): Either[GraftException, Args] = {
+    def loop(rest: List[String], acc: Args): Either[GraftException, Args] = rest match {
       case Nil => Right(acc)
       case ("-i" | "--input") :: v :: t => loop(t, acc.copy(input = Some(v)))
       case ("-o" | "--output") :: v :: t => loop(t, acc.copy(output = Some(v)))
@@ -32,39 +38,48 @@ object Cli {
       case "--batch" :: t => loop(t, acc.copy(batch = true))
       case "--pad" :: t => loop(t, acc.copy(params = acc.params.copy(pad = true)))
       case ("-p" | "--polarization") :: v :: t =>
-        Polarization.fromString(v).toRight(s"invalid polarization: $v")
+        Polarization.fromString(v).toRight(GraftException.InvalidArgument("polarization", v))
           .flatMap(p => loop(t, acc.copy(params = acc.params.copy(polarization = p))))
       case "--autoscale" :: v :: t =>
-        AutoscaleStrategy.fromString(v).toRight(s"invalid autoscale: $v")
+        AutoscaleStrategy.fromString(v).toRight(GraftException.InvalidArgument("autoscale", v))
           .flatMap(a => loop(t, acc.copy(params = acc.params.copy(autoscale = a))))
       case "--bit-depth" :: v :: t =>
-        BitDepth.fromString(v).toRight(s"invalid bit depth: $v")
+        BitDepth.fromString(v).toRight(GraftException.InvalidArgument("bit-depth", v))
           .flatMap(b => loop(t, acc.copy(params = acc.params.copy(bitDepth = b))))
       case "--format" :: v :: t =>
-        OutputFormat.fromString(v).toRight(s"invalid format: $v")
+        OutputFormat.fromString(v).toRight(GraftException.InvalidArgument("format", v))
           .flatMap(f => loop(t, acc.copy(params = acc.params.copy(format = f))))
       case "--size" :: v :: t =>
-        // "original" | positive integer (`cli/runner.rs:43-55`)
+        // "original" | positive integer (`cli/runner.rs:43-55`): a
+        // non-numeric size is an invalid argument, an explicit 0 is the
+        // dedicated ZeroSize error
         if (v == "original") loop(t, acc.copy(params = acc.params.copy(targetSize = None)))
-        else v.toIntOption.filter(_ > 0).toRight(s"invalid size: $v")
-          .flatMap(n => loop(t, acc.copy(params = acc.params.copy(targetSize = Some(n)))))
+        else v.toIntOption match {
+          case Some(n) if n > 0 =>
+            loop(t, acc.copy(params = acc.params.copy(targetSize = Some(n))))
+          case Some(n) => Left(GraftException.ZeroSize(n.toLong))
+          case None => Left(GraftException.InvalidArgument("size", v))
+        }
       case "--synrgb-mode" :: v :: t =>
-        SyntheticRgbMode.fromString(v).toRight(s"invalid synrgb mode: $v")
+        SyntheticRgbMode.fromString(v).toRight(GraftException.InvalidArgument("synrgb-mode", v))
           .flatMap(m => loop(t, acc.copy(params = acc.params.copy(synRgbMode = m))))
       case "--target-crs" :: v :: t =>
         loop(t, acc.copy(params = acc.params.copy(targetCrs = Some(v))))
       case "--resample-alg" :: v :: t =>
         if (Set("nearest", "bilinear", "cubic", "lanczos")(v.toLowerCase))
           loop(t, acc.copy(params = acc.params.copy(resampleAlg = Some(v))))
-        else Left(s"invalid resample alg: $v")
-      case flag :: _ => Left(s"unknown or incomplete flag: $flag")
+        else Left(GraftException.InvalidArgument("resample-alg", v))
+      case flag :: _ =>
+        Left(GraftException.ParseError(s"unknown or incomplete flag: $flag"))
     }
     loop(argv.toList, Args()).flatMap { a =>
-      if (a.batch && (a.inputDir.isEmpty || a.outputDir.isEmpty))
-        Left("--batch requires --input-dir and --output-dir")
-      else if (!a.batch && (a.input.isEmpty || a.output.isEmpty))
-        Left("single mode requires --input and --output")
-      else Right(a)
+      val missing =
+        if (a.batch) Seq("input-dir" -> a.inputDir, "output-dir" -> a.outputDir)
+        else Seq("input" -> a.input, "output" -> a.output)
+      missing.collectFirst { case (name, None) => name } match {
+        case Some(name) => Left(GraftException.MissingArgument(name))
+        case None => Right(a)
+      }
     }
   }
 
@@ -80,7 +95,7 @@ object Cli {
   def main(argv: Array[String]): Unit = {
     parse(argv.toIndexedSeq) match {
       case Left(err) =>
-        System.err.println(s"error: $err")
+        System.err.println(s"error: ${err.getMessage}")
         sys.exit(2)
       case Right(args) =>
         val spark = SparkSession.builder()

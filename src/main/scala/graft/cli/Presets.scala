@@ -11,6 +11,41 @@ import graft.model._
   */
 object Presets {
 
+  /** JSON string escaping — a target CRS may be a full WKT string with
+    * embedded double quotes (`PROJCS["WGS 84 / UTM zone 33N",…]`).
+    */
+  private def jsonEsc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def jsonUnesc(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => sb += '"'; i += 2
+          case '\\' => sb += '\\'; i += 2
+          case 'n' => sb += '\n'; i += 2
+          case 'r' => sb += '\r'; i += 2
+          case 't' => sb += '\t'; i += 2
+          case 'u' if i + 5 < s.length =>
+            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case other => sb += other; i += 2
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
   def toJson(p: ProcessingParams): String = {
     val size = p.targetSize.map(_.toString).getOrElse("original")
     s"""{
@@ -21,18 +56,19 @@ object Presets {
   "size": "$size",
   "pad": ${p.pad},
   "synrgb_mode": "${p.synRgbMode.name}",
-  "target_crs": "${p.targetCrs.getOrElse("none")}",
+  "target_crs": "${jsonEsc(p.targetCrs.getOrElse("none"))}",
   "resample_alg": "${p.resampleAlg.getOrElse("auto")}"
 }"""
   }
 
   /** Minimal flat-object JSON reader (string/bool values only — the
-    * preset schema), tolerant of whitespace/ordering.
+    * preset schema), tolerant of whitespace/ordering; string values may
+    * carry backslash escapes.
     */
   private def fields(json: String): Map[String, String] =
-    """"([a-z_]+)"\s*:\s*("([^"]*)"|true|false)""".r
+    """"([a-z_]+)"\s*:\s*("((?:[^"\\]|\\.)*)"|true|false)""".r
       .findAllMatchIn(json)
-      .map(m => m.group(1) -> Option(m.group(3)).getOrElse(m.group(2)))
+      .map(m => m.group(1) -> Option(m.group(3)).map(jsonUnesc).getOrElse(m.group(2)))
       .toMap
 
   def fromJson(json: String): Either[String, ProcessingParams] = {
@@ -82,6 +118,14 @@ object Presets {
       withPad ++ Seq("--synrgb-mode", p.synRgbMode.name) else withPad
     val withCrs = p.targetCrs.fold(withMode)(c => withMode ++ Seq("--target-crs", c))
     val withAlg = p.resampleAlg.fold(withCrs)(a => withCrs ++ Seq("--resample-alg", a))
-    withAlg.mkString(" ")
+    withAlg.map(shellQuote).mkString(" ")
   }
+
+  /** Single-quote any argv element the shell would split or interpret
+    * (a WKT target CRS has spaces, quotes, brackets), so the generated
+    * command is actually runnable.
+    */
+  private def shellQuote(arg: String): String =
+    if (arg.nonEmpty && arg.forall(c => c.isLetterOrDigit || "-_./:=".contains(c))) arg
+    else "'" + arg.replace("'", "'\\''") + "'"
 }

@@ -78,18 +78,15 @@ object Ivf {
       .select(col("qid"), col("rk"), col("oid"), round(col("cos"), 6).as("cos"))
 
     // Embedded ground truth: the EXACT cosine top-k per query (one more
-    // broadcast pass over the corpus — the query side is tiny), joined
-    // back so every IVF row self-reports whether it's a true neighbor
-    // and what the query's recall@k is.
-    val qbase = corpus.filter(col("vec_id") < Similarity.NumQueries)
+    // broadcast pass — over the persisted `emb`, NOT the KMeans-
+    // transformed `corpus`, so the prediction UDF doesn't rerun for a
+    // plan that never reads `cell`), joined back so every IVF row
+    // self-reports whether it's a true neighbor and the query's
+    // recall@k.
+    val qbase = emb.filter(col("vec_id") < Similarity.NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-    val exact = corpus.crossJoin(broadcast(qbase))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("oid"),
-        (Similarity.dot(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("ecos"))
-      .withColumn("erk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("ecos").desc, col("oid"))))
-      .filter(col("erk") <= TopK)
+    val exact = Similarity.exactTopk(
+        emb.select(col("vec_id"), col("embedding"), col("nrm")), qbase, TopK)
       .select(col("qid"), col("oid"), lit(true).as("exact_hit"))
     ivf.join(exact, Seq("qid", "oid"), "left")
       .withColumn("exact_hit", coalesce(col("exact_hit"), lit(false)))

@@ -48,21 +48,29 @@ object Similarity {
   val NumQueries = 20
   val TopK = 5
 
+  /** Exact cosine top-k of `corpus` (`vec_id`/`embedding`/`nrm`) against
+    * a broadcast query side (`qid`/`qe`/`qn`) — the one brute-force plan
+    * shape, shared by the S1 baseline and IVF's embedded ground truth.
+    * The corpus side stays partitioned and never shuffles; ranking is a
+    * per-query window.
+    */
+  def exactTopk(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("oid"),
+        (dot(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("oid"))))
+      .filter(col("rk") <= k)
+
   /** S1: brute-force cosine top-k — queries (vec_id < 20) are broadcast
-    * against the full corpus; ranking is a per-query window. At scale the
-    * corpus side stays partitioned and never shuffles.
+    * against the full corpus.
     */
   def cosineTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = withNorm(t(s, dir))
     val q = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-    val cos = emb.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("oid"),
-        (dot(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
-    cos.withColumn("rk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("cos").desc, col("oid"))))
-      .filter(col("rk") <= TopK)
+    exactTopk(emb, q, TopK)
       .select(col("qid"), col("rk"), col("oid"), col("cos"))
       .orderBy("qid", "rk")
   }

@@ -48,6 +48,23 @@ object Warp {
     else None
   }
 
+  /** A CRS whose coordinates are lon/lat degrees — the only kind the
+    * auto-CRS scene-center derivation may consume (the reference
+    * likewise refuses to trust GCP coordinates under a non-geographic
+    * projection, `sentinel1.rs:1663-1687`; empty/absent → not
+    * resolvable, auto yields no warp). The outermost WKT node must be
+    * GEOGCS — a projected WKT EMBEDS a GEOGCS member, so a bare
+    * substring test would misclassify every PROJCS; for EPSG strings
+    * the geographic 2D code block (4000-4999 minus the projected /
+    * geocentric interlopers) decides.
+    */
+  def isGeographic(crs: Option[String]): Boolean = crs.exists { s =>
+    val t = s.trim
+    t.toUpperCase.startsWith("GEOGCS") ||
+      parseEpsg(t).flatMap(_.stripPrefix("EPSG:").toIntOption).exists(c =>
+        c >= 4000 && c <= 4999 && c != 4087 && c != 4088 && c != 4978 && c != 4979)
+  }
+
   /** `--target-crs` argument semantics (`cli/runner.rs:69-71`):
     * none/absent → no warp; `auto` → scene-center UTM/UPS via S9;
     * anything else is an explicit CRS string.
@@ -103,11 +120,13 @@ object Warp {
 
   /** Execute a plan. NoOp is the identity; a real warp is unsupported in
     * this environment (no GDAL) and reports itself as such rather than
-    * silently skipping — the reference's error-on-failed-warp contract.
+    * silently skipping — the reference's error-on-failed-warp contract,
+    * surfaced as the same `Error::External` category its API maps
+    * gdalwarp failures to (`api/mod.rs:108` et al.).
     */
   def execute(plan: Plan): Unit = plan match {
     case NoOp => ()
-    case Exec(args) => throw new UnsupportedOperationException(
+    case Exec(args) => throw graft.model.GraftException.External(
       s"reproject requires gdalwarp (unavailable here); would run: gdalwarp ${args.mkString(" ")}")
   }
 }

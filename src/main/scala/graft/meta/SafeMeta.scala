@@ -157,6 +157,21 @@ object SafeMeta {
     } finally reader.close()
   }
 
+  /** SAFE product names carry the product type as their third
+    * underscore field (`S1A_IW_GRDH_1SDV_…` → GRD). The reference reads
+    * the type from the manifest (`sentinel1.rs:155-161`); for synthetic
+    * product ids with no manifest, the naming convention is the
+    * equivalent declared source. Unrecognized shapes yield None
+    * (treated as supported — the benign default for plain test ids).
+    */
+  def productTypeFromId(id: String): Option[String] = {
+    val fields = id.split('_').filter(_.nonEmpty)
+    fields.lift(2).map(_.toUpperCase).collect {
+      case t if t.startsWith("GRD") => "GRD"
+      case t @ ("SLC" | "OCN" | "RAW") => t
+    }
+  }
+
   /** S9: deterministic lon/lat → UTM/UPS EPSG mapping with the polar,
     * Norway, and Svalbard exceptions (`sentinel1.rs:1766-1808`, ported
     * branch-for-branch).

@@ -172,6 +172,10 @@ object TiffSource {
   def openProduct(spark: SparkSession, measurementDir: String, hint: String,
                   decimate: Int = 1, declaredPols: Seq[String] = Nil,
                   tileSize: Int = RasterSource.DefaultTileSize): Map[String, Dataset[Tile]] = {
+    // the reference refuses a SAFE tree without its measurement dir
+    // before any file scan (`sentinel1.rs:144-149`)
+    if (!new java.io.File(measurementDir).isDirectory)
+      throw graft.model.GraftException.MissingField("measurement directory")
     val pf = identifyPolarizationFiles(measurementDir, declaredPols)
     RasterSource.bandsFor(hint).map { band =>
       val path = pf.get(band).getOrElse(

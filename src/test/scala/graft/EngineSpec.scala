@@ -155,7 +155,7 @@ class EngineSpec extends SparkSpec {
         targetCrs = Some("EPSG:32633")), meta)
     assert(Files.exists(Paths.get(s"$dir/ok.tiff")))
     // a genuine reprojection is unsupported here and must say so
-    intercept[UnsupportedOperationException] {
+    intercept[graft.model.GraftException.External] {
       Engine.processToPath(spark, "w2", 64, 64, s"$dir/no.tiff",
         ProcessingParams(autoscale = AutoscaleStrategy.Standard,
           targetCrs = Some("EPSG:4326")), meta)
@@ -165,6 +165,42 @@ class EngineSpec extends SparkSpec {
       ProcessingParams(autoscale = AutoscaleStrategy.Standard,
         targetCrs = Some("none")), meta)
     assert(Files.exists(Paths.get(s"$dir/none.tiff")))
+  }
+
+  test("S8: buffer API honors the same warp gate as the path API") {
+    val meta = SafeMeta(crs = Some("EPSG:32633"),
+      geotransform = Some(Array(500000.0, 10.0, 0.0, 4100000.0, 0.0, -10.0)))
+    // skip guard: already in the target CRS
+    val img = Engine.processToBuffer(spark, "wb1", 32, 32,
+      ProcessingParams(autoscale = AutoscaleStrategy.Standard,
+        targetCrs = Some("EPSG:32633")), meta)
+    assert(img.width == 32 && img.height == 32)
+    // a silent wrong-CRS buffer is worse than an error: must raise
+    intercept[graft.model.GraftException.External] {
+      Engine.processToBuffer(spark, "wb2", 32, 32,
+        ProcessingParams(autoscale = AutoscaleStrategy.Standard,
+          targetCrs = Some("EPSG:4326")), meta)
+    }
+  }
+
+  test("S8: auto target CRS only trusts a geographic scene center") {
+    // projected source: geotransform coords are meters, NOT lon/lat —
+    // auto must resolve to no warp rather than a garbage UPS zone
+    val projMeta = SafeMeta(crs = Some("EPSG:32633"),
+      geotransform = Some(Array(500000.0, 10.0, 0.0, 4100000.0, 0.0, -10.0)))
+    val img = Engine.processToBuffer(spark, "wa1", 32, 32,
+      ProcessingParams(autoscale = AutoscaleStrategy.Standard,
+        targetCrs = Some("auto")), projMeta)
+    assert(img.width == 32, "projected source + auto: no warp, pipeline runs")
+    // geographic source: center (10.16, 49.84) → UTM 32N, a real warp
+    val geoMeta = SafeMeta(crs = Some("EPSG:4326"),
+      geotransform = Some(Array(10.0, 0.01, 0.0, 50.0, 0.0, -0.01)))
+    val e = intercept[graft.model.GraftException.External] {
+      Engine.processToBuffer(spark, "wa2", 32, 32,
+        ProcessingParams(autoscale = AutoscaleStrategy.Standard,
+          targetCrs = Some("auto")), geoMeta)
+    }
+    assert(e.getMessage.contains("-t_srs EPSG:32632"), e.getMessage)
   }
 
   test("E2E single band: synthetic raster → TIFF + sidecars") {

@@ -38,6 +38,26 @@ class PresetsSpec extends AnyFunSuite {
     assert(parsed.map(_.params) == Right(p))
   }
 
+  test("a WKT target CRS (embedded quotes) survives the preset JSON") {
+    val wkt = """PROJCS["WGS 84 / UTM zone 33N",GEOGCS["WGS 84"],AUTHORITY["EPSG","32633"]]"""
+    val p = ProcessingParams(targetCrs = Some(wkt))
+    val json = Presets.toJson(p)
+    assert(Presets.fromJson(json) == Right(p), json)
+    // and a pathological value with backslashes + newlines
+    val ugly = ProcessingParams(targetCrs = Some("a\\b\"c\nd"))
+    assert(Presets.fromJson(Presets.toJson(ugly)) == Right(ugly))
+  }
+
+  test("generated CLI command shell-quotes arguments the shell would split") {
+    val wkt = """PROJCS["x y",AUTHORITY["EPSG","32633"]]"""
+    val cmd = Presets.generateCliCommand(
+      ProcessingParams(targetCrs = Some(wkt)), "in:1:1", "/tmp/out dir/o.tiff")
+    assert(cmd.contains("--target-crs 'PROJCS[\"x y\",AUTHORITY[\"EPSG\",\"32633\"]]'"), cmd)
+    assert(cmd.contains("'/tmp/out dir/o.tiff'"), cmd)
+    // plain args stay unquoted
+    assert(cmd.startsWith("graft -i in:1:1 -o "), cmd)
+  }
+
   test("multiband TIFF writes a two-page file") {
     val dir = java.nio.file.Files.createTempDirectory("graft-k2").toString
     val path = s"$dir/mb.tiff"

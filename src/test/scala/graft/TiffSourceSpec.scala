@@ -222,6 +222,14 @@ class TiffSourceSpec extends SparkSpec {
     val (raw, kBig) = keysFor("EPSG:104903", "big")
     assert(raw.take(4).map(_.toInt) == Seq(1, 1, 0, 1), "citation key only")
     assert(!kBig.contains(1024) && !kBig.contains(3072) && !kBig.contains(2048))
+    // interlopers inside the 4000-4999 block: 4087 is PROJECTED (World
+    // Equidistant Cylindrical), 4978 is geocentric (neither 2D model)
+    val (_, k4087) = keysFor("EPSG:4087", "p4087")
+    assert(k4087(1024) == 1 && k4087(3072) == 4087,
+      "EPSG:4087 is projected despite its code block")
+    val (raw4978, k4978) = keysFor("EPSG:4978", "g4978")
+    assert(raw4978.take(4).map(_.toInt) == Seq(1, 1, 0, 1), "citation only")
+    assert(!k4978.contains(1024) && !k4978.contains(2048) && !k4978.contains(3072))
   }
 
   test("K8: identity geotransform skipped; projection only rides with a gt") {

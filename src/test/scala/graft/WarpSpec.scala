@@ -62,8 +62,20 @@ class WarpSpec extends AnyFunSuite {
     assert(pt match { case Warp.Exec(a) => a.containsSlice(Seq("-tps", "-s_srs", "EPSG:4326")); case _ => false })
   }
 
+  test("isGeographic accepts lon/lat CRSs only") {
+    assert(Warp.isGeographic(Some("EPSG:4326")))
+    assert(Warp.isGeographic(Some("EPSG:4269")))
+    assert(Warp.isGeographic(
+      Some("GEOGCS[\"WGS 84\",AUTHORITY[\"EPSG\",\"4326\"]]")))
+    assert(!Warp.isGeographic(Some("EPSG:32633")))
+    assert(!Warp.isGeographic(Some(utm33Wkt)),
+      "a PROJCS embedding a GEOGCS member is NOT geographic")
+    assert(!Warp.isGeographic(Some("EPSG:4087")), "projected interloper")
+    assert(!Warp.isGeographic(None), "absent CRS: center coords untrusted")
+  }
+
   test("executing a real warp reports itself unsupported with the gdalwarp argv") {
-    val e = intercept[UnsupportedOperationException] {
+    val e = intercept[graft.model.GraftException.External] {
       Warp.execute(Warp.resolveWarp(Some(utm33Wkt), "EPSG:4326"))
     }
     assert(e.getMessage.contains("gdalwarp") && e.getMessage.contains("-t_srs EPSG:4326"))
