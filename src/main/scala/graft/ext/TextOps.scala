@@ -175,4 +175,69 @@ object TextOps {
         list_prepend(CAST(0 AS BIGINT), list_transform($tokensSql, w -> ${tokenHashSql("w")})),
         (a, b) -> (a * 31 + b) % $FingerprintMod) AS fingerprint
     FROM documents ORDER BY doc_id"""
+
+  /** Gopher-style repetition thresholds (Rae et al. 2021, table A1 —
+    * occurrence-fraction variants of the top-2-gram / duplicate-3-gram
+    * character filters).
+    */
+  val TopBigramMax = 0.20
+  val DupTrigramMax = 0.30
+
+  /** T6: repetition signals — the occurrence share of the most frequent
+    * bigram, the fraction of trigram occurrences that are repeats, and
+    * the resulting keep/drop flag. The 100 TB shape: one explode per
+    * n-gram order, partial-aggregated on (doc_id, gram) — keys are
+    * doc-local so no gram is ever globally hot — then a per-doc agg;
+    * no token array survives past its projection. All signals are
+    * ratios of exact integer counts (one IEEE division + round(6) each),
+    * so Spark and any oracle engine agree bit-for-bit.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir).select(col("doc_id"), tokens(col("text")).as("t"))
+    def grams(n: Int): Column = when(size(col("t")) >= n,
+      expr(s"transform(sequence(1, size(t) - ${n - 1}), i -> " +
+        (0 until n).map(j => s"element_at(t, i + $j)")
+          .mkString("concat_ws(' ', ", ", ", "))")))
+      .otherwise(expr("CAST(array() AS array<string>)"))
+    val bg = base.select(col("doc_id"), explode(grams(2)).as("g"))
+      .groupBy("doc_id", "g").count()
+      .groupBy("doc_id").agg(max("count").as("m2"), sum("count").as("n2"))
+    val tg = base.select(col("doc_id"), explode(grams(3)).as("g"))
+      .groupBy("doc_id", "g").count()
+      .groupBy("doc_id").agg(count(lit(1)).as("d3"), sum("count").as("n3"))
+    t(s, dir).select(col("doc_id"))
+      .join(bg, Seq("doc_id"), "left")
+      .join(tg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(round(col("m2").cast("double") / col("n2").cast("double"), 6),
+          lit(0.0)).as("top_bigram_frac"),
+        coalesce(round((col("n3") - col("d3")).cast("double") / col("n3").cast("double"), 6),
+          lit(0.0)).as("dup_trigram_frac"))
+      .withColumn("repetitive",
+        (col("top_bigram_frac") > TopBigramMax ||
+          col("dup_trigram_frac") > DupTrigramMax).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionSql: String = s"""WITH toks AS (
+      SELECT doc_id, $tokensSql AS t FROM documents),
+    bgl AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+        THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        ELSE CAST([] AS VARCHAR[]) END) AS g FROM toks),
+    bc AS (SELECT doc_id, g, count(*) AS c FROM bgl GROUP BY 1, 2),
+    bs AS (SELECT doc_id, max(c) AS m2, sum(c) AS n2 FROM bc GROUP BY 1),
+    tgl AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+        THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        ELSE CAST([] AS VARCHAR[]) END) AS g FROM toks),
+    tc AS (SELECT doc_id, g, count(*) AS c FROM tgl GROUP BY 1, 2),
+    tst AS (SELECT doc_id, count(*) AS d3, sum(c) AS n3 FROM tc GROUP BY 1),
+    fr AS (SELECT d.doc_id,
+        COALESCE(ROUND(CAST(m2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6), 0.0) AS top_bigram_frac,
+        COALESCE(ROUND(CAST(n3 - d3 AS DOUBLE) / CAST(n3 AS DOUBLE), 6), 0.0) AS dup_trigram_frac
+      FROM documents d LEFT JOIN bs ON d.doc_id = bs.doc_id
+        LEFT JOIN tst ON d.doc_id = tst.doc_id)
+    SELECT doc_id, top_bigram_frac, dup_trigram_frac,
+      CAST(top_bigram_frac > $TopBigramMax OR dup_trigram_frac > $DupTrigramMax AS INT)
+        AS repetitive
+    FROM fr ORDER BY doc_id"""
 }

@@ -128,6 +128,28 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("repetition signals flag a degenerate doc and clear a varied one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    Seq(
+      (0L, "spam spam spam spam spam spam", "en", "t", 29L),
+      (1L, "one two three four five six seven eight", "en", "t", 39L),
+      (2L, "ab", "en", "t", 2L)) // single token: no bigrams at all
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = TextOps.repetition(spark, dir).collect()
+    assert(r.length == 3)
+    // doc 0: every bigram is "spam spam" → top fraction 1.0, all
+    // trigram occurrences after the first are repeats → 3/4
+    assert(r(0).getDouble(1) == 1.0 && r(0).getDouble(2) == 0.75)
+    assert(r(0).getInt(3) == 1, "degenerate doc must be flagged")
+    // doc 1: all bigrams/trigrams distinct
+    assert(r(1).getDouble(2) == 0.0 && r(1).getInt(3) == 0)
+    // doc 2: no n-grams → zero signals, not flagged, and no NPE
+    assert(r(2).getDouble(1) == 0.0 && r(2).getInt(3) == 0)
+    // top_bigram_frac of doc 1: 7 bigrams, all distinct → 1/7
+    assert(math.abs(r(1).getDouble(1) - 0.142857) < 1e-9)
+  }
+
   test("quality score stays in [0,1] on sf0.001") {
     val r = TextOps.qualityScore(spark, Sf0001).collect()
     r.foreach { row =>
