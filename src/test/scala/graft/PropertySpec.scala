@@ -147,4 +147,32 @@ class PropertySpec extends AnyFunSuite {
         }
     }
   }
+
+  test("preset JSON round-trips any target CRS string") {
+    val crsGen = Gen.listOfN(24, Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('"', '\\', '\n', '\t', '[', ']', ',', ' ', '/')))
+      .map(_.mkString)
+    forAll(crsGen) { crs =>
+      // "none" is the reserved absent-marker, anything else must survive
+      whenever(!crs.equalsIgnoreCase("none")) {
+        val p = graft.model.ProcessingParams(targetCrs = Some(crs))
+        assert(graft.cli.Presets.fromJson(graft.cli.Presets.toJson(p)) == Right(p),
+          s"crs=${crs.map(_.toInt).mkString(",")}")
+      }
+    }
+  }
+
+  test("isGeographic: PROJCS WKTs never classify geographic; 4xxx codes do") {
+    import graft.geom.Warp
+    val codeGen = Gen.chooseNum(1, 65535)
+    forAll(codeGen) { code =>
+      val asEpsg = Warp.isGeographic(Some(s"EPSG:$code"))
+      val expected = code >= 4000 && code <= 4999 &&
+        code != 4087 && code != 4088 && code != 4978 && code != 4979
+      assert(asEpsg == expected, s"EPSG:$code")
+      // wrapping the same code in a PROJCS authority is never geographic
+      assert(!Warp.isGeographic(
+        Some(s"""PROJCS["x",GEOGCS["WGS 84"],AUTHORITY["EPSG","$code"]]""")))
+    }
+  }
 }
