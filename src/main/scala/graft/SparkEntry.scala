@@ -598,7 +598,8 @@ object SparkEntry {
     // mapPartitions feature extraction — the byte-nibble histogram IS
     // SQL-expressible (hex trick, see Multimodal.featuresSql), so the
     // full hash gate applies despite the imperative decode plumbing.
-    Q("m2_multimodal_features", Multimodal.features, Some(Multimodal.featuresSql)))
+    Q("m2_multimodal_features", Multimodal.features, Some(Multimodal.featuresSql)),
+    Q("m3_frame_sample", Multimodal.frameSample, Some(Multimodal.frameSampleSql)))
 
   // --------------------------------------------------------------- registry
 

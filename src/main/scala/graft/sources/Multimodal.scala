@@ -104,6 +104,53 @@ object Multimodal {
       FROM b ORDER BY doc_id"""
   }
 
+  val MaxSampledFrames = 4
+
+  /** M3: frame sampling — up to [[MaxSampledFrames]] evenly-spaced
+    * frames per payload, each identified by its byte range and content
+    * hash. The video analog of M1/M2: the payload is treated as
+    * `n_frames` fixed-width byte frames (a real container would use the
+    * codec's frame index; the byte-range arithmetic, even-spacing
+    * policy, and per-frame hashing are the production shape). Fully
+    * declarative — one `sequence`+`explode` per payload and a
+    * codegen'd binary `substring`+`md5` per frame; payloads never
+    * leave their partition and the output is one row per sampled
+    * frame, ready for per-frame feature extraction or dedup.
+    */
+  def frameSample(s: SparkSession, dir: String): DataFrame =
+    table(s, dir)
+      .select(col("doc_id"), col("payload"),
+        length(col("payload")).cast("long").as("len"))
+      .withColumn("nf", col("len") % 16 + 1)
+      .withColumn("sn", least(col("nf"), lit(MaxSampledFrames.toLong)))
+      .withColumn("w", greatest(expr("len div nf"), lit(1L)))
+      .select(col("doc_id"), col("payload"), col("nf"), col("sn"), col("w"),
+        explode(expr("sequence(0L, sn - 1)")).as("frame_id"))
+      .withColumn("frame_index", expr("(frame_id * nf) div sn"))
+      .withColumn("frame_offset", col("frame_index") * col("w"))
+      .select(col("doc_id"), col("frame_id"), col("frame_index"),
+        col("frame_offset"), col("w").as("frame_bytes"),
+        md5(expr("substring(payload, cast(frame_offset + 1 as int), cast(w as int))"))
+          .as("frame_hash"))
+      .orderBy("doc_id", "frame_id")
+
+  /** DuckDB oracle for [[frameSample]] — same arithmetic over the text
+    * (the corpus is ASCII, so char offsets == byte offsets; the verify
+    * gate would catch any divergence).
+    */
+  val frameSampleSql: String = s"""WITH b AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+             CAST(length(text) % 16 + 1 AS BIGINT) AS nf
+      FROM documents),
+    p AS (SELECT doc_id, text, nf, LEAST(nf, $MaxSampledFrames) AS sn,
+             GREATEST(len // nf, 1) AS w FROM b),
+    f AS (SELECT doc_id, text, nf, sn, w, unnest(range(0, sn)) AS frame_id FROM p)
+    SELECT doc_id, frame_id, (frame_id * nf) // sn AS frame_index,
+      ((frame_id * nf) // sn) * w AS frame_offset, w AS frame_bytes,
+      md5(substring(text, CAST(((frame_id * nf) // sn) * w + 1 AS INT), CAST(w AS INT)))
+        AS frame_hash
+    FROM f ORDER BY doc_id, frame_id"""
+
   /** STUB decoder: 16-bin byte histogram normalized by length — a
     * deterministic placeholder for codec + feature model output.
     */

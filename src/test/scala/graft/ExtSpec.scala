@@ -150,6 +150,29 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(r(1).getDouble(1) - 0.142857) < 1e-9)
   }
 
+  test("frame sampling: even spacing, in-bounds ranges, deterministic hashes") {
+    val r = Multimodal.frameSample(spark, Sf0001)
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    val meta = Multimodal.meta(spark, Sf0001)
+      .select("doc_id", "byte_len", "n_frames").collect()
+      .map(x => x.getLong(0) -> (x.getInt(1).toLong, x.getInt(2).toLong)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (id, fs) =>
+      val (len, nf) = meta(id)
+      assert(fs.length == math.min(nf, Multimodal.MaxSampledFrames).toInt)
+      fs.foreach { f =>
+        val (idx, off, w) = (f.getLong(2), f.getLong(3), f.getLong(4))
+        assert(idx < nf && off + w <= len,
+          s"frame range [$off, ${off + w}) must lie inside the $len-byte payload")
+        assert(f.getString(5).length == 32, "md5 hex")
+      }
+      // frame indices strictly increase (even spacing never repeats while
+      // sn <= nf)
+      val idxs = fs.sortBy(_.getLong(1)).map(_.getLong(2))
+      assert(idxs.zip(idxs.tail).forall { case (a, b) => a < b }, idxs.toSeq)
+    }
+  }
+
   test("quality score stays in [0,1] on sf0.001") {
     val r = TextOps.qualityScore(spark, Sf0001).collect()
     r.foreach { row =>
