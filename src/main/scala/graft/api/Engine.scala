@@ -594,18 +594,6 @@ object Engine {
     writeImage(outPath, img, params, meta, polLabel)
   }
 
-  /** S8: resolve any requested reprojection BEFORE the pixel pipeline —
-    * shared by the path and buffer APIs (the reference resolves the
-    * target CRS once at reader open, `sentinel1.rs:168-176`, so BOTH
-    * `process_safe_to_path` and `process_safe_to_buffer` see it). A
-    * source already in the target CRS short-circuits to a direct read
-    * (the skip guard); a real warp is unsupported in this environment
-    * and raises, carrying the exact gdalwarp invocation. The `auto`
-    * scene center is only trusted when the source CRS is geographic —
-    * projected geotransform coordinates are NOT lon/lat, and the
-    * reference likewise refuses non-geographic GCP projections
-    * (`sentinel1.rs:1663-1687`).
-    */
   /** S1 viability check at open (`sentinel1.rs:155-161`): only GRD
     * products are supported; a declared non-GRD type raises
     * [[graft.model.GraftException.UnsupportedProduct]], which the batch
@@ -617,11 +605,27 @@ object Engine {
       case other => throw graft.model.GraftException.UnsupportedProduct(other)
     }
 
+  /** S8: resolve any requested reprojection BEFORE the pixel pipeline —
+    * shared by the path and buffer APIs (the reference resolves the
+    * target CRS once at reader open, `sentinel1.rs:168-176`, so BOTH
+    * `process_safe_to_path` and `process_safe_to_buffer` see it). A
+    * source already in the target CRS short-circuits to a direct read
+    * (the skip guard); a real warp is unsupported in this environment
+    * and raises, carrying the exact gdalwarp invocation. The `auto`
+    * scene center is trusted when the source CRS is geographic OR
+    * ABSENT — an unprojected GRD's geotransform derives from its
+    * lon/lat GCPs, which is exactly where the reference's auto
+    * resolution reads its centroid (`sentinel1.rs:1660-1700`, with the
+    * TPS fallback likewise defaulting the GCP SRS to EPSG:4326) —
+    * but never when the source is projected: those coordinates are
+    * meters, not degrees.
+    */
   private def gateWarp(productId: String, rows: Int, cols: Int,
                        params: ProcessingParams, meta: SafeMeta): Unit =
     graft.geom.Warp.resolveTargetCrs(params.targetCrs,
       meta.geotransform
-        .filter(_ => graft.geom.Warp.isGeographic(meta.crs))
+        .filter(_ => meta.crs.forall(_.trim.isEmpty) ||
+          graft.geom.Warp.isGeographic(meta.crs))
         .map(g => (g(0) + g(1) * cols / 2.0, g(3) + g(5) * rows / 2.0))
     ).foreach { dst =>
       graft.geom.Warp.execute(graft.geom.Warp.resolveWarp(

@@ -37,7 +37,8 @@ object Presets {
           case 'n' => sb += '\n'; i += 2
           case 'r' => sb += '\r'; i += 2
           case 't' => sb += '\t'; i += 2
-          case 'u' if i + 5 < s.length =>
+          case 'u' if i + 5 < s.length &&
+              s.substring(i + 2, i + 6).forall(c => Character.digit(c, 16) >= 0) =>
             sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
           case other => sb += other; i += 2
         }

@@ -53,20 +53,13 @@ object Dedup {
     * DISTINCT here would shuffle the widest relation in the whole dedup
     * tier for no semantic effect.
     */
-  private def shingleDf(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    val sh = when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2), i =>
-        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
-      .otherwise(array())
+  private def shingleDf(s: SparkSession, dir: String): DataFrame =
     t(s, dir)
-      .select(col("doc_id"), explode(sh).as("shingle"))
-  }
+      .select(col("doc_id"),
+        explode(TextOps.ngrams(TextOps.tokens(col("text")), 3)).as("shingle"))
 
   private val shingleCte: String = s"""shing AS (
-      SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
-        THEN list_transform(range(1, len(toks) - 1), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
-        ELSE [] END) AS shingle
+      SELECT doc_id, unnest(${TextOps.ngramsSql("toks", 3)}) AS shingle
       FROM (SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents))"""
 
   /** Stop-shingle document-frequency cap: a shingle appearing in more

@@ -23,6 +23,25 @@ object TextOps {
 
   val tokensSql: String = "list_filter(string_split(text, ' '), x -> x != '')"
 
+  /** Space-joined word n-grams of a token array — the ONE n-gram
+    * builder, shared by the dedup shingle tier (n=3) and the repetition
+    * signals (n=2,3) so the two can't drift. Empty when the document
+    * has fewer than n tokens.
+    */
+  def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(j =>
+          if (j == 0) element_at(toks, i) else element_at(toks, i + j)): _*)))
+      .otherwise(array())
+
+  /** DuckDB dual of [[ngrams]] over a list expression. */
+  def ngramsSql(l: String, n: Int): String = {
+    val parts = (0 until n).map(j => if (j == 0) s"$l[i]" else s"$l[i+$j]").mkString(", ")
+    s"CASE WHEN len($l) >= $n THEN list_transform(range(1, len($l) - ${n - 2}), " +
+      s"i -> concat_ws(' ', $parts)) ELSE CAST([] AS VARCHAR[]) END"
+  }
+
   /** First-8-hex-digits-of-MD5 token hash — a 32-bit integer identical in
     * any engine with a standard MD5 (used by minhash/simhash/fingerprint).
     */
@@ -194,11 +213,7 @@ object TextOps {
     */
   def repetition(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir).select(col("doc_id"), tokens(col("text")).as("t"))
-    def grams(n: Int): Column = when(size(col("t")) >= n,
-      expr(s"transform(sequence(1, size(t) - ${n - 1}), i -> " +
-        (0 until n).map(j => s"element_at(t, i + $j)")
-          .mkString("concat_ws(' ', ", ", ", "))")))
-      .otherwise(expr("CAST(array() AS array<string>)"))
+    def grams(n: Int): Column = ngrams(col("t"), n)
     val bg = base.select(col("doc_id"), explode(grams(2)).as("g"))
       .groupBy("doc_id", "g").count()
       .groupBy("doc_id").agg(max("count").as("m2"), sum("count").as("n2"))
@@ -221,14 +236,10 @@ object TextOps {
 
   val repetitionSql: String = s"""WITH toks AS (
       SELECT doc_id, $tokensSql AS t FROM documents),
-    bgl AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
-        THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
-        ELSE CAST([] AS VARCHAR[]) END) AS g FROM toks),
+    bgl AS (SELECT doc_id, unnest(${ngramsSql("t", 2)}) AS g FROM toks),
     bc AS (SELECT doc_id, g, count(*) AS c FROM bgl GROUP BY 1, 2),
     bs AS (SELECT doc_id, max(c) AS m2, sum(c) AS n2 FROM bc GROUP BY 1),
-    tgl AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
-        THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-        ELSE CAST([] AS VARCHAR[]) END) AS g FROM toks),
+    tgl AS (SELECT doc_id, unnest(${ngramsSql("t", 3)}) AS g FROM toks),
     tc AS (SELECT doc_id, g, count(*) AS c FROM tgl GROUP BY 1, 2),
     tst AS (SELECT doc_id, count(*) AS d3, sum(c) AS n3 FROM tc GROUP BY 1),
     fr AS (SELECT d.doc_id,

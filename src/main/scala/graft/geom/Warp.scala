@@ -60,12 +60,14 @@ object Warp {
     */
   def isGeographic(crs: Option[String]): Boolean = crs.exists { s =>
     val t = s.trim
-    // a WKT is judged by its OUTERMOST node alone; the EPSG code-block
-    // rule applies only to bare EPSG strings (a PROJCS carrying a 4xxx
-    // authority is still projected)
-    if (t.contains("[")) t.toUpperCase.startsWith("GEOGCS")
-    else parseEpsg(t).flatMap(_.stripPrefix("EPSG:").toIntOption).exists(c =>
-      c >= 4000 && c <= 4999 && c != 4087 && c != 4088 && c != 4978 && c != 4979)
+    // a WKT is judged by its OUTERMOST node alone (WKT1 GEOGCS or WKT2
+    // GEOGCRS); the EPSG code-block rule applies only to bare EPSG
+    // strings (a PROJCS carrying a 4xxx authority is still projected)
+    if (t.contains("[")) {
+      val u = t.toUpperCase
+      u.startsWith("GEOGCS") || u.startsWith("GEOGCRS")
+    } else parseEpsg(t).flatMap(_.stripPrefix("EPSG:").toIntOption)
+      .exists(graft.meta.Epsg.isGeographic2D)
   }
 
   /** `--target-crs` argument semantics (`cli/runner.rs:69-71`):

@@ -171,17 +171,17 @@ object Sinks {
       // (keyId, tagLocation, count, value) — keyIds must be ascending.
       // EPSG 4000-4999 is the geographic-CRS code block (4326, 4269, 4258,
       // …) → GTModelType=Geographic + GeographicTypeGeoKey (2048); other
-      // codes → GTModelType=Projected + ProjectedCSTypeGeoKey (3072).
-      // Known interlopers inside that block: 4087/4088 (World Equidistant
-      // Cylindrical — projected) and 4978/4979 (geocentric / 3D
-      // geographic — representable by neither 2D GeoKey, citation-only).
-      // GeoKey values are unsigned shorts — a code that doesn't fit in 16
-      // bits can't be represented, so fall back to the citation (1026) only
-      // rather than silently truncating via toChar.
+      // codes → GTModelType=Projected + ProjectedCSTypeGeoKey (3072);
+      // classification of the block's projected/geocentric interlopers
+      // is centralized in graft.meta.Epsg. Geocentric/3D codes fit NO 2D
+      // GeoKey → citation-only. GeoKey values are unsigned shorts — a
+      // code that doesn't fit in 16 bits can't be represented, so fall
+      // back to the citation (1026) only rather than silently
+      // truncating via toChar.
       val crsKeys: Seq[(Int, Int, Int, Int)] = epsg match {
         case Some(code) if code < 0 || code > 65535 => Nil
-        case Some(code) if code == 4978 || code == 4979 => Nil
-        case Some(code) if code >= 4000 && code <= 4999 && code != 4087 && code != 4088 =>
+        case Some(code) if graft.meta.Epsg.isNonPlanar(code) => Nil
+        case Some(code) if graft.meta.Epsg.isGeographic2D(code) =>
           Seq((1024, 0, 1, 2), (2048, 0, 1, code))
         case Some(code) => Seq((1024, 0, 1, 1), (3072, 0, 1, code))
         case None => Nil

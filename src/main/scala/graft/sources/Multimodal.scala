@@ -121,9 +121,13 @@ object Multimodal {
     table(s, dir)
       .select(col("doc_id"), col("payload"),
         length(col("payload")).cast("long").as("len"))
-      .withColumn("nf", col("len") % 16 + 1)
+      // a frame is ≥1 byte, so the frame count is capped by the payload
+      // length (a 0-byte payload has no frames at all) — without the
+      // clamp a ≤3-byte payload would emit an out-of-bounds final frame
+      .filter(col("len") > 0)
+      .withColumn("nf", least(col("len") % 16 + 1, col("len")))
       .withColumn("sn", least(col("nf"), lit(MaxSampledFrames.toLong)))
-      .withColumn("w", greatest(expr("len div nf"), lit(1L)))
+      .withColumn("w", expr("len div nf"))
       .select(col("doc_id"), col("payload"), col("nf"), col("sn"), col("w"),
         explode(expr("sequence(0L, sn - 1)")).as("frame_id"))
       .withColumn("frame_index", expr("(frame_id * nf) div sn"))
@@ -140,10 +144,10 @@ object Multimodal {
     */
   val frameSampleSql: String = s"""WITH b AS (
       SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
-             CAST(length(text) % 16 + 1 AS BIGINT) AS nf
-      FROM documents),
+             LEAST(CAST(length(text) % 16 + 1 AS BIGINT), length(text)) AS nf
+      FROM documents WHERE length(text) > 0),
     p AS (SELECT doc_id, text, nf, LEAST(nf, $MaxSampledFrames) AS sn,
-             GREATEST(len // nf, 1) AS w FROM b),
+             len // nf AS w FROM b),
     f AS (SELECT doc_id, text, nf, sn, w, unnest(range(0, sn)) AS frame_id FROM p)
     SELECT doc_id, frame_id, (frame_id * nf) // sn AS frame_index,
       ((frame_id * nf) // sn) * w AS frame_offset, w AS frame_bytes,

@@ -201,6 +201,18 @@ class EngineSpec extends SparkSpec {
           targetCrs = Some("auto")), geoMeta)
     }
     assert(e.getMessage.contains("-t_srs EPSG:32632"), e.getMessage)
+    // ABSENT source CRS: the unprojected-GRD case — its geotransform
+    // derives from lon/lat GCPs, so auto resolves and the warp carries
+    // the TPS fallback (the reference reads the same GCP centroid)
+    val noCrsMeta = SafeMeta(
+      geotransform = Some(Array(10.0, 0.01, 0.0, 50.0, 0.0, -0.01)))
+    val e2 = intercept[graft.model.GraftException.External] {
+      Engine.processToBuffer(spark, "wa3", 32, 32,
+        ProcessingParams(autoscale = AutoscaleStrategy.Standard,
+          targetCrs = Some("auto")), noCrsMeta)
+    }
+    assert(e2.getMessage.contains("-t_srs EPSG:32632") &&
+      e2.getMessage.contains("-tps"), e2.getMessage)
   }
 
   test("E2E single band: synthetic raster → TIFF + sidecars") {

@@ -46,6 +46,11 @@ class PresetsSpec extends AnyFunSuite {
     // and a pathological value with backslashes + newlines
     val ugly = ProcessingParams(targetCrs = Some("a\\b\"c\nd"))
     assert(Presets.fromJson(Presets.toJson(ugly)) == Right(ugly))
+    // a malformed \u escape in a hand-edited file must not throw out of
+    // the Either error channel
+    val bad = "{\"target_crs\": \"a" + "\\" + "uZZZZb\"}" // \u split: scalac pre-scans unicode escapes
+    val r = Presets.fromJson(bad)
+    assert(r.isRight, r)
   }
 
   test("generated CLI command shell-quotes arguments the shell would split") {

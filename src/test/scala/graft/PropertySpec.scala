@@ -164,15 +164,21 @@ class PropertySpec extends AnyFunSuite {
 
   test("isGeographic: PROJCS WKTs never classify geographic; 4xxx codes do") {
     import graft.geom.Warp
+    import graft.meta.Epsg
     val codeGen = Gen.chooseNum(1, 65535)
     forAll(codeGen) { code =>
-      val asEpsg = Warp.isGeographic(Some(s"EPSG:$code"))
-      val expected = code >= 4000 && code <= 4999 &&
-        code != 4087 && code != 4088 && code != 4978 && code != 4979
-      assert(asEpsg == expected, s"EPSG:$code")
+      // Warp's EPSG-string path and the shared Epsg classifier agree
+      assert(Warp.isGeographic(Some(s"EPSG:$code")) == Epsg.isGeographic2D(code),
+        s"EPSG:$code")
       // wrapping the same code in a PROJCS authority is never geographic
       assert(!Warp.isGeographic(
         Some(s"""PROJCS["x",GEOGCS["WGS 84"],AUTHORITY["EPSG","$code"]]""")))
     }
+    // classifier sanity on known members of each class
+    assert(Epsg.isGeographic2D(4326) && Epsg.isGeographic2D(4269))
+    assert(!Epsg.isGeographic2D(4647) && !Epsg.isGeographic2D(4839),
+      "projected interlopers")
+    assert(Epsg.isNonPlanar(4936) && Epsg.isNonPlanar(4978),
+      "geocentric interlopers")
   }
 }

@@ -67,6 +67,10 @@ class WarpSpec extends AnyFunSuite {
     assert(Warp.isGeographic(Some("EPSG:4269")))
     assert(Warp.isGeographic(
       Some("GEOGCS[\"WGS 84\",AUTHORITY[\"EPSG\",\"4326\"]]")))
+    assert(Warp.isGeographic(Some("GEOGCRS[\"WGS 84\",ID[\"EPSG\",4326]]")),
+      "WKT2 geographic")
+    assert(!Warp.isGeographic(Some("PROJCRS[\"x\",BASEGEOGCRS[\"WGS 84\"]]")),
+      "WKT2 projected")
     assert(!Warp.isGeographic(Some("EPSG:32633")))
     assert(!Warp.isGeographic(Some(utm33Wkt)),
       "a PROJCS embedding a GEOGCS member is NOT geographic")
