@@ -21,7 +21,7 @@ object Bench {
     def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
             dir: String): Unit = {
       val d = fn(spark, dir)
-      d.select(bit_xor(xxhash64(struct(d.columns.map(col): _*)))).collect()
+      d.select(bit_xor(xxhash64(struct(d.columns.toIndexedSeq.map(col): _*)))).collect()
       ()
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -39,7 +39,7 @@ object Grid {
     val li = s.read.parquet(s"$dir/lineitem.parquet")
     // one cheap single-column agg (driver scalar) to size the buckets;
     // max() over an empty relation is null → empty grid, bucket width 1
-    val maxRow = li.agg(max(col("l_orderkey").cast("long"))).head
+    val maxRow = li.agg(max(col("l_orderkey").cast("long"))).head()
     val maxKey = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     val bucket = math.max(1L, (maxKey + TargetBuckets - 1) / TargetBuckets)
     val base = li
