@@ -213,16 +213,22 @@ object TextOps {
     */
   def repetition(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir).select(col("doc_id"), tokens(col("text")).as("t"))
-    def grams(n: Int): Column = ngrams(col("t"), n)
-    val bg = base.select(col("doc_id"), explode(grams(2)).as("g"))
-      .groupBy("doc_id", "g").count()
-      .groupBy("doc_id").agg(max("count").as("m2"), sum("count").as("n2"))
-    val tg = base.select(col("doc_id"), explode(grams(3)).as("g"))
-      .groupBy("doc_id", "g").count()
-      .groupBy("doc_id").agg(count(lit(1)).as("d3"), sum("count").as("n3"))
+    // ONE corpus scan: both n-gram orders explode together tagged by n
+    // (at corpus scale the text scan dominates — two scans would double
+    // it), then one (doc, n, gram) partial agg and one per-doc agg
+    val grams = base.select(col("doc_id"),
+      explode(concat(
+        transform(ngrams(col("t"), 2), g => struct(lit(2).as("n"), g.as("g"))),
+        transform(ngrams(col("t"), 3), g => struct(lit(3).as("n"), g.as("g"))))).as("x"))
+      .select(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
+    val stats = grams.groupBy("doc_id", "n", "g").count()
+      .groupBy("doc_id").agg(
+        max(when(col("n") === 2, col("count"))).as("m2"),
+        sum(when(col("n") === 2, col("count"))).as("n2"),
+        count(when(col("n") === 3, lit(1))).as("d3"),
+        sum(when(col("n") === 3, col("count"))).as("n3"))
     t(s, dir).select(col("doc_id"))
-      .join(bg, Seq("doc_id"), "left")
-      .join(tg, Seq("doc_id"), "left")
+      .join(stats, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(round(col("m2").cast("double") / col("n2").cast("double"), 6),
           lit(0.0)).as("top_bigram_frac"),
