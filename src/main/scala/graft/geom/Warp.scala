@@ -48,24 +48,25 @@ object Warp {
     else None
   }
 
-  /** A CRS whose coordinates are lon/lat degrees — the only kind the
-    * auto-CRS scene-center derivation may consume (the reference
+  /** A CRS string whose coordinates are lon/lat degrees — the only kind
+    * the auto-CRS scene-center derivation may consume (the reference
     * likewise refuses to trust GCP coordinates under a non-geographic
-    * projection, `sentinel1.rs:1663-1687`; empty/absent → not
-    * resolvable, auto yields no warp). The outermost WKT node must be
-    * GEOGCS — a projected WKT EMBEDS a GEOGCS member, so a bare
-    * substring test would misclassify every PROJCS; for EPSG strings
-    * the geographic 2D code block (4000-4999 minus the projected /
-    * geocentric interlopers) decides.
+    * projection, `sentinel1.rs:1663-1687`). This answers "is THIS
+    * string geographic"; an ABSENT/blank CRS is a separate case the
+    * caller decides (Engine's warp gate treats it as the unprojected-
+    * GRD convention: geotransform derived from lon/lat GCPs).
     */
   def isGeographic(crs: Option[String]): Boolean = crs.exists { s =>
     val t = s.trim
-    // a WKT is judged by its OUTERMOST node alone (WKT1 GEOGCS or WKT2
-    // GEOGCRS); the EPSG code-block rule applies only to bare EPSG
-    // strings (a PROJCS carrying a 4xxx authority is still projected)
+    // a WKT is judged by its OUTERMOST node alone (WKT1 GEOGCS, WKT2
+    // GEOGCRS, or a WKT2:2015 GEODCRS with an ellipsoidal CS — a
+    // Cartesian GEODCRS is geocentric); the EPSG code-block rule
+    // applies only to bare EPSG strings (a PROJCS carrying a 4xxx
+    // authority is still projected)
     if (t.contains("[")) {
       val u = t.toUpperCase
-      u.startsWith("GEOGCS") || u.startsWith("GEOGCRS")
+      u.startsWith("GEOGCS") || u.startsWith("GEOGCRS") ||
+        (u.startsWith("GEODCRS") && u.contains("ELLIPSOIDAL"))
     } else parseEpsg(t).flatMap(_.stripPrefix("EPSG:").toIntOption)
       .exists(graft.meta.Epsg.isGeographic2D)
   }
@@ -99,7 +100,7 @@ object Warp {
                   srcCols: Int = 0, srcRows: Int = 0,
                   gcpProjection: Option[String] = None,
                   input: String = "<input>", output: String = "<output.vrt>"): Plan = {
-    val srcEpsg = srcProjection.filter(_.nonEmpty).flatMap(parseEpsg)
+    val srcEpsg = srcProjection.filter(_.trim.nonEmpty).flatMap(parseEpsg)
     if (srcEpsg.exists(_.equalsIgnoreCase(targetCrs))) NoOp
     else {
       val base = Vector("-of", "VRT", "-overwrite", "-r", warpResampleAlg(resampleAlg),
@@ -115,8 +116,10 @@ object Warp {
         Vector("-ts", outCols.toString, outRows.toString)
       }
       // unprojected GRD raster: geolocate via GCPs + thin plate spline
-      // (`sentinel1.rs:1017-1030`)
-      val tps = if (srcProjection.forall(_.isEmpty))
+      // (`sentinel1.rs:1017-1030`); trim-aware so a whitespace-only
+      // projection gets the same treatment as absent (matching the
+      // Engine warp gate's reading)
+      val tps = if (srcProjection.forall(_.trim.isEmpty))
         Vector("-tps", "-s_srs", gcpProjection.filter(_.trim.nonEmpty).getOrElse("EPSG:4326"))
       else Vector.empty
       Exec(base ++ ts ++ tps ++ Vector("-t_srs", targetCrs, input, output))

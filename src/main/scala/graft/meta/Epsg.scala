@@ -10,8 +10,10 @@ package graft.meta
   *
   *  - projected CRSs: 4087/4088 (World Equidistant Cylindrical),
   *    4647 (ETRS89 / UTM 32N zE-N), 4839 (ETRS89 / LCC Germany);
-  *  - geocentric / 3D CRSs, representable by NO 2D GeoKey:
-  *    4936/4937 (ETRS89), 4978/4979 (WGS 84), 4984/4985 (WGS 72).
+  *  - geocentric / 3D CRSs, representable by NO 2D GeoKey: the WGS84
+  *    family (4327-4329, 4978/4979), ETRS89 (4936/4937), WGS 72
+  *    (4984/4985), NAD83(HARN) (4956/4957), and the ITRF geocentric/3D
+  *    run (4896/4897, 4910-4921).
   *
   * The lists are best-effort (the full registry can't be embedded);
   * anything not excluded is treated as geographic 2D, which is the
@@ -25,7 +27,9 @@ object Epsg {
   /** Geocentric / 3D CRSs in the block — neither geographic-2D nor
     * projected, so no 2D GeoKey applies.
     */
-  val NonPlanarInterlopers: Set[Int] = Set(4936, 4937, 4978, 4979, 4984, 4985)
+  val NonPlanarInterlopers: Set[Int] =
+    Set(4327, 4328, 4329, 4896, 4897, 4936, 4937, 4956, 4957,
+      4978, 4979, 4984, 4985) ++ (4910 to 4921)
 
   def isNonPlanar(code: Int): Boolean = NonPlanarInterlopers(code)
 

@@ -165,20 +165,25 @@ class PropertySpec extends AnyFunSuite {
   test("isGeographic: PROJCS WKTs never classify geographic; 4xxx codes do") {
     import graft.geom.Warp
     import graft.meta.Epsg
+    // INDEPENDENT restatement of the classification (not a call back
+    // into Epsg) so a regression in either the range check or the
+    // exclusion lists fails here rather than passing tautologically
+    val projected = Set(4087, 4088, 4647, 4839)
+    val nonPlanar = Set(4327, 4328, 4329, 4896, 4897, 4936, 4937, 4956,
+      4957, 4978, 4979, 4984, 4985) ++ (4910 to 4921)
     val codeGen = Gen.chooseNum(1, 65535)
     forAll(codeGen) { code =>
-      // Warp's EPSG-string path and the shared Epsg classifier agree
-      assert(Warp.isGeographic(Some(s"EPSG:$code")) == Epsg.isGeographic2D(code),
-        s"EPSG:$code")
+      val expected = code >= 4000 && code <= 4999 &&
+        !projected(code) && !nonPlanar(code)
+      assert(Warp.isGeographic(Some(s"EPSG:$code")) == expected, s"EPSG:$code")
+      assert(Epsg.isGeographic2D(code) == expected, s"Epsg $code")
+      assert(Epsg.isNonPlanar(code) == nonPlanar(code), s"nonplanar $code")
       // wrapping the same code in a PROJCS authority is never geographic
       assert(!Warp.isGeographic(
         Some(s"""PROJCS["x",GEOGCS["WGS 84"],AUTHORITY["EPSG","$code"]]""")))
     }
-    // classifier sanity on known members of each class
-    assert(Epsg.isGeographic2D(4326) && Epsg.isGeographic2D(4269))
-    assert(!Epsg.isGeographic2D(4647) && !Epsg.isGeographic2D(4839),
-      "projected interlopers")
-    assert(Epsg.isNonPlanar(4936) && Epsg.isNonPlanar(4978),
-      "geocentric interlopers")
+    // block boundaries
+    assert(!Epsg.isGeographic2D(3999) && Epsg.isGeographic2D(4000) &&
+      Epsg.isGeographic2D(4999) && !Epsg.isGeographic2D(5000))
   }
 }

@@ -60,6 +60,10 @@ class WarpSpec extends AnyFunSuite {
     // unprojected GRD raster: TPS + source SRS fallback
     val pt = Warp.resolveWarp(None, "EPSG:32633")
     assert(pt match { case Warp.Exec(a) => a.containsSlice(Seq("-tps", "-s_srs", "EPSG:4326")); case _ => false })
+    // whitespace-only projection is absent too (same reading as the
+    // Engine warp gate)
+    val pw = Warp.resolveWarp(Some("  "), "EPSG:32633")
+    assert(pw match { case Warp.Exec(a) => a.containsSlice(Seq("-tps", "-s_srs", "EPSG:4326")); case _ => false })
   }
 
   test("isGeographic accepts lon/lat CRSs only") {
@@ -71,6 +75,12 @@ class WarpSpec extends AnyFunSuite {
       "WKT2 geographic")
     assert(!Warp.isGeographic(Some("PROJCRS[\"x\",BASEGEOGCRS[\"WGS 84\"]]")),
       "WKT2 projected")
+    assert(Warp.isGeographic(Some(
+      "GEODCRS[\"WGS 84\",CS[ellipsoidal,2],AXIS[\"lat\",north]]")),
+      "WKT2:2015 geographic (ellipsoidal CS)")
+    assert(!Warp.isGeographic(Some(
+      "GEODCRS[\"WGS 84\",CS[Cartesian,3],AXIS[\"X\",geocentricX]]")),
+      "WKT2:2015 geocentric (Cartesian CS)")
     assert(!Warp.isGeographic(Some("EPSG:32633")))
     assert(!Warp.isGeographic(Some(utm33Wkt)),
       "a PROJCS embedding a GEOGCS member is NOT geographic")
