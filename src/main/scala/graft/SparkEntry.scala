@@ -588,6 +588,7 @@ object SparkEntry {
     Q("d2_ngram_jaccard", Dedup.ngramJaccard, Some(Dedup.ngramJaccardSql)),
     Q("d3_minhash_lsh", Dedup.minhashLsh, Some(Dedup.minhashLshSql)),
     Q("d4_simhash", Dedup.simhash, Some(Dedup.simhashSql)),
+    Q("d5_contamination", Dedup.contamination, Some(Dedup.contaminationSql)),
     Q("s1_cosine_topk", Similarity.cosineTopk, Some(Similarity.cosineTopkSql)),
     Q("s2_lsh_ann_topk", Similarity.lshAnnTopk, Some(Similarity.lshAnnTopkSql)),
     Q("s3_cosine_neardup", Similarity.cosineNeardup, Some(Similarity.cosineNeardupSql)),

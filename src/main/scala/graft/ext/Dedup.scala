@@ -247,4 +247,55 @@ object Dedup {
     WHERE bit_count(xor(x.simhash, y.simhash)) <= 20
     ORDER BY doc_a, doc_b"""
   }
+
+  // -------------------------------------------------------- contamination
+
+  /** The held-out set for D5 — in production this is the evaluation
+    * benchmark corpus; here a deterministic source stratum.
+    */
+  val BenchmarkSource = "src0"
+
+  /** D5: benchmark decontamination — for every non-benchmark document,
+    * the count and fraction of its distinct trigram shingles that also
+    * appear anywhere in the benchmark stratum. The asymmetric sibling
+    * of D2: no corpus self-join. At scale the benchmark shingle set
+    * (eval suites — tiny next to a training corpus) is broadcast, so
+    * the corpus is touched by exactly one scan, one distinct, and one
+    * broadcast semi-join; nothing reshuffles on corpus size.
+    */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(TextOps.ngrams(TextOps.tokens(col("text")), 3)).as("shingle"))
+      .select(col("doc_id"), col("source"),
+        TextOps.tokenHash(col("shingle")).as("sh"))
+      .distinct()
+      .persist() // feeds the benchmark set, corpus sizes, and the join
+    val bench = sh.filter(col("source") === BenchmarkSource)
+      .select("sh").distinct()
+    val corpus = sh.filter(col("source") =!= BenchmarkSource)
+    val sizes = corpus.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val out = corpus.join(broadcast(bench), "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .join(sizes, "doc_id")
+      .select(col("doc_id"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("nsh").cast("double"), 6)
+          .as("contamination"))
+      .orderBy(col("contamination").desc, col("doc_id"))
+    out
+  }
+
+  val contaminationSql: String = s"""WITH sh AS (
+      SELECT DISTINCT doc_id, source, ${TextOps.tokenHashSql("shingle")} AS sh FROM (
+        SELECT doc_id, source, unnest(${TextOps.ngramsSql("toks", 3)}) AS shingle
+        FROM (SELECT doc_id, source, ${TextOps.tokensSql} AS toks FROM documents))),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE source = '$BenchmarkSource'),
+    corpus AS (SELECT doc_id, sh FROM sh WHERE source != '$BenchmarkSource'),
+    sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM corpus GROUP BY 1),
+    hits AS (SELECT doc_id, COUNT(*) AS n_shared
+      FROM corpus JOIN bench USING (sh) GROUP BY 1)
+    SELECT h.doc_id, n_shared,
+      ROUND(CAST(n_shared AS DOUBLE) / CAST(nsh AS DOUBLE), 6) AS contamination
+    FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+    ORDER BY contamination DESC, h.doc_id"""
 }

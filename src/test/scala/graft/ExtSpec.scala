@@ -150,6 +150,21 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(r(1).getDouble(1) - 0.142857) < 1e-9)
   }
 
+  test("contamination flags corpus docs sharing benchmark trigrams") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-contam").toString
+    Seq(
+      (0L, "alpha beta gamma delta", Dedup.BenchmarkSource), // benchmark
+      (1L, "alpha beta gamma zeta eta theta", "srcX"), // shares "alpha beta gamma"
+      (2L, "one two three four five", "srcX")) // disjoint
+      .map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = Dedup.contamination(spark, dir).collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L), "only doc 1 overlaps")
+    // doc 1 has 4 distinct trigrams, 1 shared → 0.25
+    assert(r(0).getLong(1) == 1L && r(0).getDouble(2) == 0.25, r(0))
+  }
+
   test("frame sampling: even spacing, in-bounds ranges, deterministic hashes") {
     val r = Multimodal.frameSample(spark, Sf0001)
     val rows = r.collect()
