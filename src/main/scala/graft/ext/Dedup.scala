@@ -274,15 +274,18 @@ object Dedup {
     val bench = sh.filter(col("source") === BenchmarkSource)
       .select("sh").distinct()
     val corpus = sh.filter(col("source") =!= BenchmarkSource)
-    val sizes = corpus.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val out = corpus.join(broadcast(bench), "sh")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-      .join(sizes, "doc_id")
+    // ONE pass over the corpus shingles: broadcast LEFT join marks the
+    // benchmark hits, then a single per-doc agg yields both the shingle
+    // count and the hit count (the two-pass sizes⋈hits form would scan
+    // and shuffle the widest relation twice)
+    corpus.join(broadcast(bench.withColumn("hit", lit(1))), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nsh"), count(col("hit")).as("n_shared"))
+      .filter(col("n_shared") > 0)
       .select(col("doc_id"), col("n_shared"),
         round(col("n_shared").cast("double") / col("nsh").cast("double"), 6)
           .as("contamination"))
       .orderBy(col("contamination").desc, col("doc_id"))
-    out
   }
 
   val contaminationSql: String = s"""WITH sh AS (
