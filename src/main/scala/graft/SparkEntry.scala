@@ -584,6 +584,7 @@ object SparkEntry {
     Q("t4_fingerprint", TextOps.fingerprint, Some(TextOps.fingerprintSql)),
     Q("t5_bpe_token_count", TextOps.bpeTokenCount, Some(TextOps.bpeTokenCountSql)),
     Q("t6_repetition", TextOps.repetition, Some(TextOps.repetitionSql)),
+    Q("t7_hash_split", TextOps.hashSplit, Some(TextOps.hashSplitSql)),
     Q("d1_exact_dedup", Dedup.exact, Some(Dedup.exactSql)),
     Q("d2_ngram_jaccard", Dedup.ngramJaccard, Some(Dedup.ngramJaccardSql)),
     Q("d3_minhash_lsh", Dedup.minhashLsh, Some(Dedup.minhashLshSql)),

@@ -195,6 +195,36 @@ object TextOps {
         (a, b) -> (a * 31 + b) % $FingerprintMod) AS fingerprint
     FROM documents ORDER BY doc_id"""
 
+  /** T7 split fractions: 80/10/10 by hash bucket. */
+  val TrainBuckets = 80
+  val ValBuckets = 90
+
+  /** T7: deterministic train/val/test assignment — bucket = MD5-prefix
+    * hash of the document id mod 100. Hash-based (not random) so the
+    * assignment is reproducible across engines and STABLE under corpus
+    * growth: adding documents never reassigns an existing one, which
+    * sampled splits can't guarantee. Pure projection — no shuffle, no
+    * state, embarrassingly parallel at any corpus size.
+    */
+  def hashSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(tokenHash(col("doc_id").cast("string")), lit(100L))
+    t(s, dir).select(
+      col("doc_id"),
+      bucket.as("bucket"),
+      when(bucket < TrainBuckets, "train")
+        .when(bucket < ValBuckets, "val")
+        .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  val hashSplitSql: String = s"""SELECT doc_id, bucket,
+      CASE WHEN bucket < $TrainBuckets THEN 'train'
+           WHEN bucket < $ValBuckets THEN 'val'
+           ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+        ${tokenHashSql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+      FROM documents) ORDER BY doc_id"""
+
   /** Gopher-style repetition thresholds (Rae et al. 2021, table A1 —
     * occurrence-fraction variants of the top-2-gram / duplicate-3-gram
     * character filters).

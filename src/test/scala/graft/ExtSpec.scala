@@ -150,6 +150,24 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(r(1).getDouble(1) - 0.142857) < 1e-9)
   }
 
+  test("hash split is deterministic, complete, and roughly 80/10/10") {
+    val r1 = TextOps.hashSplit(spark, Sf0001).collect()
+    val r2 = TextOps.hashSplit(spark, Sf0001).collect()
+    assert(r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq, "deterministic")
+    val bySplit = r1.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    val n = r1.length.toDouble
+    assert(bySplit("train") / n > 0.6 && bySplit("train") / n < 0.95,
+      s"train frac ${bySplit("train") / n}")
+    // bucket ↔ split assignment is consistent
+    r1.foreach { row =>
+      val (b, sp) = (row.getLong(1), row.getString(2))
+      val expect = if (b < TextOps.TrainBuckets) "train"
+        else if (b < TextOps.ValBuckets) "val" else "test"
+      assert(sp == expect)
+    }
+  }
+
   test("contamination flags corpus docs sharing benchmark trigrams") {
     val dir = java.nio.file.Files.createTempDirectory("graft-contam").toString
     Seq(
