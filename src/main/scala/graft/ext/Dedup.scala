@@ -53,14 +53,21 @@ object Dedup {
     * DISTINCT here would shuffle the widest relation in the whole dedup
     * tier for no semantic effect.
     */
-  private def shingleDf(s: SparkSession, dir: String): DataFrame =
-    t(s, dir)
-      .select(col("doc_id"),
-        explode(TextOps.ngrams(TextOps.tokens(col("text")), 3)).as("shingle"))
+  private def shingleDf(s: SparkSession, dir: String,
+                        keepSource: Boolean = false): DataFrame = {
+    val keys = col("doc_id") +: (if (keepSource) Seq(col("source")) else Nil)
+    t(s, dir).select(
+      keys :+ explode(TextOps.ngrams(TextOps.tokens(col("text")), 3)).as("shingle"): _*)
+  }
 
-  private val shingleCte: String = s"""shing AS (
-      SELECT doc_id, unnest(${TextOps.ngramsSql("toks", 3)}) AS shingle
-      FROM (SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents))"""
+  private def shingleCteSql(withSource: Boolean): String = {
+    val src = if (withSource) ", source" else ""
+    s"""shing AS (
+      SELECT doc_id$src, unnest(${TextOps.ngramsSql("toks", 3)}) AS shingle
+      FROM (SELECT doc_id$src, ${TextOps.tokensSql} AS toks FROM documents))"""
+  }
+
+  private val shingleCte: String = shingleCteSql(withSource = false)
 
   /** Stop-shingle document-frequency cap: a shingle appearing in more
     * than this many documents is dropped before the inverted-index
@@ -258,27 +265,28 @@ object Dedup {
   /** D5: benchmark decontamination — for every non-benchmark document,
     * the count and fraction of its distinct trigram shingles that also
     * appear anywhere in the benchmark stratum. The asymmetric sibling
-    * of D2: no corpus self-join. At scale the benchmark shingle set
-    * (eval suites — tiny next to a training corpus) is broadcast, so
-    * the corpus is touched by exactly one scan, one distinct, and one
-    * broadcast semi-join; nothing reshuffles on corpus size.
+    * of D2: no corpus self-join; the corpus is touched by one scan, one
+    * distinct, and one left semi-style join. The join strategy is
+    * deliberately left to the planner: a production benchmark (a fixed
+    * eval suite) sits under the auto-broadcast threshold and broadcasts
+    * on its own, while a benchmark that grows with the corpus — like
+    * this demo stratum — must be allowed to degrade to a shuffle join
+    * rather than force-broadcast an unbounded relation.
     */
   def contamination(s: SparkSession, dir: String): DataFrame = {
-    val sh = t(s, dir)
-      .select(col("doc_id"), col("source"),
-        explode(TextOps.ngrams(TextOps.tokens(col("text")), 3)).as("shingle"))
+    val sh = shingleDf(s, dir, keepSource = true)
       .select(col("doc_id"), col("source"),
         TextOps.tokenHash(col("shingle")).as("sh"))
       .distinct()
-      .persist() // feeds the benchmark set, corpus sizes, and the join
+      .persist() // feeds the benchmark set and the corpus side
     val bench = sh.filter(col("source") === BenchmarkSource)
       .select("sh").distinct()
     val corpus = sh.filter(col("source") =!= BenchmarkSource)
-    // ONE pass over the corpus shingles: broadcast LEFT join marks the
-    // benchmark hits, then a single per-doc agg yields both the shingle
-    // count and the hit count (the two-pass sizes⋈hits form would scan
-    // and shuffle the widest relation twice)
-    corpus.join(broadcast(bench.withColumn("hit", lit(1))), Seq("sh"), "left")
+    // ONE pass over the corpus shingles: LEFT join marks the benchmark
+    // hits, then a single per-doc agg yields both the shingle count and
+    // the hit count (the two-pass sizes⋈hits form would scan and
+    // shuffle the widest relation twice)
+    corpus.join(bench.withColumn("hit", lit(1)), Seq("sh"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("nsh"), count(col("hit")).as("n_shared"))
       .filter(col("n_shared") > 0)
@@ -288,10 +296,9 @@ object Dedup {
       .orderBy(col("contamination").desc, col("doc_id"))
   }
 
-  val contaminationSql: String = s"""WITH sh AS (
-      SELECT DISTINCT doc_id, source, ${TextOps.tokenHashSql("shingle")} AS sh FROM (
-        SELECT doc_id, source, unnest(${TextOps.ngramsSql("toks", 3)}) AS shingle
-        FROM (SELECT doc_id, source, ${TextOps.tokensSql} AS toks FROM documents))),
+  val contaminationSql: String = s"""WITH ${shingleCteSql(withSource = true)},
+    sh AS (SELECT DISTINCT doc_id, source,
+        ${TextOps.tokenHashSql("shingle")} AS sh FROM shing),
     bench AS (SELECT DISTINCT sh FROM sh WHERE source = '$BenchmarkSource'),
     corpus AS (SELECT doc_id, sh FROM sh WHERE source != '$BenchmarkSource'),
     sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM corpus GROUP BY 1),

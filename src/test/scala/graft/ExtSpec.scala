@@ -181,6 +181,10 @@ class ExtSpec extends SparkSpec {
     assert(r.map(_.getLong(0)).toSeq == Seq(1L), "only doc 1 overlaps")
     // doc 1 has 4 distinct trigrams, 1 shared → 0.25
     assert(r(0).getLong(1) == 1L && r(0).getDouble(2) == 0.25, r(0))
+    // and on the real corpus: non-empty, fractions in (0, 1]
+    val real = Dedup.contamination(spark, Sf0001).collect()
+    assert(real.nonEmpty)
+    assert(real.forall(x => x.getDouble(2) > 0.0 && x.getDouble(2) <= 1.0))
   }
 
   test("frame sampling: even spacing, in-bounds ranges, deterministic hashes") {
