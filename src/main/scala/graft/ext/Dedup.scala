@@ -28,9 +28,15 @@ object Dedup {
   private def t(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  /** D1: exact dedup — canonical id = min doc_id per identical text. */
+  /** D1: exact dedup — canonical id = min doc_id per identical text.
+    * The window partitions on md5(text), not the text itself: at corpus
+    * scale the exchange must carry 16-byte keys, not whole documents,
+    * and a viral boilerplate text must hash-spread like any other key
+    * instead of hot-keying a partition by value. The oracle applies the
+    * identical hash, so any collision affects both engines identically.
+    */
   def exact(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("text")
+    val w = Window.partitionBy(md5(col("text")))
     t(s, dir)
       .withColumn("canonical_id", min("doc_id").over(w))
       .select(col("doc_id"), col("canonical_id"),
@@ -40,7 +46,7 @@ object Dedup {
 
   val exactSql: String = """SELECT doc_id, canonical_id,
       CAST(doc_id != canonical_id AS INT) AS is_dup
-    FROM (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS canonical_id FROM documents)
+    FROM (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id FROM documents)
     ORDER BY doc_id"""
 
   // ------------------------------------------------------------- shingles

@@ -31,6 +31,18 @@ object Ivf {
   val NProbe = 4
   val TopK = 3
 
+  /** Quantizer training-set size: fixed, not a fraction — the fit cost
+    * must not grow with the corpus.
+    */
+  val TrainSample = 2000
+
+  /** Floor on the per-run mean recall@k (vs the in-plan exact baseline)
+    * below which the query empties itself — so even a rows-only
+    * correctness check fails on recall collapse, not just on a wrong
+    * row count. Matches the ExtSpec gate.
+    */
+  val MinRecall = 0.25
+
   private def toVec = udf((a: Seq[Float]) =>
     Vectors.dense(a.map(_.toDouble).toArray))
 
@@ -40,13 +52,18 @@ object Ivf {
       .withColumn("nrm", Similarity.norm(col("embedding")))
       .persist()
 
-    // Fit the coarse quantizer on a deterministic SAMPLE — at corpus
-    // scale the quantizer never trains on all vectors; assignment does
-    // see every vector below.
-    val trainFrac = math.min(1.0, 2000.0 / math.max(emb.count(), 1L))
+    // Fit the coarse quantizer on a deterministic fixed-size SAMPLE — at
+    // corpus scale the quantizer never trains on all vectors; assignment
+    // does see every vector below. Hash-ordered top-N (TakeOrdered: each
+    // partition surfaces ≤N rows, no full shuffle, no count job) is both
+    // size-bounded and deterministic, where a fraction-based sample would
+    // need a separate COUNT pass to size the fraction.
+    val train = emb
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(TrainSample)
     val model = new KMeans().setK(NList).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(emb.sample(withReplacement = false, trainFrac, seed = 42L))
+      .fit(train)
     val centroids = model.clusterCenters
 
     val corpus = model.transform(emb)
@@ -88,13 +105,24 @@ object Ivf {
     val exact = Similarity.exactTopk(
         emb.select(col("vec_id"), col("embedding"), col("nrm")), qbase, TopK)
       .select(col("qid"), col("oid"), lit(true).as("exact_hit"))
-    ivf.join(exact, Seq("qid", "oid"), "left")
+    val res = ivf.join(exact, Seq("qid", "oid"), "left")
       .withColumn("exact_hit", coalesce(col("exact_hit"), lit(false)))
       .withColumn("recall3",
         sum(when(col("exact_hit"), 1.0).otherwise(0.0))
           .over(Window.partitionBy("qid")) / TopK)
       .select(col("qid"), col("rk"), col("oid"), col("cos"),
         col("exact_hit"), col("recall3"))
+      .persist() // tiny (queries×k rows); feeds the output AND the guard
+
+    // Recall guard: if the run's mean recall@k vs the exact baseline
+    // falls below MinRecall the guard relation is EMPTY and the whole
+    // output empties with it — a rows-only driver check now fails on
+    // quality collapse, not just on a missing row.
+    val guard = res.select(col("qid"), col("recall3")).distinct()
+      .agg((sum(col("recall3")) / count(lit(1))).as("mean_recall"))
+      .filter(col("mean_recall") >= MinRecall)
+      .select(lit(true).as("recall_ok"))
+    res.crossJoin(broadcast(guard))
       .orderBy("qid", "rk")
   }
 }
