@@ -590,6 +590,7 @@ object SparkEntry {
     Q("d3_minhash_lsh", Dedup.minhashLsh, Some(Dedup.minhashLshSql)),
     Q("d4_simhash", Dedup.simhash, Some(Dedup.simhashSql)),
     Q("d5_contamination", Dedup.contamination, Some(Dedup.contaminationSql)),
+    Q("d6_paragraph_dedup", Dedup.paragraphDedup, Some(Dedup.paragraphDedupSql)),
     Q("s1_cosine_topk", Similarity.cosineTopk, Some(Similarity.cosineTopkSql)),
     Q("s2_lsh_ann_topk", Similarity.lshAnnTopk, Some(Similarity.lshAnnTopkSql)),
     Q("s3_cosine_neardup", Similarity.cosineNeardup, Some(Similarity.cosineNeardupSql)),

@@ -29,16 +29,20 @@ object Dedup {
     s.read.parquet(s"$dir/documents.parquet")
 
   /** D1: exact dedup — canonical id = min doc_id per identical text.
-    * The window partitions on md5(text), not the text itself: at corpus
-    * scale the exchange must carry 16-byte keys, not whole documents,
-    * and a viral boilerplate text must hash-spread like any other key
-    * instead of hot-keying a partition by value. The oracle applies the
+    * Keyed on md5(text), not the text itself, so the exchanges carry
+    * 16-byte keys instead of whole documents; computed as a
+    * groupBy(hash).agg(min) joined back on the hash, NOT a window over
+    * the hash: a viral boilerplate text (billions of identical copies)
+    * still maps to ONE key, and only map-side partial aggregation
+    * bounds what that hot key ships through the shuffle — a window
+    * would haul every copy's row into a single partition. The join-back
+    * side shuffles (doc_id, hash) pairs only. The oracle applies the
     * identical hash, so any collision affects both engines identically.
     */
   def exact(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(md5(col("text")))
-    t(s, dir)
-      .withColumn("canonical_id", min("doc_id").over(w))
+    val docs = t(s, dir).select(col("doc_id"), md5(col("text")).as("h"))
+    val canon = docs.groupBy("h").agg(min("doc_id").as("canonical_id"))
+    docs.join(canon, "h")
       .select(col("doc_id"), col("canonical_id"),
         (col("doc_id") =!= col("canonical_id")).cast("int").as("is_dup"))
       .orderBy("doc_id")
@@ -48,6 +52,94 @@ object Dedup {
       CAST(doc_id != canonical_id AS INT) AS is_dup
     FROM (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id FROM documents)
     ORDER BY doc_id"""
+
+  // ----------------------------------------------------- paragraph dedup
+
+  /** Paragraph chunk size in tokens for D6: a double-newline segment
+    * longer than this splits into fixed token blocks, so corpora whose
+    * documents carry no paragraph breaks (like the synthetic tables
+    * here) still dedup at sub-document granularity — the CCNet/
+    * RefinedWeb pre-step shape either way.
+    */
+  val ParaBlockTokens = 20
+
+  /** D6: paragraph-level exact dedup — split each document on double
+    * newlines, chunk each segment into ≤[[ParaBlockTokens]]-token
+    * blocks, keep only the globally-first instance of each identical
+    * block (lexicographically smallest (doc_id, position)), and emit
+    * the per-document kept-paragraph fraction.
+    *
+    * Plan shape at scale: instances carry (doc_id, ord, md5) — 16-byte
+    * content keys, never paragraph text, through every exchange. The
+    * canonical instance resolves in two bounded aggregations (min
+    * doc_id per hash, then min position within that doc), both with
+    * map-side partial aggregation, so a viral boilerplate paragraph
+    * never hauls its copies into one partition. `ord` packs
+    * (seg_idx, blk_idx) into one long (31 bits each — a single
+    * document would need 2³¹ tokens to overflow it).
+    */
+  def paragraphDedup(s: SparkSession, dir: String): DataFrame = {
+    val p = ParaBlockTokens
+    val segs = t(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), "\n\n")).as(Seq("seg_idx", "seg")))
+      .select(col("doc_id"), col("seg_idx"), TextOps.tokens(col("seg")).as("tk"))
+      .filter(size(col("tk")) > 0)
+    val nblk = ceil(size(col("tk")).cast("double") / lit(p.toDouble)).cast("int")
+    val keyed = segs
+      .select(col("doc_id"), col("seg_idx"),
+        posexplode(transform(sequence(lit(0), nblk - 1), i =>
+          concat_ws(" ", slice(col("tk"), i * p + 1, lit(p))))).as(Seq("blk_idx", "para")))
+      .select(col("doc_id"),
+        (shiftleft(col("seg_idx").cast("long"), 31) + col("blk_idx")).as("ord"),
+        md5(col("para")).as("h"))
+      .persist() // feeds the two canonical aggs AND the marking join
+    val canonDoc = keyed.groupBy("h").agg(min("doc_id").as("cdoc"))
+    val canon = keyed.join(canonDoc, "h")
+      .filter(col("doc_id") === col("cdoc"))
+      .groupBy("h").agg(min("cdoc").as("cdoc"), min("ord").as("cord"))
+    val per = keyed.join(canon, "h")
+      .select(col("doc_id"),
+        (col("doc_id") === col("cdoc") && col("ord") === col("cord")).cast("long").as("kept"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_paras"), sum("kept").as("n_kept"))
+    t(s, dir).select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        when(coalesce(col("n_paras"), lit(0L)) > 0,
+          round(col("n_kept").cast("double") / col("n_paras").cast("double"), 6))
+          .otherwise(lit(1.0)).as("kept_frac"))
+      .orderBy("doc_id")
+  }
+
+  val paragraphDedupSql: String = {
+    val p = ParaBlockTokens
+    s"""WITH sg0 AS (
+      SELECT doc_id, string_split(text, chr(10) || chr(10)) AS sg FROM documents),
+    sgx AS (
+      SELECT doc_id, i - 1 AS seg_idx,
+        list_filter(string_split(sg[CAST(i AS INT)], ' '), x -> x != '') AS tk
+      FROM (SELECT doc_id, sg, unnest(range(1, len(sg) + 1)) AS i FROM sg0)),
+    segs AS (SELECT * FROM sgx WHERE len(tk) > 0),
+    blk AS (
+      SELECT doc_id, (seg_idx << 31) + b AS ord,
+        md5(array_to_string(tk[CAST(b*$p + 1 AS INT):CAST(b*$p + $p AS INT)], ' ')) AS h
+      FROM (SELECT doc_id, seg_idx, tk,
+              unnest(range(0, CAST(ceil(len(tk) / $p.0) AS BIGINT))) AS b
+            FROM segs)),
+    c1 AS (SELECT h, MIN(doc_id) AS cdoc FROM blk GROUP BY 1),
+    canon AS (SELECT blk.h, MIN(cdoc) AS cdoc, MIN(ord) AS cord
+      FROM blk JOIN c1 ON blk.h = c1.h AND blk.doc_id = c1.cdoc GROUP BY 1),
+    mk AS (SELECT blk.doc_id,
+        CASE WHEN blk.doc_id = canon.cdoc AND blk.ord = canon.cord THEN 1 ELSE 0 END AS kept
+      FROM blk JOIN canon ON blk.h = canon.h),
+    per AS (SELECT doc_id, COUNT(*) AS n_paras, CAST(SUM(kept) AS BIGINT) AS n_kept
+      FROM mk GROUP BY 1)
+    SELECT d.doc_id, COALESCE(n_paras, 0) AS n_paras, COALESCE(n_kept, 0) AS n_kept,
+      CASE WHEN COALESCE(n_paras, 0) > 0
+        THEN ROUND(CAST(n_kept AS DOUBLE) / CAST(n_paras AS DOUBLE), 6) ELSE 1.0 END AS kept_frac
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    ORDER BY d.doc_id"""
+  }
 
   // ------------------------------------------------------------- shingles
 

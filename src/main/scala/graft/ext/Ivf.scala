@@ -39,7 +39,9 @@ object Ivf {
   /** Floor on the per-run mean recall@k (vs the in-plan exact baseline)
     * below which the query empties itself — so even a rows-only
     * correctness check fails on recall collapse, not just on a wrong
-    * row count. Matches the ExtSpec gate.
+    * row count. Strictly-greater, like the ExtSpec gate; the mean is
+    * computed from exact integer hit counts with one IEEE division, so
+    * the comparison can't flip with partition order.
     */
   val MinRecall = 0.25
 
@@ -54,9 +56,10 @@ object Ivf {
 
     // Fit the coarse quantizer on a deterministic fixed-size SAMPLE — at
     // corpus scale the quantizer never trains on all vectors; assignment
-    // does see every vector below. Hash-ordered top-N (TakeOrdered: each
-    // partition surfaces ≤N rows, no full shuffle, no count job) is both
-    // size-bounded and deterministic, where a fraction-based sample would
+    // does see every vector below. Hash-ordered top-N is size-bounded
+    // however the planner renders the limit (TakeOrdered, or a global
+    // sort whose limit lets at most N rows per partition cross the
+    // exchange) and deterministic, where a fraction-based sample would
     // need a separate COUNT pass to size the fraction.
     val train = emb
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
@@ -108,8 +111,8 @@ object Ivf {
     val res = ivf.join(exact, Seq("qid", "oid"), "left")
       .withColumn("exact_hit", coalesce(col("exact_hit"), lit(false)))
       .withColumn("recall3",
-        sum(when(col("exact_hit"), 1.0).otherwise(0.0))
-          .over(Window.partitionBy("qid")) / TopK)
+        sum(when(col("exact_hit"), 1L).otherwise(0L))
+          .over(Window.partitionBy("qid")).cast("double") / TopK)
       .select(col("qid"), col("rk"), col("oid"), col("cos"),
         col("exact_hit"), col("recall3"))
       .persist() // tiny (queries×k rows); feeds the output AND the guard
@@ -117,10 +120,14 @@ object Ivf {
     // Recall guard: if the run's mean recall@k vs the exact baseline
     // falls below MinRecall the guard relation is EMPTY and the whole
     // output empties with it — a rows-only driver check now fails on
-    // quality collapse, not just on a missing row.
-    val guard = res.select(col("qid"), col("recall3")).distinct()
-      .agg((sum(col("recall3")) / count(lit(1))).as("mean_recall"))
-      .filter(col("mean_recall") >= MinRecall)
+    // quality collapse, not just on a missing row. One agg pass over the
+    // persisted result (no intermediate distinct): each (qid, oid) row
+    // is already unique, so mean recall = Σ hits / (n_queries · k) —
+    // exact integer counts, a single IEEE division, strict > gate.
+    val guard = res
+      .agg((sum(when(col("exact_hit"), 1L).otherwise(0L)).cast("double") /
+        (countDistinct(col("qid")) * TopK).cast("double")).as("mean_recall"))
+      .filter(col("mean_recall") > MinRecall)
       .select(lit(true).as("recall_ok"))
     res.crossJoin(broadcast(guard))
       .orderBy("qid", "rk")

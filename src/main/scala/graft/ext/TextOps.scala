@@ -121,8 +121,13 @@ object TextOps {
     s"len(list_filter($tokensSql, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   /** T2: quality scoring — length, stopword ratio, uppercase ratio,
-    * digit ratio, and a composite score. Mirrors the shape of published
-    * web-corpus quality filters (length/punct/stopword heuristics).
+    * digit ratio, a composite score, plus the remaining Gopher-style
+    * signals (Rae et al. 2021, table A1): symbol-to-word ratio (#, …,
+    * and '...' occurrences per word), mean/max line length, and the
+    * fractions of lines that start with a bullet or end in an ellipsis.
+    * One scan; every ratio is exact integer counts through one IEEE
+    * division (mean line length uses Σ len(line) = len(text) − (n−1)
+    * separators, so no per-line float accumulation exists to reorder).
     */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
@@ -133,11 +138,29 @@ object TextOps {
     val digitRatio = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
       length(col("text")).cast("double")
     val lenScore = least(nTok / lit(100.0), lit(1.0))
+    val nHash = length(col("text")) - length(replace(col("text"), lit("#"), lit("")))
+    val nUEll = length(col("text")) - length(replace(col("text"), lit("…"), lit("")))
+    // non-overlapping '...' occurrences: each removal drops exactly 3
+    // chars, so the double division below is an exact integer
+    val nDotEll = ((length(col("text")) -
+      length(replace(col("text"), lit("..."), lit("")))) / lit(3)).cast("long")
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines)
+    val bulletLines = size(filter(lines, x =>
+      Seq("-", "*", "•").map(b => ltrim(x).startsWith(b)).reduce(_ || _)))
+    val ellLines = size(filter(lines, x =>
+      rtrim(x).endsWith("...") || rtrim(x).endsWith("…")))
     t(s, dir).select(
       col("doc_id"),
       round(stopRatio, 6).as("stopword_ratio"),
       round(upperRatio, 6).as("upper_ratio"),
       round(digitRatio, 6).as("digit_ratio"),
+      round((nHash + nUEll + nDotEll).cast("double") / nTok, 6).as("symbol_word_ratio"),
+      round((length(col("text")) - nLines + 1).cast("double") / nLines.cast("double"), 6)
+        .as("mean_line_len"),
+      array_max(transform(lines, x => length(x))).as("max_line_len"),
+      round(bulletLines.cast("double") / nLines.cast("double"), 6).as("bullet_line_frac"),
+      round(ellLines.cast("double") / nLines.cast("double"), 6).as("ellipsis_line_frac"),
       round(lit(0.5) * stopRatio + lit(0.3) * lenScore + lit(0.2) * (lit(1.0) - digitRatio), 6)
         .as("quality"))
       .orderBy("doc_id")
@@ -149,10 +172,24 @@ object TextOps {
     val upper = "CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)"
     val digit = "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)"
     val lenScore = s"LEAST($nTok / 100.0, 1.0)"
+    val nSym = "(length(text) - length(replace(text, '#', ''))) + " +
+      "(length(text) - length(replace(text, chr(8230), ''))) + " +
+      "(length(text) - length(replace(text, '...', ''))) // 3"
+    val lines = "string_split(text, chr(10))"
+    val nLines = s"len($lines)"
+    val bullet = s"len(list_filter($lines, x -> starts_with(ltrim(x), '-') " +
+      "OR starts_with(ltrim(x), '*') OR starts_with(ltrim(x), chr(8226))))"
+    val ell = s"len(list_filter($lines, x -> ends_with(rtrim(x), '...') " +
+      "OR ends_with(rtrim(x), chr(8230))))"
     s"""SELECT doc_id,
       ROUND($stop, 6) AS stopword_ratio,
       ROUND($upper, 6) AS upper_ratio,
       ROUND($digit, 6) AS digit_ratio,
+      ROUND(CAST($nSym AS DOUBLE) / $nTok, 6) AS symbol_word_ratio,
+      ROUND(CAST(length(text) - $nLines + 1 AS DOUBLE) / CAST($nLines AS DOUBLE), 6) AS mean_line_len,
+      list_max(list_transform($lines, x -> length(x))) AS max_line_len,
+      ROUND(CAST($bullet AS DOUBLE) / CAST($nLines AS DOUBLE), 6) AS bullet_line_frac,
+      ROUND(CAST($ell AS DOUBLE) / CAST($nLines AS DOUBLE), 6) AS ellipsis_line_frac,
       ROUND(0.5 * ($stop) + 0.3 * $lenScore + 0.2 * (1.0 - ($digit)), 6) AS quality
     FROM documents ORDER BY doc_id"""
   }

@@ -210,11 +210,60 @@ class ExtSpec extends SparkSpec {
     }
   }
 
-  test("quality score stays in [0,1] on sf0.001") {
+  test("quality score stays in [0,1] on sf0.001; Gopher signals are sane") {
     val r = TextOps.qualityScore(spark, Sf0001).collect()
     r.foreach { row =>
-      val q = row.getDouble(4)
+      val q = row.getAs[Double]("quality")
       assert(q >= 0.0 && q <= 1.0)
+      assert(row.getAs[Double]("bullet_line_frac") >= 0.0 &&
+        row.getAs[Double]("bullet_line_frac") <= 1.0)
+      assert(row.getAs[Double]("ellipsis_line_frac") >= 0.0 &&
+        row.getAs[Double]("ellipsis_line_frac") <= 1.0)
+      assert(row.getAs[Double]("mean_line_len") > 0.0)
+      assert(row.getAs[Int]("max_line_len") >= 1)
+      assert(row.getAs[Double]("symbol_word_ratio") >= 0.0)
     }
+  }
+
+  test("Gopher line signals on a crafted document") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gopher").toString
+    // 4 lines: bullet, ellipsis-ended, both (unicode forms), plain;
+    // symbols: one '#', one '…', one non-overlapping '...'
+    val text = "- a bullet line\nthis trails off...\n• unicode bullet ends…\nplain # line"
+    Seq((0L, text, "en", "t", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val row = TextOps.qualityScore(spark, dir).collect().head
+    assert(row.getAs[Double]("bullet_line_frac") == 0.5, "lines 1 and 3 are bullets")
+    assert(row.getAs[Double]("ellipsis_line_frac") == 0.5, "lines 2 and 3 end in ellipses")
+    val lines = text.split("\n")
+    assert(row.getAs[Int]("max_line_len") == lines.map(_.length).max)
+    val meanLen = lines.map(_.length).sum.toDouble / lines.length
+    assert(math.abs(row.getAs[Double]("mean_line_len") - meanLen) < 1e-6)
+    // 3 symbol occurrences (#, …, ...) over the SPACE-split token count
+    // (TextOps.tokens splits on ' ' only, so newline-joined words fuse)
+    val nTok = text.split(" ").count(_.nonEmpty)
+    assert(math.abs(row.getAs[Double]("symbol_word_ratio") - 3.0 / nTok) < 1e-6)
+  }
+
+  test("paragraph dedup keeps first instance and reports kept fraction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-para").toString
+    val longSeg = (1 to 45).map(i => s"w$i").mkString(" ") // 45 tokens → 3 blocks
+    Seq(
+      (0L, "shared para text\n\nalso in zero only"), // 2 paras, both canonical
+      (1L, "shared para text\n\nunique to one"),     // 1 dup + 1 kept → 0.5
+      (2L, longSeg))                                  // no breaks → 3 fixed blocks
+      .map { case (id, text) => (id, text, "en", "t", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = Dedup.paragraphDedup(spark, dir).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(0L) == ((2L, 2L, 1.0)), s"doc 0 owns both its paragraphs: ${r(0L)}")
+    assert(r(1L) == ((2L, 1L, 0.5)), s"doc 1 loses the shared paragraph: ${r(1L)}")
+    assert(r(2L) == ((3L, 3L, 1.0)), s"45 tokens chunk into 3 blocks: ${r(2L)}")
+    // and on the real corpus: complete, fractions in [0,1]
+    val real = Dedup.paragraphDedup(spark, Sf0001).collect()
+    assert(real.length == spark.read.parquet(s"$Sf0001/documents.parquet").count())
+    assert(real.forall(x => x.getDouble(3) >= 0.0 && x.getDouble(3) <= 1.0))
   }
 }
