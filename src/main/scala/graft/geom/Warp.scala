@@ -32,6 +32,15 @@ object Warp {
   /** The warp the reference would run (its exact `gdalwarp` argv). */
   final case class Exec(args: Vector[String]) extends Plan
 
+  /** A warp this engine executes NATIVELY as a distributed
+    * inverse-projected tile resample ([[graft.api.Engine.warpTiles]]):
+    * both CRSs are in the [[Proj]] family (UTM/UPS/lon-lat — exactly
+    * what S9 can emit) and the source is georeferenced. Carries the
+    * fully-resolved output grid so execution is pure per-tile math.
+    */
+  final case class NativeWarp(srcCrs: String, dstCrs: String, alg: String,
+                              dstGt: Array[Double], dstRows: Int, dstCols: Int)
+
   /** `AUTHORITY["EPSG","nnnn"]` extraction — LAST occurrence wins (the
     * outermost authority in a WKT is written last), mirroring the
     * reference's `rfind` (`sentinel1.rs:948-958`); a bare `EPSG:` string
@@ -125,6 +134,98 @@ object Warp {
       Exec(base ++ ts ++ tps ++ Vector("-t_srs", targetCrs, input, output))
     }
   }
+
+  /** Resolve a warp the engine can run NATIVELY (no gdalwarp): both
+    * CRSs in the [[Proj]] family and a georeferenced source. Computes
+    * the output grid the way gdalwarp's suggested-output step does in
+    * spirit — project the source extent's border into the target CRS
+    * for the bounding box — with a deterministic resolution rule:
+    *
+    *  - fused `-ts` (`sentinel1.rs:1005-1015`): output dims come from
+    *    the SOURCE dims' long-side scaling (identical to the argv's
+    *    `-ts` numbers); per-axis pixel size = bbox / dims, exactly what
+    *    gdalwarp does under an explicit `-ts`;
+    *  - no target size: square pixels sized by the geometric mean of
+    *    the scene-center pixel footprint in the target CRS (GDAL's
+    *    suggested output has the same intent; bit-parity with its
+    *    grid-sampled variant is not claimed — a documented divergence
+    *    like the Lanczos crate, the VALUES are gated by WarpSpec's
+    *    golden-corner and linear-field tests instead).
+    *
+    * Returns None when any CRS is outside the native family or the
+    * source lacks a geotransform (the GCP/TPS case) — those keep the
+    * honest gdalwarp-argv raise.
+    */
+  def nativePlan(srcProjection: Option[String], targetCrs: String,
+                 srcGt: Option[Array[Double]], srcRows: Int, srcCols: Int,
+                 resampleAlg: Option[String] = None,
+                 targetSize: Option[Int] = None): Option[NativeWarp] = for {
+    srcCrs <- srcProjection.filter(_.trim.nonEmpty).flatMap(parseEpsg)
+    srcProj <- Proj.fromEpsg(srcCrs)
+    dstCrs <- parseEpsg(targetCrs)
+    dstProj <- Proj.fromEpsg(dstCrs)
+    gt <- srcGt.filter(_.length >= 6)
+    if srcRows > 0 && srcCols > 0
+    plan <- {
+      // project the source extent border (pixel-corner coordinates, the
+      // full footprint polygon) into the target CRS
+      val steps = 20
+      var minX = Double.PositiveInfinity; var maxX = Double.NegativeInfinity
+      var minY = Double.PositiveInfinity; var maxY = Double.NegativeInfinity
+      var ok = true
+      def visit(px: Double, py: Double): Unit = {
+        val sx = gt(0) + px * gt(1) + py * gt(2)
+        val sy = gt(3) + px * gt(4) + py * gt(5)
+        val (lon, lat) = srcProj.inverse(sx, sy)
+        val (dx, dy) = dstProj.forward(lon, lat)
+        if (java.lang.Double.isFinite(dx) && java.lang.Double.isFinite(dy)) {
+          if (dx < minX) minX = dx; if (dx > maxX) maxX = dx
+          if (dy < minY) minY = dy; if (dy > maxY) maxY = dy
+        } else ok = false
+      }
+      var i = 0
+      while (i <= steps && ok) {
+        val fx = srcCols.toDouble * i / steps
+        val fy = srcRows.toDouble * i / steps
+        visit(fx, 0.0); visit(fx, srcRows.toDouble)
+        visit(0.0, fy); visit(srcCols.toDouble, fy)
+        i += 1
+      }
+      if (!ok || maxX <= minX || maxY <= minY) None
+      else {
+        val dims: Option[(Int, Int)] = targetSize match {
+          case Some(t) =>
+            // the argv's exact -ts computation (long side → target,
+            // aspect from SOURCE dims, never upscaled)
+            val longSide = math.max(srcCols, srcRows)
+            val scale = math.min(t.toDouble / longSide, 1.0)
+            Some((math.max(math.round(srcCols * scale), 1L).toInt,
+              math.max(math.round(srcRows * scale), 1L).toInt))
+          case None =>
+            // scene-center pixel footprint → square target resolution
+            val cx = srcCols / 2.0; val cy = srcRows / 2.0
+            def proj(px: Double, py: Double): (Double, Double) = {
+              val (lon, lat) = srcProj.inverse(
+                gt(0) + px * gt(1) + py * gt(2), gt(3) + px * gt(4) + py * gt(5))
+              dstProj.forward(lon, lat)
+            }
+            val p0 = proj(cx, cy); val pr = proj(cx + 1.0, cy); val pd = proj(cx, cy + 1.0)
+            val dxs = math.hypot(pr._1 - p0._1, pr._2 - p0._2)
+            val dys = math.hypot(pd._1 - p0._1, pd._2 - p0._2)
+            val res = math.sqrt(dxs * dys)
+            if (!java.lang.Double.isFinite(res) || res <= 0.0) None
+            else Some((math.max(1L, math.round((maxX - minX) / res)).toInt,
+              math.max(1L, math.round((maxY - minY) / res)).toInt))
+        }
+        dims.map { case (outCols, outRows) =>
+          val pw = (maxX - minX) / outCols
+          val ph = (maxY - minY) / outRows
+          NativeWarp(srcCrs, dstCrs, warpResampleAlg(resampleAlg),
+            Array(minX, pw, 0.0, maxY, 0.0, -ph), outRows, outCols)
+        }
+      }
+    }
+  } yield plan
 
   /** Execute a plan. NoOp is the identity; a real warp is unsupported in
     * this environment (no GDAL) and reports itself as such rather than
