@@ -285,6 +285,204 @@ object Engine {
     }
   }
 
+  /** S8 EXECUTION: distributed inverse-projected tile resample — the
+    * native counterpart of the reference's gdalwarp-on-VRT read
+    * (`/root/reference/src/io/sentinel1.rs:1033-1068`: warp, then read
+    * the warped raster; metadata dims/geotransform updated).
+    *
+    * Plan shape: each OUTPUT block inverse-projects its pixel centers
+    * (dst grid → dst CRS → lon/lat → src CRS → fractional src pixel,
+    * all [[graft.geom.Proj]] math inside the task closure) and samples
+    * the source with [[graft.geom.Resample]] (near/bilinear/cubic —
+    * gdalwarp's kernel algebra). Source tiles are shipped ONLY to the
+    * output blocks whose source-footprint bbox they intersect (one
+    * bounded shuffle, the same halo idea as [[resizeTilesLanczos]]);
+    * pixels are touched exactly once per output sample.
+    *
+    * Scale properties: the per-task source footprint is bounded by
+    * construction — output blocks shrink (`tileSize/k`, k = next pow2 ≥
+    * the linear downscale factor) so a block's footprint stays ≈ one
+    * source tile regardless of the fused `-ts` shrink; blocks then
+    * regroup into standard tiles (a second, output-sized shuffle,
+    * skipped entirely when no shrink). Footprint metadata is O(output
+    * blocks) and broadcast; beyond ~10⁷ blocks (a source wider than
+    * ~10⁶ px) the bbox index would become a range-join relation instead
+    * — documented edge, same family as the resize strip width. Output
+    * blocks whose footprint misses the source entirely are omitted:
+    * downstream assembly zero-fills and a zero magnitude is below the
+    * dB valid floor, matching gdalwarp's zero-initialized destination.
+    */
+  def warpTiles(src: Dataset[Tile], plan: graft.geom.Warp.NativeWarp,
+                tileSize: Int = DefaultTileSize): Dataset[Tile] = {
+    import org.apache.spark.sql.Encoders
+    implicit val tileEnc: org.apache.spark.sql.Encoder[Tile] = Encoders.product[Tile]
+    val spark = src.sparkSession
+    val srcProj = graft.geom.Proj.fromEpsg(plan.srcCrs).getOrElse(
+      throw graft.model.GraftException.Processing(s"non-native source CRS: ${plan.srcCrs}"))
+    val dstProj = graft.geom.Proj.fromEpsg(plan.dstCrs).getOrElse(
+      throw graft.model.GraftException.Processing(s"non-native target CRS: ${plan.dstCrs}"))
+    val sg = plan.srcGt
+    val dg = plan.dstGt
+    val det = sg(1) * sg(5) - sg(2) * sg(4)
+    require(det != 0.0, "source geotransform is not invertible")
+    // inverse source geotransform (2×2 solve; rotation terms included)
+    val i1 = sg(5) / det; val i2 = -sg(2) / det
+    val i4 = -sg(4) / det; val i5 = sg(1) / det
+    val (sg0, sg3) = (sg(0), sg(3))
+    val (dg0, dg1, dg2) = (dg(0), dg(1), dg(2))
+    val (dg3, dg4, dg5) = (dg(3), dg(4), dg(5))
+    val alg = plan.alg
+    val srcRows = plan.srcRows; val srcCols = plan.srcCols
+    val dstRows = plan.dstRows; val dstCols = plan.dstCols
+
+    // dst pixel index (row py, col px) → fractional src pixel coords
+    // (pixel-center based, Resample's convention)
+    val srcFrac: (Double, Double) => (Double, Double) = (py, px) => {
+      val dx = dg0 + (px + 0.5) * dg1 + (py + 0.5) * dg2
+      val dy = dg3 + (px + 0.5) * dg4 + (py + 0.5) * dg5
+      val (lon, lat) = dstProj.inverse(dx, dy)
+      val (sx, sy) = srcProj.forward(lon, lat)
+      val pc = i1 * (sx - sg0) + i2 * (sy - sg3)
+      val pr = i4 * (sx - sg0) + i5 * (sy - sg3)
+      (pr - 0.5, pc - 0.5)
+    }
+
+    // Output BLOCK grid: tileSize/k so a block's source footprint stays
+    // ≈ one source tile under the fused -ts shrink.
+    val scale = math.max(1.0,
+      math.max(srcCols.toDouble / dstCols, srcRows.toDouble / dstRows))
+    var k = 1
+    while (k < scale && k < tileSize / 16) k *= 2
+    val g = tileSize / k
+    val nGr = (dstRows + g - 1) / g
+    val nGc = (dstCols + g - 1) / g
+
+    // Driver bbox pass: sample each block's pixel grid (5×5 incl. edges;
+    // projection curvature across ≤tileSize px is far below the margin)
+    // → source-footprint bbox → inverted into a (tile_row,tile_col) →
+    // block-ids index so the shuffle keys by direct lookup.
+    val margin = 3.0
+    val bboxes = new Array[Array[Int]](nGr * nGc)
+    var gr = 0
+    while (gr < nGr) {
+      var gc = 0
+      while (gc < nGc) {
+        val y0 = gr * g; val y1 = math.min(dstRows, y0 + g)
+        val x0 = gc * g; val x1 = math.min(dstCols, x0 + g)
+        var rLo = Double.PositiveInfinity; var rHi = Double.NegativeInfinity
+        var cLo = Double.PositiveInfinity; var cHi = Double.NegativeInfinity
+        var ok = true
+        val steps = 4
+        var sy = 0
+        while (sy <= steps && ok) {
+          var sx = 0
+          while (sx <= steps && ok) {
+            val py = y0 + (y1 - 1 - y0).toDouble * sy / steps
+            val px = x0 + (x1 - 1 - x0).toDouble * sx / steps
+            val (fr, fc) = srcFrac(py, px)
+            if (java.lang.Double.isFinite(fr) && java.lang.Double.isFinite(fc)) {
+              if (fr < rLo) rLo = fr; if (fr > rHi) rHi = fr
+              if (fc < cLo) cLo = fc; if (fc > cHi) cHi = fc
+            } else ok = false
+            sx += 1
+          }
+          sy += 1
+        }
+        if (ok && rLo <= rHi) {
+          val b = Array(
+            math.max(0, math.floor(rLo - margin).toInt),
+            math.min(srcRows - 1, math.ceil(rHi + margin).toInt),
+            math.max(0, math.floor(cLo - margin).toInt),
+            math.min(srcCols - 1, math.ceil(cHi + margin).toInt))
+          if (b(0) <= b(1) && b(2) <= b(3)) bboxes(gr * nGc + gc) = b
+        }
+        gc += 1
+      }
+      gr += 1
+    }
+    @inline def tileKey(tr: Int, tc: Int): Long = (tr.toLong << 32) | (tc.toLong & 0xffffffffL)
+    val idx = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.ArrayBuffer[Int]]
+    var gid = 0
+    while (gid < bboxes.length) {
+      val b = bboxes(gid)
+      if (b != null) {
+        var tr = b(0) / tileSize
+        while (tr <= b(1) / tileSize) {
+          var tc = b(2) / tileSize
+          while (tc <= b(3) / tileSize) {
+            idx.getOrElseUpdate(tileKey(tr, tc), scala.collection.mutable.ArrayBuffer.empty) += gid
+            tc += 1
+          }
+          tr += 1
+        }
+      }
+      gid += 1
+    }
+    val bIdx = spark.sparkContext.broadcast(idx.view.mapValues(_.toArray).toMap)
+
+    val keyedEnc = Encoders.tuple(Encoders.scalaInt, tileEnc)
+    val blocks = src.flatMap { t =>
+      bIdx.value.getOrElse(tileKey(t.tile_row, t.tile_col), Array.empty[Int])
+        .iterator.map(gidv => (gidv, t))
+    }(keyedEnc)
+      .groupByKey(_._1)(Encoders.scalaInt)
+      .mapGroups { (gidv, it) =>
+        val parts = scala.collection.mutable.HashMap.empty[Long, Tile]
+        var pid = ""; var band = ""
+        it.foreach { case (_, t) =>
+          parts.put(tileKey(t.tile_row, t.tile_col), t)
+          pid = t.product_id; band = t.band
+        }
+        val bgr = gidv / nGc; val bgc = gidv % nGc
+        val y0 = bgr * g; val x0 = bgc * g
+        val h = math.min(g, dstRows - y0); val w = math.min(g, dstCols - x0)
+        val get: (Int, Int) => Float = (r, c) =>
+          parts.get(tileKey(r / tileSize, c / tileSize)) match {
+            case Some(t) =>
+              t.pixels((r - t.tile_row * tileSize) * t.w + (c - t.tile_col * tileSize))
+            case None => 0.0f
+          }
+        val out = new Array[Float](h * w)
+        var i = 0; var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val (fr, fc) = srcFrac((y0 + y).toDouble, (x0 + x).toDouble)
+            out(i) = graft.geom.Resample.sample(alg, get, srcRows, srcCols, fr, fc)
+            i += 1; x += 1
+          }
+          y += 1
+        }
+        Tile(pid, band, bgr, bgc, h, w, out)
+      }(tileEnc)
+
+    if (g == tileSize) blocks
+    else {
+      // regroup g-blocks into standard tiles (k = tileSize/g blocks per
+      // axis; missing blocks zero-fill like the assembly path)
+      val nTc = (dstCols + tileSize - 1) / tileSize
+      blocks.groupByKey(b => (b.tile_row / k) * nTc + (b.tile_col / k))(Encoders.scalaInt)
+        .mapGroups { (tid, it) =>
+          val bs = it.toArray
+          val tr = tid / nTc; val tc = tid % nTc
+          val y0 = tr * tileSize; val x0 = tc * tileSize
+          val h = math.min(tileSize, dstRows - y0)
+          val w = math.min(tileSize, dstCols - x0)
+          val out = new Array[Float](h * w)
+          bs.foreach { b =>
+            val by = b.tile_row * g - y0; val bx = b.tile_col * g - x0
+            var y = 0
+            while (y < b.h) {
+              var x = 0
+              while (x < b.w) { out((by + y) * w + bx + x) = b.pixels(y * b.w + x); x += 1 }
+              y += 1
+            }
+          }
+          Tile(bs(0).product_id, bs(0).band, tr, tc, h, w, out)
+        }(tileEnc)
+    }
+  }
+
   /** A4 CLAHE over tiles: per-(tile,bin) histogram = one mapPartitions
     * reduce (flat 64×256 buffer); clip/redistribute/CDF = the reference's
     * exact scalar loop on the driver (`autoscale.rs:271-305`); per-pixel
@@ -355,19 +553,23 @@ object Engine {
 
   // ------------------------------------------------------------- pipeline
 
-  /** Single-band pipeline (K9): scan → stats reduce → tile kernels →
-    * [u8 rescale] → collect tiles → resize/pad.
+  /** Single-band pipeline (K9): scan → [native warp] → stats reduce →
+    * tile kernels → [u8 rescale] → collect tiles → resize/pad.
     */
   def processBand(spark: SparkSession, productId: String, band: String,
                   rows: Int, cols: Int, params: ProcessingParams,
                   decimate: Int = 1,
-                  gt: Option[Array[Double]] = None): ProcessedImage = {
-    val outRows = (rows + decimate - 1) / decimate
-    val outCols = (cols + decimate - 1) / decimate
+                  gt: Option[Array[Double]] = None,
+                  warp: Option[graft.geom.Warp.NativeWarp] = None): ProcessedImage = {
+    val (outRows, outCols) = warp.map(nw => (nw.dstRows, nw.dstCols))
+      .getOrElse(((rows + decimate - 1) / decimate, (cols + decimate - 1) / decimate))
     // cache the FLOAT tiles (half the bytes through the columnar cache);
     // the dB view recomputes lazily per pass — log10 is cheaper than
-    // decoding a cached double column.
-    val raw = RasterSource.scan(spark, productId, band, rows, cols, decimate).persist()
+    // decoding a cached double column. The warp (when requested and
+    // native-resolvable) applies at READ time like the reference's
+    // warped-VRT read: everything downstream sees the OUTPUT grid.
+    val scanned = RasterSource.scan(spark, productId, band, rows, cols, decimate)
+    val raw = warp.fold(scanned)(nw => warpTiles(scanned, nw)).persist()
     val tiles = toDbTiles(raw)
     try {
       val maxVal = params.bitDepth.maxVal
@@ -502,16 +704,18 @@ object Engine {
   def processMultiband(spark: SparkSession, productId: String,
                        bands: (String, String), rows: Int, cols: Int,
                        params: ProcessingParams, decimate: Int = 1,
-                       gt: Option[Array[Double]] = None): ProcessedImage = {
-    val outRows = (rows + decimate - 1) / decimate
-    val outCols = (cols + decimate - 1) / decimate
+                       gt: Option[Array[Double]] = None,
+                       warp: Option[graft.geom.Warp.NativeWarp] = None): ProcessedImage = {
+    val (outRows, outCols) = warp.map(nw => (nw.dstRows, nw.dstCols))
+      .getOrElse(((rows + decimate - 1) / decimate, (cols + decimate - 1) / decimate))
     val forTiff = params.format == OutputFormat.Tiff
     // JPEG synRGB consumes u8 bands; TIFF keeps the requested bit depth.
     val maxVal = if (forTiff) params.bitDepth.maxVal else 255.0
     val wantU8 = !forTiff || params.bitDepth == BitDepth.U8
 
     def bandArr(band: String, isCopol: Boolean): (Array[Int], Int, Int, Option[Array[Double]]) = {
-      val raw = RasterSource.scan(spark, productId, band, rows, cols, decimate).persist()
+      val scanned = RasterSource.scan(spark, productId, band, rows, cols, decimate)
+      val raw = warp.fold(scanned)(nw => warpTiles(scanned, nw)).persist()
       val tiles = toDbTiles(raw)
       // track this pipeline's own persists; never touch the session-wide
       // cache manager (other workloads may own caches in this session)
@@ -565,9 +769,14 @@ object Engine {
   def processToPath(spark: SparkSession, productId: String, rows: Int, cols: Int,
                     outPath: String, params: ProcessingParams,
                     meta: SafeMeta = SafeMeta(), decimate: Int = 1): Unit = {
-    val gt = meta.geotransform
     requireSupported(meta)
-    gateWarp(productId, rows, cols, params, meta)
+    val warp = gateWarp(productId, rows, cols, params, meta, decimate)
+    // a warped product carries updated CRS/geotransform/dims into its
+    // sidecars (`sentinel1.rs:1066-1068`)
+    val effMeta = warp.map(nw => meta.copy(crs = Some(nw.dstCrs),
+      geotransform = Some(nw.dstGt.toArray),
+      lines = Some(nw.dstRows), samples = Some(nw.dstCols))).getOrElse(meta)
+    val gt = effMeta.geotransform
     // sidecar POLARIZATIONS prefixes per `metadata.rs:40-113` (DIFF /
     // NORM_DIFF, not the long operation labels)
     val polLabel = params.polarization match {
@@ -585,13 +794,13 @@ object Engine {
     }
     val img = params.polarization match {
       case Polarization.Multiband => processMultiband(
-        spark, productId, ("vv", "vh"), rows, cols, params, decimate, gt)
+        spark, productId, ("vv", "vh"), rows, cols, params, decimate, gt, warp)
       case Polarization.Op(op) =>
-        processBandOp(spark, productId, op, rows, cols, params, decimate, gt)
+        processBandOp(spark, productId, op, rows, cols, params, decimate, gt, warp)
       case p =>
-        processBand(spark, productId, p.name, rows, cols, params, decimate, gt)
+        processBand(spark, productId, p.name, rows, cols, params, decimate, gt, warp)
     }
-    writeImage(outPath, img, params, meta, polLabel)
+    writeImage(outPath, img, params, effMeta, polLabel)
   }
 
   /** S1 viability check at open (`sentinel1.rs:155-161`): only GRD
@@ -610,27 +819,44 @@ object Engine {
     * target CRS once at reader open, `sentinel1.rs:168-176`, so BOTH
     * `process_safe_to_path` and `process_safe_to_buffer` see it). A
     * source already in the target CRS short-circuits to a direct read
-    * (the skip guard); a real warp is unsupported in this environment
-    * and raises, carrying the exact gdalwarp invocation. The `auto`
-    * scene center is trusted when the source CRS is geographic OR
-    * ABSENT — an unprojected GRD's geotransform derives from its
-    * lon/lat GCPs, which is exactly where the reference's auto
-    * resolution reads its centroid (`sentinel1.rs:1660-1700`, with the
-    * TPS fallback likewise defaulting the GCP SRS to EPSG:4326) —
-    * but never when the source is projected: those coordinates are
-    * meters, not degrees.
+    * (the skip guard). A warp between [[graft.geom.Proj]]-family CRSs
+    * on a georeferenced source resolves to the [[graft.geom.Warp
+    * .NativeWarp]] that [[warpTiles]] executes distributed (the native
+    * plan is computed against the DECIMATED grid: decimation is a scan
+    * pushdown, so the warp sees the raster the pipeline sees). Only a
+    * warp OUTSIDE the native family — or a GCP/TPS source without a
+    * geotransform — raises, carrying the exact gdalwarp invocation the
+    * reference would run. The `auto` scene center is trusted when the
+    * source CRS is geographic OR ABSENT — an unprojected GRD's
+    * geotransform derives from its lon/lat GCPs, which is exactly where
+    * the reference's auto resolution reads its centroid
+    * (`sentinel1.rs:1660-1700`, with the TPS fallback likewise
+    * defaulting the GCP SRS to EPSG:4326) — but never when the source
+    * is projected: those coordinates are meters, not degrees.
     */
   private def gateWarp(productId: String, rows: Int, cols: Int,
-                       params: ProcessingParams, meta: SafeMeta): Unit =
+                       params: ProcessingParams, meta: SafeMeta,
+                       decimate: Int = 1): Option[graft.geom.Warp.NativeWarp] =
     graft.geom.Warp.resolveTargetCrs(params.targetCrs,
       meta.geotransform
         .filter(_ => meta.crs.forall(_.trim.isEmpty) ||
           graft.geom.Warp.isGeographic(meta.crs))
         .map(g => (g(0) + g(1) * cols / 2.0, g(3) + g(5) * rows / 2.0))
-    ).foreach { dst =>
-      graft.geom.Warp.execute(graft.geom.Warp.resolveWarp(
+    ).flatMap { dst =>
+      graft.geom.Warp.resolveWarp(
         meta.crs, dst, params.resampleAlg, params.targetSize,
-        srcCols = cols, srcRows = rows, input = productId))
+        srcCols = cols, srcRows = rows, input = productId) match {
+        case graft.geom.Warp.NoOp => None
+        case exec =>
+          val dRows = (rows + decimate - 1) / decimate
+          val dCols = (cols + decimate - 1) / decimate
+          val dGt = meta.geotransform.map(g => Array(
+            g(0), g(1) * decimate, g(2) * decimate,
+            g(3), g(4) * decimate, g(5) * decimate))
+          graft.geom.Warp.nativePlan(meta.crs, dst, dGt, dRows, dCols,
+            params.resampleAlg, params.targetSize)
+            .orElse { graft.geom.Warp.execute(exec); None }
+      }
     }
 
   /** E3: in-memory result (`process_safe_to_buffer`,
@@ -642,17 +868,18 @@ object Engine {
                       meta: SafeMeta = SafeMeta(),
                       decimate: Int = 1): ProcessedImage = {
     requireSupported(meta)
-    gateWarp(productId, rows, cols, params, meta)
+    val warp = gateWarp(productId, rows, cols, params, meta, decimate)
+    val gt = warp.map(nw => nw.dstGt.toArray).orElse(meta.geotransform)
     params.polarization match {
       case Polarization.Multiband =>
         processMultiband(spark, productId, ("vv", "vh"), rows, cols, params,
-          decimate, meta.geotransform)
+          decimate, gt, warp)
       case Polarization.Op(op) =>
         processBandOp(spark, productId, op, rows, cols, params, decimate,
-          meta.geotransform)
+          gt, warp)
       case p =>
         processBand(spark, productId, p.name, rows, cols, params, decimate,
-          meta.geotransform)
+          gt, warp)
     }
   }
 
@@ -694,13 +921,19 @@ object Engine {
   def processBandOp(spark: SparkSession, productId: String,
                     op: PolarizationOperation, rows: Int, cols: Int,
                     params: ProcessingParams, decimate: Int = 1,
-                    gt: Option[Array[Double]] = None): ProcessedImage = {
-    val outRows = (rows + decimate - 1) / decimate
-    val outCols = (cols + decimate - 1) / decimate
+                    gt: Option[Array[Double]] = None,
+                    warp: Option[graft.geom.Warp.NativeWarp] = None): ProcessedImage = {
+    val (outRows, outCols) = warp.map(nw => (nw.dstRows, nw.dstCols))
+      .getOrElse(((rows + decimate - 1) / decimate, (cols + decimate - 1) / decimate))
     implicit val tileEnc: org.apache.spark.sql.Encoder[Tile] =
       org.apache.spark.sql.Encoders.product[Tile]
-    val a = RasterSource.scan(spark, productId, "vv", rows, cols, decimate)
-    val b = RasterSource.scan(spark, productId, "vh", rows, cols, decimate)
+    // both bands warp onto the SAME output grid before the positional
+    // zip (the reference reads both from the one warped VRT), so the
+    // tile join stays co-partitioned by construction
+    val a0 = RasterSource.scan(spark, productId, "vv", rows, cols, decimate)
+    val b0 = RasterSource.scan(spark, productId, "vh", rows, cols, decimate)
+    val a = warp.fold(a0)(nw => warpTiles(a0, nw))
+    val b = warp.fold(b0)(nw => warpTiles(b0, nw))
     val combined = a.joinWith(b,
         a("tile_row") === b("tile_row") && a("tile_col") === b("tile_col"))
       .map { case (ta, tb) => DbTile(ta.tile_row, ta.tile_col, ta.h, ta.w,

@@ -1,11 +1,15 @@
 package graft.geom
 
-/** S8: reproject/warp PLAN resolution
+/** S8: reproject/warp resolution
   * (`/root/reference/src/io/sentinel1.rs:913-1072`). The reference warps
   * by shelling out to `gdalwarp` on a VRT; GDAL does not exist in this
-  * environment, so execution of a real warp stays a documented
-  * divergence — but the decision logic around it (the part users
-  * actually hit) is ported exactly:
+  * environment. Warps whose CRSs are in the [[Proj]] family (UTM / UPS /
+  * lon-lat — everything S9 can emit) resolve to a [[NativeWarp]] that
+  * [[graft.api.Engine.warpTiles]] executes as a distributed
+  * inverse-projected tile resample; only warps OUTSIDE that family (or
+  * GCP/TPS sources without a geotransform) remain a documented
+  * divergence, raising with the exact gdalwarp argv. The decision logic
+  * around the warp (the part users hit first) is ported exactly:
   *
   *  - target-CRS argument resolution: `none` disables, `auto` derives a
   *    UTM/UPS CRS from scene-center lon/lat (S9,
@@ -19,10 +23,9 @@ package graft.geom
   *    (`sentinel1.rs:938-943` — note Lanczos is NOT a warp alg there;
   *    anything but near/bilinear/cubic falls back to bilinear).
   *
-  * At 100 TB the execution plan would be a distributed inverse-projected
-  * tile resample (same halo shape as Engine.resizeTilesLanczos); the
-  * resolver below is engine-agnostic and produces the same NoOp/plan
-  * decisions either way.
+  * The resolver below is engine-agnostic and produces the same
+  * NoOp/native/argv decisions at any scale; the distributed execution
+  * lives in [[graft.api.Engine.warpTiles]].
   */
 object Warp {
 
@@ -36,10 +39,13 @@ object Warp {
     * inverse-projected tile resample ([[graft.api.Engine.warpTiles]]):
     * both CRSs are in the [[Proj]] family (UTM/UPS/lon-lat — exactly
     * what S9 can emit) and the source is georeferenced. Carries the
-    * fully-resolved output grid so execution is pure per-tile math.
+    * fully-resolved SOURCE and OUTPUT grids so execution is pure
+    * per-tile math (geotransforms as Vector[Double] so plans compare
+    * by value, unlike Array's reference equality).
     */
   final case class NativeWarp(srcCrs: String, dstCrs: String, alg: String,
-                              dstGt: Array[Double], dstRows: Int, dstCols: Int)
+                              srcGt: Vector[Double], srcRows: Int, srcCols: Int,
+                              dstGt: Vector[Double], dstRows: Int, dstCols: Int)
 
   /** `AUTHORITY["EPSG","nnnn"]` extraction — LAST occurrence wins (the
     * outermost authority in a WKT is written last), mirroring the
@@ -149,12 +155,16 @@ object Warp {
     *    the scene-center pixel footprint in the target CRS (GDAL's
     *    suggested output has the same intent; bit-parity with its
     *    grid-sampled variant is not claimed — a documented divergence
-    *    like the Lanczos crate, the VALUES are gated by WarpSpec's
-    *    golden-corner and linear-field tests instead).
+    *    like the Lanczos crate; WarpSpec gates the grid on this
+    *    resolver's own semantics: bbox corners, -ts dims, resolution
+    *    bounds).
     *
-    * Returns None when any CRS is outside the native family or the
-    * source lacks a geotransform (the GCP/TPS case) — those keep the
-    * honest gdalwarp-argv raise.
+    * Returns None when the source is already in the target CRS (the
+    * same skip guard as [[resolveWarp]] — an identity resample would
+    * needlessly degrade pixels), when any CRS is outside the native
+    * family, or when the source lacks an invertible geotransform (the
+    * GCP/TPS case) — the latter two keep the honest gdalwarp-argv
+    * raise.
     */
   def nativePlan(srcProjection: Option[String], targetCrs: String,
                  srcGt: Option[Array[Double]], srcRows: Int, srcCols: Int,
@@ -163,8 +173,9 @@ object Warp {
     srcCrs <- srcProjection.filter(_.trim.nonEmpty).flatMap(parseEpsg)
     srcProj <- Proj.fromEpsg(srcCrs)
     dstCrs <- parseEpsg(targetCrs)
+    if !srcCrs.equalsIgnoreCase(dstCrs)
     dstProj <- Proj.fromEpsg(dstCrs)
-    gt <- srcGt.filter(_.length >= 6)
+    gt <- srcGt.filter(g => g.length >= 6 && g(1) * g(5) - g(2) * g(4) != 0.0)
     if srcRows > 0 && srcCols > 0
     plan <- {
       // project the source extent border (pixel-corner coordinates, the
@@ -221,17 +232,22 @@ object Warp {
           val pw = (maxX - minX) / outCols
           val ph = (maxY - minY) / outRows
           NativeWarp(srcCrs, dstCrs, warpResampleAlg(resampleAlg),
-            Array(minX, pw, 0.0, maxY, 0.0, -ph), outRows, outCols)
+            gt.toVector, srcRows, srcCols,
+            Vector(minX, pw, 0.0, maxY, 0.0, -ph), outRows, outCols)
         }
       }
     }
   } yield plan
 
-  /** Execute a plan. NoOp is the identity; a real warp is unsupported in
-    * this environment (no GDAL) and reports itself as such rather than
-    * silently skipping — the reference's error-on-failed-warp contract,
-    * surfaced as the same `Error::External` category its API maps
-    * gdalwarp failures to (`api/mod.rs:108` et al.).
+  /** Execute a plan. NoOp is the identity; an Exec plan is a warp the
+    * engine could NOT resolve natively (non-[[Proj]] CRS family, or a
+    * GCP/TPS source) — unsupported in this environment (no GDAL), it
+    * reports itself as such rather than silently skipping: the
+    * reference's error-on-failed-warp contract, surfaced as the same
+    * `Error::External` category its API maps gdalwarp failures to
+    * (`api/mod.rs:108` et al.). Native-family warps never reach this
+    * raise: [[graft.api.Engine]]'s warp gate routes them through
+    * [[nativePlan]] → [[graft.api.Engine.warpTiles]] first.
     */
   def execute(plan: Plan): Unit = plan match {
     case NoOp => ()

@@ -145,7 +145,7 @@ class EngineSpec extends SparkSpec {
     assert(img.gray.exists(g => g.max > g.min), "image must be non-degenerate")
   }
 
-  test("S8: processToPath skips a warp to the source CRS, raises on a real one") {
+  test("S8: processToPath skips a warp to the source CRS, raises outside the native family") {
     val dir = tmpDir
     val meta = SafeMeta(crs = Some("EPSG:32633"),
       geotransform = Some(Array(500000.0, 10.0, 0.0, 4100000.0, 0.0, -10.0)))
@@ -154,12 +154,14 @@ class EngineSpec extends SparkSpec {
       ProcessingParams(autoscale = AutoscaleStrategy.Standard,
         targetCrs = Some("EPSG:32633")), meta)
     assert(Files.exists(Paths.get(s"$dir/ok.tiff")))
-    // a genuine reprojection is unsupported here and must say so
-    intercept[graft.model.GraftException.External] {
+    // a CRS outside the Proj family (web mercator) is unsupported here
+    // and must say so with the exact gdalwarp invocation
+    val e = intercept[graft.model.GraftException.External] {
       Engine.processToPath(spark, "w2", 64, 64, s"$dir/no.tiff",
         ProcessingParams(autoscale = AutoscaleStrategy.Standard,
-          targetCrs = Some("EPSG:4326")), meta)
+          targetCrs = Some("EPSG:3857")), meta)
     }
+    assert(e.getMessage.contains("gdalwarp") && e.getMessage.contains("-t_srs EPSG:3857"))
     // targetCrs "none" disables entirely
     Engine.processToPath(spark, "w3", 64, 64, s"$dir/none.tiff",
       ProcessingParams(autoscale = AutoscaleStrategy.Standard,
@@ -167,20 +169,28 @@ class EngineSpec extends SparkSpec {
     assert(Files.exists(Paths.get(s"$dir/none.tiff")))
   }
 
-  test("S8: buffer API honors the same warp gate as the path API") {
-    val meta = SafeMeta(crs = Some("EPSG:32633"),
-      geotransform = Some(Array(500000.0, 10.0, 0.0, 4100000.0, 0.0, -10.0)))
-    // skip guard: already in the target CRS
-    val img = Engine.processToBuffer(spark, "wb1", 32, 32,
+  test("S8: native warp E2E — UTM→UTM path API updates image, geotransform, and .prj") {
+    val dir = tmpDir
+    val gt = Array(730000.0, 10.0, 0.0, 5000000.0, 0.0, -10.0)
+    val meta = SafeMeta(crs = Some("EPSG:32632"), geotransform = Some(gt))
+    val plan = graft.geom.Warp.nativePlan(
+      Some("EPSG:32632"), "EPSG:32633", Some(gt), 128, 128).get
+    Engine.processToPath(spark, "nw1", 128, 128, s"$dir/warped.tiff",
       ProcessingParams(autoscale = AutoscaleStrategy.Standard,
         targetCrs = Some("EPSG:32633")), meta)
-    assert(img.width == 32 && img.height == 32)
-    // a silent wrong-CRS buffer is worse than an error: must raise
-    intercept[graft.model.GraftException.External] {
-      Engine.processToBuffer(spark, "wb2", 32, 32,
-        ProcessingParams(autoscale = AutoscaleStrategy.Standard,
-          targetCrs = Some("EPSG:4326")), meta)
-    }
+    assert(Files.exists(Paths.get(s"$dir/warped.tiff")))
+    // sidecar CRS follows the warp (`sentinel1.rs:1066-1068`)
+    val prj = new String(Files.readAllBytes(Paths.get(s"$dir/warped.prj")))
+    assert(prj.contains("EPSG:32633"), prj)
+    // world file carries the WARPED grid origin (pixel-center convention)
+    val wld = new String(Files.readAllBytes(Paths.get(s"$dir/warped.tfw"))).split("\n")
+    assert(math.abs(wld(4).trim.toDouble - (plan.dstGt(0) + 0.5 * plan.dstGt(1))) < 1e-3)
+    // buffer API: same plan, warped dims, non-degenerate image
+    val img = Engine.processToBuffer(spark, "nw1", 128, 128,
+      ProcessingParams(autoscale = AutoscaleStrategy.Standard,
+        targetCrs = Some("EPSG:32633")), meta)
+    assert(img.width == plan.dstCols && img.height == plan.dstRows)
+    assert(img.gray.exists(g => g.max > g.min), "warped image must be non-degenerate")
   }
 
   test("S8: auto target CRS only trusts a geographic scene center") {
@@ -192,18 +202,21 @@ class EngineSpec extends SparkSpec {
       ProcessingParams(autoscale = AutoscaleStrategy.Standard,
         targetCrs = Some("auto")), projMeta)
     assert(img.width == 32, "projected source + auto: no warp, pipeline runs")
-    // geographic source: center (10.16, 49.84) → UTM 32N, a real warp
-    val geoMeta = SafeMeta(crs = Some("EPSG:4326"),
-      geotransform = Some(Array(10.0, 0.01, 0.0, 50.0, 0.0, -0.01)))
-    val e = intercept[graft.model.GraftException.External] {
-      Engine.processToBuffer(spark, "wa2", 32, 32,
-        ProcessingParams(autoscale = AutoscaleStrategy.Standard,
-          targetCrs = Some("auto")), geoMeta)
-    }
-    assert(e.getMessage.contains("-t_srs EPSG:32632"), e.getMessage)
+    // geographic source: center (10.16, 49.84) → UTM 32N — a real warp,
+    // executed NATIVELY (4326 and 32632 are both in the Proj family)
+    val geoGt = Array(10.0, 0.01, 0.0, 50.0, 0.0, -0.01)
+    val geoMeta = SafeMeta(crs = Some("EPSG:4326"), geotransform = Some(geoGt))
+    val plan = graft.geom.Warp.nativePlan(
+      Some("EPSG:4326"), "EPSG:32632", Some(geoGt), 32, 32).get
+    val warped = Engine.processToBuffer(spark, "wa2", 32, 32,
+      ProcessingParams(autoscale = AutoscaleStrategy.Standard,
+        targetCrs = Some("auto")), geoMeta)
+    assert(warped.width == plan.dstCols && warped.height == plan.dstRows,
+      s"native 4326→UTM warp dims: ${warped.width}×${warped.height}")
+    assert(warped.gray.exists(g => g.max > g.min))
     // ABSENT source CRS: the unprojected-GRD case — its geotransform
-    // derives from lon/lat GCPs, so auto resolves and the warp carries
-    // the TPS fallback (the reference reads the same GCP centroid)
+    // derives from lon/lat GCPs; no projected grid to inverse-sample, so
+    // the TPS leg keeps the honest gdalwarp raise
     val noCrsMeta = SafeMeta(
       geotransform = Some(Array(10.0, 0.01, 0.0, 50.0, 0.0, -0.01)))
     val e2 = intercept[graft.model.GraftException.External] {
