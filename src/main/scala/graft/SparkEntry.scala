@@ -519,6 +519,103 @@ object SparkEntry {
         CAST(p_partkey % cols AS INT) + CAST((GREATEST(cols, rows_) - cols)//2 AS INT) AS nx
       FROM g ORDER BY p_partkey"""))
 
+  // ----------------------------------------------------- §2.1 S8 warp math
+
+  /** S8 oracle: the native warp's projection chain (UTM 32N grid →
+    * lon/lat → UTM 33N) over a deterministic supplier-keyed pixel set,
+    * evaluated by the PRODUCTION [[graft.geom.Proj]] instances — the
+    * exact objects [[graft.api.Engine.warpTiles]] serializes into its
+    * tile tasks — against a DuckDB transcription of the same public
+    * Krüger n-series (Karney 2011; constants derived in-query from the
+    * WGS84 defining parameters, so both engines evaluate the same IEEE
+    * arithmetic). A scalar UDF is the right surface here: the math is
+    * an opaque per-row double chain with no relational structure for
+    * Catalyst to optimize, and the relation is supplier-sized, never
+    * corpus-sized. Coordinates round at 3 decimals (mm): the two
+    * engines' libm implementations agree to ~1e-8 m over this chain.
+    */
+  private val s8Warp = Q("s8_native_warp",
+    (s, dir) => {
+      val u32 = graft.geom.Proj.Utm(32, south = false)
+      val u33 = graft.geom.Proj.Utm(33, south = false)
+      val tf = udf((key: Long) => {
+        val x = 600000.0 + (key % 1000) * 10.0
+        val y = 5000000.0 - ((key * 7) % 1000) * 10.0
+        val (lon, lat) = u32.inverse(x, y)
+        val (e, n) = u33.forward(lon, lat)
+        (lon, lat, e, n)
+      })
+      t(s, dir, "supplier").select(col("s_suppkey"),
+          tf(col("s_suppkey").cast("long")).as("p"))
+        .select(col("s_suppkey"),
+          round(col("p._1"), 6).as("lon"), round(col("p._2"), 6).as("lat"),
+          round(col("p._3"), 3).as("e33"), round(col("p._4"), 3).as("n33"))
+        .orderBy("s_suppkey")
+    },
+    Some("""WITH cst AS (
+        SELECT n, n*n AS n2, n*n*n AS n3,
+               0.9996 * (6378137.0/(1.0+n)*(1.0+n*n/4.0+n*n*n*n/64.0)) AS k0a,
+               2.0*sqrt(n)/(1.0+n) AS kconf
+        FROM (SELECT (1.0/298.257223563)/(2.0-1.0/298.257223563) AS n)),
+      coef AS (
+        SELECT k0a, kconf,
+          n/2.0 - 2.0/3.0*n2 + 5.0/16.0*n3 AS a1,
+          13.0/48.0*n2 - 3.0/5.0*n3 AS a2,
+          61.0/240.0*n3 AS a3,
+          n/2.0 - 2.0/3.0*n2 + 37.0/96.0*n3 AS b1,
+          1.0/48.0*n2 + 1.0/15.0*n3 AS b2,
+          17.0/480.0*n3 AS b3,
+          2.0*n - 2.0/3.0*n2 - 2.0*n3 AS d1,
+          7.0/3.0*n2 - 8.0/5.0*n3 AS d2,
+          56.0/15.0*n3 AS d3
+        FROM cst),
+      pts AS (
+        SELECT s_suppkey, coef.*,
+          (600000.0 + (s_suppkey % 1000) * 10.0 - 500000.0) / k0a AS eta,
+          (5000000.0 - ((s_suppkey * 7) % 1000) * 10.0) / k0a AS xi
+        FROM supplier, coef),
+      inv AS (
+        SELECT *,
+          xi - b1*sin(2.0*xi)*((exp(2.0*eta)+exp(-2.0*eta))/2.0)
+             - b2*sin(4.0*xi)*((exp(4.0*eta)+exp(-4.0*eta))/2.0)
+             - b3*sin(6.0*xi)*((exp(6.0*eta)+exp(-6.0*eta))/2.0) AS xip,
+          eta - b1*cos(2.0*xi)*((exp(2.0*eta)-exp(-2.0*eta))/2.0)
+              - b2*cos(4.0*xi)*((exp(4.0*eta)-exp(-4.0*eta))/2.0)
+              - b3*cos(6.0*xi)*((exp(6.0*eta)-exp(-6.0*eta))/2.0) AS etap
+        FROM pts),
+      ll AS (
+        SELECT *,
+          chi + d1*sin(2.0*chi) + d2*sin(4.0*chi) + d3*sin(6.0*chi) AS phi,
+          atan2((exp(etap)-exp(-etap))/2.0, cos(xip)) AS lam
+        FROM (SELECT *,
+          asin(LEAST(GREATEST(sin(xip)/((exp(etap)+exp(-etap))/2.0), -1.0), 1.0)) AS chi
+          FROM inv)),
+      geo AS (
+        SELECT s_suppkey, k0a, kconf, a1, a2, a3,
+               9.0 + degrees(lam) AS lon, degrees(phi) AS lat, phi
+        FROM ll),
+      fwd1 AS (
+        SELECT *, (exp(q) - exp(-q))/2.0 AS tt, cos(lam2) AS cl, lam2
+        FROM (SELECT *, radians(lon - 15.0) AS lam2,
+                0.5*ln((1.0+sin(phi))/(1.0-sin(phi))) -
+                kconf*0.5*ln((1.0+kconf*sin(phi))/(1.0-kconf*sin(phi))) AS q
+              FROM geo)),
+      fwd2 AS (
+        SELECT *, atan2(tt, cl) AS xip2, ln(sl + sqrt(sl*sl + 1.0)) AS etap2
+        FROM (SELECT *, sin(lam2)/sqrt(tt*tt + cl*cl) AS sl FROM fwd1)),
+      fwd3 AS (
+        SELECT s_suppkey, lon, lat, k0a,
+          xip2 + a1*sin(2.0*xip2)*((exp(2.0*etap2)+exp(-2.0*etap2))/2.0)
+               + a2*sin(4.0*xip2)*((exp(4.0*etap2)+exp(-4.0*etap2))/2.0)
+               + a3*sin(6.0*xip2)*((exp(6.0*etap2)+exp(-6.0*etap2))/2.0) AS xi2,
+          etap2 + a1*cos(2.0*xip2)*((exp(2.0*etap2)-exp(-2.0*etap2))/2.0)
+                + a2*cos(4.0*xip2)*((exp(4.0*etap2)-exp(-4.0*etap2))/2.0)
+                + a3*cos(6.0*xip2)*((exp(6.0*etap2)-exp(-6.0*etap2))/2.0) AS eta2
+        FROM fwd2)
+      SELECT s_suppkey, ROUND(lon, 6) AS lon, ROUND(lat, 6) AS lat,
+        ROUND(500000.0 + k0a*eta2, 3) AS e33, ROUND(k0a*xi2, 3) AS n33
+      FROM fwd3 ORDER BY s_suppkey"""))
+
   // -------------------------------------------------- relational flagship
 
   private val q1 = Q("q1_agg",
@@ -610,7 +707,7 @@ object SparkEntry {
     q1, p1DbMask, p2, p3, p4, p5, p6, p7Default, p7Legacy, p8U16ToU8,
     p9, p10, p11, p14, p15,
     a1, a1Grouped, a2, a3, a3Legacy, a6, a7,
-    j1, r1, r4) ++ enhanceQueries ++ relationalQueries ++ extQueries
+    j1, r1, r4, s8Warp) ++ enhanceQueries ++ relationalQueries ++ extQueries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
