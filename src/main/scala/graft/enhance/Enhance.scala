@@ -136,12 +136,23 @@ object Clahe {
       .groupBy(col("ty"), col("tx"), col("bin")).agg(count(lit(1)).as("h"))
 
     // Complete 8×8 tile grid (empty tiles keep ct=1, excess=0, cdf=0 like
-    // the reference's zero-filled cdfs).
+    // the reference's zero-filled cdfs). Tile pixel counts come from
+    // DIMS, not a data pass: the grid is a complete rows_×Cols raster by
+    // construction (truncated to whole rows), so count(tile) ≡ rowspan ×
+    // colspan — the same shortcut the production claheTiles takes. One
+    // scalar agg over the cached grid replaces a full groupBy pass over
+    // the pixel cache.
     val tileIds = s.range(Tiles).toDF("ty")
       .crossJoin(s.range(Tiles).toDF("tx"))
-    val tp = px.groupBy(col("ty"), col("tx")).agg(count(lit(1)).as("tp"))
-    val tiles = tileIds.join(tp, Seq("ty", "tx"), "left")
-      .select(col("ty"), col("tx"), coalesce(col("tp"), lit(0L)).as("tp"))
+    val rowsDf = g.agg(coalesce(max(col("rows_")), lit(0L)).as("rows_"))
+      .withColumn("tile_h", expr(s"(rows_ + ${Tiles - 1}) div $Tiles"))
+    val tiles = tileIds.crossJoin(broadcast(rowsDf))
+      .withColumn("tp",
+        greatest(least((col("ty") + 1) * col("tile_h"), col("rows_")) -
+          col("ty") * col("tile_h"), lit(0L)) *
+        greatest(least((col("tx") + 1) * lit(TileW.toLong), lit(Grid.Cols.toLong)) -
+          col("tx") * lit(TileW.toLong), lit(0L)))
+      .select(col("ty"), col("tx"), col("tp"))
       .withColumn("ct", greatest(lit(ClipLimit) * (col("tp") / lit(NumBins.toDouble)), lit(1.0)))
 
     val excess = tiles.join(hist, Seq("ty", "tx"), "left")
@@ -159,17 +170,36 @@ object Clahe {
         coalesce(when(col("h") > col("ct"), floor(col("ct"))).otherwise(col("h")), lit(0.0)) +
           col("apb") + when(col("bin") < col("rem"), lit(1.0)).otherwise(lit(0.0)))
     val wTile = Window.partitionBy("ty", "tx")
-    // persist: each of the four corner broadcasts below would otherwise
-    // recompute the whole histogram lineage
+    // persist: the corner self-joins below would otherwise recompute the
+    // whole histogram lineage per use
     val cdf = full.select(col("ty"), col("tx"), col("bin"),
       least(greatest(
         sum(col("hfin")).over(wTile.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)) /
           greatest(sum(col("hfin")).over(wTile), lit(1.0)), lit(0.0)), lit(1.0)).as("cdf"))
       .persist()
 
-    def corner(name: String, tyC: Column, txC: Column): DataFrame =
-      cdf.select(col("ty").as(s"ty_$name"), col("tx").as(s"tx_$name"),
-        col("bin").as(s"bin_$name"), col("cdf").as(s"c$name"))
+    // Pre-compose the FOUR corner lookups into one relation keyed by the
+    // pixel's (floored tile, bin): the corner tile ids are pure functions
+    // of (tyi, txi) (+1, clamped at Tiles-1), so three self-joins of the
+    // ≤ Tiles²·bins-row cdf build `corner4` — and the PIXEL side then
+    // pays a SINGLE broadcast join instead of four broadcast builds of a
+    // renamed (hence non-reusable) exchange. Pixels still never shuffle.
+    def cdfAs(tyN: String, txN: String, bN: String, cN: String): DataFrame =
+      cdf.select(col("ty").as(tyN), col("tx").as(txN),
+        col("bin").as(bN), col("cdf").as(cN))
+    val last = lit((Tiles - 1).toLong)
+    val corner4 = cdfAs("tyi", "txi", "bin", "c00")
+      .join(cdfAs("ty01", "tx01", "b01", "c01"),
+        col("tyi") === col("ty01") && least(col("txi") + 1, last) === col("tx01") &&
+          col("bin") === col("b01"))
+      .join(cdfAs("ty10", "tx10", "b10", "c10"),
+        least(col("tyi") + 1, last) === col("ty10") && col("txi") === col("tx10") &&
+          col("bin") === col("b10"))
+      .join(cdfAs("ty11", "tx11", "b11", "c11"),
+        least(col("tyi") + 1, last) === col("ty11") && least(col("txi") + 1, last) === col("tx11") &&
+          col("bin") === col("b11"))
+      .select(col("tyi"), col("txi"), col("bin"),
+        col("c00"), col("c01"), col("c10"), col("c11"))
 
     val samp = px
       .withColumn("rf", col("y").cast("double") / col("tile_h").cast("double") - lit(0.5))
@@ -178,20 +208,12 @@ object Clahe {
       .withColumn("txf", greatest(floor(col("cf")), lit(0.0)))
       .withColumn("dy", col("rf") - col("tyf"))
       .withColumn("dx", col("cf") - col("txf"))
-      .withColumn("ty0", least(col("tyf"), lit((Tiles - 1).toDouble)).cast("long"))
-      .withColumn("tx0", least(col("txf"), lit((Tiles - 1).toDouble)).cast("long"))
-      .withColumn("ty1", least(col("tyf") + 1.0, lit((Tiles - 1).toDouble)).cast("long"))
-      .withColumn("tx1", least(col("txf") + 1.0, lit((Tiles - 1).toDouble)).cast("long"))
+      // the floored tile index is already ≤ Tiles-1 for every in-grid
+      // pixel (y < rows_ ≤ Tiles·tile_h), so it IS the 00-corner id
+      .withColumn("tyi", col("tyf").cast("long"))
+      .withColumn("txi", col("txf").cast("long"))
 
-    val joined = samp
-      .join(broadcast(corner("00", col("ty0"), col("tx0"))),
-        col("ty0") === col("ty_00") && col("tx0") === col("tx_00") && col("bin") === col("bin_00"))
-      .join(broadcast(corner("01", col("ty0"), col("tx1"))),
-        col("ty0") === col("ty_01") && col("tx1") === col("tx_01") && col("bin") === col("bin_01"))
-      .join(broadcast(corner("10", col("ty1"), col("tx0"))),
-        col("ty1") === col("ty_10") && col("tx0") === col("tx_10") && col("bin") === col("bin_10"))
-      .join(broadcast(corner("11", col("ty1"), col("tx1"))),
-        col("ty1") === col("ty_11") && col("tx1") === col("tx_11") && col("bin") === col("bin_11"))
+    val joined = samp.join(broadcast(corner4), Seq("tyi", "txi", "bin"))
 
     val top = col("c00") * (lit(1.0) - col("dx")) + col("c01") * col("dx")
     val bottom = col("c10") * (lit(1.0) - col("dx")) + col("c11") * col("dx")
@@ -219,11 +241,13 @@ object Clahe {
       FROM px),
     thist AS (SELECT ty, tx, bin, COUNT(*) AS h FROM px2 WHERE valid GROUP BY 1, 2, 3),
     tiles AS (
-      SELECT ti.ty, ti.tx, COALESCE(c.tp, 0) AS tp,
-        GREATEST($ClipLimit * (COALESCE(c.tp, 0) / ${NumBins.toDouble}), 1.0) AS ct
-      FROM (SELECT a.range AS ty, b.range AS tx FROM range($Tiles) a, range($Tiles) b) ti
-      LEFT JOIN (SELECT ty, tx, COUNT(*) AS tp FROM px2 GROUP BY 1, 2) c
-        ON ti.ty = c.ty AND ti.tx = c.tx),
+      SELECT ty, tx, tp, GREATEST($ClipLimit * (tp / ${NumBins.toDouble}), 1.0) AS ct
+      FROM (
+        SELECT ti.ty, ti.tx,
+          GREATEST(LEAST((ti.ty + 1) * m.tile_h, m.rows_) - ti.ty * m.tile_h, 0) *
+          GREATEST(LEAST((ti.tx + 1) * $TileW, ${Grid.Cols}) - ti.tx * $TileW, 0) AS tp
+        FROM (SELECT a.range AS ty, b.range AS tx FROM range($Tiles) a, range($Tiles) b) ti,
+             (SELECT rows_, (rows_ + ${Tiles - 1}) // $Tiles AS tile_h FROM gmeta) m)),
     exc AS (
       SELECT tiles.ty, tiles.tx,
         COALESCE(SUM(CASE WHEN h > ct THEN h - ct ELSE 0.0 END), 0.0) AS excess

@@ -51,12 +51,18 @@ object HistStats {
 
     val pixels = px.select(col("db"))
 
-    val s1 = pixels.agg(
+    // ONE broadcast of the one-row pass-1 aggregate, shared by every
+    // consumer below (hist binning, targets, interpolation, final
+    // projection): identical broadcast subtrees collapse via
+    // ReuseExchange, so the pixel relation is aggregated once — an
+    // unhinted plain `s1` on the final crossJoin used to cost a whole
+    // extra pixel pass.
+    val s1 = broadcast(pixels.agg(
       count(lit(1)).as("n"),
       min($"db").as("mn"),
       max($"db").as("mx"),
       sum($"db".cast(DecimalType(28, 10))).cast("double").as("sum_db"),
-      sum(($"db" * $"db").cast(DecimalType(38, 10))).cast("double").as("sum_db2"))
+      sum(($"db" * $"db").cast(DecimalType(38, 10))).cast("double").as("sum_db2")))
 
     // Pass 2: bin = trunc(clamp((v-min)*(1/span),0,1) * 4096) capped at 4095
     // (`autoscale.rs:112-116`; note the reference multiplies by 1/span).
@@ -66,7 +72,7 @@ object HistStats {
       least(floor(t * lit(NumBins.toDouble)), lit((NumBins - 1).toLong)))
       .otherwise(lit(0L))
 
-    val hist = pixels.crossJoin(broadcast(s1))
+    val hist = pixels.crossJoin(s1)
       .select(binCol.as("bin"))
       .groupBy($"bin").agg(count(lit(1)).as("h"))
 
@@ -80,13 +86,13 @@ object HistStats {
     // cumulative > target; linear interpolation within it
     // (`autoscale.rs:120-140`).
     val targets = Percentiles.toDF("name", "p")
-      .crossJoin(broadcast(s1))
+      .crossJoin(s1)
       .select($"name", least(floor($"p" * $"n"), $"n" - 1).as("target"))
 
     val binWidth = ($"mx" - $"mn") / lit(NumBins.toDouble)
     val interpolated = targets
       .join(cum, $"target" >= $"cb" && $"target" < $"ct")
-      .crossJoin(broadcast(s1))
+      .crossJoin(s1)
       .select($"name",
         (($"mn" + $"bin" * binWidth) +
           (($"target" - $"cb").cast("double") / $"h".cast("double")) * binWidth).as("value"))
