@@ -98,7 +98,27 @@ object Bench {
         4096, 4096, ProcessingParams(autoscale = AutoscaleStrategy.Tamed, targetSize = Some(2048))); () }),
       "raster_pushdown_400mp" -> (() => { Engine.processBand(spark, "b", "vv", 20000, 20000,
         ProcessingParams(autoscale = AutoscaleStrategy.Standard, targetSize = Some(2048)),
-        decimate = 8); () }))
+        decimate = 8); () }),
+      // native warp E2E (S8): UTM zone change fused with the -ts resize
+      // — the distributed inverse-projected resample incl. the block
+      // regroup (k=2 at this shrink)
+      "raster_warp_utm_16mp" -> (() => { Engine.processToBuffer(spark, "b", 4096, 4096,
+        ProcessingParams(autoscale = AutoscaleStrategy.Standard, targetSize = Some(2048),
+          targetCrs = Some("EPSG:32633")),
+        graft.meta.SafeMeta(crs = Some("EPSG:32632"),
+          geotransform = Some(Array(730000.0, 10.0, 0.0, 5000000.0, 0.0, -10.0)))); () }),
+      // per-product batch E2E mirroring the reference's lenient
+      // directory loop (`api/mod.rs:474-536`): N products end-to-end
+      // through processToPath with error isolation — surfaces the
+      // scheduling overhead a single-product number hides
+      "raster_batch_4prod" -> (() => {
+        val out = java.nio.file.Files.createTempDirectory("graft-bench-batch").toString
+        val report = Engine.processDirectory(spark,
+          (1 to 4).map(i => (s"S1A_IW_GRDH_bench$i", 2048, 2048)), out,
+          ProcessingParams(autoscale = AutoscaleStrategy.Standard, targetSize = Some(1024)))
+        require(report.processed == 4 && report.errors.isEmpty,
+          s"batch bench must process cleanly: $report")
+        () }))
     val rasterResults = rasterCases.map { case (name, f) =>
       try { f() } catch { case _: Throwable => } // warm
       name -> timed(name, f)

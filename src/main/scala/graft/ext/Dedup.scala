@@ -69,6 +69,14 @@ object Dedup {
     * block (lexicographically smallest (doc_id, position)), and emit
     * the per-document kept-paragraph fraction.
     *
+    * WITHIN-document repeats follow the same global rule: a document
+    * that repeats its own paragraph keeps only the first occurrence
+    * (min ord inside the canonical doc), so its kept fraction drops
+    * below 1 even when no other document shares the text — and in a
+    * document that merely REPEATS a paragraph owned by an earlier doc,
+    * every occurrence counts as dropped. ExtSpec pins both cases on a
+    * micro-fixture.
+    *
     * Plan shape at scale: instances carry (doc_id, ord, md5) — 16-byte
     * content keys, never paragraph text, through every exchange. The
     * canonical instance resolves in two bounded aggregations (min

@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   *
   * Plan shape at scale: the corpus is bucketed ONCE (one shuffle on the
   * cell id, then cell-clustered storage amortizes every query); per
-  * query-batch work is a broadcast join against the probed cells —
-  * corpus never reshuffles per query. Centroids (nlist×dim floats)
-  * always fit in a broadcast.
+  * query-batch work is a join against the probed cells — a broadcast
+  * join for bounded batches, a cell-keyed shuffle join above
+  * [[MaxBroadcastQueries]] (the corpus moves on the same key its
+  * bucketed layout clusters by) — the corpus never reshuffles PER
+  * QUERY either way. Centroids (nlist×dim floats) always fit in a
+  * broadcast.
   *
   * No DuckDB oracle (KMeans is not SQL-expressible) — but the output
   * carries its own ground-truth check: each row reports whether the
@@ -36,6 +39,16 @@ object Ivf {
     */
   val TrainSample = 2000
 
+  /** Query batches up to this size ride a broadcast join against the
+    * probed cells (zero corpus movement); a LARGER batch is no longer
+    * "provably bounded" in the broadcast sense, so the probe join
+    * becomes a cell-keyed shuffle join instead — the corpus side
+    * shuffles once on its (already computed) cell id, the same key its
+    * bucketed layout would be clustered by at rest. Both paths produce
+    * identical rows (ExtSpec pins it).
+    */
+  val MaxBroadcastQueries = 4096
+
   /** Floor on the per-run mean recall@k (vs the in-plan exact baseline)
     * below which the query empties itself — so even a rows-only
     * correctness check fails on recall collapse, not just on a wrong
@@ -48,7 +61,14 @@ object Ivf {
   private def toVec = udf((a: Seq[Float]) =>
     Vectors.dense(a.map(_.toDouble).toArray))
 
-  def ivfTopk(s: SparkSession, dir: String): DataFrame = {
+  def ivfTopk(s: SparkSession, dir: String): DataFrame =
+    ivfTopk(s, dir, broadcastQueries = Similarity.NumQueries <= MaxBroadcastQueries)
+
+  /** [[ivfTopk]] with the probe-join strategy explicit — the registry
+    * entry picks by batch size; the spec drives both and asserts row
+    * parity.
+    */
+  def ivfTopk(s: SparkSession, dir: String, broadcastQueries: Boolean): DataFrame = {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
       .withColumn("features", toVec(col("embedding")))
       .withColumn("nrm", Similarity.norm(col("embedding")))
@@ -88,7 +108,10 @@ object Ivf {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"),
         explode(probeCells(col("embedding"))).as("cell"))
 
-    val cos = corpus.join(broadcast(queries), Seq("cell"))
+    val probed =
+      if (broadcastQueries) corpus.join(broadcast(queries), Seq("cell"))
+      else corpus.join(queries, Seq("cell"))
+    val cos = probed
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("oid"),
         (Similarity.dot(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))

@@ -123,15 +123,22 @@ object TextOps {
   /** T2: quality scoring — length, stopword ratio, uppercase ratio,
     * digit ratio, a composite score, plus the remaining Gopher-style
     * signals (Rae et al. 2021, table A1): symbol-to-word ratio (#, …,
-    * and '...' occurrences per word), mean/max line length, and the
-    * fractions of lines that start with a bullet or end in an ellipsis.
-    * One scan; every ratio is exact integer counts through one IEEE
-    * division (mean line length uses Σ len(line) = len(text) − (n−1)
-    * separators, so no per-line float accumulation exists to reorder).
+    * and '...' occurrences per word), mean/max line length, the
+    * fractions of lines that start with a bullet or end in an ellipsis,
+    * and the word-level signals — the fraction of words containing at
+    * least one alphabetic character (Gopher keeps docs ≥ 80%) and the
+    * mean word length (Gopher window 3–10; Σ len(word) is computed as
+    * the length of the separator-free token concatenation, an exact
+    * integer). One scan; every ratio is exact integer counts through
+    * one IEEE division (mean line length uses Σ len(line) = len(text)
+    * − (n−1) separators, so no per-line float accumulation exists to
+    * reorder).
     */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("double")
+    val alphaWords = size(filter(toks, x => x.rlike("[A-Za-z]")))
+    val sumWordLen = length(concat_ws("", toks))
     val stopRatio = hits(toks, EnStop).cast("double") / nTok
     val upperRatio = length(regexp_replace(col("text"), "[^A-Z]", "")).cast("double") /
       length(col("text")).cast("double")
@@ -161,6 +168,8 @@ object TextOps {
       array_max(transform(lines, x => length(x))).as("max_line_len"),
       round(bulletLines.cast("double") / nLines.cast("double"), 6).as("bullet_line_frac"),
       round(ellLines.cast("double") / nLines.cast("double"), 6).as("ellipsis_line_frac"),
+      round(alphaWords.cast("double") / nTok, 6).as("alpha_word_frac"),
+      round(sumWordLen.cast("double") / nTok, 6).as("mean_word_len"),
       round(lit(0.5) * stopRatio + lit(0.3) * lenScore + lit(0.2) * (lit(1.0) - digitRatio), 6)
         .as("quality"))
       .orderBy("doc_id")
@@ -190,6 +199,8 @@ object TextOps {
       list_max(list_transform($lines, x -> length(x))) AS max_line_len,
       ROUND(CAST($bullet AS DOUBLE) / CAST($nLines AS DOUBLE), 6) AS bullet_line_frac,
       ROUND(CAST($ell AS DOUBLE) / CAST($nLines AS DOUBLE), 6) AS ellipsis_line_frac,
+      ROUND(CAST(len(list_filter($tokensSql, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / $nTok, 6) AS alpha_word_frac,
+      ROUND(CAST(length(array_to_string($tokensSql, '')) AS DOUBLE) / $nTok, 6) AS mean_word_len,
       ROUND(0.5 * ($stop) + 0.3 * $lenScore + 0.2 * (1.0 - ($digit)), 6) AS quality
     FROM documents ORDER BY doc_id"""
   }

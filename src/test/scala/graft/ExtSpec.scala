@@ -118,6 +118,21 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("IVF probe join: broadcast and cell-shuffle paths return identical rows") {
+    // the registry picks broadcast for bounded batches; above
+    // Ivf.MaxBroadcastQueries the probe becomes a cell-keyed shuffle
+    // join — the rows must not depend on the join strategy
+    def rowsOf(broadcastQ: Boolean) =
+      graft.ext.Ivf.ivfTopk(spark, Sf0001, broadcastQueries = broadcastQ).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+          r.getAs[Boolean]("exact_hit"), r.getAs[Double]("recall3"))).toSet
+    val viaBroadcast = rowsOf(true)
+    val viaShuffle = rowsOf(false)
+    assert(viaBroadcast.nonEmpty)
+    assert(viaBroadcast == viaShuffle,
+      "probe-join strategy must be a pure physical choice")
+  }
+
   test("multimodal features are normalized histograms") {
     val r = Multimodal.features(spark, Sf0001).collect()
     assert(r.nonEmpty)
@@ -252,7 +267,13 @@ class ExtSpec extends SparkSpec {
     Seq(
       (0L, "shared para text\n\nalso in zero only"), // 2 paras, both canonical
       (1L, "shared para text\n\nunique to one"),     // 1 dup + 1 kept → 0.5
-      (2L, longSeg))                                  // no breaks → 3 fixed blocks
+      (2L, longSeg),                                  // no breaks → 3 fixed blocks
+      // WITHIN-doc repeat: the same global first-instance rule applies —
+      // only the first occurrence is kept even with no other owner...
+      (3L, "self repeat body\n\nself repeat body"),
+      // ...and a doc repeating a paragraph owned by an EARLIER doc
+      // keeps no copy at all
+      (4L, "shared para text\n\nshared para text"))
       .map { case (id, text) => (id, text, "en", "t", text.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$dir/documents.parquet")
@@ -261,6 +282,10 @@ class ExtSpec extends SparkSpec {
     assert(r(0L) == ((2L, 2L, 1.0)), s"doc 0 owns both its paragraphs: ${r(0L)}")
     assert(r(1L) == ((2L, 1L, 0.5)), s"doc 1 loses the shared paragraph: ${r(1L)}")
     assert(r(2L) == ((3L, 3L, 1.0)), s"45 tokens chunk into 3 blocks: ${r(2L)}")
+    assert(r(3L) == ((2L, 1L, 0.5)),
+      s"a doc repeating its OWN paragraph keeps only the first: ${r(3L)}")
+    assert(r(4L) == ((2L, 0L, 0.0)),
+      s"every copy of an earlier doc's paragraph is dropped: ${r(4L)}")
     // and on the real corpus: complete, fractions in [0,1]
     val real = Dedup.paragraphDedup(spark, Sf0001).collect()
     assert(real.length == spark.read.parquet(s"$Sf0001/documents.parquet").count())
