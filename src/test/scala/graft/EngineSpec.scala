@@ -193,6 +193,21 @@ class EngineSpec extends SparkSpec {
     assert(img.gray.exists(g => g.max > g.min), "warped image must be non-degenerate")
   }
 
+  test("S8: polar scene + auto resolves to UPS and warps natively") {
+    // scene center ~ (40.3°E, 85.8°N) → S9's polar branch → EPSG:32661,
+    // exercising the Ups projection inside the distributed resample
+    val gt = Array(40.0, 0.02, 0.0, 86.0, 0.0, -0.01)
+    val meta = SafeMeta(crs = Some("EPSG:4326"), geotransform = Some(gt))
+    val plan = graft.geom.Warp.nativePlan(
+      Some("EPSG:4326"), "EPSG:32661", Some(gt), 32, 32).get
+    val img = Engine.processToBuffer(spark, "ups1", 32, 32,
+      ProcessingParams(autoscale = AutoscaleStrategy.Standard,
+        targetCrs = Some("auto")), meta)
+    assert(img.width == plan.dstCols && img.height == plan.dstRows,
+      s"UPS warp dims ${img.width}×${img.height} vs plan ${plan.dstCols}×${plan.dstRows}")
+    assert(img.gray.exists(g => g.max > g.min))
+  }
+
   test("S8: auto target CRS only trusts a geographic scene center") {
     // projected source: geotransform coords are meters, NOT lon/lat —
     // auto must resolve to no warp rather than a garbage UPS zone
