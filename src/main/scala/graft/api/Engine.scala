@@ -312,6 +312,13 @@ object Engine {
     * downstream assembly zero-fills and a zero magnitude is below the
     * dB valid floor, matching gdalwarp's zero-initialized destination.
     */
+  /** Scanline-approximation error bound for [[warpTiles]] in source
+    * pixels — gdalwarp's default transform-approximation threshold
+    * (its `-et` knob). Rows whose middle-point check exceeds this fall
+    * back to exact per-pixel projection.
+    */
+  val WarpApproxTolPx = 0.125
+
   def warpTiles(src: Dataset[Tile], plan: graft.geom.Warp.NativeWarp,
                 tileSize: Int = DefaultTileSize): Dataset[Tile] = {
     import org.apache.spark.sql.Encoders
@@ -445,9 +452,35 @@ object Engine {
         val out = new Array[Float](h * w)
         var i = 0; var y = 0
         while (y < h) {
+          val py = (y0 + y).toDouble
+          // Error-controlled scanline approximation (gdalwarp's
+          // approximator idea, default error threshold 0.125 px): the
+          // transform is evaluated exactly at the scanline's ends and
+          // middle; when linear interpolation reproduces the middle
+          // within tolerance — it always does for the smooth Proj
+          // family over ≤tileSize px, where the true error is
+          // milli-pixels — the row interpolates, cutting the per-pixel
+          // trig chain to 3 evaluations per row. A failed check falls
+          // back to exact per-pixel projection, so the bound is hard.
+          val (fr0, fc0) = srcFrac(py, x0.toDouble)
+          val (fr1, fc1) = srcFrac(py, (x0 + w - 1).toDouble)
+          var interp = false
+          if (w >= 3) {
+            val mid = (w - 1) / 2
+            val (frm, fcm) = srcFrac(py, (x0 + mid).toDouble)
+            val tm = mid.toDouble / (w - 1)
+            interp = math.abs(fr0 + (fr1 - fr0) * tm - frm) < WarpApproxTolPx &&
+              math.abs(fc0 + (fc1 - fc0) * tm - fcm) < WarpApproxTolPx
+          }
           var x = 0
           while (x < w) {
-            val (fr, fc) = srcFrac((y0 + y).toDouble, (x0 + x).toDouble)
+            val (fr, fc) =
+              if (interp) {
+                val tx = x.toDouble / (w - 1)
+                (fr0 + (fr1 - fr0) * tx, fc0 + (fc1 - fc0) * tx)
+              } else if (x == 0) (fr0, fc0)
+              else if (x == w - 1) (fr1, fc1)
+              else srcFrac(py, (x0 + x).toDouble)
             out(i) = graft.geom.Resample.sample(alg, get, srcRows, srcCols, fr, fc)
             i += 1; x += 1
           }

@@ -254,6 +254,30 @@ class WarpSpec extends SparkSpec {
     assert(interior.nonEmpty && interior.forall(_ == 7.5f))
   }
 
+  test("warpTiles inverts a ROTATED source geotransform (gt2/gt4 ≠ 0)") {
+    import org.apache.spark.sql.Encoders
+    implicit val tileEnc: org.apache.spark.sql.Encoder[graft.sources.Tile] =
+      Encoders.product[graft.sources.Tile]
+    // ~5° grid rotation: X/Y both depend on row AND col, exercising the
+    // full 2×2 geotransform solve in the inverse mapping
+    val c = math.cos(math.toRadians(5.0)); val s = math.sin(math.toRadians(5.0))
+    val gt = Array(730000.0, 10.0 * c, 10.0 * s, 5000000.0, 10.0 * s, -10.0 * c)
+    val tileSize = 64
+    val rows = 128; val cols = 128
+    val tiles = spark.createDataset((for {
+      tr <- 0 until rows / tileSize; tc <- 0 until cols / tileSize
+    } yield graft.sources.Tile("rot", "vv", tr, tc, tileSize, tileSize,
+      Array.fill(tileSize * tileSize)(3.25f))).toSeq)
+    val plan = Warp.nativePlan(Some("EPSG:32632"), "EPSG:32633", Some(gt), rows, cols).get
+    val out = graft.api.Engine.warpTiles(tiles, plan, tileSize).collect()
+    assert(out.nonEmpty)
+    // a constant field warps to the constant wherever the source covers
+    // the output pixel; border pixels blend with the outside zeros
+    val vals = out.flatMap(_.pixels)
+    assert(vals.exists(_ == 3.25f), "interior samples must hit the constant")
+    assert(vals.forall(v => v >= 0.0f && v <= 3.25f + 1e-4f))
+  }
+
   test("Resample kernels: outside → 0, bilinear/cubic reproduce linear data") {
     val data = Array.tabulate(4, 5)((r, c) => (1.0 + 2.0 * r + 3.0 * c).toFloat)
     val get: (Int, Int) => Float = (r, c) => data(r)(c)
