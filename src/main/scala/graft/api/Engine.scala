@@ -923,16 +923,44 @@ object Engine {
                        rows: Int, cols: Int, decimate: Int = 1): Dataset[Tile] =
     RasterSource.scan(spark, productId, band, rows, cols, decimate)
 
+  /** [[loadPolarization]] honoring the full open options: like the
+    * reference's reader, a requested `target-crs` applies AT READ TIME,
+    * so the returned tiles live on the warped grid (the reference opens
+    * the warped VRT before any band read, `sentinel1.rs:168-176,
+    * 1033-1068`). Same gate as the processing APIs: native-family warps
+    * execute distributed, non-native ones raise with the gdalwarp argv.
+    */
+  def loadPolarization(spark: SparkSession, productId: String, band: String,
+                       rows: Int, cols: Int, params: ProcessingParams,
+                       meta: SafeMeta, decimate: Int): Dataset[Tile] = {
+    requireSupported(meta)
+    val warp = gateWarp(productId, rows, cols, params, meta, decimate)
+    val scanned = RasterSource.scan(spark, productId, band, rows, cols, decimate)
+    warp.fold(scanned)(nw => warpTiles(scanned, nw))
+  }
+
   /** `load_operation` (`api/mod.rs:884-916`): band algebra result as
     * dB-domain tiles.
     */
   def loadOperation(spark: SparkSession, productId: String,
                     op: PolarizationOperation, rows: Int, cols: Int,
-                    decimate: Int = 1): Dataset[DbTile] = {
+                    decimate: Int = 1): Dataset[DbTile] =
+    loadOperation(spark, productId, op, rows, cols, None, decimate)
+
+  /** [[loadOperation]] with an optional read-time warp: both bands warp
+    * onto the SAME output grid before the positional zip, exactly as
+    * the reference reads both from the one warped VRT.
+    */
+  def loadOperation(spark: SparkSession, productId: String,
+                    op: PolarizationOperation, rows: Int, cols: Int,
+                    warp: Option[graft.geom.Warp.NativeWarp],
+                    decimate: Int): Dataset[DbTile] = {
     implicit val tileEnc: org.apache.spark.sql.Encoder[Tile] =
       org.apache.spark.sql.Encoders.product[Tile]
-    val a = RasterSource.scan(spark, productId, "vv", rows, cols, decimate)
-    val b = RasterSource.scan(spark, productId, "vh", rows, cols, decimate)
+    val a0 = RasterSource.scan(spark, productId, "vv", rows, cols, decimate)
+    val b0 = RasterSource.scan(spark, productId, "vh", rows, cols, decimate)
+    val a = warp.fold(a0)(nw => warpTiles(a0, nw))
+    val b = warp.fold(b0)(nw => warpTiles(b0, nw))
     a.joinWith(b, a("tile_row") === b("tile_row") && a("tile_col") === b("tile_col"))
       .map { case (ta, tb) => DbTile(ta.tile_row, ta.tile_col, ta.h, ta.w,
         Kernels.toDb(Kernels.bandOp(ta.pixels, tb.pixels, op))) }

@@ -208,6 +208,24 @@ class EngineSpec extends SparkSpec {
     assert(img.gray.exists(g => g.max > g.min))
   }
 
+  test("S8: loadPolarization with open options returns tiles on the warped grid") {
+    val gt = Array(730000.0, 10.0, 0.0, 5000000.0, 0.0, -10.0)
+    val meta = SafeMeta(crs = Some("EPSG:32632"), geotransform = Some(gt))
+    val plan = graft.geom.Warp.nativePlan(
+      Some("EPSG:32632"), "EPSG:32633", Some(gt), 96, 96).get
+    val tiles = Engine.loadPolarization(spark, "lp1", "vv", 96, 96,
+      ProcessingParams(targetCrs = Some("EPSG:32633")), meta, 1).collect()
+    assert(tiles.nonEmpty)
+    val maxRow = tiles.map(t => t.tile_row * 256 + t.h).max
+    val maxCol = tiles.map(t => t.tile_col * 256 + t.w).max
+    assert(maxRow == plan.dstRows && maxCol == plan.dstCols,
+      s"warped tile grid must cover ${plan.dstRows}×${plan.dstCols}, got $maxRow×$maxCol")
+    // and without a target CRS the raw grid comes back unchanged
+    val raw = Engine.loadPolarization(spark, "lp1", "vv", 96, 96,
+      ProcessingParams(), meta, 1).collect()
+    assert(raw.map(t => t.tile_row * 256 + t.h).max == 96)
+  }
+
   test("S8: auto target CRS only trusts a geographic scene center") {
     // projected source: geotransform coords are meters, NOT lon/lat —
     // auto must resolve to no warp rather than a garbage UPS zone
