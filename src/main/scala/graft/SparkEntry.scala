@@ -533,6 +533,16 @@ object SparkEntry {
     * Catalyst to optimize, and the relation is supplier-sized, never
     * corpus-sized. Coordinates round at 3 decimals (mm): the two
     * engines' libm implementations agree to ~1e-8 m over this chain.
+    *
+    * Residual-risk note (a deliberate departure from the repo's
+    * exact-integer float discipline): this gate compares transcendental
+    * libm chains cross-engine, so it passes only because the ~1e-8 m
+    * disagreement never straddles a 1e-3/1e-6 rounding boundary for
+    * THESE inputs on THIS platform's libm pair. A platform whose
+    * sin/exp/ln differs by an ulp could in principle flip a boundary
+    * case — accepted here because the warp math has no exact-integer
+    * reformulation and the mm quantum leaves ~5 orders of magnitude of
+    * slack over the observed disagreement.
     */
   private val s8Warp = Q("s8_native_warp",
     (s, dir) => {

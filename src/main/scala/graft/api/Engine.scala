@@ -301,8 +301,13 @@ object Engine {
     *
     * Scale properties: the per-task source footprint is bounded by
     * construction — output blocks shrink (`tileSize/k`, k = next pow2 ≥
-    * the linear downscale factor) so a block's footprint stays ≈ one
-    * source tile regardless of the fused `-ts` shrink; blocks then
+    * the linear downscale factor, capped at `tileSize/16` so blocks
+    * never drop below 16 px) so a block's footprint stays ≈ one source
+    * tile for shrinks up to 16×; past the cap the footprint grows
+    * ~`16·scale` px per axis (dozens of source tiles per task at
+    * extreme fused `-ts` shrinks — a documented edge like the
+    * 10⁷-block note below; the pushdown decimation path is the right
+    * tool at those ratios, and the pipeline applies it first); blocks then
     * regroup into standard tiles (a second, output-sized shuffle,
     * skipped entirely when no shrink). Footprint metadata is O(output
     * blocks) and broadcast; beyond ~10⁷ blocks (a source wider than
@@ -378,24 +383,30 @@ object Engine {
         val x0 = gc * g; val x1 = math.min(dstCols, x0 + g)
         var rLo = Double.PositiveInfinity; var rHi = Double.NegativeInfinity
         var cLo = Double.PositiveInfinity; var cHi = Double.NegativeInfinity
-        var ok = true
         val steps = 4
         var sy = 0
-        while (sy <= steps && ok) {
+        while (sy <= steps) {
           var sx = 0
-          while (sx <= steps && ok) {
+          while (sx <= steps) {
             val py = y0 + (y1 - 1 - y0).toDouble * sy / steps
             val px = x0 + (x1 - 1 - x0).toDouble * sx / steps
             val (fr, fc) = srcFrac(py, px)
+            // a non-finite sample (projection singularity, lon-wrap
+            // seam) is simply skipped: the bbox comes from the FINITE
+            // samples (clamped to the source extent below), so a block
+            // straddling a singularity still ships the tiles its valid
+            // pixels need instead of zero-filling wholesale; its
+            // out-of-bbox pixels read 0 exactly as a dropped block
+            // would have
             if (java.lang.Double.isFinite(fr) && java.lang.Double.isFinite(fc)) {
               if (fr < rLo) rLo = fr; if (fr > rHi) rHi = fr
               if (fc < cLo) cLo = fc; if (fc > cHi) cHi = fc
-            } else ok = false
+            }
             sx += 1
           }
           sy += 1
         }
-        if (ok && rLo <= rHi) {
+        if (rLo <= rHi) {
           val b = Array(
             math.max(0, math.floor(rLo - margin).toInt),
             math.min(srcRows - 1, math.ceil(rHi + margin).toInt),
@@ -456,21 +467,29 @@ object Engine {
           // Error-controlled scanline approximation (gdalwarp's
           // approximator idea, default error threshold 0.125 px): the
           // transform is evaluated exactly at the scanline's ends and
-          // middle; when linear interpolation reproduces the middle
-          // within tolerance — it always does for the smooth Proj
-          // family over ≤tileSize px, where the true error is
-          // milli-pixels — the row interpolates, cutting the per-pixel
-          // trig chain to 3 evaluations per row. A failed check falls
-          // back to exact per-pixel projection, so the bound is hard.
+          // middle — plus a quarter point for rows wider than 128 px,
+          // which catches odd-symmetric (inflection-shaped) deviation
+          // that is zero at the middle; when linear interpolation
+          // reproduces every checked point within tolerance — it
+          // always does for the smooth Proj family over ≤tileSize px,
+          // where the true error is milli-pixels — the row
+          // interpolates, cutting the per-pixel trig chain to a
+          // handful of evaluations per row. A failed check falls back
+          // to exact per-pixel projection. This is gdalwarp's own `-et`
+          // HEURISTIC, not a certified bound: deviation vanishing at
+          // all checked points could still exceed the tolerance between
+          // them, for transforms far less smooth than the Proj family.
           val (fr0, fc0) = srcFrac(py, x0.toDouble)
           val (fr1, fc1) = srcFrac(py, (x0 + w - 1).toDouble)
           var interp = false
           if (w >= 3) {
-            val mid = (w - 1) / 2
-            val (frm, fcm) = srcFrac(py, (x0 + mid).toDouble)
-            val tm = mid.toDouble / (w - 1)
-            interp = math.abs(fr0 + (fr1 - fr0) * tm - frm) < WarpApproxTolPx &&
-              math.abs(fc0 + (fc1 - fc0) * tm - fcm) < WarpApproxTolPx
+            def checkAt(px: Int): Boolean = {
+              val (frp, fcp) = srcFrac(py, (x0 + px).toDouble)
+              val tp = px.toDouble / (w - 1)
+              math.abs(fr0 + (fr1 - fr0) * tp - frp) < WarpApproxTolPx &&
+                math.abs(fc0 + (fc1 - fc0) * tp - fcp) < WarpApproxTolPx
+            }
+            interp = checkAt((w - 1) / 2) && (w <= 128 || checkAt((w - 1) / 4))
           }
           var x = 0
           while (x < w) {
@@ -856,9 +875,14 @@ object Engine {
     * on a georeferenced source resolves to the [[graft.geom.Warp
     * .NativeWarp]] that [[warpTiles]] executes distributed (the native
     * plan is computed against the DECIMATED grid: decimation is a scan
-    * pushdown, so the warp sees the raster the pipeline sees). Only a
-    * warp OUTSIDE the native family — or a GCP/TPS source without a
-    * geotransform — raises, carrying the exact gdalwarp invocation the
+    * pushdown, so the warp sees the raster the pipeline sees). An
+    * ABSENT/blank source CRS with a lon/lat-range geotransform executes
+    * natively as EPSG:4326 ([[graft.geom.Warp.impliedSrcEpsg]] — the
+    * unprojected-GRD leg, `sentinel1.rs:1017-1030`), and targeting 4326
+    * from such a source takes the same skip guard as an explicit match.
+    * Only a warp OUTSIDE the native family — or a blank-CRS source
+    * without a lon/lat geotransform (true GCP-grid/TPS) — raises,
+    * carrying the exact gdalwarp invocation the
     * reference would run. The `auto` scene center is trusted when the
     * source CRS is geographic OR ABSENT — an unprojected GRD's
     * geotransform derives from its lon/lat GCPs, which is exactly where
@@ -886,7 +910,16 @@ object Engine {
           val dGt = meta.geotransform.map(g => Array(
             g(0), g(1) * decimate, g(2) * decimate,
             g(3), g(4) * decimate, g(5) * decimate))
-          graft.geom.Warp.nativePlan(meta.crs, dst, dGt, dRows, dCols,
+          // implied-CRS skip: resolveWarp's guard only sees EXPLICIT
+          // projections, so an unprojected lon/lat-gt source targeting
+          // EPSG:4326 reaches here — it is already on the target's
+          // grid, and warping it would be the identity resample the
+          // skip guard exists to avoid
+          val implied = graft.geom.Warp.impliedSrcEpsg(meta.crs, dGt, dRows, dCols)
+          if (meta.crs.forall(_.trim.isEmpty) &&
+              implied.exists(ic => graft.geom.Warp.parseEpsg(dst).exists(_.equalsIgnoreCase(ic))))
+            None
+          else graft.geom.Warp.nativePlan(meta.crs, dst, dGt, dRows, dCols,
             params.resampleAlg, params.targetSize)
             .orElse { graft.geom.Warp.execute(exec); None }
       }

@@ -308,29 +308,37 @@ object Clahe {
   * Distributed plan: each valid pixel is exploded to its 9 neighbor
   * positions (a flatMap, no shuffle), then ONE hash aggregate on the
   * target coordinate collects the neighborhood — the halo-exchange
-  * pattern without tile-boundary special cases. dB values are rounded at
-  * the comparison boundary only (libm log10 may differ in the last ulp).
+  * pattern without tile-boundary special cases. The center's own value
+  * rides the dy=dx=0 contribution row (`max` over the single flagged
+  * row, so it's carried exactly), which makes the aggregate the WHOLE
+  * plan: no join of the grid back onto the neighborhood relation — a
+  * center is a valid output iff its self-contribution arrived, and
+  * out-of-grid phantom positions (touched only by border pixels'
+  * stencils) have no self-row and drop on the same predicate. dB values
+  * are rounded at the comparison boundary only (libm log10 may differ
+  * in the last ulp).
   */
 object LocalStats {
   def query(s: SparkSession, dir: String): DataFrame = {
-    val g = Grid.df(s, dir).persist()
+    val g = Grid.df(s, dir)
     val offsets = array((for (dy <- -1 to 1; dx <- -1 to 1)
       yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)
     val contrib = g.filter(col("valid"))
       .select(col("y"), col("x"), col("db"), explode(offsets).as("o"))
-      .select((col("y") + col("o.dy")).as("cy"), (col("x") + col("o.dx")).as("cx"), col("db"))
+      .select((col("y") + col("o.dy")).as("cy"), (col("x") + col("o.dx")).as("cx"), col("db"),
+        (col("o.dy") === 0 && col("o.dx") === 0).as("ctr"))
     val nb = contrib.groupBy(col("cy"), col("cx")).agg(
       sort_array(collect_list(col("db"))).as("vals"),
       count(lit(1)).as("cnt"),
-      min(col("db")).as("mn"), max(col("db")).as("mx"))
+      min(col("db")).as("mn"), max(col("db")).as("mx"),
+      max(when(col("ctr"), col("db"))).as("cdb"))
     val med = element_at(col("vals"), (expr("cnt div 2") + 1).cast("int"))
     val rng = col("mx") - col("mn")
-    g.filter(col("valid"))
-      .join(nb, col("y") === col("cy") && col("x") === col("cx"))
-      .select(col("y"), col("x"), col("cnt").as("n_nb"),
+    nb.filter(col("cdb").isNotNull)
+      .select(col("cy").as("y"), col("cx").as("x"), col("cnt").as("n_nb"),
         round(med, 6).as("median_db"),
         round(rng, 6).as("range_db"),
-        round(when(rng > 0.0, lit(1.0) + lit(0.1) * (col("db") - med) / rng)
+        round(when(rng > 0.0, lit(1.0) + lit(0.1) * (col("cdb") - med) / rng)
           .otherwise(lit(1.0)), 6).as("local_factor"))
       .orderBy("y", "x")
   }
@@ -340,33 +348,44 @@ object LocalStats {
     * for valid pixels (every valid center has ≥1 valid neighbor —
     * itself), then the standard clip/normalize/gamma/quantize with the
     * standard-strategy window (p05, p95, γ=1).
+    *
+    * Same join-free fold as [[query]]; invalid centers (q=0) have no
+    * self-contribution, so their membership is recovered from the grid
+    * BOUNDS instead: x from the static column count, y from a 1-row
+    * broadcast dims relation — out-of-grid phantom positions fail the
+    * bounds check, in-grid invalid centers pass with a null `cdb`.
     */
   def enhancedQuantize(s: SparkSession, dir: String): DataFrame = {
     val g = Grid.df(s, dir).persist()
     val st = HistStats.stats(g.filter(col("valid")).select(col("db")))
     val params = st.select(col("p05").as("low"), col("p95").as("high"),
       greatest(col("p95") - col("p05"), lit(1.0)).as("rng"))
+    val dims = g.agg(max(col("rows_")).as("rows_"))
     val offsets = array((for (dy <- -1 to 1; dx <- -1 to 1)
       yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)
     val contrib = g.filter(col("valid"))
       .select(col("y"), col("x"), col("db"), explode(offsets).as("o"))
-      .select((col("y") + col("o.dy")).as("cy"), (col("x") + col("o.dx")).as("cx"), col("db"))
+      .select((col("y") + col("o.dy")).as("cy"), (col("x") + col("o.dx")).as("cx"), col("db"),
+        (col("o.dy") === 0 && col("o.dx") === 0).as("ctr"))
     val nb = contrib.groupBy(col("cy"), col("cx")).agg(
       sort_array(collect_list(col("db"))).as("vals"),
       count(lit(1)).as("cnt"),
-      min(col("db")).as("mn"), max(col("db")).as("mx"))
+      min(col("db")).as("mn"), max(col("db")).as("mx"),
+      max(when(col("ctr"), col("db"))).as("cdb"))
     val med = element_at(col("vals"), (expr("cnt div 2") + 1).cast("int"))
     val lrng = col("mx") - col("mn")
-    val factor = when(lrng > 0.0, lit(1.0) + lit(0.1) * (col("db") - med) / lrng)
+    val factor = when(lrng > 0.0, lit(1.0) + lit(0.1) * (col("cdb") - med) / lrng)
       .otherwise(lit(1.0))
-    val adjusted = col("db") * factor
+    val adjusted = col("cdb") * factor
     val clipped = least(greatest(adjusted, col("low")), col("high"))
     val q = floor(least(greatest(
       pow((clipped - col("low")) / col("rng"), lit(1.0)) * lit(65535.0),
       lit(0.0)), lit(65535.0))).cast("int")
-    g.join(nb, col("y") === col("cy") && col("x") === col("cx"))
-      .crossJoin(broadcast(params))
-      .select(col("y"), col("x"), when(col("valid"), q).otherwise(lit(0)).as("q"))
+    nb.crossJoin(broadcast(dims)).crossJoin(broadcast(params))
+      .filter(col("cy") >= 0 && col("cy") < col("rows_") &&
+        col("cx") >= 0 && col("cx") < lit(Grid.Cols))
+      .select(col("cy").as("y"), col("cx").as("x"),
+        when(col("cdb").isNotNull, q).otherwise(lit(0)).as("q"))
       .orderBy("y", "x")
   }
 

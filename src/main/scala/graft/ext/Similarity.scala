@@ -141,23 +141,60 @@ object Similarity {
       SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, oid) AS rk FROM cos)
     WHERE rk <= 3 ORDER BY qid, rk"""
 
+  /** Band-bucket occupancy cap for [[cosineNeardup]] — the
+    * [[graft.ext.Dedup.MaxShingleDf]] of the embedding tier. Band values
+    * are 8-bit, so at corpus size N each bucket holds ~N/256 vectors and
+    * the self-join's candidate set grows O(N²/256) — quadratic death at
+    * the 100 TB design point. A bucket held by more than this many
+    * vectors is dropped from candidate generation BEFORE the self-join,
+    * bounding every bucket to cap² pairs (≤ 2·256·cap² candidates total,
+    * a constant independent of N). Recall trade, exactly MaxShingleDf's:
+    * a pair is missed only if EVERY band it agrees on is over-occupied;
+    * pairs sharing any surviving band are kept — and an over-occupied
+    * bucket is the sign-LSH analogue of a stop-shingle (a region so
+    * dense that band agreement carries no near-dup signal). At sf0.1 the
+    * max observed occupancy is 123, so the cap is latent there; the
+    * ExtSpec fixture drives it hot and pins that the true near-dup pair
+    * survives via its other band.
+    */
+  val MaxBandDf = 256
+
   /** S3: embedding near-dup — 16-plane sign code banded into 2×8-bit
     * bands (the D3/MinHash banding shape): candidates are pairs agreeing
     * on a full band (256 bucket values per band, so each join bucket
     * holds ~N/256 vectors — never the O(N²/16) all-pairs a 16-bucket
-    * code produces), distinct-deduped, then exact cosine re-rank via two
-    * joins back to the embeddings. Pigeonhole: any pair differing in ≤1
-    * of the 16 sign bits is guaranteed a shared band. Top-20 pairs.
+    * code produces), occupancy-capped by [[MaxBandDf]],
+    * distinct-deduped, then exact cosine re-rank via two joins back to
+    * the embeddings. Pigeonhole: any pair differing in ≤1 of the 16
+    * sign bits is guaranteed a shared band (subject to the cap).
+    * Top-20 pairs.
     */
-  def cosineNeardup(s: SparkSession, dir: String): DataFrame = {
-    val emb = withNorm(t(s, dir))
-      .withColumn("code", code(col("embedding"), NeardupPlanes))
+  def cosineNeardup(s: SparkSession, dir: String): DataFrame =
+    cosineNeardupFrom(withNorm(t(s, dir)), MaxBandDf)
+
+  /** [[cosineNeardup]] over an explicit corpus (`vec_id`/`embedding`/
+    * `nrm`) with an explicit cap — the spec drives a crafted fixture
+    * through it to pin the cap's recall behavior.
+    */
+  def cosineNeardupFrom(emb0: DataFrame, maxBandDf: Int): DataFrame = {
+    val emb = emb0.withColumn("code", code(col("embedding"), NeardupPlanes))
+    // persist the (vec_id, blk, bval) banding — 2 longs + an int per
+    // vector, the narrowest relation in the plan — so the 16×64-term
+    // sign-code expression evaluates ONCE per vector instead of three
+    // times (occupancy agg + both self-join sides)
     val bands = emb.select(col("vec_id"), explode(array(
       (0 until NeardupBands).map(b => struct(lit(b).as("blk"),
         shiftright(col("code"), b * NeardupBandBits)
           .bitwiseAND(lit((1L << NeardupBandBits) - 1)).as("bval"))): _*)).as("e"))
       .select(col("vec_id"), col("e.blk"), col("e.bval"))
-    val cand = bands.as("x").join(bands.as("y"), Seq("blk", "bval"))
+      .persist()
+    // the keep relation is ≤ 2·256 rows BY CONSTRUCTION (one row per
+    // (band, 8-bit value)) — provably bounded, so the hint is sound
+    val keep = bands.groupBy("blk", "bval").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxBandDf)
+      .select("blk", "bval")
+    val kept = bands.join(broadcast(keep), Seq("blk", "bval"))
+    val cand = kept.as("x").join(kept.as("y"), Seq("blk", "bval"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
       .distinct()
@@ -181,9 +218,11 @@ object Similarity {
     s"""WITH $normCte,
     coded AS (SELECT *, ${codeSql("embedding", NeardupPlanes)} AS code FROM en),
     bands AS ($bandRows),
+    keep AS (SELECT blk, bval FROM bands GROUP BY blk, bval HAVING COUNT(*) <= $MaxBandDf),
+    kept AS (SELECT bands.* FROM bands JOIN keep USING (blk, bval)),
     cand AS (
       SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
-      FROM bands x JOIN bands y ON x.blk = y.blk AND x.bval = y.bval AND x.vec_id < y.vec_id),
+      FROM kept x JOIN kept y ON x.blk = y.blk AND x.bval = y.bval AND x.vec_id < y.vec_id),
     pairs AS (
       SELECT va, vb, (${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cos
       FROM cand JOIN coded a ON cand.va = a.vec_id JOIN coded b ON cand.vb = b.vec_id)

@@ -6,9 +6,11 @@ package graft.geom
   * environment. Warps whose CRSs are in the [[Proj]] family (UTM / UPS /
   * lon-lat — everything S9 can emit) resolve to a [[NativeWarp]] that
   * [[graft.api.Engine.warpTiles]] executes as a distributed
-  * inverse-projected tile resample; only warps OUTSIDE that family (or
-  * GCP/TPS sources without a geotransform) remain a documented
-  * divergence, raising with the exact gdalwarp argv. The decision logic
+  * inverse-projected tile resample — including UNPROJECTED sources,
+  * whose absent CRS plus lon/lat-range geotransform reads as EPSG:4326
+  * ([[impliedSrcEpsg]]); only warps OUTSIDE that family (or blank-CRS
+  * sources without a lon/lat geotransform — the true GCP-grid/TPS case)
+  * remain a documented divergence, raising with the exact gdalwarp argv. The decision logic
   * around the warp (the part users hit first) is ported exactly:
   *
   *  - target-CRS argument resolution: `none` disables, `auto` derives a
@@ -46,6 +48,36 @@ object Warp {
   final case class NativeWarp(srcCrs: String, dstCrs: String, alg: String,
                               srcGt: Vector[Double], srcRows: Int, srcCols: Int,
                               dstGt: Vector[Double], dstRows: Int, dstCols: Int)
+
+  /** Effective source CRS under the unprojected-GRD convention: an
+    * explicit (non-blank) projection parses via [[parseEpsg]]; an
+    * ABSENT/blank one with a geotransform whose four corner coordinates
+    * all land in lon/lat range (|x| ≤ 180, |y| ≤ 90, finite) reads as
+    * EPSG:4326 — the same convention [[graft.api.Engine]]'s warp gate
+    * applies to scene centers, and the convention under which the
+    * reference's GCP+TPS leg geolocates unprojected GRDs (its GCP SRS
+    * defaults to EPSG:4326, `sentinel1.rs:1017-1030`). A blank-CRS
+    * source whose geotransform is NOT lon/lat-plausible (meters, or
+    * non-finite) yields None: that is the true GCP-grid case the argv
+    * raise keeps.
+    */
+  def impliedSrcEpsg(srcProjection: Option[String],
+                     srcGt: Option[Array[Double]],
+                     srcRows: Int, srcCols: Int): Option[String] =
+    srcProjection.filter(_.trim.nonEmpty) match {
+      case Some(p) => parseEpsg(p)
+      case None => srcGt.filter { g =>
+        g.length >= 6 && srcRows > 0 && srcCols > 0 &&
+          Seq((0.0, 0.0), (srcCols.toDouble, 0.0),
+            (0.0, srcRows.toDouble), (srcCols.toDouble, srcRows.toDouble))
+            .forall { case (px, py) =>
+              val x = g(0) + px * g(1) + py * g(2)
+              val y = g(3) + px * g(4) + py * g(5)
+              java.lang.Double.isFinite(x) && java.lang.Double.isFinite(y) &&
+                math.abs(x) <= 180.0 && math.abs(y) <= 90.0
+            }
+      }.map(_ => "EPSG:4326")
+    }
 
   /** `AUTHORITY["EPSG","nnnn"]` extraction — LAST occurrence wins (the
     * outermost authority in a WKT is written last), mirroring the
@@ -159,18 +191,25 @@ object Warp {
     *    resolver's own semantics: bbox corners, -ts dims, resolution
     *    bounds).
     *
+    * The source CRS resolves through [[impliedSrcEpsg]]: an absent/blank
+    * projection with a lon/lat-range geotransform executes natively as
+    * EPSG:4326 — the unprojected-GRD leg real Sentinel-1 products hit
+    * (`sentinel1.rs:1017-1030`) — so the argv raise remains only for
+    * blank-CRS sources WITHOUT a lon/lat geotransform (true GCP-grid/
+    * TPS) and CRSs outside the [[Proj]] family.
+    *
     * Returns None when the source is already in the target CRS (the
     * same skip guard as [[resolveWarp]] — an identity resample would
-    * needlessly degrade pixels), when any CRS is outside the native
-    * family, or when the source lacks an invertible geotransform (the
-    * GCP/TPS case) — the latter two keep the honest gdalwarp-argv
-    * raise.
+    * needlessly degrade pixels; the caller treats an implied-4326
+    * source targeting 4326 as the same skip), when any CRS is outside
+    * the native family, or when the source lacks an invertible
+    * geotransform — the latter two keep the honest gdalwarp-argv raise.
     */
   def nativePlan(srcProjection: Option[String], targetCrs: String,
                  srcGt: Option[Array[Double]], srcRows: Int, srcCols: Int,
                  resampleAlg: Option[String] = None,
                  targetSize: Option[Int] = None): Option[NativeWarp] = for {
-    srcCrs <- srcProjection.filter(_.trim.nonEmpty).flatMap(parseEpsg)
+    srcCrs <- impliedSrcEpsg(srcProjection, srcGt, srcRows, srcCols)
     srcProj <- Proj.fromEpsg(srcCrs)
     dstCrs <- parseEpsg(targetCrs)
     if !srcCrs.equalsIgnoreCase(dstCrs)

@@ -247,15 +247,31 @@ class EngineSpec extends SparkSpec {
     assert(warped.width == plan.dstCols && warped.height == plan.dstRows,
       s"native 4326→UTM warp dims: ${warped.width}×${warped.height}")
     assert(warped.gray.exists(g => g.max > g.min))
-    // ABSENT source CRS: the unprojected-GRD case — its geotransform
-    // derives from lon/lat GCPs; no projected grid to inverse-sample, so
-    // the TPS leg keeps the honest gdalwarp raise
+    // ABSENT source CRS with a lon/lat-range geotransform: the
+    // unprojected-GRD case real Sentinel-1 products hit — reads as
+    // EPSG:4326 (Warp.impliedSrcEpsg) and warps NATIVELY, producing the
+    // same output grid as the explicit-4326 source above
     val noCrsMeta = SafeMeta(
       geotransform = Some(Array(10.0, 0.01, 0.0, 50.0, 0.0, -0.01)))
+    val warpedNoCrs = Engine.processToBuffer(spark, "wa3", 32, 32,
+      ProcessingParams(autoscale = AutoscaleStrategy.Standard,
+        targetCrs = Some("auto")), noCrsMeta)
+    assert(warpedNoCrs.width == plan.dstCols && warpedNoCrs.height == plan.dstRows,
+      s"unprojected native warp dims: ${warpedNoCrs.width}×${warpedNoCrs.height}")
+    assert(warpedNoCrs.gray.exists(g => g.max > g.min))
+    // absent-CRS source targeting its own implied CRS: skip guard, no warp
+    val identity = Engine.processToBuffer(spark, "wa5", 32, 32,
+      ProcessingParams(autoscale = AutoscaleStrategy.Standard,
+        targetCrs = Some("EPSG:4326")), noCrsMeta)
+    assert(identity.width == 32, "implied-4326 → 4326: direct read, no warp")
+    // blank CRS whose geotransform is NOT lon/lat-plausible (meters):
+    // the true GCP-grid/TPS leg keeps the honest gdalwarp raise
+    val gcpMeta = SafeMeta(
+      geotransform = Some(Array(500000.0, 10.0, 0.0, 4100000.0, 0.0, -10.0)))
     val e2 = intercept[graft.model.GraftException.External] {
-      Engine.processToBuffer(spark, "wa3", 32, 32,
+      Engine.processToBuffer(spark, "wa4", 32, 32,
         ProcessingParams(autoscale = AutoscaleStrategy.Standard,
-          targetCrs = Some("auto")), noCrsMeta)
+          targetCrs = Some("EPSG:32632")), gcpMeta)
     }
     assert(e2.getMessage.contains("-t_srs EPSG:32632") &&
       e2.getMessage.contains("-tps"), e2.getMessage)

@@ -291,4 +291,92 @@ class ExtSpec extends SparkSpec {
     assert(real.length == spark.read.parquet(s"$Sf0001/documents.parquet").count())
     assert(real.forall(x => x.getDouble(3) >= 0.0 && x.getDouble(3) <= 1.0))
   }
+
+  test("S3 band-bucket cap: true near-dup survives via its other band") {
+    import graft.ext.Similarity
+    val dim = Similarity.Dim
+    val nb = Similarity.NeardupBandBits // 8
+    // spec-side reimplementation of the 16-plane sign code, used to
+    // SELECT fixture vectors by their actual band values (construction
+    // from sign patterns is probabilistic; selection is exact)
+    def codeOf(e: Array[Float]): Int = (0 until Similarity.NeardupPlanes).map { j =>
+      val p = (0 until dim).map(d => Similarity.planeSign(j, d) * e(d)).sum
+      if (p > 0) 1 << j else 0
+    }.sum
+    // candidate vectors with EXACT sign control: the planes are heavily
+    // correlated (Gram off-diagonals up to 60 of 64), so a naive sign-
+    // weighted plane sum does not realize a chosen code — instead solve
+    // G·c = 64·s on the 16×16 plane Gram matrix (Gaussian elimination,
+    // partial pivoting; cond(G) ≈ 150) and take e = Σ_j c_j·p_j: every
+    // projection is then ±64 exactly, a margin no perturbation here dents
+    val nPlanes = Similarity.NeardupPlanes
+    val planes = Array.tabulate(nPlanes, dim)((j, d) => Similarity.planeSign(j, d))
+    val gram = Array.tabulate(nPlanes, nPlanes)((j, k) =>
+      (0 until dim).map(d => planes(j)(d) * planes(k)(d)).sum)
+    def solve(b: Array[Double]): Array[Double] = {
+      val a = Array.tabulate(nPlanes, nPlanes + 1)((r, c) =>
+        if (c < nPlanes) gram(r)(c) else b(r))
+      for (col <- 0 until nPlanes) {
+        val piv = (col until nPlanes).maxBy(r => math.abs(a(r)(col)))
+        val t = a(piv); a(piv) = a(col); a(col) = t
+        for (r <- col + 1 until nPlanes) {
+          val f = a(r)(col) / a(col)(col)
+          for (c <- col to nPlanes) a(r)(c) -= f * a(col)(c)
+        }
+      }
+      val x = new Array[Double](nPlanes)
+      for (r <- nPlanes - 1 to 0 by -1)
+        x(r) = (a(r)(nPlanes) - (r + 1 until nPlanes).map(c => a(r)(c) * x(c)).sum) / a(r)(r)
+      x
+    }
+    def mk(pattern: Int): Array[Float] = {
+      val s = Array.tabulate(nPlanes)(j => if ((pattern >> j & 1) == 1) 64.0 else -64.0)
+      val c = solve(s)
+      Array.tabulate(dim)(d => (0 until nPlanes).map(j => c(j) * planes(j)(d)).sum.toFloat)
+    }
+    // one fixed band-0 byte, sweeping band-1 bytes; verify by the actual
+    // code (selection stays exact even if construction ever degraded)
+    val lowByte = 0xA5
+    val cands = (0 until 256).map(hi => mk(lowByte | (hi << nb)))
+    val byB0 = cands.groupBy(e => codeOf(e) & 0xFF).maxBy(_._2.length)._2
+    val cluster = byB0.groupBy(e => (codeOf(e) >> nb) & 0xFF)
+      .values.map(_.head).toArray
+    val cap = 100
+    assert(cluster.length > cap + 1,
+      s"fixture needs >${cap + 1} same-band-0 vectors, got ${cluster.length}")
+    // near-dup pair: cluster member 0 and a tiny same-code perturbation
+    // of it — its band-1 bucket holds exactly these two
+    val m = cluster(0)
+    val mPrime = m.clone(); mPrime(0) += 0.25f
+    assert(codeOf(mPrime) == codeOf(m), "perturbation must not flip any sign")
+    val rows = (cluster :+ mPrime).zipWithIndex.map { case (e, i) => (i.toLong, e.toSeq) }
+    val emb = rows.toSeq.toDF("vec_id", "embedding")
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    // band-0 bucket occupancy = cluster+pair > cap → dropped; every
+    // band-1 bucket is a singleton except the pair's (occupancy 2)
+    val capped = Similarity.cosineNeardupFrom(emb, cap).collect()
+    assert(capped.length == 1, s"capped: only the band-1 pair survives, got ${capped.length}")
+    val top = capped.head
+    assert(top.getLong(1) == 0L && top.getLong(2) == cluster.length.toLong,
+      s"the near-dup pair: $top")
+    assert(top.getDouble(3) > 0.999, s"perturbed copy has cos≈1: ${top.getDouble(3)}")
+    // uncapped: the same pair is STILL rank 1 (identical top row — the
+    // cap costs none of the true near-dup signal), with the band-0
+    // bucket now flooding the rest of the top-20
+    val uncapped = Similarity.cosineNeardupFrom(emb, Int.MaxValue).collect()
+    assert(uncapped.length == 20, s"uncapped top-20 full: ${uncapped.length}")
+    assert(uncapped.head.getLong(1) == top.getLong(1) &&
+      uncapped.head.getLong(2) == top.getLong(2) &&
+      uncapped.head.getDouble(3) == top.getDouble(3),
+      s"identical top pair with and without the cap: ${uncapped.head} vs $top")
+    // the production cap is latent on the real corpus (max occupancy
+    // 123 < 256 at sf0.1): capped ≡ uncapped there
+    val prod = Similarity.cosineNeardup(spark, Sf0001).collect()
+    val prodUncapped = Similarity.cosineNeardupFrom(
+      spark.read.parquet(s"$Sf0001/embeddings.parquet")
+        .withColumn("nrm", Similarity.norm(col("embedding"))),
+      Int.MaxValue).collect()
+    assert(prod.toSeq == prodUncapped.toSeq,
+      "cap is latent on the real corpus: identical top-20")
+  }
 }

@@ -154,8 +154,23 @@ class WarpSpec extends SparkSpec {
     // outside the native family / missing geotransform → None (argv raise path)
     assert(Warp.nativePlan(Some("EPSG:3857"), "EPSG:32633", Some(gt), 100, 100).isEmpty)
     assert(Warp.nativePlan(Some("EPSG:32632"), "EPSG:3857", Some(gt), 100, 100).isEmpty)
+    // absent CRS + METERS geotransform: not lon/lat-plausible → the
+    // true GCP-grid/TPS case stays on the argv raise path
     assert(Warp.nativePlan(None, "EPSG:32633", Some(gt), 100, 100).isEmpty)
     assert(Warp.nativePlan(Some("EPSG:32632"), "EPSG:32633", None, 100, 100).isEmpty)
+
+    // absent CRS + lon/lat-range geotransform: the unprojected-GRD
+    // convention — the plan is EXACTLY the explicit-4326 plan
+    val llGt = Array(10.0, 0.01, 0.0, 50.0, 0.0, -0.01)
+    val implied = Warp.nativePlan(None, "EPSG:32632", Some(llGt), 64, 64)
+    val explicit = Warp.nativePlan(Some("EPSG:4326"), "EPSG:32632", Some(llGt), 64, 64)
+    assert(implied.nonEmpty && implied == explicit,
+      s"implied-4326 plan must equal the explicit-4326 plan: $implied vs $explicit")
+    // blank (whitespace) CRS gets the same treatment as absent
+    assert(Warp.nativePlan(Some("  "), "EPSG:32632", Some(llGt), 64, 64) == explicit)
+    // lat just past the pole is not lon/lat-plausible
+    val badLat = Array(10.0, 0.01, 0.0, 91.0, 0.0, -0.01)
+    assert(Warp.nativePlan(None, "EPSG:32632", Some(badLat), 64, 64).isEmpty)
 
     // fused -ts: output dims are EXACTLY the argv's numbers
     val ts = Warp.nativePlan(Some("EPSG:32632"), "EPSG:32633", Some(gt),
