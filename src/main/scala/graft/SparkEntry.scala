@@ -723,9 +723,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     q1.fn(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Every fn
+    * registers the graft extensions (`graft_db`/`graft_dot` + fuse rule)
+    * on its session first — idempotent, so the registry is
+    * self-contained on ANY session, not just the ones Verify/Bench/the
+    * spec build.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    registry.map(q => q.name -> q.fn).toMap
+    registry.map(q => q.name -> { (s: SparkSession, dir: String) =>
+      graft.plans.GraftExtensions.register(s)
+      q.fn(s, dir)
+    }).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.

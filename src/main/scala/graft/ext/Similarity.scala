@@ -8,12 +8,17 @@ import org.apache.spark.sql.functions._
   * Array[Float]): brute-force cosine top-k as the exactness baseline and
   * a sign-LSH (random-hyperplane) bucketed variant as the scale path.
   *
-  * Determinism across engines: dot products are UNROLLED left-associative
-  * chains `e[1]*f[1] + e[2]*f[2] + …` — the identical IEEE-754 op
-  * sequence in Spark (codegen'd, no higher-order-function overhead) and
-  * DuckDB, so cosines are bit-equal and no comparison rounding is needed.
-  * Hyperplane signs are ±1 literals from a deterministic integer mix,
-  * embedded identically in both expression trees.
+  * Determinism across engines: Spark-side dot products are the native
+  * [[graft.plans.DotProductExpr]] (one codegen'd node — ascending-index
+  * multiply, left-associative fold), DuckDB's are unrolled
+  * left-associative chains `e[1]*f[1] + e[2]*f[2] + …` — the identical
+  * IEEE-754 op sequence, so cosines are bit-equal and no comparison
+  * rounding is needed. (The Spark side previously unrolled the same
+  * chain as ~192 builtin nodes; Catalyst analysis of those trees cost
+  * more driver time than execution — `graft.tools.S3Prof` measured the
+  * swap.) Hyperplane signs are ±1 literals from a deterministic integer
+  * mix: literal float arrays on the Spark side, inline constants in the
+  * SQL.
   *
   * Scale path: the query side is broadcast (top-k against a fixed query
   * set is a map-side join); the LSH variant shuffles once on the bucket
@@ -27,10 +32,12 @@ object Similarity {
   private def t(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** Unrolled left-assoc dot product of two Array[Float] columns. */
-  def dot(a: Column, b: Column): Column =
-    (1 to Dim).map(i =>
-      element_at(a, i).cast("double") * element_at(b, i).cast("double")).reduce(_ + _)
+  /** Left-assoc dot product of two Array[Float] columns — the native
+    * codegen'd [[graft.plans.DotProductExpr]], resolved through the
+    * `graft_dot` registration ([[graft.plans.GraftExtensions]]; Verify,
+    * Bench, and the spec session all register it).
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def dotSql(a: String, b: String): String =
     (1 to Dim).map(i =>
@@ -98,8 +105,10 @@ object Similarity {
 
   private def code(e: Column, planes: Int): Column =
     (0 until planes).map { j =>
-      val proj = (1 to Dim).map(d =>
-        lit(planeSign(j, d - 1)) * element_at(e, d).cast("double")).reduce(_ + _)
+      // plane as ONE literal float-array node; ±1f·x ≡ the ±1.0·x the
+      // SQL chain computes (float→double widening is exact for ±1)
+      val plane = typedLit((0 until Dim).map(d => planeSign(j, d).toFloat))
+      val proj = dot(e, plane)
       shiftleft(when(proj > 0, 1L).otherwise(0L), j)
     }.reduce(_ + _)
 

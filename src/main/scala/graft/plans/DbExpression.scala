@@ -86,6 +86,7 @@ object FuseDbRule extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dbFunction)
+    ext.injectFunction(DotProductExpr.function)
     ext.injectOptimizerRule(_ => FuseDbRule)
   }
 }
@@ -102,6 +103,8 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       dbFunction._1, dbFunction._2, dbFunction._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      DotProductExpr.function._1, DotProductExpr.function._2, DotProductExpr.function._3)
     if (!spark.experimental.extraOptimizations.contains(FuseDbRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ FuseDbRule

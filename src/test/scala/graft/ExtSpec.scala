@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Events, Similarity, TextOps}
+import graft.ext.{Dedup, Events, Ivf, Similarity, TextOps}
 import graft.sources.Multimodal
 
 /** Behavioral specs for the extension operators over the sf0.001 tables
@@ -100,7 +100,8 @@ class ExtSpec extends SparkSpec {
       got.get(q).map(g => (g intersect brute(q)).size.toDouble / 3.0)
     }
     assert(recalls.nonEmpty)
-    assert(recalls.sum / recalls.size > 0.25,
+    // same bar as Ivf.MinRecall: measured ~0.72 at sf0.001
+    assert(recalls.sum / recalls.size > Ivf.MinRecall,
       s"mean recall@3 too low: ${recalls.sum / recalls.size}")
     // the embedded ground-truth columns must agree with the external
     // computation: recall3 = per-query mean of exact_hit
