@@ -92,26 +92,33 @@ object Bench {
     }
     // Static plan audit per registry query: exchange (shuffle/broadcast)
     // operator counts from the planned physical tree — an artifact future
-    // round comparisons can read without re-running anything. Counted on
-    // the pre-AQE physical tree (AQE hides its children from foreach) by
-    // node CLASS, not by plan-string grep: toString re-renders shared
-    // subtrees, inflating counts, while ReusedExchange nodes correctly
-    // don't match the exchange classes here. Planning only; nothing
-    // executes (queries whose CONSTRUCTION runs jobs — grid sizing,
-    // KMeans fit — still pay those, same as any single invocation).
-    val exchanges = ordered.flatMap { case (name, fn) =>
-      val r = try {
-        var shuffle = 0
-        var bcast = 0
-        fn(spark, sfDir).queryExecution.sparkPlan.foreach {
-          case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => shuffle += 1
-          case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike => bcast += 1
-          case _ => ()
-        }
-        Some(name -> (shuffle, bcast))
-      } catch { case _: Throwable => None }
-      spark.catalog.clearCache()
-      r
+    // round comparisons can read without re-running anything. AQE is OFF
+    // for the audit only: EnsureRequirements inserts exchanges during
+    // executedPlan preparation (sparkPlan has none yet), and under AQE
+    // the tree hides inside a childless AdaptiveSparkPlanExec — with it
+    // disabled the full prepared tree is walkable. Counted by node
+    // CLASS, not plan-string grep: toString re-renders shared subtrees,
+    // inflating counts, while ReusedExchange nodes correctly don't match
+    // the exchange classes. Planning only; nothing executes (queries
+    // whose CONSTRUCTION runs jobs — grid sizing, KMeans fit — still pay
+    // those, same as any single invocation). The timed runs below use
+    // the session's normal AQE-on config.
+    val exchanges = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try ordered.flatMap { case (name, fn) =>
+        val r = try {
+          var shuffle = 0
+          var bcast = 0
+          fn(spark, sfDir).queryExecution.executedPlan.foreach {
+            case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => shuffle += 1
+            case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike => bcast += 1
+            case _ => ()
+          }
+          Some(name -> (shuffle, bcast))
+        } catch { case _: Throwable => None }
+        spark.catalog.clearCache()
+        r
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
     val results = ordered.map { case (name, fn) =>
       name -> timed(name, () => run(fn, sfDir))

@@ -319,8 +319,15 @@ object Clahe {
   * in the last ulp).
   */
 object LocalStats {
-  def query(s: SparkSession, dir: String): DataFrame = {
-    val g = Grid.df(s, dir)
+  def query(s: SparkSession, dir: String): DataFrame =
+    statsOf(Grid.df(s, dir))
+
+  /** The join-free fold core over any `grid(y, x, db, valid)` relation —
+    * [[query]] binds it to the lineitem Grid; EnhanceSpec pins the edge
+    * semantics (border shrink, invalid exclusion, phantom drop) on a
+    * hand-checked 3×3 fixture.
+    */
+  def statsOf(g: DataFrame): DataFrame = {
     val offsets = array((for (dy <- -1 to 1; dx <- -1 to 1)
       yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)
     val contrib = g.filter(col("valid"))
