@@ -698,6 +698,7 @@ object SparkEntry {
     Q("d4_simhash", Dedup.simhash, Some(Dedup.simhashSql)),
     Q("d5_contamination", Dedup.contamination, Some(Dedup.contaminationSql)),
     Q("d6_paragraph_dedup", Dedup.paragraphDedup, Some(Dedup.paragraphDedupSql)),
+    Q("d7_dup_clusters", Dedup.dupClusters, Some(Dedup.dupClustersSql)),
     Q("s1_cosine_topk", Similarity.cosineTopk, Some(Similarity.cosineTopkSql)),
     Q("s2_lsh_ann_topk", Similarity.lshAnnTopk, Some(Similarity.lshAnnTopkSql)),
     Q("s3_cosine_neardup", Similarity.cosineNeardup, Some(Similarity.cosineNeardupSql)),

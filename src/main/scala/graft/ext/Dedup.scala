@@ -247,26 +247,38 @@ object Dedup {
   def hashA(i: Int): Long = 2L * i + 1
   def hashB(i: Int): Long = 11L * i + 7
 
+  /** Per-doc MinHash signature relation `(doc_id, m0..m15)`. */
+  private def minhashSig(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleDf(s, dir)
+      .select(col("doc_id"), TextOps.tokenHash(col("shingle")).as("h"))
+    val minExprs = (0 until NumHashes).map(i =>
+      min((lit(hashA(i)) * col("h") + lit(hashB(i))) % MinhashPrime).as(s"m$i"))
+    sh.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
+  }
+
+  /** LSH-banding candidate pairs `(doc_a < doc_b)` from a signature
+    * relation — the shared candidate generator of D3 and D7.
+    */
+  private def bandCandidates(sig: DataFrame): DataFrame = {
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until NumBands).map(b => struct(lit(b).as("band"),
+        concat_ws("_", (0 until NumHashes / NumBands).map(r => col(s"m${b * (NumHashes / NumBands) + r}")): _*).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    bands.as("x").join(bands.as("y"), Seq("band", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** D3: MinHash signatures + LSH banding. Signature = per-doc min of 16
     * affine hashes over shingle hashes; 4 bands × 4 rows; docs sharing a
     * band key become candidate pairs; estimated Jaccard = matching
     * signature fraction. One agg + one equi-join — no pairwise scan.
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleDf(s, dir)
-      .select(col("doc_id"), TextOps.tokenHash(col("shingle")).as("h"))
-    val minExprs = (0 until NumHashes).map(i =>
-      min((lit(hashA(i)) * col("h") + lit(hashB(i))) % MinhashPrime).as(s"m$i"))
     // signature table feeds banding + both verification join sides
-    val sig = sh.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*).persist()
-    val bands = sig.select(col("doc_id"), explode(array(
-      (0 until NumBands).map(b => struct(lit(b).as("band"),
-        concat_ws("_", (0 until NumHashes / NumBands).map(r => col(s"m${b * (NumHashes / NumBands) + r}")): _*).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
-    val cand = bands.as("x").join(bands.as("y"), Seq("band", "key"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val sig = minhashSig(s, dir).persist()
+    val cand = bandCandidates(sig)
     val matches = (0 until NumHashes).map(i =>
       when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0)).reduce(_ + _)
     cand.join(sig.as("a"), col("doc_a") === col("a.doc_id"))
@@ -276,7 +288,10 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  val minhashLshSql: String = {
+  /** Shared oracle CTE chain ending in `cand(doc_a, doc_b)` — the
+    * candidate generator both the D3 and D7 oracles build on.
+    */
+  private def minhashCandCtes: String = {
     val mins = (0 until NumHashes).map(i =>
       s"MIN((${hashA(i)} * h + ${hashB(i)}) % $MinhashPrime) AS m$i").mkString(", ")
     val bandRows = (0 until NumBands).map { b =>
@@ -284,19 +299,104 @@ object Dedup {
         .map(r => s"m${b * (NumHashes / NumBands) + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, concat_ws('_', $key) AS key FROM sig"
     }.mkString(" UNION ALL ")
-    val matches = (0 until NumHashes).map(i =>
-      s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH $shingleCte,
+    s"""$shingleCte,
     sh AS (SELECT doc_id, ${TextOps.tokenHashSql("shingle")} AS h FROM shing),
     sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
     bands AS ($bandRows),
     cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+      FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)"""
+  }
+
+  val minhashLshSql: String = {
+    val matches = (0 until NumHashes).map(i =>
+      s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $minhashCandCtes
     SELECT doc_a, doc_b, CAST($matches AS DOUBLE) / ${NumHashes.toDouble} AS est_jaccard
     FROM cand JOIN sig a ON cand.doc_a = a.doc_id JOIN sig b ON cand.doc_b = b.doc_id
     ORDER BY doc_a, doc_b"""
   }
+
+  // ---------------------------------------------------------- dup clusters
+
+  /** Round cap for [[clusterLabels]]. Min-label propagation converges in
+    * O(graph diameter) rounds; LSH candidate graphs are unions of
+    * per-bucket cliques, so real dup-cluster diameters are tiny (a chain
+    * needs every adjacent pair to collide in SOME band while the ends
+    * never do). Exceeding the cap raises rather than silently returning
+    * half-merged clusters — at 100 TB an unconverged label table is a
+    * WRONG dedup, not a slow one.
+    */
+  val MaxClusterIters = 64
+
+  /** Connected components by min-label propagation over an undirected
+    * candidate edge list: every node starts as its own label; each round
+    * ships labels across edges and keeps the per-node min; fixpoint when
+    * no label changes. The per-round cost is one join + one aggregate
+    * (both with map-side partials), the textbook distributed-CC shape —
+    * the driver holds ONE scalar (the changed-count) per round, never
+    * data. Returns `(id, lbl)` with `lbl` = min node id in the
+    * component.
+    */
+  def clusterLabels(nodes: DataFrame, cand: DataFrame): DataFrame = {
+    val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = nodes.select(col("id"), col("id").as("lbl")).persist()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < MaxClusterIters) {
+      val prop = edges.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("lbl"))
+        .unionAll(labels)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .persist()
+      changed = prop.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = prop
+      iters += 1
+    }
+    edges.unpersist()
+    if (changed > 0)
+      throw graft.model.GraftException.Processing(
+        s"dup-cluster propagation did not converge in $MaxClusterIters rounds")
+    labels
+  }
+
+  /** D7: dup-cluster assignment — the transitive closure the pairwise
+    * tiers stop short of (the CCNet/RefinedWeb final dedup step): every
+    * document labeled with the min doc_id of its connected component in
+    * the D3 candidate graph, plus the component size. Two docs that
+    * never share a band still cluster through a chain of shared-band
+    * neighbors. Singletons (no candidate pair) keep their own id with
+    * size 1. The oracle expresses the same closure as a DuckDB recursive
+    * CTE — label propagation and reachability-min agree exactly on any
+    * graph.
+    */
+  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(s, dir).persist()
+    val cand = bandCandidates(sig)
+    val nodes = t(s, dir).select(col("doc_id").as("id"))
+    val labels = clusterLabels(nodes, cand)
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  val dupClustersSql: String =
+    s"""WITH RECURSIVE $minhashCandCtes,
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+              UNION ALL SELECT doc_b, doc_a FROM cand),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS lbl FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src),
+    lab AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+    sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+    SELECT doc_id, cluster_id, cluster_size FROM lab JOIN sz USING (cluster_id)
+    ORDER BY doc_id"""
 
   // -------------------------------------------------------------- simhash
 

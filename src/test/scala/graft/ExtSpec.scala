@@ -293,6 +293,26 @@ class ExtSpec extends SparkSpec {
     assert(real.forall(x => x.getDouble(3) >= 0.0 && x.getDouble(3) <= 1.0))
   }
 
+  test("D7 label propagation: chains merge transitively, components stay apart") {
+    // chain 1-2-3-4 (1 and 4 share no edge), separate pair 5-6,
+    // singleton 7: three components
+    val nodes = (1L to 7L).toDF("id")
+    val cand = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.clusterLabels(nodes, cand).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L), s"labels: $labels")
+    // and end-to-end on the real corpus: complete cover, canonical
+    // label is the component min, sizes partition the corpus
+    val d7 = Dedup.dupClusters(spark, Sf0001).collect()
+    val n = spark.read.parquet(s"$Sf0001/documents.parquet").count()
+    assert(d7.length == n, "every document is labeled")
+    assert(d7.forall(r => r.getLong(1) <= r.getLong(0)), "cluster id = component min")
+    val bySize = d7.groupBy(_.getLong(1)).view.mapValues(_.length)
+    assert(d7.forall(r => bySize(r.getLong(1)).toLong == r.getLong(2)),
+      "cluster_size agrees with the actual partition")
+  }
+
   test("S3 band-bucket cap: true near-dup survives via its other band") {
     import graft.ext.Similarity
     val dim = Similarity.Dim
