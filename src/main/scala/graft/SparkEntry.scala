@@ -692,6 +692,7 @@ object SparkEntry {
     Q("t5_bpe_token_count", TextOps.bpeTokenCount, Some(TextOps.bpeTokenCountSql)),
     Q("t6_repetition", TextOps.repetition, Some(TextOps.repetitionSql)),
     Q("t7_hash_split", TextOps.hashSplit, Some(TextOps.hashSplitSql)),
+    Q("t8_vocab_topk", TextOps.vocabTopk, Some(TextOps.vocabTopkSql)),
     Q("d1_exact_dedup", Dedup.exact, Some(Dedup.exactSql)),
     Q("d2_ngram_jaccard", Dedup.ngramJaccard, Some(Dedup.ngramJaccardSql)),
     Q("d3_minhash_lsh", Dedup.minhashLsh, Some(Dedup.minhashLshSql)),
@@ -705,6 +706,7 @@ object SparkEntry {
     // KMeans coarse quantizer — not SQL-expressible; rows-only check,
     // but the output embeds its own exact-baseline recall columns.
     Q("s4_ivf_ann_topk", Ivf.ivfTopk, None),
+    Q("s5_centroid_outliers", Similarity.centroidOutliers, Some(Similarity.centroidOutliersSql)),
     Q("m1_multimodal_meta", Multimodal.meta, Some(Multimodal.metaSql)),
     // mapPartitions feature extraction — the byte-nibble histogram IS
     // SQL-expressible (hex trick, see Multimodal.featuresSql), so the

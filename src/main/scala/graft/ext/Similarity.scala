@@ -220,6 +220,83 @@ object Similarity {
       .select(col("rk"), col("va"), col("vb"), col("cos"))
   }
 
+  // --------------------------------------------------- centroid outliers
+
+  val OutlierK = 3
+
+  /** S5: per-label centroid outliers — for each label, the
+    * [[OutlierK]] vectors farthest (lowest cosine) from their label's
+    * centroid: the embedding-space curation step that prunes mislabeled
+    * or off-distribution examples before training.
+    *
+    * Determinism: the centroid is position-wise exact — float values
+    * widen to double (exact) and accumulate in DECIMAL(28,10) (the
+    * HistStats pattern, partition-order independent), one IEEE division
+    * by the exact count, then ONE rounding to float32 per component
+    * (both engines round-to-nearest-even on the same double). Cosines
+    * then go through the same [[dot]]/`graft_dot` left-assoc chain as
+    * every other similarity query, so ranking compares bit-identical
+    * doubles; ties break on vec_id.
+    *
+    * Scale shape: the centroid relation is (labels × dim) rows —
+    * bounded by the label vocabulary, broadcast back; the corpus is
+    * touched by one posexplode aggregate and one row-wise projection.
+    * The per-label ranking windows partition on label; a label's
+    * membership can be corpus-sized, which is exactly the two-phase
+    * bucket treatment [[graft.ext.TextOps.vocabTopk]] demonstrates —
+    * kept single-window here because labels are the 4-value synthetic
+    * stratum, and the swap is mechanical.
+    */
+  def centroidOutliers(s: SparkSession, dir: String): DataFrame =
+    centroidOutliersFrom(withNorm(t(s, dir)))
+
+  /** [[centroidOutliers]] over an explicit corpus (`label`/`vec_id`/
+    * `embedding`/`nrm`) — the spec plants a known outlier through it.
+    */
+  def centroidOutliersFrom(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val sums = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg((sum(col("v").cast("double").cast(DecimalType(28, 10))).cast("double") /
+        count(lit(1)).cast("double")).as("c"))
+    // deterministic assembly: collect (pos, c) structs, sort by pos,
+    // project the component — collect_list order never matters
+    val centroids = sums.groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+        x => x("c").cast("float")).as("centroid"))
+    val withC = emb.join(broadcast(centroids), "label")
+    val cos = (dot(col("embedding"), col("centroid")) /
+      (col("nrm") * sqrt(dot(col("centroid"), col("centroid"))))).as("cos")
+    withC.select(col("label"), col("vec_id"), cos)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("label").orderBy(col("cos"), col("vec_id"))))
+      .filter(col("rk") <= OutlierK)
+      .select(col("label"), col("rk"), col("vec_id"), col("cos"))
+      .orderBy("label", "rk")
+  }
+
+  val centroidOutliersSql: String = s"""WITH $normCte,
+    pos AS (
+      SELECT label, CAST(i - 1 AS INT) AS pos, embedding[CAST(i AS INT)] AS v
+      FROM (SELECT label, embedding, unnest(range(1, $Dim + 1)) AS i FROM en)),
+    sums AS (
+      SELECT label, pos,
+        CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS c
+      FROM pos GROUP BY 1, 2),
+    cents AS (
+      SELECT label, list(CAST(c AS FLOAT) ORDER BY pos) AS centroid
+      FROM sums GROUP BY 1),
+    scored AS (
+      SELECT en.label, vec_id,
+        (${dotSql("embedding", "centroid")}) /
+          (nrm * sqrt(${dotSql("centroid", "centroid")})) AS cos
+      FROM en JOIN cents ON en.label = cents.label)
+    SELECT label, rk, vec_id, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY label ORDER BY cos, vec_id) AS rk
+      FROM scored)
+    WHERE rk <= $OutlierK ORDER BY label, rk"""
+
   val cosineNeardupSql: String = {
     val bandRows = (0 until NeardupBands).map(b =>
       s"SELECT vec_id, $b AS blk, (code >> ${b * NeardupBandBits}) & ${(1L << NeardupBandBits) - 1} AS bval FROM coded")

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis over the `documents` table — training-data-pipeline
@@ -335,4 +336,49 @@ object TextOps {
       CAST(top_bigram_frac > $TopBigramMax OR dup_trigram_frac > $DupTrigramMax AS INT)
         AS repetitive
     FROM fr ORDER BY doc_id"""
+
+  // -------------------------------------------------------- T8 vocabulary
+
+  val VocabTopK = 10
+  val VocabBuckets = 64
+
+  /** T8: per-language vocabulary head — the top-[[VocabTopK]] tokens by
+    * corpus frequency per language (the vocab-mining / BPE-prep step of
+    * a tokenizer pipeline). Ordering is integer-exact: count desc, then
+    * token — no float enters the ranking.
+    *
+    * Scale shape: the naive form windows over EVERY distinct token of a
+    * language in one partition — a per-language sort of a vocabulary
+    * that can reach billions of types at 100 TB. Two-phase instead:
+    * tokens first rank inside (language, hash-bucket) —
+    * [[VocabBuckets]] parallel bounded windows per language — and only
+    * each bucket's top K survive to the per-language final window,
+    * which then sorts ≤ buckets·K rows. The global top-K is a subset of
+    * the union of bucket top-Ks (any global member ranks ≤ K inside its
+    * own bucket), so the phases lose nothing. The oracle states the
+    * naive single-window form; both agree exactly.
+    */
+  def vocabTopk(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+    val counts = toks.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+    val w1 = Window.partitionBy(col("lang"),
+        pmod(tokenHash(col("tok")), lit(VocabBuckets.toLong)))
+      .orderBy(col("cnt").desc, col("tok"))
+    val pre = counts.withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= VocabTopK)
+    val w2 = Window.partitionBy("lang").orderBy(col("cnt").desc, col("tok"))
+    pre.withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= VocabTopK)
+      .select(col("lang"), col("rk"), col("tok"), col("cnt"))
+      .orderBy("lang", "rk")
+  }
+
+  val vocabTopkSql: String = s"""WITH toks AS (
+      SELECT lang, unnest($tokensSql) AS tok FROM documents),
+    counts AS (SELECT lang, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2)
+    SELECT lang, rk, tok, cnt FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rk
+      FROM counts)
+    WHERE rk <= $VocabTopK ORDER BY lang, rk"""
 }

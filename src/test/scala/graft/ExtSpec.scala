@@ -313,6 +313,42 @@ class ExtSpec extends SparkSpec {
       "cluster_size agrees with the actual partition")
   }
 
+  test("T8 vocab: two-phase bucketed top-k equals the naive single window") {
+    val toks = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val naive = toks.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(col("cnt").desc, col("tok"))))
+      .filter(col("rk") <= TextOps.VocabTopK)
+      .select("lang", "rk", "tok", "cnt")
+      .orderBy("lang", "rk").collect().toSeq
+    val twoPhase = TextOps.vocabTopk(spark, Sf0001).collect().toSeq
+    assert(twoPhase == naive, "bucketed pre-top-k must lose nothing")
+  }
+
+  test("S5 centroid outliers: a planted opposite vector ranks as the top outlier") {
+    // label A: four near-identical vectors + one pointing the other way;
+    // label B: a tight pair (no outlier distinguishes strongly)
+    def v(base: Float, jitter: Float): Seq[Float] =
+      (0 until Similarity.Dim).map(d => base + (if (d % 2 == 0) jitter else -jitter))
+    val rows = Seq(
+      ("A", 1L, v(1.0f, 0.01f)), ("A", 2L, v(1.0f, 0.02f)),
+      ("A", 3L, v(1.0f, 0.03f)), ("A", 4L, v(1.0f, 0.04f)),
+      ("A", 5L, v(-1.0f, 0.01f)),
+      ("B", 6L, v(0.5f, 0.01f)), ("B", 7L, v(0.5f, 0.02f)))
+    val emb = rows.toDF("label", "vec_id", "embedding")
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val r = Similarity.centroidOutliersFrom(emb).collect()
+      .map(x => (x.getString(0), x.getInt(1)) -> x.getLong(2)).toMap
+    assert(r(("A", 1)) == 5L, s"the opposite vector is label A's top outlier: $r")
+    assert(r.size == 3 + 2, "top-3 for A, both of B's pair")
+    // and the real corpus: every label contributes exactly OutlierK rows
+    val real = Similarity.centroidOutliers(spark, Sf0001).collect()
+    val perLabel = real.groupBy(_.get(0)).view.mapValues(_.length)
+    assert(perLabel.values.forall(_ == Similarity.OutlierK))
+  }
+
   test("S3 band-bucket cap: true near-dup survives via its other band") {
     import graft.ext.Similarity
     val dim = Similarity.Dim
