@@ -350,13 +350,16 @@ object TextOps {
     * Scale shape: the naive form windows over EVERY distinct token of a
     * language in one partition — a per-language sort of a vocabulary
     * that can reach billions of types at 100 TB. Two-phase instead:
-    * tokens first rank inside (language, hash-bucket) —
-    * [[VocabBuckets]] parallel bounded windows per language — and only
-    * each bucket's top K survive to the per-language final window,
-    * which then sorts ≤ buckets·K rows. The global top-K is a subset of
-    * the union of bucket top-Ks (any global member ranks ≤ K inside its
-    * own bucket), so the phases lose nothing. The oracle states the
-    * naive single-window form; both agree exactly.
+    * tokens first rank inside (language, hash-bucket) — [[VocabBuckets]]
+    * parallel windows per language, each sorting vocab/buckets rows
+    * (spill-backed; raise the bucket count with corpus size to shrink
+    * them further — the phases compose, so a third level is the same
+    * mechanical step) — and only each bucket's top K survive to the
+    * per-language final window, which then sorts ≤ buckets·K rows. The
+    * global top-K is a subset of the union of bucket top-Ks (any global
+    * member ranks ≤ K inside its own bucket), so the phases lose
+    * nothing. The oracle states the naive single-window form; both
+    * agree exactly.
     */
   def vocabTopk(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir)
