@@ -313,6 +313,32 @@ class ExtSpec extends SparkSpec {
       "cluster_size agrees with the actual partition")
   }
 
+  test("D7 label propagation agrees with union-find on random graphs") {
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // path-compress to the component MIN (roots are mins by the
+      // min-directed union above)
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    val n = 30
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      val nodes = (0L until n.toLong).toDF("id")
+      val cand = edges.toDF("doc_a", "doc_b")
+      val got = Dedup.clusterLabels(nodes, cand).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == unionFind(n, edges), s"seed $seed: $got")
+    }
+  }
+
   test("T8 vocab: two-phase bucketed top-k equals the naive single window") {
     val toks = spark.read.parquet(s"$Sf0001/documents.parquet")
       .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
