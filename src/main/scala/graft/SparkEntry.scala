@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.enhance.{Clahe, LocalStats, SynRgbSuppressed}
-import graft.ext.{Dedup, Events, Ivf, Relational, Similarity, TextOps}
+import graft.ext.{Curation, Dedup, Events, Ivf, Relational, Similarity, TextOps}
 import graft.ops.PixelOps
 import graft.sources.Multimodal
 import graft.stats.HistStats
@@ -693,6 +693,7 @@ object SparkEntry {
     Q("t6_repetition", TextOps.repetition, Some(TextOps.repetitionSql)),
     Q("t7_hash_split", TextOps.hashSplit, Some(TextOps.hashSplitSql)),
     Q("t8_vocab_topk", TextOps.vocabTopk, Some(TextOps.vocabTopkSql)),
+    Q("c1_curation_funnel", Curation.funnel, Some(Curation.funnelSql)),
     Q("d1_exact_dedup", Dedup.exact, Some(Dedup.exactSql)),
     Q("d2_ngram_jaccard", Dedup.ngramJaccard, Some(Dedup.ngramJaccardSql)),
     Q("d3_minhash_lsh", Dedup.minhashLsh, Some(Dedup.minhashLshSql)),

@@ -291,7 +291,7 @@ object Dedup {
   /** Shared oracle CTE chain ending in `cand(doc_a, doc_b)` — the
     * candidate generator both the D3 and D7 oracles build on.
     */
-  private def minhashCandCtes: String = {
+  private[ext] def minhashCandCtes: String = {
     val mins = (0 until NumHashes).map(i =>
       s"MIN((${hashA(i)} * h + ${hashB(i)}) % $MinhashPrime) AS m$i").mkString(", ")
     val bandRows = (0 until NumBands).map { b =>
@@ -374,26 +374,41 @@ object Dedup {
     * CTE — label propagation and reachability-min agree exactly on any
     * graph.
     */
-  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+  /** The (id, lbl) cluster labeling of the full corpus under the D3
+    * candidate graph — the raw relation D7 and the C1 curation funnel
+    * both consume.
+    */
+  def clusterIds(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSig(s, dir).persist()
     val cand = bandCandidates(sig)
     val nodes = t(s, dir).select(col("doc_id").as("id"))
-    val labels = clusterLabels(nodes, cand)
+    clusterLabels(nodes, cand)
+  }
+
+  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    val labels = clusterIds(s, dir)
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
       .orderBy("doc_id")
   }
 
-  val dupClustersSql: String =
-    s"""WITH RECURSIVE $minhashCandCtes,
+  /** Oracle CTE chain ending in `lab(doc_id, cluster_id)` — the
+    * recursive-closure counterpart of [[clusterIds]]; callers must open
+    * their WITH as `WITH RECURSIVE`.
+    */
+  private[ext] def clusterLabCtes: String =
+    s"""$minhashCandCtes,
     edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
               UNION ALL SELECT doc_b, doc_a FROM cand),
     reach AS (
       SELECT doc_id AS id, doc_id AS lbl FROM documents
       UNION
       SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src),
-    lab AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+    lab AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)"""
+
+  val dupClustersSql: String =
+    s"""WITH RECURSIVE $clusterLabCtes,
     sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
     SELECT doc_id, cluster_id, cluster_size FROM lab JOIN sz USING (cluster_id)
     ORDER BY doc_id"""

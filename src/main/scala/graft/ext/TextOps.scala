@@ -135,6 +135,32 @@ object TextOps {
     * − (n−1) separators, so no per-line float accumulation exists to
     * reorder).
     */
+  /** The T2 composite quality score as a column over `text` — shared by
+    * [[qualityScore]] and the C1 curation funnel. Rounded at 6 decimals
+    * so a downstream threshold compares the IDENTICAL value in both
+    * engines (the round is the comparison boundary).
+    */
+  def qualityCol: Column = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val stopRatio = hits(toks, EnStop).cast("double") / nTok
+    val digitRatio = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+      length(col("text")).cast("double")
+    val lenScore = least(nTok / lit(100.0), lit(1.0))
+    round(lit(0.5) * stopRatio + lit(0.3) * lenScore + lit(0.2) * (lit(1.0) - digitRatio), 6)
+  }
+
+  /** SQL form of [[qualityCol]] — textually the same expression the T2
+    * oracle states, so both gates compare one formulation.
+    */
+  val qualityColSql: String = {
+    val nTok = s"CAST(len($tokensSql) AS DOUBLE)"
+    val stop = s"CAST(${hitsSql(EnStop)} AS DOUBLE) / $nTok"
+    val digit = "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)"
+    val lenScore = s"LEAST($nTok / 100.0, 1.0)"
+    s"ROUND(0.5 * ($stop) + 0.3 * $lenScore + 0.2 * (1.0 - ($digit)), 6)"
+  }
+
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("double")
@@ -171,8 +197,7 @@ object TextOps {
       round(ellLines.cast("double") / nLines.cast("double"), 6).as("ellipsis_line_frac"),
       round(alphaWords.cast("double") / nTok, 6).as("alpha_word_frac"),
       round(sumWordLen.cast("double") / nTok, 6).as("mean_word_len"),
-      round(lit(0.5) * stopRatio + lit(0.3) * lenScore + lit(0.2) * (lit(1.0) - digitRatio), 6)
-        .as("quality"))
+      qualityCol.as("quality"))
       .orderBy("doc_id")
   }
 

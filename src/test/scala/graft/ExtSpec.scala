@@ -339,6 +339,21 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("C1 curation funnel: monotone stages, splits partition the dedup survivors") {
+    val rows = graft.ext.Curation.funnel(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val n = spark.read.parquet(s"$Sf0001/documents.parquet").count()
+    assert(rows("1_ingest")._1 == n, "ingest covers the corpus")
+    assert(rows("2_quality")._1 <= rows("1_ingest")._1 &&
+      rows("3_dedup")._1 <= rows("2_quality")._1, s"monotone funnel: $rows")
+    assert(rows("2_quality")._1 > 0 && rows("2_quality")._1 < rows("1_ingest")._1,
+      "the quality gate must actually bite on the corpus")
+    val splitDocs = Seq("4_train", "5_val", "6_test").flatMap(rows.get).map(_._1).sum
+    val splitToks = Seq("4_train", "5_val", "6_test").flatMap(rows.get).map(_._2).sum
+    assert(splitDocs == rows("3_dedup")._1 && splitToks == rows("3_dedup")._2,
+      s"splits partition stage 3 exactly: $rows")
+  }
+
   test("T8 vocab: two-phase bucketed top-k equals the naive single window") {
     val toks = spark.read.parquet(s"$Sf0001/documents.parquet")
       .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
