@@ -63,7 +63,7 @@ object Bench {
     val extraIters = Set("a4_clahe", "d2_ngram_jaccard", "d3_minhash_lsh",
       "d5_contamination", "s3_cosine_neardup", "s4_ivf_ann_topk",
       "a5_local_median_range", "a5b_local_enhanced_quantize",
-      "d7_dup_clusters")
+      "d7_dup_clusters", "c1_curation_funnel")
     val coldTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val iterCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def timed(name: String, f: () => Unit): Double = {
