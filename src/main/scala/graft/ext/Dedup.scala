@@ -337,12 +337,23 @@ object Dedup {
     * the driver holds ONE scalar (the changed-count) per round, never
     * data. Returns `(id, lbl)` with `lbl` = min node id in the
     * component.
+    *
+    * Lineage MUST be truncated every round: the propagation plan embeds
+    * the previous round's plan twice (join side + union side), so an
+    * un-truncated loop is EXPONENTIAL in plan size — analysis cost and
+    * plan-string rendering double per round (a clean-build test run hit
+    * an OOM from exactly this before the fix). `localCheckpoint`
+    * materializes the round and resets lineage to the stored blocks —
+    * the standard iterative-algorithm trade (executor-local storage; a
+    * production cluster that needs lost-executor recovery mid-loop
+    * swaps in reliable `checkpoint()` against its checkpoint dir).
     */
   def clusterLabels(nodes: DataFrame, cand: DataFrame): DataFrame = {
     val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    var labels = nodes.select(col("id"), col("id").as("lbl")).persist()
+    var labels = nodes.select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < MaxClusterIters) {
@@ -350,10 +361,9 @@ object Dedup {
         .select(col("dst").as("id"), col("lbl"))
         .unionAll(labels)
         .groupBy("id").agg(min("lbl").as("lbl"))
-        .persist()
+        .localCheckpoint(true)
       changed = prop.join(labels.withColumnRenamed("lbl", "old"), "id")
         .filter(col("lbl") =!= col("old")).count()
-      labels.unpersist()
       labels = prop
       iters += 1
     }
