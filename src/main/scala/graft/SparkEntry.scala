@@ -685,6 +685,7 @@ object SparkEntry {
     Q("e4_asof_click_error", Events.asofClickBeforeError, Some(Events.asofClickBeforeErrorSql)),
     Q("e5_json_extract", Events.jsonExtract, Some(Events.jsonExtractSql)),
     Q("e6_salted_hotkey_agg", Events.saltedHotKeyAgg, Some(Events.saltedHotKeyAggSql)),
+    Q("e7_conversion_funnel", Events.conversionFunnel, Some(Events.conversionFunnelSql)),
     Q("t1_token_stats", TextOps.tokenStats, Some(TextOps.tokenStatsSql)),
     Q("t2_quality_score", TextOps.qualityScore, Some(TextOps.qualityScoreSql)),
     Q("t3_lang_id", TextOps.langId, Some(TextOps.langIdSql)),

@@ -64,6 +64,78 @@ object Events {
       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM numbered GROUP BY user_id, session_seq ORDER BY user_id, session_seq"""
 
+  /** E7: session conversion funnel — per user, how many of their 30-min
+    * sessions contain the ORDERED chain view → click: the click must be
+    * strictly after the session's FIRST view (the product-analytics
+    * funnel, not mere set-membership; a deeper chain — purchase after
+    * the first qualifying click — is the identical window-min step
+    * applied once more, left out because the synthetic corpus' sessions
+    * never complete it, which would gate a permanently-zero column).
+    * Conversion = converted/sessions, one exact division rounded at 6.
+    *
+    * Plan shape: the E1 session numbering (one shuffle on user_id),
+    * then two session-partitioned window minima over the same exchange;
+    * every aggregate after them is map-side partial. All temporal logic
+    * stays in exact integer microseconds; a step tie (equal us)
+    * deterministically does NOT advance the chain (strict >) in both
+    * engines.
+    */
+  def conversionFunnel(s: SparkSession, dir: String): DataFrame =
+    conversionFunnelFrom(t(s, dir))
+
+  /** [[conversionFunnel]] over an explicit event relation
+    * (`event_id`/`us`/`user_id`/`event_type`) — the spec pins the
+    * strict-ordering semantics on crafted sessions.
+    */
+  def conversionFunnelFrom(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val gap = col("us") - lag(col("us"), 1).over(w)
+    val sess = events
+      .withColumn("new_sess", when(gap.isNull || gap > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val ws = Window.partitionBy("user_id", "session_seq")
+    val marked = sess
+      .withColumn("fv", min(when(col("event_type") === "view", col("us"))).over(ws))
+      .withColumn("fc", min(when(col("event_type") === "click" && col("us") > col("fv"),
+        col("us"))).over(ws))
+    marked.groupBy(col("user_id"), col("session_seq"))
+      .agg(min("fv").as("fv"), min("fc").as("fc"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("fv").isNotNull.cast("long")).as("n_view"),
+        sum(col("fc").isNotNull.cast("long")).as("n_converted"))
+      .select(col("user_id"), col("n_sessions"), col("n_view"), col("n_converted"),
+        round(col("n_converted").cast("double") / col("n_sessions").cast("double"), 6)
+          .as("conversion"))
+      .orderBy("user_id")
+  }
+
+  val conversionFunnelSql: String = s"""WITH sess AS (
+      SELECT *, CASE WHEN lagus IS NULL OR us - lagus > $SessionGapUs THEN 1 ELSE 0 END AS new_sess
+      FROM (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS lagus
+            FROM (SELECT *, epoch_us(ts) AS us FROM events))),
+    numbered AS (
+      SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM sess),
+    m1 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
+        OVER (PARTITION BY user_id, session_seq) AS fv
+      FROM numbered),
+    m2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND us > fv THEN us END)
+        OVER (PARTITION BY user_id, session_seq) AS fc
+      FROM m1),
+    per AS (
+      SELECT user_id, session_seq, MIN(fv) AS fv, MIN(fc) AS fc
+      FROM m2 GROUP BY 1, 2)
+    SELECT user_id, COUNT(*) AS n_sessions,
+      CAST(SUM(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      CAST(SUM(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+      ROUND(CAST(SUM(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+        CAST(COUNT(*) AS DOUBLE), 6) AS conversion
+    FROM per GROUP BY user_id ORDER BY user_id"""
+
   val WindowUs: Long = 300L * 1000000L // 5 min tumbling
 
   /** E2: tumbling 5-minute windows × event_type. A single hash aggregate

@@ -339,6 +339,27 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("E7 conversion: click counts only strictly AFTER the session's first view") {
+    val t0 = 1700000000000000L
+    val rows = Seq(
+      // user 1, one session: click before the view and click AT the
+      // view's instant — neither advances the chain
+      (1L, t0 - 10L, 1L, "click"),
+      (2L, t0, 1L, "view"),
+      (3L, t0, 1L, "click"),
+      // user 2: view then later click — converts
+      (4L, t0, 2L, "view"),
+      (5L, t0 + 5L, 2L, "click"),
+      // user 3: click only — no view, no conversion
+      (6L, t0, 3L, "click"))
+    val df = rows.toDF("event_id", "us", "user_id", "event_type")
+    val r = Events.conversionFunnelFrom(df).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    assert(r(1L) == ((1L, 1L, 0L, 0.0)), s"tie/pre-view clicks don't convert: ${r(1L)}")
+    assert(r(2L) == ((1L, 1L, 1L, 1.0)), s"ordered view->click converts: ${r(2L)}")
+    assert(r(3L) == ((1L, 0L, 0L, 0.0)), s"click without view: ${r(3L)}")
+  }
+
   test("C1 curation funnel: monotone stages, splits partition the dedup survivors") {
     val rows = graft.ext.Curation.funnel(spark, Sf0001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
