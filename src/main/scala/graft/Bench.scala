@@ -104,9 +104,12 @@ object Bench {
     // whose CONSTRUCTION runs jobs — grid sizing, KMeans fit — still pay
     // those, same as any single invocation). The timed runs below use
     // the session's normal AQE-on config.
+    // a planning failure is recorded as (-1, -1) — distinguishable from
+    // "not audited" in the artifact, and logged; NonFatal only, so an
+    // OOM/interrupt from construction-time jobs fails the run loudly
     val exchanges = {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try ordered.flatMap { case (name, fn) =>
+      try ordered.map { case (name, fn) =>
         val r = try {
           var shuffle = 0
           var bcast = 0
@@ -115,8 +118,12 @@ object Bench {
             case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike => bcast += 1
             case _ => ()
           }
-          Some(name -> (shuffle, bcast))
-        } catch { case _: Throwable => None }
+          name -> (shuffle, bcast)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"BENCH AUDIT FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            name -> (-1, -1)
+        }
         spark.catalog.clearCache()
         r
       } finally spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -322,33 +322,48 @@ object LocalStats {
   def query(s: SparkSession, dir: String): DataFrame =
     statsOf(Grid.df(s, dir))
 
+  /** The shared 9-neighbor fold over any `grid(y, x, db, valid)`
+    * relation: valid pixels explode to their stencil positions; ONE
+    * hash aggregate per target position collects sorted values, count,
+    * min/max, and the center's own value (`cdb`, riding the dy=dx=0
+    * row; NULL ⟺ the position is not a valid in-grid center). Both A5
+    * consumers derive from this one relation.
+    */
+  private def neighborhood(g: DataFrame): DataFrame = {
+    val offsets = array((for (dy <- -1 to 1; dx <- -1 to 1)
+      yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)
+    g.filter(col("valid"))
+      .select(col("y"), col("x"), col("db"), explode(offsets).as("o"))
+      .select((col("y") + col("o.dy")).as("cy"), (col("x") + col("o.dx")).as("cx"), col("db"),
+        (col("o.dy") === 0 && col("o.dx") === 0).as("ctr"))
+      .groupBy(col("cy"), col("cx")).agg(
+        sort_array(collect_list(col("db"))).as("vals"),
+        count(lit(1)).as("cnt"),
+        min(col("db")).as("mn"), max(col("db")).as("mx"),
+        max(when(col("ctr"), col("db"))).as("cdb"))
+  }
+
+  /** Upper median `sorted[count/2]`, range, and the reference's local
+    * factor over a [[neighborhood]] row (`autoscale.rs:630-636`).
+    */
+  private val medCol = element_at(col("vals"), (expr("cnt div 2") + 1).cast("int"))
+  private val rngCol = col("mx") - col("mn")
+  private val factorCol =
+    when(rngCol > 0.0, lit(1.0) + lit(0.1) * (col("cdb") - medCol) / rngCol)
+      .otherwise(lit(1.0))
+
   /** The join-free fold core over any `grid(y, x, db, valid)` relation —
     * [[query]] binds it to the lineitem Grid; EnhanceSpec pins the edge
     * semantics (border shrink, invalid exclusion, phantom drop) on a
     * hand-checked 3×3 fixture.
     */
-  def statsOf(g: DataFrame): DataFrame = {
-    val offsets = array((for (dy <- -1 to 1; dx <- -1 to 1)
-      yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)
-    val contrib = g.filter(col("valid"))
-      .select(col("y"), col("x"), col("db"), explode(offsets).as("o"))
-      .select((col("y") + col("o.dy")).as("cy"), (col("x") + col("o.dx")).as("cx"), col("db"),
-        (col("o.dy") === 0 && col("o.dx") === 0).as("ctr"))
-    val nb = contrib.groupBy(col("cy"), col("cx")).agg(
-      sort_array(collect_list(col("db"))).as("vals"),
-      count(lit(1)).as("cnt"),
-      min(col("db")).as("mn"), max(col("db")).as("mx"),
-      max(when(col("ctr"), col("db"))).as("cdb"))
-    val med = element_at(col("vals"), (expr("cnt div 2") + 1).cast("int"))
-    val rng = col("mx") - col("mn")
-    nb.filter(col("cdb").isNotNull)
+  def statsOf(g: DataFrame): DataFrame =
+    neighborhood(g).filter(col("cdb").isNotNull)
       .select(col("cy").as("y"), col("cx").as("x"), col("cnt").as("n_nb"),
-        round(med, 6).as("median_db"),
-        round(rng, 6).as("range_db"),
-        round(when(rng > 0.0, lit(1.0) + lit(0.1) * (col("cdb") - med) / rng)
-          .otherwise(lit(1.0)), 6).as("local_factor"))
+        round(medCol, 6).as("median_db"),
+        round(rngCol, 6).as("range_db"),
+        round(factorCol, 6).as("local_factor"))
       .orderBy("y", "x")
-  }
 
   /** A5 consumer: the (dormant) local-enhancement quantize path
     * (`autoscale.rs:613-643`): adjusted = v·(1 + 0.1·(v−median)/range)
@@ -368,27 +383,12 @@ object LocalStats {
     val params = st.select(col("p05").as("low"), col("p95").as("high"),
       greatest(col("p95") - col("p05"), lit(1.0)).as("rng"))
     val dims = g.agg(max(col("rows_")).as("rows_"))
-    val offsets = array((for (dy <- -1 to 1; dx <- -1 to 1)
-      yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)
-    val contrib = g.filter(col("valid"))
-      .select(col("y"), col("x"), col("db"), explode(offsets).as("o"))
-      .select((col("y") + col("o.dy")).as("cy"), (col("x") + col("o.dx")).as("cx"), col("db"),
-        (col("o.dy") === 0 && col("o.dx") === 0).as("ctr"))
-    val nb = contrib.groupBy(col("cy"), col("cx")).agg(
-      sort_array(collect_list(col("db"))).as("vals"),
-      count(lit(1)).as("cnt"),
-      min(col("db")).as("mn"), max(col("db")).as("mx"),
-      max(when(col("ctr"), col("db"))).as("cdb"))
-    val med = element_at(col("vals"), (expr("cnt div 2") + 1).cast("int"))
-    val lrng = col("mx") - col("mn")
-    val factor = when(lrng > 0.0, lit(1.0) + lit(0.1) * (col("cdb") - med) / lrng)
-      .otherwise(lit(1.0))
-    val adjusted = col("cdb") * factor
+    val adjusted = col("cdb") * factorCol
     val clipped = least(greatest(adjusted, col("low")), col("high"))
     val q = floor(least(greatest(
       pow((clipped - col("low")) / col("rng"), lit(1.0)) * lit(65535.0),
       lit(0.0)), lit(65535.0))).cast("int")
-    nb.crossJoin(broadcast(dims)).crossJoin(broadcast(params))
+    neighborhood(g).crossJoin(broadcast(dims)).crossJoin(broadcast(params))
       .filter(col("cy") >= 0 && col("cy") < col("rows_") &&
         col("cx") >= 0 && col("cx") < lit(Grid.Cols))
       .select(col("cy").as("y"), col("cx").as("x"),

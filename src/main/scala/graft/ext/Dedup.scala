@@ -342,28 +342,34 @@ object Dedup {
     * the previous round's plan twice (join side + union side), so an
     * un-truncated loop is EXPONENTIAL in plan size — analysis cost and
     * plan-string rendering double per round (a clean-build test run hit
-    * an OOM from exactly this before the fix). `localCheckpoint`
-    * materializes the round and resets lineage to the stored blocks —
-    * the standard iterative-algorithm trade (executor-local storage; a
-    * production cluster that needs lost-executor recovery mid-loop
-    * swaps in reliable `checkpoint()` against its checkpoint dir).
+    * an OOM from exactly this before the fix). Each round re-roots its
+    * label table at an RDD scan (`createDataFrame(df.rdd, schema)`):
+    * the SQL plan stays constant-size, while the RDD lineage grows only
+    * LINEARLY with persisted cut points every round — classic iterative
+    * Spark, recoverable and recomputable. Rounds are persisted through
+    * the cache manager, so the superseded round is explicitly
+    * unpersisted once the new one is materialized: executor storage
+    * holds at most TWO label tables at any time, not one per round.
     */
   def clusterLabels(nodes: DataFrame, cand: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    def truncated(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
     val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    var labels = nodes.select(col("id"), col("id").as("lbl"))
-      .localCheckpoint(true)
+    var labels = truncated(nodes.select(col("id"), col("id").as("lbl"))).persist()
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < MaxClusterIters) {
-      val prop = edges.join(labels, col("src") === col("id"))
+      val prop = truncated(edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("lbl"))
         .unionAll(labels)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
+        .groupBy("id").agg(min("lbl").as("lbl")))
+        .persist()
       changed = prop.join(labels.withColumnRenamed("lbl", "old"), "id")
         .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist()
       labels = prop
       iters += 1
     }

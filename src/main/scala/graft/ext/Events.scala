@@ -30,27 +30,24 @@ object Events {
 
   val SessionGapUs: Long = 1800L * 1000000L // 30 min
 
-  /** E1: sessionization — gap > 30 min starts a new session; per-session
-    * aggregate. The classic mapGroups-free formulation: lag + cumulative
-    * sum over a user-partitioned window (one shuffle by user_id).
+  /** Shared session numbering (E1/E7): gap > [[SessionGapUs]] starts a
+    * new session — lag + cumulative sum over a user-partitioned window
+    * (one shuffle by user_id). The one place the session definition
+    * lives; both consumers and both oracle CTE chains derive from it.
     */
-  def sessionize(s: SparkSession, dir: String): DataFrame = {
+  private def sessionNumbered(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("us", "event_id")
     val gap = col("us") - lag(col("us"), 1).over(w)
-    t(s, dir)
+    events
       .withColumn("new_sess", when(gap.isNull || gap > SessionGapUs, 1L).otherwise(0L))
       .withColumn("session_seq",
         sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("user_id"), col("session_seq"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        min(col("us")).as("session_start_us"),
-        max(col("us")).as("session_end_us"),
-        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
-      .orderBy("user_id", "session_seq")
   }
 
-  val sessionizeSql: String = s"""WITH sess AS (
+  /** Oracle CTE chain `sess` → `numbered(…, session_seq)` — the SQL dual
+    * of [[sessionNumbered]].
+    */
+  private val sessionNumberedCtes: String = s"""sess AS (
       SELECT *, CASE WHEN lagus IS NULL OR us - lagus > $SessionGapUs THEN 1 ELSE 0 END AS new_sess
       FROM (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS lagus
             FROM (SELECT *, epoch_us(ts) AS us FROM events))),
@@ -58,7 +55,22 @@ object Events {
       -- CAST: DuckDB's SUM over integers yields HUGEINT, which the
       -- driver's pandas bridge coerces to float64 and the hash diverges
       SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM sess)
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM sess)"""
+
+  /** E1: sessionization — per-session aggregate over the shared
+    * numbering.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    sessionNumbered(t(s, dir))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("us")).as("session_start_us"),
+        max(col("us")).as("session_end_us"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .orderBy("user_id", "session_seq")
+
+  val sessionizeSql: String = s"""WITH $sessionNumberedCtes
     SELECT user_id, session_seq, COUNT(*) AS n_events,
       MIN(us) AS session_start_us, MAX(us) AS session_end_us,
       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -88,12 +100,7 @@ object Events {
     * strict-ordering semantics on crafted sessions.
     */
   def conversionFunnelFrom(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    val gap = col("us") - lag(col("us"), 1).over(w)
-    val sess = events
-      .withColumn("new_sess", when(gap.isNull || gap > SessionGapUs, 1L).otherwise(0L))
-      .withColumn("session_seq",
-        sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val sess = sessionNumbered(events)
     val ws = Window.partitionBy("user_id", "session_seq")
     val marked = sess
       .withColumn("fv", min(when(col("event_type") === "view", col("us"))).over(ws))
@@ -111,13 +118,7 @@ object Events {
       .orderBy("user_id")
   }
 
-  val conversionFunnelSql: String = s"""WITH sess AS (
-      SELECT *, CASE WHEN lagus IS NULL OR us - lagus > $SessionGapUs THEN 1 ELSE 0 END AS new_sess
-      FROM (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS lagus
-            FROM (SELECT *, epoch_us(ts) AS us FROM events))),
-    numbered AS (
-      SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM sess),
+  val conversionFunnelSql: String = s"""WITH $sessionNumberedCtes,
     m1 AS (
       SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
         OVER (PARTITION BY user_id, session_seq) AS fv

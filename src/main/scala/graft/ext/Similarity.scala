@@ -223,6 +223,7 @@ object Similarity {
   // --------------------------------------------------- centroid outliers
 
   val OutlierK = 3
+  val OutlierBuckets = 64
 
   /** S5: per-label centroid outliers — for each label, the
     * [[OutlierK]] vectors farthest (lowest cosine) from their label's
@@ -238,14 +239,19 @@ object Similarity {
     * every other similarity query, so ranking compares bit-identical
     * doubles; ties break on vec_id.
     *
-    * Scale shape: the centroid relation is (labels × dim) rows —
-    * bounded by the label vocabulary, broadcast back; the corpus is
+    * Scale shape: the centroid relation is (labels × dim) rows — small
+    * for any real label vocabulary, but label cardinality is
+    * data-derived, so join selection is left to the planner's
+    * size-based choice (the CLAUDE.md broadcast rule). The corpus is
     * touched by one posexplode aggregate and one row-wise projection.
-    * The per-label ranking windows partition on label; a label's
-    * membership can be corpus-sized, which is exactly the two-phase
-    * bucket treatment [[graft.ext.TextOps.vocabTopk]] demonstrates —
-    * kept single-window here because labels are the 4-value synthetic
-    * stratum, and the swap is mechanical.
+    * A label's membership is corpus-sized, so the per-label ranking is
+    * two-phase exactly like [[graft.ext.TextOps.vocabTopk]]: rank
+    * inside (label, [[OutlierBuckets]]-way vec_id-hash bucket) first,
+    * keep each bucket's top [[OutlierK]], and only ≤ buckets·K rows
+    * reach the per-label final window. The global bottom-K by (cos,
+    * vec_id) is a subset of the union of bucket bottom-Ks, so the
+    * phases lose nothing; the oracle states the naive single-window
+    * form and both agree exactly.
     */
   def centroidOutliers(s: SparkSession, dir: String): DataFrame =
     centroidOutliersFrom(withNorm(t(s, dir)))
@@ -265,10 +271,15 @@ object Similarity {
     val centroids = sums.groupBy("label")
       .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
         x => x("c").cast("float")).as("centroid"))
-    val withC = emb.join(broadcast(centroids), "label")
+    val withC = emb.join(centroids, "label")
     val cos = (dot(col("embedding"), col("centroid")) /
       (col("nrm") * sqrt(dot(col("centroid"), col("centroid"))))).as("cos")
-    withC.select(col("label"), col("vec_id"), cos)
+    val scored = withC.select(col("label"), col("vec_id"), cos)
+    val w1 = Window.partitionBy(col("label"),
+        pmod(xxhash64(col("vec_id")), lit(OutlierBuckets.toLong)))
+      .orderBy(col("cos"), col("vec_id"))
+    scored.withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= OutlierK)
       .withColumn("rk", row_number().over(
         Window.partitionBy("label").orderBy(col("cos"), col("vec_id"))))
       .filter(col("rk") <= OutlierK)

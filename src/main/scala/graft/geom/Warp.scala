@@ -60,6 +60,17 @@ object Warp {
     * source whose geotransform is NOT lon/lat-plausible (meters, or
     * non-finite) yields None: that is the true GCP-grid case the argv
     * raise keeps.
+    *
+    * Residual risks, accepted and documented: (1) the native path
+    * trusts the AFFINE geotransform as the geolocation, while gdalwarp
+    * -tps fits the (curved) GCP grid — for a real GRD whose gt is only
+    * a coarse fit of its GCPs, warped pixels carry the gt-vs-TPS
+    * residual (this engine's sources construct the gt FROM the GCPs,
+    * so the residual is the GCP grid's own nonlinearity); (2) a
+    * blank-CRS raster in a local tangent-plane METER frame whose extent
+    * happens to fall inside ±180/±90 is misread as lon/lat — no
+    * metadata distinguishes it, and the reference's own TPS leg makes
+    * the same degrees assumption for its default GCP SRS.
     */
   def impliedSrcEpsg(srcProjection: Option[String],
                      srcGt: Option[Array[Double]],

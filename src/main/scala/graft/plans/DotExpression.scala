@@ -82,5 +82,12 @@ object DotProductExpr {
   val function: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier("graft_dot"),
     new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
-    (children: Seq[Expression]) => DotProductExpr(children(0), children(1)))
+    (children: Seq[Expression]) => {
+      // arity-checked here so a wrong call fails as an analysis-time
+      // error with a clear message, not an IndexOutOfBounds from the
+      // builder (extra args must not be silently ignored either)
+      require(children.length == 2,
+        s"graft_dot requires exactly 2 arguments, got ${children.length}")
+      DotProductExpr(children(0), children(1))
+    })
 }
