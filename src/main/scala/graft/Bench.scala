@@ -60,10 +60,13 @@ object Bench {
     // historical (min-of-2) numbers compare against `cold`, not the
     // warm min.
     val BenchIters = 2
+    // x3/q1/p8 joined r10: their r9 min-of-2 numbers swung ±0.4 s with
+    // no code change — the warm third iteration settles noise vs real
     val extraIters = Set("a4_clahe", "d2_ngram_jaccard", "d3_minhash_lsh",
       "d5_contamination", "s3_cosine_neardup", "s4_ivf_ann_topk",
       "a5_local_median_range", "a5b_local_enhanced_quantize",
-      "d7_dup_clusters", "c1_curation_funnel")
+      "d7_dup_clusters", "c1_curation_funnel",
+      "x3_revenue_rollup", "q1_agg", "p8_u16_to_u8")
     val coldTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val iterCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def timed(name: String, f: () => Unit): Double = {
@@ -183,7 +186,33 @@ object Bench {
     val exchJson = exchanges.map { case (k, (sh, bc)) =>
       s"\"" + k + "\":{\"shuffle\":" + sh + ",\"broadcast\":" + bc + "}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$coldJson,"iters":$itersJson,"exchanges":$exchJson,"failed":$failedJson,"flaky":$flakyJson,"sentinel":$sentinel,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$coldJson,"iters":$itersJson,"exchanges":$exchJson,"failed":$failedJson,"flaky":$flakyJson,"sentinel":$sentinel,"sf":"$sfDir"}"""
+    println(fullLine)
+    // The driver keeps only the last 2 000 chars of stdout: round 9's
+    // ~6 KB detail line lost its HEAD (all per-query timings) to that
+    // tail window and the round's perf grading died with it. Two
+    // mitigations: (1) the full artifact is persisted to bench_full.json
+    // in the repo, where cold/iters/exchange-audit detail survives any
+    // stdout truncation; (2) the LAST stdout line is a compact artifact
+    // (same documented schema, per-query mins rounded to ms) sized well
+    // under the tail window, so the driver always captures timings.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"BENCH WARN: bench_full.json not written: ${e.getMessage}") }
+    def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
+    // 2-decimal (10 ms) per-query resolution: plenty for perf grading
+    // against the ≥0.3 s baseline numbers, and what keeps the line
+    // ~1.7 KB at 70 queries with headroom for future operators
+    def r2(v: Double): Double = math.round(v * 100.0) / 100.0
+    val qsCompact = all.map { case (k, v) => s"\"" + k + "\":" + r2(v) }
+      .mkString("{", ",", "}")
+    val issues = (if (failed.isEmpty) "" else s""","failed":$failedJson""") +
+      (if (flaky.isEmpty) "" else s""","flaky":$flakyJson""")
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsCompact$issues,"sentinel":${r3(sentinel)},"sf":"$sfDir"}"""
+    if (compact.length > 1900)
+      System.err.println(s"BENCH WARN: compact line ${compact.length} chars nears the 2000-char driver tail; shorten it")
+    println(compact)
     spark.stop()
   }
 }

@@ -360,7 +360,16 @@ object Engine {
     }
 
     // Output BLOCK grid: tileSize/k so a block's source footprint stays
-    // ≈ one source tile under the fused -ts shrink.
+    // ≈ one source tile under the fused -ts shrink. k is capped at
+    // tileSize/16 (blocks never smaller than 16×16): past a 16× shrink
+    // each block's footprint grows LINEARLY with scale/16 source tiles
+    // per axis — a 64× shrink regroups ≈4×4 source tiles (~16 tiles ≈
+    // 16 MB of float pixels) into one mapGroups call. That stays far
+    // under executor memory for any realistic -ts (the reference's own
+    // pipelines shrink ≤10×), and the per-group cost is bounded by the
+    // SOURCE footprint, not the corpus — but a pathological 1000×
+    // single-step shrink should pre-decimate (decimate=N scan pushdown)
+    // first, which resets scale here to the residual factor.
     val scale = math.max(1.0,
       math.max(srcCols.toDouble / dstCols, srcRows.toDouble / dstRows))
     var k = 1

@@ -27,8 +27,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * every consumer — comparison, division, ranking.) A NULL array yields
   * NULL (BinaryExpression's standard null intolerance), and a NULL
   * ELEMENT yields NULL too, matching the chain's null propagation; the
-  * graft tables carry no null elements. Length mismatch truncates to
-  * the shorter array (all graft embeddings are fixed 64-dim).
+  * graft tables carry no null elements. Length mismatch yields NULL:
+  * the DuckDB oracle's unrolled chain indexes a[1..64] where an
+  * out-of-range element is NULL and poisons the whole sum, so a
+  * truncated partial sum here would diverge SILENTLY on one engine —
+  * NULL makes malformed (non-64-dim) data fail the hash gate loudly on
+  * both. (All graft embeddings are fixed 64-dim, so this is a guard,
+  * not a hot path.)
   */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes with Serializable {
@@ -44,7 +49,8 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -61,9 +67,10 @@ case class DotProductExpr(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |}

@@ -82,10 +82,15 @@ class DbExpressionSpec extends AnyFunSuite {
     val r = spark.sql(
       """SELECT graft_dot(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT))) AS a,
                 graft_dot(array(CAST(NULL AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS b,
-                graft_dot(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS c""")
+                graft_dot(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS c,
+                graft_dot(array(CAST(2.0 AS FLOAT)),
+                          array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d""")
       .collect()(0)
     assert(r.isNullAt(0) && r.isNullAt(1))
     assert(r.getDouble(2) == 6.0)
+    // length mismatch is NULL, not a truncated partial sum — mirrors the
+    // oracle chain where an out-of-range a[i] poisons the whole sum
+    assert(r.isNullAt(3))
     // interpreted eval path (no codegen) agrees: drive the expression
     // through a non-codegen surface
     val e = graft.plans.DotProductExpr(
@@ -96,6 +101,11 @@ class DbExpressionSpec extends AnyFunSuite {
         Array(3.0f, 0.5f), org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.FloatType)))
     assert(e.eval(null) == 8.0)
+    val short = graft.plans.DotProductExpr(e.left,
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(3.0f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)))
+    assert(short.eval(null) == null)
     val _ = lit(0) // keep functions import used
   }
 }
