@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.enhance.{Clahe, LocalStats, SynRgbSuppressed}
-import graft.ext.{Curation, Dedup, Events, Ivf, Relational, Similarity, TextOps}
+import graft.ext.{Curation, Dedup, Events, Ivf, Mix, Pii, Relational, Similarity, TextOps}
 import graft.ops.PixelOps
 import graft.sources.Multimodal
 import graft.stats.HistStats
@@ -695,6 +695,9 @@ object SparkEntry {
     Q("t7_hash_split", TextOps.hashSplit, Some(TextOps.hashSplitSql)),
     Q("t8_vocab_topk", TextOps.vocabTopk, Some(TextOps.vocabTopkSql)),
     Q("c1_curation_funnel", Curation.funnel, Some(Curation.funnelSql)),
+    Q("w1_source_mix", Mix.sourceMix, Some(Mix.sourceMixSql)),
+    Q("w2_seq_pack", Mix.seqPack, Some(Mix.seqPackSql)),
+    Q("w3_pii_scan", Pii.piiScan, Some(Pii.piiScanSql)),
     Q("d1_exact_dedup", Dedup.exact, Some(Dedup.exactSql)),
     Q("d2_ngram_jaccard", Dedup.ngramJaccard, Some(Dedup.ngramJaccardSql)),
     Q("d3_minhash_lsh", Dedup.minhashLsh, Some(Dedup.minhashLshSql)),
@@ -702,6 +705,7 @@ object SparkEntry {
     Q("d5_contamination", Dedup.contamination, Some(Dedup.contaminationSql)),
     Q("d6_paragraph_dedup", Dedup.paragraphDedup, Some(Dedup.paragraphDedupSql)),
     Q("d7_dup_clusters", Dedup.dupClusters, Some(Dedup.dupClustersSql)),
+    Q("d8_para_clusters", Dedup.paraClusters, Some(Dedup.paraClustersSql)),
     Q("s1_cosine_topk", Similarity.cosineTopk, Some(Similarity.cosineTopkSql)),
     Q("s2_lsh_ann_topk", Similarity.lshAnnTopk, Some(Similarity.lshAnnTopkSql)),
     Q("s3_cosine_neardup", Similarity.cosineNeardup, Some(Similarity.cosineNeardupSql)),
@@ -733,6 +737,13 @@ object SparkEntry {
     * on its session first — idempotent, so the registry is
     * self-contained on ANY session, not just the ones Verify/Bench/the
     * spec build.
+    *
+    * Persist lifetime contract: registry fns whose plans reuse a
+    * relation across legs (minhash signatures, LSH bands, label-prop
+    * rounds) MAY leave those persists cached after the query returns —
+    * callers running many queries in one long-lived session (as
+    * Verify/Bench do) should `spark.catalog.clearCache()` between
+    * queries to reclaim executor storage.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> { (s: SparkSession, dir: String) =>

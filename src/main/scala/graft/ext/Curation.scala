@@ -34,60 +34,68 @@ object Curation {
   private def t(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** Per-(stage, source) funnel — the per-source breakdown makes the
+    * funnel compose with W1's mixture weights: one query yields the
+    * full data-card table (each source's survival through every gate).
+    * Aggregation keys grow by the source cardinality only — mixture
+    * configs are small, so every stage aggregate stays map-side
+    * partial-friendly exactly as before.
+    */
   def funnel(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir).select(col("doc_id"),
+    val base = t(s, dir).select(col("doc_id"), col("source"),
         size(TextOps.tokens(col("text"))).cast("long").as("ntok"),
         TextOps.qualityCol.as("q"))
       .persist() // one corpus scan feeds three stage aggregates
     def stageAgg(df: DataFrame, label: String): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"),
+      df.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
           coalesce(sum("ntok"), lit(0L)).as("n_tokens"))
-        .select(lit(label).as("stage"), col("n_docs"), col("n_tokens"))
+        .select(lit(label).as("stage"), col("source"), col("n_docs"), col("n_tokens"))
     val qual = base.filter(col("q") > QualityMin)
     val kept = qual.join(Dedup.clusterIds(s, dir),
         qual("doc_id") === col("id") && col("id") === col("lbl"))
-      .select(qual("doc_id"), col("ntok"))
+      .select(qual("doc_id"), qual("source"), col("ntok"))
     val bucket = pmod(TextOps.tokenHash(col("doc_id").cast("string")), lit(100L))
     val splits = kept
-      .select(col("ntok"),
+      .select(col("source"), col("ntok"),
         when(bucket < TextOps.TrainBuckets, "4_train")
           .when(bucket < TextOps.ValBuckets, "5_val")
           .otherwise("6_test").as("stage"))
-      .groupBy("stage")
+      .groupBy("stage", "source")
       .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
-      .select(col("stage"), col("n_docs"), col("n_tokens"))
+      .select(col("stage"), col("source"), col("n_docs"), col("n_tokens"))
     stageAgg(base, "1_ingest")
       .unionAll(stageAgg(qual, "2_quality"))
       .unionAll(stageAgg(kept, "3_dedup"))
       .unionAll(splits)
-      .orderBy("stage")
+      .orderBy("stage", "source")
   }
 
   val funnelSql: String =
     s"""WITH RECURSIVE ${Dedup.clusterLabCtes},
     base AS (
-      SELECT doc_id, CAST(len(${TextOps.tokensSql}) AS BIGINT) AS ntok,
+      SELECT doc_id, source, CAST(len(${TextOps.tokensSql}) AS BIGINT) AS ntok,
         ${TextOps.qualityColSql} AS q
       FROM documents),
     qual AS (SELECT * FROM base WHERE q > ${QualityMin}),
     kept AS (
-      SELECT qual.doc_id, ntok FROM qual
+      SELECT qual.doc_id, qual.source, ntok FROM qual
       JOIN lab ON qual.doc_id = lab.doc_id AND lab.doc_id = lab.cluster_id),
     splits AS (
       SELECT CASE WHEN b < ${TextOps.TrainBuckets} THEN '4_train'
                   WHEN b < ${TextOps.ValBuckets} THEN '5_val'
                   ELSE '6_test' END AS stage,
-        COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens
-      FROM (SELECT ntok,
+        source, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens
+      FROM (SELECT source, ntok,
               ${TextOps.tokenHashSql("CAST(doc_id AS VARCHAR)")} % 100 AS b
             FROM kept)
-      GROUP BY 1)
-    SELECT '1_ingest' AS stage, COUNT(*) AS n_docs,
-      CAST(COALESCE(SUM(ntok), 0) AS BIGINT) AS n_tokens FROM base
-    UNION ALL SELECT '2_quality', COUNT(*),
-      CAST(COALESCE(SUM(ntok), 0) AS BIGINT) FROM qual
-    UNION ALL SELECT '3_dedup', COUNT(*),
-      CAST(COALESCE(SUM(ntok), 0) AS BIGINT) FROM kept
-    UNION ALL SELECT stage, n_docs, n_tokens FROM splits
-    ORDER BY stage"""
+      GROUP BY 1, 2)
+    SELECT '1_ingest' AS stage, source, COUNT(*) AS n_docs,
+      CAST(COALESCE(SUM(ntok), 0) AS BIGINT) AS n_tokens FROM base GROUP BY source
+    UNION ALL SELECT '2_quality', source, COUNT(*),
+      CAST(COALESCE(SUM(ntok), 0) AS BIGINT) FROM qual GROUP BY source
+    UNION ALL SELECT '3_dedup', source, COUNT(*),
+      CAST(COALESCE(SUM(ntok), 0) AS BIGINT) FROM kept GROUP BY source
+    UNION ALL SELECT stage, source, n_docs, n_tokens FROM splits
+    ORDER BY stage, source"""
 }

@@ -86,20 +86,28 @@ object Dedup {
     * (seg_idx, blk_idx) into one long (31 bits each — a single
     * document would need 2³¹ tokens to overflow it).
     */
-  def paragraphDedup(s: SparkSession, dir: String): DataFrame = {
+  /** The paragraph-block instance relation `(doc_id, ord, h)` shared by
+    * D6 and the D8 cluster closure — ord packs (seg_idx, blk_idx), h is
+    * the block md5.
+    */
+  private def paraBlocks(s: SparkSession, dir: String): DataFrame = {
     val p = ParaBlockTokens
     val segs = t(s, dir)
       .select(col("doc_id"), posexplode(split(col("text"), "\n\n")).as(Seq("seg_idx", "seg")))
       .select(col("doc_id"), col("seg_idx"), TextOps.tokens(col("seg")).as("tk"))
       .filter(size(col("tk")) > 0)
     val nblk = ceil(size(col("tk")).cast("double") / lit(p.toDouble)).cast("int")
-    val keyed = segs
+    segs
       .select(col("doc_id"), col("seg_idx"),
         posexplode(transform(sequence(lit(0), nblk - 1), i =>
           concat_ws(" ", slice(col("tk"), i * p + 1, lit(p))))).as(Seq("blk_idx", "para")))
       .select(col("doc_id"),
         (shiftleft(col("seg_idx").cast("long"), 31) + col("blk_idx")).as("ord"),
         md5(col("para")).as("h"))
+  }
+
+  def paragraphDedup(s: SparkSession, dir: String): DataFrame = {
+    val keyed = paraBlocks(s, dir)
       .persist() // feeds the two canonical aggs AND the marking join
     val canonDoc = keyed.groupBy("h").agg(min("doc_id").as("cdoc"))
     val canon = keyed.join(canonDoc, "h")
@@ -119,9 +127,12 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val paragraphDedupSql: String = {
+  /** Oracle CTE chain ending in `blk(doc_id, ord, h)` — the SQL dual of
+    * [[paraBlocks]], shared by the D6 and D8 oracles.
+    */
+  private val paraBlockCtes: String = {
     val p = ParaBlockTokens
-    s"""WITH sg0 AS (
+    s"""sg0 AS (
       SELECT doc_id, string_split(text, chr(10) || chr(10)) AS sg FROM documents),
     sgx AS (
       SELECT doc_id, i - 1 AS seg_idx,
@@ -133,7 +144,11 @@ object Dedup {
         md5(array_to_string(tk[CAST(b*$p + 1 AS INT):CAST(b*$p + $p AS INT)], ' ')) AS h
       FROM (SELECT doc_id, seg_idx, tk,
               unnest(range(0, CAST(ceil(len(tk) / $p.0) AS BIGINT))) AS b
-            FROM segs)),
+            FROM segs))"""
+  }
+
+  val paragraphDedupSql: String = {
+    s"""WITH $paraBlockCtes,
     c1 AS (SELECT h, MIN(doc_id) AS cdoc FROM blk GROUP BY 1),
     canon AS (SELECT blk.h, MIN(cdoc) AS cdoc, MIN(ord) AS cord
       FROM blk JOIN c1 ON blk.h = c1.h AND blk.doc_id = c1.cdoc GROUP BY 1),
@@ -395,7 +410,12 @@ object Dedup {
     * both consume.
     */
   def clusterIds(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSig(s, dir).persist()
+    // unlike minhashLsh (where sig feeds banding + two verification join
+    // legs) sig has a single consumer here, and bandCandidates' band
+    // self-join already dedupes its identical (band, key) exchanges via
+    // ReuseExchange — a persist would only pin executor storage until
+    // the caller's clearCache with nothing to reuse
+    val sig = minhashSig(s, dir)
     val cand = bandCandidates(sig)
     val nodes = t(s, dir).select(col("doc_id").as("id"))
     clusterLabels(nodes, cand)
@@ -427,6 +447,72 @@ object Dedup {
     s"""WITH RECURSIVE $clusterLabCtes,
     sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
     SELECT doc_id, cluster_id, cluster_size FROM lab JOIN sz USING (cluster_id)
+    ORDER BY doc_id"""
+
+  // ------------------------------------------------------- para clusters
+
+  /** Paragraph-sharing document-frequency cap for D8 — same role as
+    * [[MaxShingleDf]]: a boilerplate paragraph present in more than this
+    * many documents is dropped before the pairing self-join, bounding
+    * every posting list to cap² pairs regardless of corpus size (and
+    * keeping a universal footer from fusing the whole corpus into one
+    * meaningless cluster — standard stop-paragraph removal; the oracle
+    * applies the identical cap).
+    */
+  val MaxParaDf = 100
+
+  /** D8: paragraph-level dup CLUSTERS — the transitive closure over
+    * shared-paragraph edges (docs sharing ≥1 identical
+    * [[ParaBlockTokens]]-token block, reference granularity of D6),
+    * labeling every document with the min doc_id of its component: the
+    * last dedup granularity between D6's per-paragraph canonicals and
+    * D7's whole-document MinHash closure. Reuses [[clusterLabels]]
+    * verbatim — the edge generator is the only new relation: distinct
+    * (h, doc_id) instances, df-capped per [[MaxParaDf]], self-joined on
+    * the 16-byte hash. The oracle states the same closure as a
+    * recursive CTE.
+    */
+  def paraClusters(s: SparkSession, dir: String): DataFrame = {
+    val inst = paraBlocks(s, dir).select(col("h"), col("doc_id")).distinct()
+      .persist() // feeds the df agg + both self-join legs
+    // df ∈ [2, cap]: singleton paragraphs generate no edge, and the
+    // count agg carries 16-byte keys with map-side partials
+    val keep = inst.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= MaxParaDf)
+      .select("h")
+    val kept = inst.join(keep, "h")
+    val cand = kept.as("x").join(kept.as("y"), "h")
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val nodes = t(s, dir).select(col("doc_id").as("id"))
+    val labels = clusterLabels(nodes, cand)
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("id").as("doc_id"), col("lbl").as("para_cluster_id"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  val paraClustersSql: String =
+    s"""WITH RECURSIVE $paraBlockCtes,
+    inst AS (SELECT DISTINCT h, doc_id FROM blk),
+    keep AS (SELECT h FROM inst GROUP BY h
+             HAVING COUNT(*) >= 2 AND COUNT(*) <= $MaxParaDf),
+    pcand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM inst x JOIN keep USING (h) JOIN inst y
+        ON x.h = y.h AND x.doc_id < y.doc_id),
+    pedges AS (SELECT doc_a AS src, doc_b AS dst FROM pcand
+               UNION ALL SELECT doc_b, doc_a FROM pcand),
+    preach AS (
+      SELECT doc_id AS id, doc_id AS lbl FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM preach r JOIN pedges e ON r.id = e.src),
+    plab AS (SELECT id AS doc_id, MIN(lbl) AS para_cluster_id FROM preach GROUP BY id),
+    psz AS (SELECT para_cluster_id, COUNT(*) AS cluster_size FROM plab GROUP BY 1)
+    SELECT doc_id, para_cluster_id, cluster_size
+    FROM plab JOIN psz USING (para_cluster_id)
     ORDER BY doc_id"""
 
   // -------------------------------------------------------------- simhash

@@ -1,0 +1,216 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** W1/W2: corpus-mixing operators of a pretraining-data pipeline —
+  * weighted per-source sampling quotas (The Pile / Gopher-style mixture
+  * weights) and fixed-token-budget sequence packing. Both are
+  * deterministic by construction: selection and packing order is the
+  * (md5-prefix doc hash, doc_id) stream, never a random sample, so the
+  * result is reproducible across engines and stable under re-runs.
+  */
+object Mix {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def docHash: Column = TextOps.tokenHash(col("doc_id").cast("string"))
+
+  // ------------------------------------------------------------ W1 mixing
+
+  /** Hash-range bucket count for the two-phase quota selection. tokenHash
+    * is a uniform 32-bit value, so `h >> 26` yields 64 equal RANGE
+    * buckets: bucket-major order equals global hash order, which is what
+    * lets per-bucket ranks + bucket offsets reconstruct the global rank
+    * exactly. Raise with corpus size — the phases compose.
+    */
+  val MixBucketShift = 26
+
+  /** Mixture weight numerator k ∈ {1..4} (weight = k/4), derived from the
+    * source name's hash so every engine states the identical mixture
+    * without a config table. Real pipelines would substitute their data
+    * card's weights here; the selection machinery is unchanged.
+    */
+  def weightK(src: Column): Column =
+    pmod(TextOps.tokenHash(src), lit(4L)) + lit(1L)
+
+  def weightKSql(src: String): String =
+    s"${TextOps.tokenHashSql(src)} % 4 + 1"
+
+  /** W1: weighted source mixing — for each `source` stratum take an
+    * exact integer quota of documents, quota = available·k/4 in pure
+    * integer arithmetic (never a float sampling fraction), selected in
+    * (doc hash, doc_id) order: the deterministic, growth-stable
+    * hash-ordered take of T7/the IVF train sample, per stratum. Emits
+    * the data-card row per source — weight, available, quota, taken —
+    * plus exact integer checksums of the selected set (token total and
+    * doc_id sum) so the hash gate pins the SELECTION, not just counts.
+    *
+    * Scale shape (the 100 TB point): the naive per-source global rank
+    * windows an entire stratum into one partition. Instead ranks are
+    * computed inside (source, hash-range bucket) — bounded partitions —
+    * and the global rank is reconstructed as bucket offset (an exclusive
+    * running sum over the sources×64-row count relation, the only
+    * global window and provably bounded) + within-bucket rank. Exact by
+    * the range-bucket monotonicity of [[MixBucketShift]]. The oracle
+    * states the naive single-window form; both agree row-for-row.
+    */
+  def sourceMix(s: SparkSession, dir: String): DataFrame =
+    sourceMixFrom(docs(s, dir).select(col("doc_id"), col("source"),
+      size(TextOps.tokens(col("text"))).cast("long").as("ntok")))
+
+  /** [[sourceMix]] over an explicit `(doc_id, source, ntok)` relation —
+    * the spec drives crafted strata through this.
+    */
+  def sourceMixFrom(d: DataFrame): DataFrame = {
+    val base = d.select(col("doc_id"), col("source"), col("ntok"),
+        docHash.as("h"))
+      .withColumn("bucket", shiftright(col("h"), MixBucketShift))
+    // per-(source, bucket) counts → exclusive running offset in bucket
+    // order; ≤ sources×64 rows, the one (bounded) global window here
+    val wOff = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = base.groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+      .select(col("source"), col("bucket"),
+        coalesce(sum("c").over(wOff), lit(0L)).as("off"))
+    val quotas = base.groupBy("source").agg(count(lit(1)).as("available"))
+      .withColumn("k", weightK(col("source")))
+      .withColumn("quota", expr("(available * k) div 4"))
+    val wRk = Window.partitionBy("source", "bucket")
+      .orderBy(col("h"), col("doc_id"))
+    // both joins key on `source` (+bucket): stat-sized relations the
+    // planner broadcasts by size; the corpus never reshuffles past the
+    // rank exchange
+    base.withColumn("r", row_number().over(wRk))
+      .join(off, Seq("source", "bucket"))
+      .join(quotas, Seq("source"))
+      .withColumn("sel", col("off") + col("r") <= col("quota"))
+      .groupBy("source")
+      .agg(
+        (max("k").cast("double") / lit(4.0)).as("weight"),
+        max("available").as("available"),
+        max("quota").as("quota"),
+        sum(when(col("sel"), lit(1L)).otherwise(lit(0L))).as("taken"),
+        sum(when(col("sel"), col("ntok")).otherwise(lit(0L))).as("taken_tokens"),
+        sum(when(col("sel"), col("doc_id")).otherwise(lit(0L))).as("taken_id_sum"))
+      .select(col("source"), col("weight"), col("available"), col("quota"),
+        col("taken"), col("taken_tokens"), col("taken_id_sum"))
+      .orderBy("source")
+  }
+
+  val sourceMixSql: String = s"""WITH base AS (
+      SELECT doc_id, source, CAST(len(${TextOps.tokensSql}) AS BIGINT) AS ntok,
+        ${TextOps.tokenHashSql("CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents),
+    q AS (
+      SELECT source, COUNT(*) AS available, ${weightKSql("source")} AS k,
+        (COUNT(*) * (${weightKSql("source")})) // 4 AS quota
+      FROM base GROUP BY source),
+    r AS (
+      SELECT base.*,
+        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+      FROM base)
+    SELECT q.source,
+      CAST(q.k AS DOUBLE) / 4.0 AS weight,
+      q.available, q.quota,
+      CAST(SUM(CASE WHEN r.rk <= q.quota THEN 1 ELSE 0 END) AS BIGINT) AS taken,
+      CAST(SUM(CASE WHEN r.rk <= q.quota THEN r.ntok ELSE 0 END) AS BIGINT) AS taken_tokens,
+      CAST(SUM(CASE WHEN r.rk <= q.quota THEN r.doc_id ELSE 0 END) AS BIGINT) AS taken_id_sum
+    FROM r JOIN q ON r.source = q.source
+    GROUP BY q.source, q.k, q.available, q.quota
+    ORDER BY q.source"""
+
+  // ----------------------------------------------------------- W2 packing
+
+  /** Token budget per packed training sequence. */
+  val PackBudget = 256L
+
+  /** Independent packing streams. Docs are hash-partitioned into
+    * [[PackBuckets]] streams and packed greedily WITHIN each — the
+    * standard parallel decomposition of packing (fragmentation cost is
+    * one partially-filled tail sequence per stream, negligible for
+    * streams ≫ budget). At 100 TB raise the bucket count so each
+    * stream's collected doc list stays executor-bounded; the per-stream
+    * fold is O(stream length), embarrassingly parallel across streams.
+    */
+  val PackBuckets = 16L
+
+  /** W2: sequence packing — pack documents into fixed [[PackBudget]]
+    * token-budget training sequences by greedy next-fit over the
+    * (doc hash, doc_id)-ordered stream of each bucket: a document joins
+    * the open sequence if it fits, else opens a new one (docs longer
+    * than the budget get a sequence of their own). Deterministic: the
+    * fold order is the hash order, so the packing is a pure function of
+    * the corpus. Emits per sequence (bucket, seq, n_docs, n_tokens,
+    * fill_frac) — the fill statistics a packing data card reports.
+    *
+    * Packing is inherently sequential WITHIN a stream (each placement
+    * depends on the running fill — no window cumsum expresses the
+    * reset), so each bucket folds its sorted doc list through one
+    * higher-order `aggregate`: state = the per-sequence summary array,
+    * last element open. The oracle states the identical recurrence as a
+    * DuckDB recursive CTE advancing one doc per step per bucket; greedy
+    * next-fit and the recurrence agree exactly.
+    */
+  def seqPack(s: SparkSession, dir: String): DataFrame =
+    seqPackFrom(docs(s, dir).select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("ntok")), PackBudget)
+
+  /** [[seqPack]] over an explicit `(doc_id, ntok)` relation and budget —
+    * the spec pins a crafted fixture where greedy and optimal packing
+    * differ.
+    */
+  def seqPackFrom(d: DataFrame, budget: Long): DataFrame = {
+    val base = d.select(col("doc_id"), col("ntok"), docHash.as("h"))
+      .withColumn("bucket", pmod(col("h"), lit(PackBuckets)))
+    val binsType = "array<struct<n_docs:bigint,n_tokens:bigint>>"
+    val packed = base.groupBy("bucket")
+      .agg(sort_array(collect_list(struct(col("h"), col("doc_id"), col("ntok"))))
+        .as("ds"))
+      .select(col("bucket"), aggregate(
+        col("ds"),
+        array().cast(binsType),
+        (acc, x) => {
+          val nt = x.getField("ntok")
+          val opened = array(struct(lit(1L).as("n_docs"), nt.as("n_tokens")))
+          // branches guard element_at/slice: only evaluated when acc is
+          // non-empty (If short-circuits per-row, also under codegen)
+          when(size(acc) === 0, opened).otherwise {
+            val last = element_at(acc, -1)
+            when(last.getField("n_tokens") + nt <= lit(budget),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(struct((last.getField("n_docs") + lit(1L)).as("n_docs"),
+                  (last.getField("n_tokens") + nt).as("n_tokens")))))
+              .otherwise(concat(acc, opened))
+          }
+        }).as("bins"))
+    packed.select(col("bucket"), posexplode(col("bins")))
+      .select(col("bucket"), col("pos").cast("long").as("seq"),
+        col("col.n_docs").as("n_docs"), col("col.n_tokens").as("n_tokens"),
+        round(col("col.n_tokens").cast("double") / lit(budget.toDouble), 6)
+          .as("fill_frac"))
+      .orderBy("bucket", "seq")
+  }
+
+  val seqPackSql: String = s"""WITH RECURSIVE base AS (
+      SELECT doc_id, CAST(len(${TextOps.tokensSql}) AS BIGINT) AS ntok,
+        ${TextOps.tokenHashSql("CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents),
+    ord AS (
+      SELECT h % $PackBuckets AS bucket, ntok,
+        row_number() OVER (PARTITION BY h % $PackBuckets ORDER BY h, doc_id) AS i
+      FROM base),
+    rec AS (
+      SELECT bucket, i, ntok, CAST(0 AS BIGINT) AS seq, ntok AS fill
+      FROM ord WHERE i = 1
+      UNION ALL
+      SELECT o.bucket, o.i, o.ntok,
+        CASE WHEN r.fill + o.ntok <= $PackBudget THEN r.seq ELSE r.seq + 1 END,
+        CASE WHEN r.fill + o.ntok <= $PackBudget THEN r.fill + o.ntok ELSE o.ntok END
+      FROM rec r JOIN ord o ON o.bucket = r.bucket AND o.i = r.i + 1)
+    SELECT bucket, seq, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+      ROUND(CAST(SUM(ntok) AS DOUBLE) / $PackBudget.0, 6) AS fill_frac
+    FROM rec GROUP BY bucket, seq ORDER BY bucket, seq"""
+}

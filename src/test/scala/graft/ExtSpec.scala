@@ -293,6 +293,38 @@ class ExtSpec extends SparkSpec {
     assert(real.forall(x => x.getDouble(3) >= 0.0 && x.getDouble(3) <= 1.0))
   }
 
+  test("D8 para clusters: chain closure through shared paragraphs; df cap kills boilerplate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-parac").toString
+    // chain: 0~1 share para A, 1~2 share para B (0 and 2 share NOTHING
+    // directly) → one 3-cluster through transitivity; 3 stands alone;
+    // 4..105 all share one boilerplate paragraph whose df (102) exceeds
+    // MaxParaDf → no edges, all singletons
+    val boiler = "universal footer boilerplate"
+    (Seq(
+      (0L, "para aaa\n\nzero only"),
+      (1L, "para aaa\n\npara bbb"),
+      (2L, "para bbb\n\ntwo only"),
+      (3L, "nothing shared here")) ++
+      (4L to 105L).map(i => (i, s"doc $i body\n\n$boiler")))
+      .map { case (id, text) => (id, text, "en", "t", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    assert((4L to 105L).length > Dedup.MaxParaDf)
+    val r = Dedup.paraClusters(spark, dir).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(0L) == ((0L, 3L)) && r(1L) == ((0L, 3L)) && r(2L) == ((0L, 3L)),
+      s"0-1-2 chain into one cluster labeled 0: $r")
+    assert(r(3L) == ((3L, 1L)))
+    (4L to 105L).foreach(i => assert(r(i) == ((i, 1L)),
+      s"df-capped boilerplate must not cluster doc $i: ${r(i)}"))
+    // real corpus: labels complete, sizes consistent with label counts
+    val real = Dedup.paraClusters(spark, Sf0001).collect()
+    assert(real.length == 500)
+    val byLbl = real.groupBy(_.getLong(1))
+    byLbl.foreach { case (_, rows) =>
+      assert(rows.forall(_.getLong(2) == rows.length.toLong)) }
+  }
+
   test("D7 label propagation: chains merge transitively, components stay apart") {
     // chain 1-2-3-4 (1 and 4 share no edge), separate pair 5-6,
     // singleton 7: three components
@@ -361,8 +393,12 @@ class ExtSpec extends SparkSpec {
   }
 
   test("C1 curation funnel: monotone stages, splits partition the dedup survivors") {
+    // aggregate the per-(stage, source) breakdown back to stage totals —
+    // the funnel invariants are stage-level properties
     val rows = graft.ext.Curation.funnel(spark, Sf0001).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .groupBy(_.getAs[String]("stage"))
+      .view.mapValues(rs => (rs.map(_.getAs[Long]("n_docs")).sum,
+        rs.map(_.getAs[Long]("n_tokens")).sum)).toMap
     val n = spark.read.parquet(s"$Sf0001/documents.parquet").count()
     assert(rows("1_ingest")._1 == n, "ingest covers the corpus")
     assert(rows("2_quality")._1 <= rows("1_ingest")._1 &&

@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ext.{Mix, Pii, TextOps}
+
+/** Behavioral specs for the W1/W2 mixing-packing tier and the W3 PII
+  * scan — crafted fixtures pin the exact values the sf corpus can't
+  * (quota arithmetic, greedy-vs-optimal packing, regex edge behavior),
+  * plus sf0.001 runs for conservation/equivalence properties.
+  */
+class MixPiiSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** JVM-side mirror of TextOps.tokenHash (md5 hex prefix → long) so
+    * fixtures can be constructed in hash order without running Spark.
+    */
+  private def mdHash(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
+  test("w1: exact integer quota and hash-ordered prefix selection") {
+    val ids = (1L to 10L)
+    val df = ids.map(i => (i, "s", i * 10L)).toSeq.toDF("doc_id", "source", "ntok")
+    val k = math.floorMod(mdHash("s"), 4L) + 1
+    val quota = 10L * k / 4
+    val ordered = ids.sortBy(i => (mdHash(i.toString), i)).take(quota.toInt)
+    val r = Mix.sourceMixFrom(df).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[String]("source") == "s")
+    assert(row.getAs[Double]("weight") == k / 4.0)
+    assert(row.getAs[Long]("available") == 10L)
+    assert(row.getAs[Long]("quota") == quota)
+    assert(row.getAs[Long]("taken") == quota)
+    assert(row.getAs[Long]("taken_tokens") == ordered.map(_ * 10L).sum)
+    assert(row.getAs[Long]("taken_id_sum") == ordered.sum)
+  }
+
+  test("w1: two-phase bucketed rank equals the naive per-source window on sf0.001") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("ntok"))
+    val base = docs.withColumn("h",
+      TextOps.tokenHash(col("doc_id").cast("string")))
+    val quotas = base.groupBy("source").agg(count(lit(1)).as("available"))
+      .withColumn("k", Mix.weightK(col("source")))
+      .withColumn("quota", expr("(available * k) div 4"))
+    val naive = base
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("h"), col("doc_id"))))
+      .join(quotas, Seq("source"))
+      .withColumn("sel", col("rk") <= col("quota"))
+      .groupBy("source")
+      .agg((max("k").cast("double") / lit(4.0)).as("weight"),
+        max("available").as("available"), max("quota").as("quota"),
+        sum(when(col("sel"), lit(1L)).otherwise(lit(0L))).as("taken"),
+        sum(when(col("sel"), col("ntok")).otherwise(lit(0L))).as("taken_tokens"),
+        sum(when(col("sel"), col("doc_id")).otherwise(lit(0L))).as("taken_id_sum"))
+      .orderBy("source")
+      .collect()
+    val twoPhase = Mix.sourceMix(spark, Sf0001).collect()
+    assert(twoPhase.length == naive.length && twoPhase.length == 20)
+    twoPhase.zip(naive).foreach { case (a, b) =>
+      assert(a.getAs[String]("source") == b.getAs[String]("source"))
+      Seq("available", "quota", "taken", "taken_tokens", "taken_id_sum")
+        .foreach(c => assert(a.getAs[Long](c) == b.getAs[Long](c), c))
+      assert(a.getAs[Double]("weight") == b.getAs[Double]("weight"))
+    }
+  }
+
+  /** Four docs in ONE bucket whose hash order carries sizes
+    * 150,150,100,100 against budget 256: greedy next-fit yields
+    * [150],[150+100],[100] — 3 sequences — while the optimal pairing
+    * [150+100],[150+100] needs only 2. Pins both the exact greedy
+    * fold and that packing is greedy, not optimal.
+    */
+  test("w2: greedy next-fit packing, where greedy and optimal differ") {
+    val sameBucket = (1L to 500L)
+      .filter(i => math.floorMod(mdHash(i.toString), Mix.PackBuckets) == 0L)
+      .sortBy(i => (mdHash(i.toString), i))
+      .take(4)
+    assert(sameBucket.length == 4)
+    val sizes = Seq(150L, 150L, 100L, 100L)
+    val df = sameBucket.zip(sizes).toDF("doc_id", "ntok")
+    val r = Mix.seqPackFrom(df, 256L).collect()
+    assert(r.map(_.getAs[Long]("seq")).toSeq == Seq(0L, 1L, 2L))
+    assert(r.map(_.getAs[Long]("n_docs")).toSeq == Seq(1L, 2L, 1L))
+    assert(r.map(_.getAs[Long]("n_tokens")).toSeq == Seq(150L, 250L, 100L))
+    assert(r.map(_.getAs[Double]("fill_frac")).toSeq ==
+      Seq(150.0 / 256, 250.0 / 256, 100.0 / 256).map(v => math.round(v * 1e6) / 1e6))
+    // optimal packs the same sizes into 2 sequences — greedy used 3
+    assert(150L + 100L <= 256L && r.length == 3)
+  }
+
+  test("w2: oversized doc gets its own sequence; packing never splits a doc") {
+    val sameBucket = (1L to 500L)
+      .filter(i => math.floorMod(mdHash(i.toString), Mix.PackBuckets) == 3L)
+      .sortBy(i => (mdHash(i.toString), i))
+      .take(3)
+    val sizes = Seq(50L, 300L, 50L) // 300 > budget 256
+    val df = sameBucket.zip(sizes).toDF("doc_id", "ntok")
+    val r = Mix.seqPackFrom(df, 256L).collect()
+    assert(r.map(_.getAs[Long]("n_tokens")).toSeq == Seq(50L, 300L, 50L))
+    assert(r.map(_.getAs[Long]("n_docs")).forall(_ == 1L))
+  }
+
+  test("w2: token conservation and budget bound on sf0.001") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("ntok"))
+    val total = docs.agg(sum("ntok")).collect()(0).getLong(0)
+    val packed = Mix.seqPack(spark, Sf0001).collect()
+    assert(packed.map(_.getAs[Long]("n_tokens")).sum == total)
+    assert(docs.count() == packed.map(_.getAs[Long]("n_docs")).sum)
+    packed.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") <= Mix.PackBudget ||
+        r.getAs[Long]("n_docs") == 1L)
+    }
+    // every bucket's sequence ids are a gapless 0..n prefix
+    packed.groupBy(_.getAs[Long]("bucket")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("seq")).sorted.toSeq ==
+        (0L until rows.length.toLong))
+    }
+  }
+
+  test("w3: regex counts and chained redaction on crafted strings") {
+    val df = Seq(
+      (1L, "reach a.b@x.co or c@d.io now"),           // 2 emails
+      (2L, "call +1-555-123-4567 today"),              // 1 phone
+      (3L, "host 10.0.0.1 and 192.168.001.255 up"),    // 2 ipv4
+      (4L, "acct 123456789 ok but 987654321x sticks"), // 1 id (x kills \b)
+      (5L, "plain text, no pii at all"),
+      (6L, "u7@ex1.com +1-555-111-2222 8.8.8.8 555123456789")) // one of each
+      .toDF("doc_id", "t")
+    val r = Pii.piiScanFrom(df).collect()
+    def row(i: Long) = r.find(_.getLong(0) == i).get
+    assert(row(1).getAs[Long]("n_email") == 2 && row(1).getAs[Long]("n_pii") == 2)
+    assert(row(2).getAs[Long]("n_phone") == 1 && row(2).getAs[Long]("n_pii") == 1)
+    assert(row(3).getAs[Long]("n_ipv4") == 2 && row(3).getAs[Long]("n_pii") == 2)
+    assert(row(4).getAs[Long]("n_id") == 1 && row(4).getAs[Long]("n_pii") == 1)
+    assert(row(5).getAs[Long]("n_pii") == 0 &&
+      row(5).getAs[Long]("len_redacted") == row(5).getAs[Long]("len_raw"))
+    val r6 = row(6)
+    assert(r6.getAs[Long]("n_email") == 1 && r6.getAs[Long]("n_phone") == 1 &&
+      r6.getAs[Long]("n_ipv4") == 1 && r6.getAs[Long]("n_id") == 1 &&
+      r6.getAs[Long]("n_pii") == 4)
+    // redacted form pinned exactly (chained order email→phone→ip→id)
+    assert(r6.getAs[Long]("len_redacted") ==
+      "<EMAIL> <PHONE> <IP> <ID>".length)
+  }
+
+  test("w3: augmented column injects on the modular schedule") {
+    val df = Seq((105L, "base"), (1L, "base")).toDF("doc_id", "text")
+      .select(col("doc_id"), Pii.augmented(col("text"), col("doc_id")).as("t"))
+    val r = Pii.piiScanFrom(df).collect()
+    val a = r.find(_.getLong(0) == 105L).get // 105 = 3·5·7 → email+phone+ip
+    assert(a.getAs[Long]("n_email") == 1 && a.getAs[Long]("n_phone") == 1 &&
+      a.getAs[Long]("n_ipv4") == 1 && a.getAs[Long]("n_id") == 0)
+    val b = r.find(_.getLong(0) == 1L).get // 1 divides nothing scheduled
+    assert(b.getAs[Long]("n_pii") == 0)
+  }
+
+  test("c1 funnel per-source rows stay consistent across stages on sf0.001") {
+    val rows = graft.ext.Curation.funnel(spark, Sf0001).collect()
+    val byStage = rows.groupBy(_.getAs[String]("stage"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(byStage("1_ingest") == 500L)
+    assert(byStage("2_quality") <= byStage("1_ingest"))
+    assert(byStage("3_dedup") <= byStage("2_quality"))
+    val splitTotal = Seq("4_train", "5_val", "6_test")
+      .map(s => byStage.getOrElse(s, 0L)).sum
+    assert(splitTotal == byStage("3_dedup"))
+    // every stage is per-source now: ingest has one row per source
+    assert(rows.count(_.getAs[String]("stage") == "1_ingest") == 20)
+  }
+}
