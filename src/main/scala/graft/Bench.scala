@@ -65,7 +65,7 @@ object Bench {
     val extraIters = Set("a4_clahe", "d2_ngram_jaccard", "d3_minhash_lsh",
       "d5_contamination", "s3_cosine_neardup", "s4_ivf_ann_topk",
       "a5_local_median_range", "a5b_local_enhanced_quantize",
-      "d7_dup_clusters", "c1_curation_funnel",
+      "d7_dup_clusters", "c1_curation_funnel", "d8_para_clusters",
       "x3_revenue_rollup", "q1_agg", "p8_u16_to_u8")
     val coldTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val iterCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]

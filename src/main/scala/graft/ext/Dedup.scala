@@ -410,12 +410,17 @@ object Dedup {
     * both consume.
     */
   def clusterIds(s: SparkSession, dir: String): DataFrame = {
-    // unlike minhashLsh (where sig feeds banding + two verification join
-    // legs) sig has a single consumer here, and bandCandidates' band
-    // self-join already dedupes its identical (band, key) exchanges via
-    // ReuseExchange — a persist would only pin executor storage until
-    // the caller's clearCache with nothing to reuse
-    val sig = minhashSig(s, dir)
+    // sig looks single-consumer but actually feeds FOUR plan legs: the
+    // band self-join's two sides and both unionAll legs of the edge
+    // list in clusterLabels (whose distinct-exchanges differ, so AQE
+    // stage reuse does NOT dedupe them — measured: dropping this
+    // persist took d7/c1 from ≤1.4 s to ~6 s warm at sf0.1, the
+    // shingle-explode signature build re-running per leg). Left cached
+    // on return per the registry's persist-lifetime contract
+    // (SparkEntry.queries): long-lived callers clearCache between
+    // queries; an in-call unpersist would force every re-invocation to
+    // rebuild the signatures.
+    val sig = minhashSig(s, dir).persist()
     val cand = bandCandidates(sig)
     val nodes = t(s, dir).select(col("doc_id").as("id"))
     clusterLabels(nodes, cand)
@@ -473,8 +478,11 @@ object Dedup {
     * recursive CTE.
     */
   def paraClusters(s: SparkSession, dir: String): DataFrame = {
+    // persisted for the same reason as clusterIds' sig: inst feeds the
+    // df agg, both self-join legs, and both edge-union legs downstream;
+    // left cached per the registry's persist-lifetime contract
     val inst = paraBlocks(s, dir).select(col("h"), col("doc_id")).distinct()
-      .persist() // feeds the df agg + both self-join legs
+      .persist()
     // df ∈ [2, cap]: singleton paragraphs generate no edge, and the
     // count agg carries 16-byte keys with map-side partials
     val keep = inst.groupBy("h").agg(count(lit(1)).as("df"))

@@ -19,10 +19,11 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  private val revenue =
+  private val revenueDec =
     sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
       (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(4, 2)))))
-      .cast("double")
+
+  private val revenue = revenueDec.cast("double")
 
   /** X1 (Q3-shaped): top-10 unshipped-order revenue for one customer
     * segment — selective dim filter → fact join → group → top-k.
@@ -98,15 +99,26 @@ object Relational {
   /** X3: rollup over (returnflag, linestatus) — subtotal/grand-total
     * grouping the reference lacks entirely.
     */
-  def revenueRollup(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(revenue.as("revenue"), count(lit(1)).as("n"))
+  def revenueRollup(s: SparkSession, dir: String): DataFrame = {
+    // Aggregate at the FINEST level first, then roll the leaf relation
+    // up: a native `.rollup` over the fact Expands every scan row 3×
+    // (one copy per grouping set) through the partial aggregate — at
+    // 100 TB that triples the agg input for subtotals derivable from
+    // the ≤ |flag|×|status| leaf rows. Super-aggregate re-summation is
+    // EXACT because the sums accumulate in DECIMAL (associative) and
+    // the double cast happens once per output row, at the same level
+    // the oracle's ROLLUP casts.
+    val leaf = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(revenueDec.as("rev"), count(lit(1)).as("n_"))
+    leaf.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("rev")).cast("double").as("revenue"), sum(col("n_")).as("n"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("revenue"), col("n"))
       .orderBy("returnflag", "linestatus")
+  }
 
   val revenueRollupSql: String = """SELECT
       COALESCE(l_returnflag, 'ALL') AS returnflag,
