@@ -686,6 +686,7 @@ object SparkEntry {
     Q("e5_json_extract", Events.jsonExtract, Some(Events.jsonExtractSql)),
     Q("e6_salted_hotkey_agg", Events.saltedHotKeyAgg, Some(Events.saltedHotKeyAggSql)),
     Q("e7_conversion_funnel", Events.conversionFunnel, Some(Events.conversionFunnelSql)),
+    Q("e8_cohort_retention", Events.cohortRetention, Some(Events.cohortRetentionSql)),
     Q("t1_token_stats", TextOps.tokenStats, Some(TextOps.tokenStatsSql)),
     Q("t2_quality_score", TextOps.qualityScore, Some(TextOps.qualityScoreSql)),
     Q("t3_lang_id", TextOps.langId, Some(TextOps.langIdSql)),
@@ -694,6 +695,7 @@ object SparkEntry {
     Q("t6_repetition", TextOps.repetition, Some(TextOps.repetitionSql)),
     Q("t7_hash_split", TextOps.hashSplit, Some(TextOps.hashSplitSql)),
     Q("t8_vocab_topk", TextOps.vocabTopk, Some(TextOps.vocabTopkSql)),
+    Q("t9_oov_rate", TextOps.oovRate, Some(TextOps.oovRateSql)),
     Q("c1_curation_funnel", Curation.funnel, Some(Curation.funnelSql)),
     Q("w1_source_mix", Mix.sourceMix, Some(Mix.sourceMixSql)),
     Q("w2_seq_pack", Mix.seqPack, Some(Mix.seqPackSql)),

@@ -250,4 +250,54 @@ object Events {
       CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
     FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
     GROUP BY 1 ORDER BY 1"""
+
+  /** Epoch-week length in exact integer microseconds (tumbling 7-day
+    * windows from the epoch — no calendar/timezone arithmetic enters
+    * the cohort logic).
+    */
+  val WeekUs: Long = 7L * 86400L * 1000000L
+
+  /** E8: cohort retention — the product-analytics retention matrix:
+    * users cohorted by their first-activity week, each later week
+    * reporting how many of the cohort were active (distinct-user
+    * activity, epoch-week granularity) and the retained fraction.
+    *
+    * Determinism: weeks are exact integer `us div WeekUs`, retention is
+    * one IEEE division of two exact counts rounded at 6. Scale shape:
+    * the (user, week) distinct and the first-week aggregate shuffle on
+    * user_id — the same key, so the activity⋈cohort join co-locates;
+    * the (cohort, offset) counts are map-side partial; the cohort-size
+    * relation is weeks-sized (tiny) and joins by planner choice. No
+    * per-user state, no windows, no driver collect.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val activity = t(s, dir)
+      .select(col("user_id"), expr(s"us div $WeekUs").as("week"))
+      .distinct()
+    val cohorts = activity.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val sizes = cohorts.groupBy("cohort_week").agg(count(lit(1)).as("cohort_users"))
+    activity.join(cohorts, "user_id")
+      .select(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_users"),
+        round(col("n_active").cast("double") / col("cohort_users").cast("double"), 6)
+          .as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val cohortRetentionSql: String = s"""WITH activity AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // $WeekUs AS week FROM events),
+    cohorts AS (SELECT user_id, MIN(week) AS cohort_week FROM activity GROUP BY 1),
+    sizes AS (SELECT cohort_week, COUNT(*) AS cohort_users FROM cohorts GROUP BY 1),
+    act AS (
+      SELECT cohort_week, week - cohort_week AS week_offset, COUNT(*) AS n_active
+      FROM activity JOIN cohorts USING (user_id)
+      GROUP BY 1, 2)
+    SELECT cohort_week, week_offset, n_active, cohort_users,
+      ROUND(CAST(n_active AS DOUBLE) / CAST(cohort_users AS DOUBLE), 6) AS retention
+    FROM act JOIN sizes USING (cohort_week)
+    ORDER BY cohort_week, week_offset"""
 }

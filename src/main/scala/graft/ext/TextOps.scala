@@ -409,4 +409,72 @@ object TextOps {
       SELECT *, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rk
       FROM counts)
     WHERE rk <= $VocabTopK ORDER BY lang, rk"""
+
+  // ------------------------------------------------------------- T9 OOV
+
+  /** Minimum corpus occurrence count for a token to enter the T9
+    * reference vocabulary.
+    */
+  val OovMinCount = 5
+
+  /** T9: vocabulary coverage / out-of-vocabulary rate — the
+    * exact-integer analog of a perplexity filter (CCNet-style): the
+    * corpus vocabulary is every token with ≥ [[OovMinCount]] total
+    * occurrences; each document reports how many of its token
+    * OCCURRENCES fall outside it. High OOV fraction flags boilerplate
+    * gibberish, encoding damage, and wrong-language content without a
+    * model artifact — and stays bit-deterministic (integer counts, one
+    * IEEE division, round 6) where a real LM score would not be.
+    *
+    * Scale shape: occurrences pre-aggregate to (doc_id, tok, c) —
+    * doc-local keys, map-side partials — before joining the vocabulary,
+    * so the join input is bounded by Σ per-doc DISTINCT tokens, not raw
+    * corpus length. The join key (tok) concentrates on stopwords at
+    * corpus scale; it's a LEFT join against a 1-row-per-token build
+    * side, the AQE-skew-splittable shape, and OOV tails (the rows that
+    * matter) are by construction rare keys.
+    */
+  def oovRate(s: SparkSession, dir: String): DataFrame = {
+    val occ = t(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val vocab = occ.groupBy("tok").agg(sum("c").as("cc"))
+      .filter(col("cc") >= OovMinCount)
+      .select(col("tok"), lit(1L).as("iv"))
+    val per = occ.join(vocab, Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tok"),
+        coalesce(sum(when(col("iv").isNotNull, col("c"))), lit(0L)).as("n_invocab"))
+    t(s, dir).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        (coalesce(col("n_tok"), lit(0L)) - coalesce(col("n_invocab"), lit(0L)))
+          .as("n_oov"),
+        when(coalesce(col("n_tok"), lit(0L)) > 0,
+          round((col("n_tok") - col("n_invocab")).cast("double") /
+            col("n_tok").cast("double"), 6))
+          .otherwise(lit(0.0)).as("oov_frac"))
+      .orderBy("doc_id")
+  }
+
+  val oovRateSql: String = s"""WITH occ AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest($tokensSql) AS tok FROM documents)
+      GROUP BY 1, 2),
+    vocab AS (SELECT tok, 1 AS iv FROM occ GROUP BY tok
+              HAVING SUM(c) >= $OovMinCount),
+    per AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+        CAST(COALESCE(SUM(CASE WHEN iv IS NOT NULL THEN c END), 0) AS BIGINT) AS n_invocab
+      FROM occ LEFT JOIN vocab USING (tok)
+      GROUP BY 1)
+    SELECT d.doc_id,
+      COALESCE(n_tok, 0) AS n_tok,
+      COALESCE(n_tok, 0) - COALESCE(n_invocab, 0) AS n_oov,
+      CASE WHEN COALESCE(n_tok, 0) > 0
+        THEN ROUND(CAST(n_tok - n_invocab AS DOUBLE) / CAST(n_tok AS DOUBLE), 6)
+        ELSE 0.0 END AS oov_frac
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    ORDER BY d.doc_id"""
 }

@@ -293,6 +293,58 @@ class ExtSpec extends SparkSpec {
     assert(real.forall(x => x.getDouble(3) >= 0.0 && x.getDouble(3) <= 1.0))
   }
 
+  test("E8 cohort retention: crafted cohorts produce the exact retention matrix") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cohort").toString
+    val weekNs = Events.WeekUs * 1000L
+    // u1 first-seen week 0, active weeks {0,1,3}; u2 week 0 only;
+    // u3 first-seen week 1, active weeks {1,2}; duplicate events within
+    // a week must not double-count the user
+    val ev = Seq(
+      (1L, 0L * weekNs + 1000L, 10L), (2L, 0L * weekNs + 2000L, 10L),
+      (3L, 1L * weekNs + 1000L, 10L), (4L, 3L * weekNs + 1000L, 10L),
+      (5L, 0L * weekNs + 3000L, 20L),
+      (6L, 1L * weekNs + 1000L, 30L), (7L, 2L * weekNs + 1000L, 30L))
+    ev.map { case (id, ns, u) => (id, ns, u, "click", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = Events.cohortRetention(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    assert(r((0L, 0L)) == ((2L, 2L, 1.0)), s"cohort 0 week 0: ${r}")
+    assert(r((0L, 1L)) == ((1L, 2L, 0.5)))
+    assert(r((0L, 3L)) == ((1L, 2L, 0.5)))
+    assert(!r.contains((0L, 2L)), "no activity → no row, not a zero row")
+    assert(r((1L, 0L)) == ((1L, 1L, 1.0)))
+    assert(r((1L, 1L)) == ((1L, 1L, 1.0)))
+    assert(r.size == 5)
+  }
+
+  test("T9 OOV: corpus-frequency vocabulary and per-doc occurrence coverage") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-oov").toString
+    // "common" occurs 6× (≥ OovMinCount 5) → in vocab; "rare" occurs
+    // 2× → OOV everywhere; doc 7 is whitespace-only → 0 tokens
+    ((1L to 5L).map(i => (i, "common filler filler filler filler")) ++ Seq(
+      (6L, "common rare rare"),
+      (7L, " ")))
+      .map { case (id, text) => (id, text, "en", "t", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    assert(TextOps.OovMinCount == 5)
+    val r = TextOps.oovRate(spark, dir).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    // filler occurs 20× → in vocab; docs 1-5 fully covered
+    (1L to 5L).foreach(i => assert(r(i) == ((5L, 0L, 0.0)), s"doc $i: ${r(i)}"))
+    assert(r(6L) == ((3L, 2L, math.round(2.0 / 3.0 * 1e6) / 1e6)), s"${r(6L)}")
+    assert(r(7L) == ((0L, 0L, 0.0)), "empty doc reports zero, not NULL")
+    // sf0.001: n_oov bounded by n_tok and n_tok agrees with T1
+    val real = TextOps.oovRate(spark, Sf0001).collect()
+    assert(real.forall(x => x.getLong(2) >= 0 && x.getLong(2) <= x.getLong(1)))
+    val t1 = TextOps.tokenStats(spark, Sf0001).collect()
+      .map(x => x.getLong(0) -> x.getInt(1).toLong).toMap
+    assert(real.forall(x => t1(x.getLong(0)) == x.getLong(1)),
+      "T9 occurrence totals must equal T1 token counts")
+  }
+
   test("D8 para clusters: chain closure through shared paragraphs; df cap kills boilerplate") {
     val dir = java.nio.file.Files.createTempDirectory("graft-parac").toString
     // chain: 0~1 share para A, 1~2 share para B (0 and 2 share NOTHING
