@@ -696,10 +696,13 @@ object SparkEntry {
     Q("t7_hash_split", TextOps.hashSplit, Some(TextOps.hashSplitSql)),
     Q("t8_vocab_topk", TextOps.vocabTopk, Some(TextOps.vocabTopkSql)),
     Q("t9_oov_rate", TextOps.oovRate, Some(TextOps.oovRateSql)),
+    Q("t10_surprisal", TextOps.surprisal, Some(TextOps.surprisalSql)),
+    Q("e9_user_anomaly", Events.userAnomaly, Some(Events.userAnomalySql)),
     Q("c1_curation_funnel", Curation.funnel, Some(Curation.funnelSql)),
     Q("w1_source_mix", Mix.sourceMix, Some(Mix.sourceMixSql)),
     Q("w2_seq_pack", Mix.seqPack, Some(Mix.seqPackSql)),
     Q("w3_pii_scan", Pii.piiScan, Some(Pii.piiScanSql)),
+    Q("w4_curriculum", Mix.curriculum, Some(Mix.curriculumSql)),
     Q("d1_exact_dedup", Dedup.exact, Some(Dedup.exactSql)),
     Q("d2_ngram_jaccard", Dedup.ngramJaccard, Some(Dedup.ngramJaccardSql)),
     Q("d3_minhash_lsh", Dedup.minhashLsh, Some(Dedup.minhashLshSql)),
@@ -708,6 +711,7 @@ object SparkEntry {
     Q("d6_paragraph_dedup", Dedup.paragraphDedup, Some(Dedup.paragraphDedupSql)),
     Q("d7_dup_clusters", Dedup.dupClusters, Some(Dedup.dupClustersSql)),
     Q("d8_para_clusters", Dedup.paraClusters, Some(Dedup.paraClustersSql)),
+    Q("d9_minhash_calibration", Dedup.minhashCalibration, Some(Dedup.minhashCalibrationSql)),
     Q("s1_cosine_topk", Similarity.cosineTopk, Some(Similarity.cosineTopkSql)),
     Q("s2_lsh_ann_topk", Similarity.lshAnnTopk, Some(Similarity.lshAnnTopkSql)),
     Q("s3_cosine_neardup", Similarity.cosineNeardup, Some(Similarity.cosineNeardupSql)),
@@ -715,12 +719,14 @@ object SparkEntry {
     // but the output embeds its own exact-baseline recall columns.
     Q("s4_ivf_ann_topk", Ivf.ivfTopk, None),
     Q("s5_centroid_outliers", Similarity.centroidOutliers, Some(Similarity.centroidOutliersSql)),
+    Q("s6_quant_error", Similarity.quantError, Some(Similarity.quantErrorSql)),
     Q("m1_multimodal_meta", Multimodal.meta, Some(Multimodal.metaSql)),
     // mapPartitions feature extraction — the byte-nibble histogram IS
     // SQL-expressible (hex trick, see Multimodal.featuresSql), so the
     // full hash gate applies despite the imperative decode plumbing.
     Q("m2_multimodal_features", Multimodal.features, Some(Multimodal.featuresSql)),
-    Q("m3_frame_sample", Multimodal.frameSample, Some(Multimodal.frameSampleSql)))
+    Q("m3_frame_sample", Multimodal.frameSample, Some(Multimodal.frameSampleSql)),
+    Q("m4_corruption_scan", Multimodal.corruptionScan, Some(Multimodal.corruptionScanSql)))
 
   // --------------------------------------------------------------- registry
 

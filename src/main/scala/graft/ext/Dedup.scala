@@ -332,6 +332,106 @@ object Dedup {
     ORDER BY doc_a, doc_b"""
   }
 
+  // ----------------------------------------------------- D9 calibration
+
+  /** D9: MinHash calibration curve — the dedup-quality report a data
+    * card ships: for every LSH candidate pair, the 16-hash signature
+    * ESTIMATE of Jaccard against the exact shingle-set Jaccard, rolled
+    * up per discrete estimate value (k/16) into pair counts, mean exact
+    * similarity, and mean absolute estimation error. This is how a
+    * pipeline picks its banding/threshold operating point (and audits
+    * that MinHash isn't silently over-merging) without re-running dedup.
+    *
+    * Exactness side reuses D2's capped machinery: the inverted-index
+    * common counts + sizes over [[MaxShingleDf]]-filtered shingle sets
+    * (LEFT-joined — a candidate pair whose shared shingles are all
+    * capped out scores exact 0, which is precisely the "boilerplate
+    * carries no near-dup signal" stance the cap encodes). Estimate side
+    * is D3's signature match fraction.
+    *
+    * Determinism: exact Jaccard is one IEEE division rounded at 9; the
+    * per-bucket means accumulate those identical doubles in exact
+    * DECIMAL(20,10) (partition-order independent), one division by the
+    * exact pair count, round(…, 6) at the comparison boundary. The
+    * estimate k/16 is a binary-exact double, so grouping on it is safe.
+    *
+    * Scale shape: strictly the union of D2's and D3's plans (both
+    * individually bounded — banding equi-join, df-capped posting
+    * lists) plus one ≤17-row rollup; no new skew surface.
+    */
+  def minhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val sig = minhashSig(s, dir).persist() // feeds banding + both est join sides
+    val matches = (0 until NumHashes).map(i =>
+      when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0)).reduce(_ + _)
+    val est = bandCandidates(sig)
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))
+    val raw = shingleDf(s, dir)
+      .select(col("doc_id"), TextOps.tokenHash(col("shingle")).as("sh"))
+      .distinct()
+      .persist() // feeds the df cap + both inverted-index join sides
+    val keep = raw.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf)
+      .select("sh")
+    val shh = raw.join(keep, "sh").persist()
+    val sizes = shh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val com = shh.as("a").join(shh.as("b"), "sh")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    val denom = coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L)) -
+      coalesce(col("common"), lit(0L))
+    val ex = est
+      .join(com, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), Seq("doc_a"), "left")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), Seq("doc_b"), "left")
+      .select(col("est_jaccard"),
+        when(denom > 0,
+          round(coalesce(col("common"), lit(0L)).cast("double") / denom.cast("double"), 9))
+          .otherwise(lit(0.0)).as("exact_j"))
+    ex.groupBy("est_jaccard")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("exact_j").cast(DecimalType(20, 10))).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_exact"),
+        round(sum(abs(col("est_jaccard") - col("exact_j")).cast(DecimalType(20, 10)))
+          .cast("double") / count(lit(1)).cast("double"), 6).as("mean_abs_err"))
+      .orderBy("est_jaccard")
+  }
+
+  val minhashCalibrationSql: String = {
+    val matches = (0 until NumHashes).map(i =>
+      s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    val denom = "COALESCE(sa.nsh, 0) + COALESCE(sb.nsh, 0) - COALESCE(c.common, 0)"
+    s"""WITH $minhashCandCtes,
+    est AS (
+      SELECT doc_a, doc_b, CAST($matches AS DOUBLE) / ${NumHashes.toDouble} AS est_jaccard
+      FROM cand JOIN sig a ON cand.doc_a = a.doc_id JOIN sig b ON cand.doc_b = b.doc_id),
+    shraw AS (SELECT DISTINCT doc_id, h FROM sh),
+    shh AS (SELECT shraw.* FROM shraw
+      JOIN (SELECT h FROM shraw GROUP BY h HAVING COUNT(*) <= $MaxShingleDf) k USING (h)),
+    sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shh GROUP BY 1),
+    com AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    ex AS (
+      SELECT e.est_jaccard,
+        CASE WHEN $denom > 0
+          THEN ROUND(CAST(COALESCE(c.common, 0) AS DOUBLE) / CAST($denom AS DOUBLE), 9)
+          ELSE 0.0 END AS exact_j
+      FROM est e
+      LEFT JOIN com c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+      LEFT JOIN sizes sa ON e.doc_a = sa.doc_id
+      LEFT JOIN sizes sb ON e.doc_b = sb.doc_id)
+    SELECT est_jaccard, COUNT(*) AS n_pairs,
+      ROUND(CAST(SUM(CAST(exact_j AS DECIMAL(20,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_exact,
+      ROUND(CAST(SUM(CAST(abs(est_jaccard - exact_j) AS DECIMAL(20,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_abs_err
+    FROM ex GROUP BY est_jaccard ORDER BY est_jaccard"""
+  }
+
   // ---------------------------------------------------------- dup clusters
 
   /** Round cap for [[clusterLabels]]. Min-label propagation converges in

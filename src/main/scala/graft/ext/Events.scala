@@ -288,6 +288,82 @@ object Events {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** |z| threshold above which a user's activity count is flagged. */
+  val AnomalyZ = 3.0
+
+  /** E9: activity anomaly detection — per (event_type, user) event
+    * counts z-scored against that event_type's population: the
+    * bot/abuse/instrumentation-bug sweep every event pipeline runs
+    * before its data feeds training or metrics.
+    *
+    * Determinism: the population moments are EXACT integers (n users,
+    * Σc, Σc²), so mean and the population-variance numerator
+    * n·Σc² − (Σc)² are exact; variance is one IEEE division of exact
+    * integers, std one correctly-rounded sqrt, z one subtraction and
+    * one division over identical doubles — both engines state the
+    * same expression tree, then `round(…, 6)` at the comparison
+    * boundary. No float ever accumulates.
+    *
+    * Scale shape: one (event_type, user_id) pre-aggregate (map-side
+    * partials, doc-local keys), one event_type-keyed stats relation
+    * bounded by the event-type vocabulary (planner-chosen join — tiny,
+    * broadcast by size), zero windows, zero driver state.
+    */
+  def userAnomaly(s: SparkSession, dir: String): DataFrame =
+    userAnomalyFrom(t(s, dir))
+
+  /** [[userAnomaly]] over an explicit event relation
+    * (`event_type`/`user_id`) — the spec pins z values on crafted
+    * populations with a known outlier.
+    */
+  def userAnomalyFrom(events: DataFrame): DataFrame = {
+    val per = events.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n_events"))
+    val stats = per.groupBy("event_type").agg(
+      count(lit(1)).as("nu"),
+      sum("n_events").as("s1"),
+      sum(col("n_events") * col("n_events")).as("s2"))
+    val mean = col("s1").cast("double") / col("nu").cast("double")
+    val variance = (col("nu") * col("s2") - col("s1") * col("s1")).cast("double") /
+      (col("nu") * col("nu")).cast("double")
+    // zero-variance populations (every user at the mean) get z = 0
+    // EXPLICITLY: the raw 0/0 is NaN, and the engines disagree on NaN
+    // ordering (DuckDB sorts NaN above every value, Spark's comparison
+    // is false), so an unguarded |z| > 1 tail filter would diverge
+    val z = when(variance > 0, (col("n_events").cast("double") - mean) / sqrt(variance))
+      .otherwise(lit(0.0))
+    per.join(stats, "event_type")
+      .select(col("event_type"), col("user_id"), col("n_events"),
+        round(mean, 6).as("type_mean"),
+        round(sqrt(variance), 6).as("type_std"),
+        round(z, 6).as("z"),
+        (abs(z) > AnomalyZ).cast("int").as("anomalous"))
+      .filter(abs(col("z")) > 1.0) // report the tail, not every user
+      .orderBy("event_type", "user_id")
+  }
+
+  val userAnomalySql: String = {
+    val mean = "CAST(s1 AS DOUBLE) / CAST(nu AS DOUBLE)"
+    val variance = "CAST(nu * s2 - s1 * s1 AS DOUBLE) / CAST(nu * nu AS DOUBLE)"
+    val z = s"CASE WHEN $variance > 0 THEN (CAST(n_events AS DOUBLE) - $mean) / sqrt($variance) ELSE 0.0 END"
+    s"""WITH per AS (
+      SELECT event_type, user_id, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, COUNT(*) AS nu,
+        CAST(SUM(n_events) AS BIGINT) AS s1,
+        CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+      FROM per GROUP BY 1)
+    SELECT event_type, user_id, n_events,
+      ROUND($mean, 6) AS type_mean,
+      ROUND(sqrt($variance), 6) AS type_std,
+      ROUND($z, 6) AS z,
+      CAST(abs($z) > $AnomalyZ AS INT) AS anomalous
+    FROM per JOIN stats USING (event_type)
+    WHERE abs(ROUND($z, 6)) > 1.0
+    ORDER BY event_type, user_id"""
+  }
+
   val cohortRetentionSql: String = s"""WITH activity AS (
       SELECT DISTINCT user_id, epoch_us(ts) // $WeekUs AS week FROM events),
     cohorts AS (SELECT user_id, MIN(week) AS cohort_week FROM activity GROUP BY 1),

@@ -122,6 +122,76 @@ object Mix {
     GROUP BY q.source, q.k, q.available, q.quota
     ORDER BY q.source"""
 
+  // -------------------------------------------------------- W4 curriculum
+
+  /** Value-range bucket count for the W4 two-phase quality rank. */
+  val CurriculumBuckets = 64
+  /** Number of curriculum phases (1 = highest-quality first). */
+  val CurriculumPhases = 3
+
+  /** W4: curriculum phase assignment — order the corpus by descending
+    * quality score (the T2 composite, shared with C1 so the signals
+    * can't drift) and split the EXACT global rank into
+    * [[CurriculumPhases]] equal phases: phase 1 is the cleanest third
+    * the run trains on first, phase 3 the tail (curriculum learning /
+    * quality-annealed data ordering). Emits per document the quality,
+    * the exact global rank, and the phase — reproducible across
+    * engines because rank ties break on doc_id and quality is already
+    * rounded at its comparison boundary.
+    *
+    * Scale shape: the W1 two-phase rank generalized from hash-range to
+    * VALUE-range buckets — bucket = ⌊quality·64⌋ (monotone in the rank
+    * key, so bucket-major order equals global order), ranks computed
+    * inside each bounded bucket partition, global rank reconstructed as
+    * the bucket's exclusive running count offset (a ≤64-row window) +
+    * the within-bucket rank. The corpus never sorts in one partition;
+    * the oracle states the naive single-window form and both agree
+    * row-for-row. Skewed quality distributions (many docs in one
+    * bucket) degrade gracefully: the bucket window is still a fraction
+    * of the corpus, and the bucketing refines by raising the count.
+    */
+  def curriculum(s: SparkSession, dir: String): DataFrame =
+    curriculumFrom(docs(s, dir).select(col("doc_id"),
+      TextOps.qualityCol.as("quality")))
+
+  /** [[curriculum]] over an explicit `(doc_id, quality)` relation — the
+    * spec pins phase boundaries on a crafted quality ladder.
+    */
+  def curriculumFrom(d: DataFrame): DataFrame = {
+    val base = d.withColumn("bucket",
+      least(floor(col("quality") * CurriculumBuckets), lit(CurriculumBuckets - 1L))
+        .cast("long"))
+    // ≤64-row count relation; the exclusive running offset walks buckets
+    // in DESCENDING order (global order is quality desc)
+    val wOff = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = base.groupBy("bucket").agg(count(lit(1)).as("c"))
+      .select(col("bucket"), coalesce(sum("c").over(wOff), lit(0L)).as("off"))
+    val total = base.agg(count(lit(1)).as("n")) // 1 row, provably bounded
+    val wRk = Window.partitionBy("bucket").orderBy(col("quality").desc, col("doc_id"))
+    base.withColumn("r", row_number().over(wRk))
+      .join(off, "bucket")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("quality"),
+        (col("off") + col("r")).as("rk"),
+        // `div` (not `/` + floor): exact integer division survives past
+        // the 2^53 double-mantissa rank range a 100 TB corpus reaches
+        expr(s"1L + ((off + r - 1) * $CurriculumPhases) div n").as("phase"))
+      .orderBy("rk")
+  }
+
+  val curriculumSql: String = s"""WITH q AS (
+      SELECT doc_id, ${TextOps.qualityColSql} AS quality FROM documents),
+    n AS (SELECT COUNT(*) AS n FROM q),
+    r AS (
+      SELECT doc_id, quality,
+        row_number() OVER (ORDER BY quality DESC, doc_id) AS rk
+      FROM q)
+    SELECT doc_id, quality, rk,
+      CAST(1 + (rk - 1) * $CurriculumPhases // n AS BIGINT) AS phase
+    FROM r CROSS JOIN n
+    ORDER BY rk"""
+
   // ----------------------------------------------------------- W2 packing
 
   /** Token budget per packed training sequence. */

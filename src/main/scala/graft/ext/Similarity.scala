@@ -308,6 +308,103 @@ object Similarity {
       FROM scored)
     WHERE rk <= $OutlierK ORDER BY label, rk"""
 
+  // ------------------------------------------------- int8 quantization
+
+  /** S6: per-dimension int8 (asymmetric min/max) embedding quantization
+    * + reconstruction-error report — the storage-shrink step of a
+    * vector index build (4× over float32; IVF/LSH recall is then
+    * re-validated against columns like these). Per dimension the corpus
+    * min/max define scale = (max−min)/255; each component quantizes to
+    * q = ⌊(v−min)/scale + 0.5⌋ and reconstructs as min + q·scale. Emits
+    * per vector the max absolute error, the left-assoc-folded squared
+    * error, and the quantized checksum Σ q·(pos+1) (an exact integer —
+    * the gate pins the CODES, not just the error magnitudes).
+    *
+    * Determinism: min/max of float32 values are exact; scale is one
+    * IEEE division; ⌊x+0.5⌋ is stated identically in both engines (not
+    * the engine-native `round`, whose half-away/half-even conventions
+    * are not worth reconciling); the squared-error fold is
+    * left-associative ascending-index — the same op sequence as the
+    * oracle's unrolled chain — and max_abs_err is an order-free max of
+    * identical doubles. round(…, 9) only at the comparison boundary.
+    *
+    * Scale shape: the stats side is one posexplode aggregate to a
+    * Dim-row relation (64 rows — provably bounded, broadcast as two
+    * sorted literal arrays via the S5 centroid-assembly pattern); the
+    * corpus is touched by exactly one further row-wise projection. No
+    * shuffle of embeddings, no window, no driver collect.
+    */
+  def quantError(s: SparkSession, dir: String): DataFrame =
+    quantErrorFrom(t(s, dir))
+
+  /** [[quantError]] over an explicit corpus (`vec_id`/`embedding`) —
+    * the spec pins exact q codes on a crafted two-vector fixture.
+    */
+  def quantErrorFrom(emb: DataFrame): DataFrame = {
+    val dims = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(min(col("v").cast("double")).as("mn"), max(col("v").cast("double")).as("mx"))
+    // Dim-row relation → two position-sorted literal arrays (the S5
+    // centroid assembly), broadcast: provably bounded at Dim rows
+    val arrs = dims.groupBy()
+      .agg(
+        transform(sort_array(collect_list(struct(col("pos"), col("mn")))),
+          x => x("mn")).as("mns"),
+        transform(sort_array(collect_list(struct(col("pos"), col("mx")))),
+          x => x("mx")).as("mxs"))
+    val withA = emb.crossJoin(broadcast(arrs))
+    def mnAt(i: Column) = element_at(col("mns"), i)
+    def scAt(i: Column) = (element_at(col("mxs"), i) - element_at(col("mns"), i)) / lit(255.0)
+    def vAt(i: Column) = element_at(col("embedding"), i).cast("double")
+    // q = ⌊(v−min)/scale + 0.5⌋ clamped to [0,255]; degenerate dims
+    // (scale 0: constant columns) quantize to 0
+    def qAt(i: Column) =
+      when(scAt(i) === 0.0, lit(0L)).otherwise(
+        least(greatest(floor((vAt(i) - mnAt(i)) / scAt(i) + lit(0.5)), lit(0L)), lit(255L)))
+    def errAt(i: Column) =
+      vAt(i) - (mnAt(i) + qAt(i).cast("double") * scAt(i))
+    val idx = sequence(lit(1), lit(Dim))
+    withA.select(
+      col("vec_id"),
+      aggregate(idx, lit(0L), (acc, i) => acc + qAt(i) * i).as("q_checksum"),
+      round(array_max(transform(idx, i => abs(errAt(i)))), 9).as("max_abs_err"),
+      round(aggregate(idx, lit(0.0), (acc, i) => acc + errAt(i) * errAt(i)), 9)
+        .as("sq_err"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle for [[quantError]]. The squared-error sum folds a
+    * position-ORDERED list through list_reduce (prepended 0.0) — the
+    * identical left-associative ascending-index op sequence as the
+    * Spark-side `aggregate` fold, so no aggregate-order nondeterminism
+    * enters; checksum and max are order-free. (An unrolled 64-term
+    * chain with the CASE-guarded q inlined would be ~100 KB of SQL —
+    * the fold form is the same arithmetic.)
+    */
+  val quantErrorSql: String = s"""WITH pos AS (
+      SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+        CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+      FROM (SELECT vec_id, embedding, unnest(range(1, $Dim + 1)) AS i FROM embeddings)),
+    dims AS (SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM pos GROUP BY 1),
+    pv AS (
+      SELECT vec_id, pos.pos, v, mn, (mx - mn) / 255.0 AS sc
+      FROM pos JOIN dims ON pos.pos = dims.pos),
+    qe AS (
+      SELECT vec_id, pos, v, mn, sc,
+        CASE WHEN sc = 0.0 THEN CAST(0 AS BIGINT)
+             ELSE LEAST(GREATEST(CAST(floor((v - mn) / sc + 0.5) AS BIGINT), 0), 255)
+        END AS q
+      FROM pv),
+    err AS (
+      SELECT vec_id, pos, q, (v - (mn + CAST(q AS DOUBLE) * sc)) AS e FROM qe)
+    SELECT vec_id,
+      CAST(SUM(q * (pos + 1)) AS BIGINT) AS q_checksum,
+      ROUND(MAX(abs(e)), 9) AS max_abs_err,
+      ROUND(list_reduce(list_prepend(0.0, list(e * e ORDER BY pos)),
+        (a, b) -> a + b), 9) AS sq_err
+    FROM err GROUP BY vec_id ORDER BY vec_id"""
+
   val cosineNeardupSql: String = {
     val bandRows = (0 until NeardupBands).map(b =>
       s"SELECT vec_id, $b AS blk, (code >> ${b * NeardupBandBits}) & ${(1L << NeardupBandBits) - 1} AS bval FROM coded")

@@ -458,6 +458,93 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------- T10 surprisal
+
+  /** T10: unigram surprisal — the model-free perplexity proxy (CCNet /
+    * Wenzek et al. 2020 filter by LM perplexity; the unigram LM is its
+    * zero-artifact degenerate case): the corpus itself is the language
+    * model, P(tok) = corpus_count(tok) / corpus_total, and each document
+    * scores mean token surprisal −ln P in nats. Low mean = stereotyped
+    * boilerplate; high mean = rare-token noise — both prune tails.
+    *
+    * Cross-engine determinism (the transcendental tier of the CLAUDE.md
+    * float rules): each DISTINCT token's surprisal ln(N) − ln(cc) is
+    * computed ONCE on the vocab-sized relation and immediately
+    * `round(…, 9)` — the 1-ulp libm divergence between engines dies at
+    * that quantum — then the per-doc total accumulates those identical
+    * doubles in exact DECIMAL(28,10) (partition-order independent, the
+    * HistStats pattern), one IEEE division by the exact token count,
+    * `round(…, 6)` at the comparison boundary. max_surprisal is an
+    * order-free max of the identical rounded values.
+    *
+    * Scale shape: identical to [[oovRate]] — occurrences pre-aggregate
+    * to doc-local (doc_id, tok, c) keys, the vocab relation is one row
+    * per distinct token, the join key concentrates on stopwords but is
+    * the AQE-skew-splittable LEFT-build shape, and the corpus-total is a
+    * broadcast 1-row cross join.
+    */
+  def surprisal(s: SparkSession, dir: String): DataFrame =
+    surprisalFrom(t(s, dir).select(col("doc_id"), col("text")))
+
+  /** [[surprisal]] over an explicit `(doc_id, text)` relation — the spec
+    * pins exact nat values on a crafted two-document corpus.
+    */
+  def surprisalFrom(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val occ = d
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val vocab = occ.groupBy("tok").agg(sum("c").as("cc"))
+    val total = vocab.agg(sum("cc").as("n")) // 1 row, provably bounded
+    val surp = vocab.crossJoin(broadcast(total))
+      .select(col("tok"),
+        round(log(col("n").cast("double")) - log(col("cc").cast("double")), 9)
+          .as("surp"))
+    val per = occ.join(surp, "tok")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tok"),
+        // surp < 100 nats and c < 1e10 by construction, so the product
+        // DECIMAL(20,10)×DECIMAL(10,0) = DECIMAL(31,10) is exact in both
+        // engines (wider operands would overflow DuckDB's 38-digit cap
+        // into double, breaking the bit-exactness)
+        sum(col("surp").cast(DecimalType(20, 10)) *
+          col("c").cast(DecimalType(10, 0))).as("tot"),
+        max("surp").as("max_surprisal"))
+    d.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        when(col("n_tok") > 0,
+          round(col("tot").cast("double") / col("n_tok").cast("double"), 6))
+          .otherwise(lit(0.0)).as("mean_surprisal"),
+        coalesce(col("max_surprisal"), lit(0.0)).as("max_surprisal"))
+      .orderBy("doc_id")
+  }
+
+  val surprisalSql: String = s"""WITH occ AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest($tokensSql) AS tok FROM documents)
+      GROUP BY 1, 2),
+    vocab AS (SELECT tok, SUM(c) AS cc FROM occ GROUP BY tok),
+    tot AS (SELECT SUM(cc) AS n FROM vocab),
+    surp AS (
+      SELECT tok, ROUND(ln(CAST(n AS DOUBLE)) - ln(CAST(cc AS DOUBLE)), 9) AS surp
+      FROM vocab CROSS JOIN tot),
+    per AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+        SUM(CAST(surp AS DECIMAL(20,10)) * CAST(c AS DECIMAL(10,0))) AS tot,
+        MAX(surp) AS max_surprisal
+      FROM occ JOIN surp USING (tok)
+      GROUP BY 1)
+    SELECT d.doc_id,
+      COALESCE(n_tok, 0) AS n_tok,
+      CASE WHEN n_tok > 0
+        THEN ROUND(CAST(tot AS DOUBLE) / CAST(n_tok AS DOUBLE), 6)
+        ELSE 0.0 END AS mean_surprisal,
+      COALESCE(max_surprisal, 0.0) AS max_surprisal
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    ORDER BY d.doc_id"""
+
   val oovRateSql: String = s"""WITH occ AS (
       SELECT doc_id, tok, COUNT(*) AS c
       FROM (SELECT doc_id, unnest($tokensSql) AS tok FROM documents)

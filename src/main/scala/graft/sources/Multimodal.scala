@@ -155,6 +155,81 @@ object Multimodal {
         AS frame_hash
     FROM f ORDER BY doc_id, frame_id"""
 
+  /** Low-nibble concentration above which a payload is flagged as
+    * corrupt/degenerate (a healthy codec stream spreads nibble mass; a
+    * zero-fill, truncation pad, or stuck sensor concentrates it).
+    */
+  val CorruptTopFrac = 0.25
+
+  /** M4: payload corruption scan — the pre-decode integrity sweep of a
+    * multimodal ingest pipeline: flags payloads whose byte distribution
+    * is degenerate (one low-nibble value dominating, or an empty
+    * payload) BEFORE any codec spends time on them. Fully declarative —
+    * the 16-bin low-nibble histogram is computed by hex-string algebra
+    * (hex → keep every pair's 2nd char → per-digit occurrence counts by
+    * length-after-replace), all codegen'd string ops; the flags are
+    * ratios of exact integer counts through one IEEE division. Scales
+    * as a pure projection: no shuffle, no UDF, payloads never leave
+    * their partition.
+    */
+  def corruptionScan(s: SparkSession, dir: String): DataFrame =
+    corruptionScanFrom(table(s, dir))
+
+  /** [[corruptionScan]] over an explicit `(doc_id, modality, payload)`
+    * relation — the spec drives known byte patterns through it.
+    */
+  def corruptionScanFrom(tbl: DataFrame): DataFrame = {
+    val low = regexp_replace(hex(col("payload")), ".(.)", "$1")
+    val counts = (0 until FeatureBins).map { k =>
+      val d = "0123456789ABCDEF"(k).toString
+      (length(low) - length(regexp_replace(low, d, ""))).as(s"c$k")
+    }
+    val base = tbl.select(
+      col("doc_id") +: col("modality") +:
+        length(col("payload")).cast("long").as("byte_len") +: counts: _*)
+    val cs = (0 until FeatureBins).map(k => col(s"c$k"))
+    val top = greatest(cs: _*)
+    base.select(
+      col("doc_id"), col("modality"), col("byte_len"),
+      top.cast("long").as("top_nibble"),
+      cs.map(c => (c > 0).cast("long")).reduce(_ + _).as("n_distinct_nibbles"),
+      when(col("byte_len") === 0, lit(1.0))
+        .otherwise(round(top.cast("double") /
+          col("byte_len").cast("double"), 6)).as("top_nibble_frac"))
+      .withColumn("corrupt",
+        (col("byte_len") === 0 || col("top_nibble_frac") > CorruptTopFrac).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[corruptionScan]] — the identical hex-algebra
+    * histogram over the UTF-8 text bytes.
+    */
+  val corruptionScanSql: String = {
+    val cdefs = (0 until FeatureBins).map { k =>
+      val d = "0123456789ABCDEF"(k)
+      s"strlen(low) - strlen(replace(low, '$d', '')) AS c$k"
+    }.mkString(", ")
+    val cs = (0 until FeatureBins).map(k => s"c$k")
+    val top = s"GREATEST(${cs.mkString(", ")})"
+    val distinct = cs.map(c => s"CAST($c > 0 AS BIGINT)").mkString(" + ")
+    s"""WITH b AS (
+        SELECT doc_id, concat('modality_', source) AS modality,
+               CAST(strlen(text) AS BIGINT) AS byte_len,
+               regexp_replace(hex(encode(text)), '.(.)', '\\1', 'g') AS low
+        FROM documents),
+      c AS (SELECT doc_id, modality, byte_len, $cdefs FROM b),
+      f AS (
+        SELECT doc_id, modality, byte_len,
+          CAST($top AS BIGINT) AS top_nibble,
+          $distinct AS n_distinct_nibbles,
+          CASE WHEN byte_len = 0 THEN 1.0
+               ELSE ROUND(CAST($top AS DOUBLE) / CAST(byte_len AS DOUBLE), 6)
+          END AS top_nibble_frac
+        FROM c)
+      SELECT *, CAST(byte_len = 0 OR top_nibble_frac > $CorruptTopFrac AS INT) AS corrupt
+      FROM f ORDER BY doc_id"""
+  }
+
   /** STUB decoder: 16-bin byte histogram normalized by length — a
     * deterministic placeholder for codec + feature model output.
     */

@@ -586,4 +586,116 @@ class ExtSpec extends SparkSpec {
     assert(prod.toSeq == prodUncapped.toSeq,
       "cap is latent on the real corpus: identical top-20")
   }
+
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("T10 surprisal: exact nats on a crafted two-doc corpus") {
+    // corpus: doc1 = "a a b", doc2 = "b c" → counts a=2 b=2 c=1, N=5
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val sa = round9(math.log(5.0) - math.log(2.0)) // a and b
+    val sc = round9(math.log(5.0))                 // c
+    val r = TextOps.surprisalFrom(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2), x.getDouble(3))).toMap
+    assert(r(1L) == ((3L, round6((sa * 3) / 3.0), sa)), s"doc1: ${r(1L)}")
+    assert(r(2L) == ((2L, round6((sa + sc) / 2.0), sc)), s"doc2: ${r(2L)}")
+    // real corpus: complete, mean ≤ max, both non-negative
+    val real = TextOps.surprisal(spark, Sf0001).collect()
+    assert(real.length == spark.read.parquet(s"$Sf0001/documents.parquet").count())
+    assert(real.forall(x => x.getDouble(2) >= 0.0 &&
+      x.getDouble(2) <= x.getDouble(3) + 1e-6),
+      "mean token surprisal cannot exceed the max token surprisal")
+  }
+
+  test("E9 anomaly: exact z on a planted outlier; sub-threshold types stay silent") {
+    // type "x": ten 1-event users + one 12-event user → mean 2,
+    // var = (11·154 − 22²)/11² = 10, z(12) = 10/√10 = √10 > 3
+    // type "q": two users 1 event each → variance 0 → z is explicitly
+    // 0 (NOT the raw 0/0 NaN, whose ordering the engines disagree on)
+    // and the |z| > 1 tail filter drops both rows
+    val ev = ((1L to 10L).map(i => (i, "x")) :+ (11L, "x") :+ (11L, "x") :+
+      (11L, "x") :+ (11L, "x") :+ (11L, "x") :+ (11L, "x") :+ (11L, "x") :+
+      (11L, "x") :+ (11L, "x") :+ (11L, "x") :+ (11L, "x") :+ (11L, "x") :+
+      (20L, "q") :+ (21L, "q"))
+      .zipWithIndex
+      .map { case ((u, et), i) => (i.toLong, 1700000000000000000L + i, u, et, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Events.userAnomalyFrom(
+      ev.withColumn("us", expr("ts div 1000"))).collect()
+    assert(r.length == 1, s"only the outlier crosses |z| > 1: ${r.toSeq}")
+    val row = r(0)
+    assert(row.getAs[String]("event_type") == "x")
+    assert(row.getAs[Long]("user_id") == 11L)
+    assert(row.getAs[Long]("n_events") == 12L)
+    assert(row.getAs[Double]("type_mean") == 2.0)
+    assert(row.getAs[Double]("type_std") == round6(math.sqrt(10.0)))
+    assert(row.getAs[Double]("z") == round6(10.0 / math.sqrt(10.0)))
+    assert(row.getAs[Int]("anomalous") == 1)
+    // real corpus: every reported row is the |z| > 1 tail
+    val real = Events.userAnomaly(spark, Sf0001).collect()
+    assert(real.forall(x => math.abs(x.getAs[Double]("z")) > 1.0))
+  }
+
+  test("S6 quantization: exact q codes and reconstruction errors on a crafted corpus") {
+    def vec(v: Float): Seq[Float] = v +: Seq.fill(Similarity.Dim - 1)(0f)
+    val emb = Seq((1L, vec(0f)), (2L, vec(1f)), (3L, vec(0.3f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.quantErrorFrom(emb).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2), x.getDouble(3))).toMap
+    // dim 0: mn 0, mx 1, scale 1/255; all other dims constant → q 0
+    val sc = (1.0 - 0.0) / 255.0
+    assert(r(1L)._1 == 0L)
+    assert(r(2L)._1 == 255L, "v=max quantizes to the top code")
+    // v = 0.3f: (v−0)/sc + 0.5 = 77.0000… → q 77
+    val v3 = 0.3f.toDouble
+    assert(r(3L)._1 == 77L, s"q(0.3) = ${r(3L)._1}")
+    val err3 = v3 - 77.0 * sc
+    assert(r(3L)._2 == round9(math.abs(err3)), s"max_abs_err: ${r(3L)._2}")
+    assert(r(3L)._3 == round9(err3 * err3), s"sq_err: ${r(3L)._3}")
+    // reconstruction of the exact endpoints is (near-)exact
+    assert(r(1L)._2 == 0.0 && r(1L)._3 == 0.0)
+    assert(r(2L)._2 <= 1e-9 && r(2L)._3 <= 1e-9)
+    // real corpus: errors bounded by half a quantization step per dim
+    val real = Similarity.quantError(spark, Sf0001).collect()
+    assert(real.forall(x => x.getDouble(2) >= 0.0 && x.getDouble(3) >= 0.0))
+  }
+
+  test("M4 corruption scan: degenerate payloads flagged, healthy ones pass") {
+    val tbl = Seq(
+      (1L, "m", "aaaa"),        // low nibbles all '1' → frac 1.0, corrupt
+      (2L, "m", "abcdefgh"),    // 8 distinct low nibbles → frac 0.125
+      (3L, "m", ""))            // empty payload → corrupt by definition
+      .toDF("doc_id", "modality", "txt")
+      .select(col("doc_id"), col("modality"), col("txt").cast("binary").as("payload"))
+    val r = Multimodal.corruptionScanFrom(tbl).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4), x.getDouble(5), x.getInt(6))).toMap
+    assert(r(1L) == ((4L, 4L, 1L, 1.0, 1)), s"aaaa: ${r(1L)}")
+    assert(r(2L) == ((8L, 1L, 8L, 0.125, 0)), s"abcdefgh: ${r(2L)}")
+    assert(r(3L) == ((0L, 0L, 0L, 1.0, 1)), s"empty: ${r(3L)}")
+    // real corpus: complete, fractions in (0,1], distinct ≤ 16
+    val real = Multimodal.corruptionScan(spark, Sf0001).collect()
+    assert(real.length == spark.read.parquet(s"$Sf0001/documents.parquet").count())
+    assert(real.forall(x => x.getDouble(5) > 0.0 && x.getDouble(5) <= 1.0 &&
+      x.getLong(4) >= 1L && x.getLong(4) <= 16L))
+  }
+
+  test("D9 calibration: pair conservation against D3 and bounded errors") {
+    val cal = Dedup.minhashCalibration(spark, Sf0001).collect()
+    assert(cal.nonEmpty)
+    // every candidate pair lands in exactly one estimate bucket
+    val nPairs = cal.map(_.getLong(1)).sum
+    assert(nPairs == Dedup.minhashLsh(spark, Sf0001).count(),
+      "calibration buckets partition the D3 candidate set")
+    cal.foreach { x =>
+      val est = x.getDouble(0); val me = x.getDouble(2); val mae = x.getDouble(3)
+      assert(est >= 0.0 && est <= 1.0)
+      assert(me >= 0.0 && me <= 1.0, s"mean exact jaccard in [0,1]: $me")
+      assert(mae >= 0.0 && mae <= 1.0)
+      // est is a multiple of 1/16 (the signature match fraction)
+      assert((est * 16).isWhole, s"est grid: $est")
+    }
+  }
 }

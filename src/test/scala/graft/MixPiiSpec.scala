@@ -175,4 +175,35 @@ class MixPiiSpec extends SparkSpec {
     // every stage is per-source now: ingest has one row per source
     assert(rows.count(_.getAs[String]("stage") == "1_ingest") == 20)
   }
+
+  test("w4: exact global quality rank, tie-break on doc_id, equal phase split") {
+    // 6 docs across 4 quality-range buckets, incl. a tied pair (docs 2,3)
+    val d = Seq(
+      (1L, 0.95), (2L, 0.85), (3L, 0.85), (4L, 0.50), (5L, 0.499), (6L, 0.10))
+      .toDF("doc_id", "quality")
+    val r = Mix.curriculumFrom(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(2), x.getLong(3))).toMap
+    assert(r == Map(
+      1L -> ((1L, 1L)), 2L -> ((2L, 1L)), 3L -> ((3L, 2L)),
+      4L -> ((4L, 2L)), 5L -> ((5L, 3L)), 6L -> ((6L, 3L))), s"$r")
+  }
+
+  test("w4: two-phase bucketed rank equals the naive global window on sf0.001") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(col("doc_id"), TextOps.qualityCol.as("quality"))
+    val naive = docs
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("quality").desc, col("doc_id"))))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Int]("rk").toLong).toMap
+    val r = Mix.curriculum(spark, Sf0001).collect()
+    assert(r.length == naive.size)
+    r.foreach { x =>
+      assert(x.getLong(2) == naive(x.getLong(0)),
+        s"doc ${x.getLong(0)}: two-phase rank ${x.getLong(2)} != naive ${naive(x.getLong(0))}")
+    }
+    // phases partition the corpus into (near-)equal thirds
+    val byPhase = r.groupBy(_.getLong(3)).view.mapValues(_.length).toMap
+    assert(byPhase.keySet == Set(1L, 2L, 3L))
+    assert(byPhase.values.max - byPhase.values.min <= 1)
+  }
 }
