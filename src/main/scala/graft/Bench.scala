@@ -66,7 +66,12 @@ object Bench {
       "d5_contamination", "s3_cosine_neardup", "s4_ivf_ann_topk",
       "a5_local_median_range", "a5b_local_enhanced_quantize",
       "d7_dup_clusters", "c1_curation_funnel", "d8_para_clusters",
-      "x3_revenue_rollup", "q1_agg", "p8_u16_to_u8")
+      "x3_revenue_rollup", "q1_agg", "p8_u16_to_u8",
+      // r10: d9 composes d2+d3's persisted relations and t11 persists
+      // its bigram pre-agg — min-of-2 with a cache clear between
+      // iterations times two COLD runs (~11 s / ~5 s) for ~1.5 s warm
+      // queries
+      "d9_minhash_calibration", "t11_bigram_surprisal")
     val coldTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val iterCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def timed(name: String, f: () => Unit): Double = {
@@ -211,18 +216,23 @@ object Bench {
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"BENCH WARN: bench_full.json not written: ${e.getMessage}") }
-    def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
-    // 2-decimal (10 ms) per-query resolution: plenty for perf grading
-    // against the ≥0.3 s baseline numbers, and what keeps the line
-    // ~1.7 KB at 70 queries with headroom for future operators
-    def r2(v: Double): Double = math.round(v * 100.0) / 100.0
-    val qsCompact = all.map { case (k, v) => s"\"" + k + "\":" + r2(v) }
+    // Compact artifact schema (v2, r10): integer CENTISECONDS (10 ms
+    // resolution, same as the old 2-decimal seconds but 1-2 chars
+    // shorter per entry — at 82 registry+raster entries the old form
+    // no longer fit the driver's 2000-char stdout tail). Keys:
+    // u="cs" (unit marker), tcs=total, qcs=per-query min,
+    // sncs=sentinel, sf=scale-factor dir basename. failed/flaky go
+    // LAST: tail truncation eats the line's HEAD, so the failure
+    // signal survives even if some per-query entries don't.
+    def cs(v: Double): Long = math.round(v * 100.0)
+    val qsCompact = all.map { case (k, v) => s"\"" + k + "\":" + cs(v) }
       .mkString("{", ",", "}")
     val issues = (if (failed.isEmpty) "" else s""","failed":$failedJson""") +
       (if (flaky.isEmpty) "" else s""","flaky":$flakyJson""")
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsCompact$issues,"sentinel":${r3(sentinel)},"sf":"$sfDir"}"""
-    if (compact.length > 1900)
-      System.err.println(s"BENCH WARN: compact line ${compact.length} chars nears the 2000-char driver tail; shorten it")
+    val sfShort = sfDir.split('/').last
+    val compact = s"""{"u":"cs","tcs":${cs(total)},"qcs":$qsCompact,"sncs":${cs(sentinel)},"sf":"$sfShort"$issues}"""
+    if (compact.length > 1980)
+      System.err.println(s"BENCH WARN: compact line ${compact.length} chars exceeds the 2000-char driver tail; shorten it")
     println(compact)
     spark.stop()
   }

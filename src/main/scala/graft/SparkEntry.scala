@@ -676,7 +676,8 @@ object SparkEntry {
   private val relationalQueries: Seq[Q] = Seq(
     Q("x1_shipping_priority", Relational.shippingPriority, Some(Relational.shippingPrioritySql)),
     Q("x2_local_supplier_volume", Relational.localSupplierVolume, Some(Relational.localSupplierVolumeSql)),
-    Q("x3_revenue_rollup", Relational.revenueRollup, Some(Relational.revenueRollupSql)))
+    Q("x3_revenue_rollup", Relational.revenueRollup, Some(Relational.revenueRollupSql)),
+    Q("x4_large_orders", Relational.largeOrderCustomers, Some(Relational.largeOrderCustomersSql)))
 
   private val extQueries: Seq[Q] = Seq(
     Q("e1_sessionize", Events.sessionize, Some(Events.sessionizeSql)),
@@ -698,6 +699,8 @@ object SparkEntry {
     Q("t9_oov_rate", TextOps.oovRate, Some(TextOps.oovRateSql)),
     Q("t10_surprisal", TextOps.surprisal, Some(TextOps.surprisalSql)),
     Q("e9_user_anomaly", Events.userAnomaly, Some(Events.userAnomalySql)),
+    Q("e10_session_paths", Events.sessionPaths, Some(Events.sessionPathsSql)),
+    Q("t11_bigram_surprisal", TextOps.bigramSurprisal, Some(TextOps.bigramSurprisalSql)),
     Q("c1_curation_funnel", Curation.funnel, Some(Curation.funnelSql)),
     Q("w1_source_mix", Mix.sourceMix, Some(Mix.sourceMixSql)),
     Q("w2_seq_pack", Mix.seqPack, Some(Mix.seqPackSql)),

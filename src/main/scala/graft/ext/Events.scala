@@ -251,6 +251,57 @@ object Events {
     FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
     GROUP BY 1 ORDER BY 1"""
 
+  /** Max events contributing to an E10 session path signature. */
+  val PathLen = 6
+  /** E10 report size. */
+  val PathTopK = 10
+
+  /** E10: session path analysis — the top-[[PathTopK]] most common
+    * session journeys, where a journey is the first [[PathLen]] event
+    * types of a 30-minute session joined by '>' (the product-analytics
+    * "what do sessions actually do" report; the truncation bounds the
+    * signature the way every real path tool does).
+    *
+    * Determinism: the path string assembles from a (us, event_id)-
+    * sorted collected list — the same total order both engines state —
+    * and ranking is (count desc, path) with integer counts. Scale
+    * shape: the E1 session numbering (one user_id shuffle), one
+    * per-session collect bounded by [[PathLen]]+tail (a session's
+    * events are user-bounded; the slice caps the carried array), one
+    * (path) count agg with map-side partials, and a TakeOrdered top-k
+    * — never a global sort of the full path relation; the final
+    * ≤[[PathTopK]]-row window is post-limit.
+    */
+  def sessionPaths(s: SparkSession, dir: String): DataFrame =
+    sessionPathsFrom(t(s, dir))
+
+  /** [[sessionPaths]] over an explicit event relation — the spec pins
+    * ordering, truncation, and tie-breaks on crafted sessions.
+    */
+  def sessionPathsFrom(events: DataFrame): DataFrame = {
+    val paths = sessionNumbered(events)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(concat_ws(">",
+        slice(transform(
+          sort_array(collect_list(struct(col("us"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), 1, PathLen)).as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(PathTopK)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path"))))
+      .select(col("rk"), col("path"), col("n_sessions"))
+  }
+
+  val sessionPathsSql: String = s"""WITH $sessionNumberedCtes,
+    paths AS (
+      SELECT user_id, session_seq,
+        array_to_string(list_slice(list(event_type ORDER BY us, event_id), 1, $PathLen), '>') AS path
+      FROM numbered GROUP BY 1, 2),
+    counts AS (SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY 1)
+    SELECT rk, path, n_sessions FROM (
+      SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path) AS rk FROM counts)
+    WHERE rk <= $PathTopK ORDER BY rk"""
+
   /** Epoch-week length in exact integer microseconds (tumbling 7-day
     * windows from the epoch — no calendar/timezone arithmetic enters
     * the cohort logic).

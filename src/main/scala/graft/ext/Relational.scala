@@ -120,6 +120,49 @@ object Relational {
       .orderBy("returnflag", "linestatus")
   }
 
+  /** X4 large-order quantity floor (≈ top 1-2 % of orders). */
+  val LargeOrderQty = 250
+
+  /** X4 (Q18-shaped): large-volume customers — orders whose total
+    * lineitem quantity exceeds [[LargeOrderQty]], with their customer
+    * and order context. The HAVING-subquery shape: the fact
+    * pre-aggregates once on its own join key, the filter collapses it
+    * to a tiny qualifying set, and only that set joins the dimensions.
+    *
+    * Scale shape: ONE shuffle of lineitem on l_orderkey produces the
+    * per-order quantity relation; the `> LargeOrderQty` filter reduces
+    * it by ~100× BEFORE any dimension join, so the orders/customer
+    * joins see a relation the planner can broadcast or shuffle cheaply
+    * (left size-based — the qualifying set grows with the corpus).
+    * Quantities accumulate in DECIMAL: the threshold compares an exact
+    * value, so both engines qualify the identical order set.
+    */
+  def largeOrderCustomers(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("total_qty"))
+      .filter(col("total_qty") > lit(LargeOrderQty))
+    val ord = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+    big.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("total_qty").cast("double").as("total_qty"))
+      .orderBy("o_orderkey")
+  }
+
+  val largeOrderCustomersSql: String = s"""SELECT c_custkey, c_name, o_orderkey,
+      o_orderdate, o_totalprice, CAST(total_qty AS DOUBLE) AS total_qty
+    FROM (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+      FROM lineitem GROUP BY 1
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > $LargeOrderQty)
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_orderkey"""
+
   val revenueRollupSql: String = """SELECT
       COALESCE(l_returnflag, 'ALL') AS returnflag,
       COALESCE(l_linestatus, 'ALL') AS linestatus,

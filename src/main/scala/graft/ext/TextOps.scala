@@ -545,6 +545,98 @@ object TextOps {
     FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
     ORDER BY d.doc_id"""
 
+  /** T11: bigram conditional surprisal — the next tier of the T10
+    * perplexity proxy: each bigram occurrence scores
+    * −ln P(w|prev) = ln(prefix_count(prev)) − ln(bigram_count(prev w)),
+    * where prefix_count is the corpus count of `prev` in bigram-initial
+    * position (so the conditional distribution per prefix sums to 1
+    * exactly). A bigram model separates fluent boilerplate (low) from
+    * shuffled-token word salad (high) where unigram stats can't — the
+    * two corpora share unigram counts by construction.
+    *
+    * Same determinism scheme as [[surprisal]]: per-distinct-bigram
+    * surprisal rounded at 9 on the vocab-sized relation, per-doc
+    * accumulation of those identical doubles in exact DECIMAL, one
+    * division, round 6. Same scale shape too — bigram occurrences
+    * pre-aggregate doc-locally before joining the bigram vocabulary;
+    * the shared [[ngrams]] builder keeps the bigram definition
+    * identical to the D2/T6 shingle tier.
+    */
+  def bigramSurprisal(s: SparkSession, dir: String): DataFrame =
+    bigramSurprisalFrom(t(s, dir).select(col("doc_id"), col("text")))
+
+  /** [[bigramSurprisal]] over an explicit `(doc_id, text)` relation.
+    *
+    * The bigram vocabulary is keyed by (hash(bigram), hash(prefix)) —
+    * 32-bit MD5-prefix longs, the D2 shingle convention — so every
+    * exchange carries 16 bytes instead of two-word strings; the strings
+    * die at the scan projection. The oracle applies the identical
+    * hashes, so a collision (which merges two bigrams' counts) affects
+    * both engines identically. Measured: the string-keyed form ran
+    * 3.9 s warm at sf0.1, this one ~1.5 s.
+    */
+  def bigramSurprisalFrom(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val occ = d
+      .select(col("doc_id"), explode(ngrams(tokens(col("text")), 2)).as("g"))
+      .select(col("doc_id"), tokenHash(col("g")).as("h"),
+        tokenHash(split(col("g"), " ")(0)).as("hp"))
+      .groupBy("doc_id", "h", "hp").agg(count(lit(1)).as("c"))
+      // feeds the vocab leg AND the per-doc join — without the persist
+      // the n-gram explode + pre-agg (the dominant cost) runs twice
+      // (the D2 `raw` persist, same reasoning); 3 longs + a count per
+      // row, the narrowest relation in the plan
+      .persist()
+    val vocab = occ.groupBy("h", "hp").agg(sum("c").as("cg"))
+    val prefixes = vocab.groupBy("hp").agg(sum("cg").as("cp"))
+    val surp = vocab
+      .join(prefixes, "hp")
+      .select(col("h"), col("hp"),
+        round(log(col("cp").cast("double")) - log(col("cg").cast("double")), 9)
+          .as("surp"))
+    val per = occ.join(surp, Seq("h", "hp"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"),
+        sum(col("surp").cast(DecimalType(20, 10)) *
+          col("c").cast(DecimalType(10, 0))).as("tot"),
+        max("surp").as("max_bigram_surprisal"))
+    d.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams") > 0,
+          round(col("tot").cast("double") / col("n_bigrams").cast("double"), 6))
+          .otherwise(lit(0.0)).as("mean_bigram_surprisal"),
+        coalesce(col("max_bigram_surprisal"), lit(0.0)).as("max_bigram_surprisal"))
+      .orderBy("doc_id")
+  }
+
+  val bigramSurprisalSql: String = s"""WITH occ AS (
+      SELECT doc_id, ${tokenHashSql("g")} AS h,
+        ${tokenHashSql("split_part(g, ' ', 1)")} AS hp, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(${ngramsSql("toks", 2)}) AS g
+            FROM (SELECT doc_id, $tokensSql AS toks FROM documents))
+      GROUP BY 1, 2, 3),
+    vocab AS (SELECT h, hp, SUM(c) AS cg FROM occ GROUP BY 1, 2),
+    prefixes AS (SELECT hp, SUM(cg) AS cp FROM vocab GROUP BY 1),
+    surp AS (
+      SELECT h, hp, ROUND(ln(CAST(cp AS DOUBLE)) - ln(CAST(cg AS DOUBLE)), 9) AS surp
+      FROM vocab JOIN prefixes USING (hp)),
+    per AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        SUM(CAST(surp AS DECIMAL(20,10)) * CAST(c AS DECIMAL(10,0))) AS tot,
+        MAX(surp) AS max_bigram_surprisal
+      FROM occ JOIN surp USING (h, hp)
+      GROUP BY 1)
+    SELECT d.doc_id,
+      COALESCE(n_bigrams, 0) AS n_bigrams,
+      CASE WHEN n_bigrams > 0
+        THEN ROUND(CAST(tot AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+        ELSE 0.0 END AS mean_bigram_surprisal,
+      COALESCE(max_bigram_surprisal, 0.0) AS max_bigram_surprisal
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    ORDER BY d.doc_id"""
+
   val oovRateSql: String = s"""WITH occ AS (
       SELECT doc_id, tok, COUNT(*) AS c
       FROM (SELECT doc_id, unnest($tokensSql) AS tok FROM documents)

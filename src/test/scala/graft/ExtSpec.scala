@@ -609,6 +609,64 @@ class ExtSpec extends SparkSpec {
       "mean token surprisal cannot exceed the max token surprisal")
   }
 
+  test("T11 bigram surprisal: exact conditional nats; unigram-identical docs differ") {
+    // doc1 "a b a c": bigrams (a b)(b a)(a c); doc2 "a b"; doc3 has no
+    // bigrams at all → cg: (a b)=2 (b a)=1 (a c)=1; cp: a=3, b=1
+    val d = Seq((1L, "a b a c"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val sAB = round9(math.log(3.0) - math.log(2.0))
+    val sAC = round9(math.log(3.0)) // ln 3 − ln 1
+    val sBA = 0.0                   // ln 1 − ln 1
+    val r = TextOps.bigramSurprisalFrom(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2), x.getDouble(3))).toMap
+    assert(r(1L) == ((3L, round6((sAB + sBA + sAC) / 3.0), sAC)), s"doc1: ${r(1L)}")
+    assert(r(2L) == ((1L, round6(sAB), sAB)), s"doc2: ${r(2L)}")
+    assert(r(3L) == ((0L, 0.0, 0.0)), "bigram-free doc reports zeros, not NULLs")
+    // the signal T10 can't see: same unigram multiset, different order
+    val fluent = (1 to 50).map(_ => "the cat sat").mkString(" ")
+    val salad = ("the " * 50 + "cat " * 50 + "sat " * 49).trim + " sat"
+    val pair = Seq((1L, fluent), (2L, salad)).toDF("doc_id", "text")
+    val m = TextOps.bigramSurprisalFrom(pair).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(m(2L) > m(1L),
+      s"word salad must out-surprise fluent text: ${m(2L)} vs ${m(1L)}")
+  }
+
+  test("E10 session paths: ordered journeys, truncation at 6, count-then-path ranking") {
+    val base = 1700000000000000L
+    def ev(id: Long, u: Long, offUs: Long, et: String) =
+      (id, (base + offUs) * 1000L, u, et, 1.0, "{}")
+    val rows =
+      // users 1,2: view→click (same journey); user 3: click only
+      Seq(ev(1, 1, 0, "view"), ev(2, 1, 1000000, "click"),
+        ev(3, 2, 0, "view"), ev(4, 2, 1000000, "click"),
+        ev(5, 3, 0, "click")) ++
+      // user 4: 8-event session → path truncates to the first 6
+      (0 until 8).map(i => ev(10 + i, 4, i * 1000000L, s"e$i"))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("us", expr("ts div 1000"))
+    val r = Events.sessionPathsFrom(df).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getLong(2)))
+    assert(r(0) == ((1, "view>click", 2L)), s"$r")
+    // ties at n=1 rank by path string
+    assert(r.map(_._2).toSet ==
+      Set("view>click", "click", "e0>e1>e2>e3>e4>e5"))
+    assert(r(1)._2 < r(2)._2, "equal-count paths order lexically")
+    assert(r.forall(_._2.split('>').length <= Events.PathLen))
+  }
+
+  test("X4 large orders: qualifying set matches an independent recomputation") {
+    val r = graft.ext.Relational.largeOrderCustomers(spark, Sf0001).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Double]("total_qty") > graft.ext.Relational.LargeOrderQty))
+    val expected = spark.read.parquet(s"$Sf0001/lineitem.parquet")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("q"))
+      .filter(col("q") > graft.ext.Relational.LargeOrderQty)
+      .count()
+    assert(r.length.toLong == expected,
+      "one output row per qualifying order (orders⋈customer is 1:1)")
+  }
+
   test("E9 anomaly: exact z on a planted outlier; sub-threshold types stay silent") {
     // type "x": ten 1-event users + one 12-event user → mean 2,
     // var = (11·154 − 22²)/11² = 10, z(12) = 10/√10 = √10 > 3
