@@ -217,22 +217,36 @@ object Bench {
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"BENCH WARN: bench_full.json not written: ${e.getMessage}") }
     // Compact artifact schema (v2, r10): integer CENTISECONDS (10 ms
-    // resolution, same as the old 2-decimal seconds but 1-2 chars
-    // shorter per entry — at 82 registry+raster entries the old form
-    // no longer fit the driver's 2000-char stdout tail). Keys:
+    // resolution — perf grading targets ≥0.3 s numbers). Keys:
     // u="cs" (unit marker), tcs=total, qcs=per-query min,
-    // sncs=sentinel, sf=scale-factor dir basename. failed/flaky go
-    // LAST: tail truncation eats the line's HEAD, so the failure
-    // signal survives even if some per-query entries don't.
+    // fast_n/fast_tcs=the aggregated sub-threshold remainder,
+    // sncs=sentinel, sf=scale-factor dir basename; failed/flaky LAST
+    // (tail truncation eats the line's HEAD, so the failure signal
+    // survives even if some entries don't). The driver keeps only the
+    // final ~2000 chars of stdout INCLUDING sbt's trailing [success]
+    // line, and a truncated JSON head parses as nothing — so the line
+    // must stay well under 1900 chars as the registry grows. qcs
+    // therefore lists individually only (a) queries at/above
+    // [[FastCs]] (the ones perf grading can distinguish from job
+    // overhead), (b) every raster_* case (the BASELINE comparables),
+    // and (c) failures; the fast remainder collapses to a count + sum.
+    // A fast query that regresses past the threshold automatically
+    // surfaces by name on the next run. Full per-query detail always
+    // lands in bench_full.json (git-tracked).
     def cs(v: Double): Long = math.round(v * 100.0)
-    val qsCompact = all.map { case (k, v) => s"\"" + k + "\":" + cs(v) }
+    val FastCs = 50L
+    val (listed, fast) = all.partition { case (k, v) =>
+      cs(v) >= FastCs || v < 0 || k.startsWith("raster_") }
+    val qsCompact = listed.map { case (k, v) => s"\"" + k + "\":" + cs(v) }
       .mkString("{", ",", "}")
     val issues = (if (failed.isEmpty) "" else s""","failed":$failedJson""") +
       (if (flaky.isEmpty) "" else s""","flaky":$flakyJson""")
     val sfShort = sfDir.split('/').last
-    val compact = s"""{"u":"cs","tcs":${cs(total)},"qcs":$qsCompact,"sncs":${cs(sentinel)},"sf":"$sfShort"$issues}"""
-    if (compact.length > 1980)
-      System.err.println(s"BENCH WARN: compact line ${compact.length} chars exceeds the 2000-char driver tail; shorten it")
+    val compact = s"""{"u":"cs","tcs":${cs(total)},"qcs":$qsCompact,""" +
+      s""""fast_n":${fast.length},"fast_tcs":${cs(fast.map(_._2).sum)},""" +
+      s""""sncs":${cs(sentinel)},"sf":"$sfShort"$issues}"""
+    if (compact.length > 1900)
+      System.err.println(s"BENCH WARN: compact line ${compact.length} chars risks the 2000-char driver tail; shorten it")
     println(compact)
     spark.stop()
   }

@@ -57,6 +57,42 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Per-window source-mixture monitor (streaming dual of W1): doc and
+    * token counts per (window, source) — the live data card a streaming
+    * ingest pipeline watches to catch a source going dark or flooding.
+    * Shares are one division downstream of the sink; emitting raw
+    * counts keeps the agg a single watermarked window state per
+    * (window, source) key.
+    */
+  def sourceMixMonitor(docs: DataFrame,
+                       windowDur: String = "5 minutes",
+                       watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("source"), col("n_docs"), col("n_tokens"))
+
+  /** Per-window activity velocity limit (streaming tier of E9): event
+    * counts per (window, user) with a threshold flag — the bot/abuse
+    * rate limiter. A z-score needs population moments (batch E9's job);
+    * the streaming stage flags against a FIXED velocity budget, which
+    * is what production rate limiters do — state stays one counter per
+    * (window, user) key, bounded by the watermark.
+    */
+  def velocityMonitor(events: DataFrame,
+                      maxPerWindow: Long,
+                      windowDur: String = "5 minutes",
+                      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("user_id"), col("n_events"),
+        (col("n_events") > maxPerWindow).cast("int").as("over_limit"))
+
   /** Custom-state sessionization via `flatMapGroupsWithState` — the
     * hand-rolled counterpart of [[sessionAgg]] for session logic
     * `session_window` can't express (per-user state machine with

@@ -90,4 +90,45 @@ class StreamOpsSpec extends SparkSpec {
       assert(rows.map(_.getString(1)).sorted.toSeq == Seq("a", "b"))
     } finally q.stop()
   }
+
+  test("sourceMixMonitor reports per-window per-source doc/token counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long)]
+    val df = mem.toDF().toDF("ts", "source", "ntok")
+    val q = StreamOps.sourceMixMonitor(df, "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("mix_mon_test").outputMode("append").start()
+    try {
+      mem.addData((ts(0), "web", 10L), (ts(1), "web", 20L), (ts(2), "book", 5L))
+      q.processAllAvailable()
+      mem.addData((ts(60), "web", 1L)) // advance watermark, close window
+      q.processAllAvailable()
+      val rows = spark.table("mix_mon_test").collect()
+      val web = rows.find(r => r.getString(2) == "web" && r.getLong(3) == 2)
+      assert(web.isDefined, s"closed web window: ${rows.mkString(";")}")
+      assert(web.get.getLong(4) == 30L)
+      assert(rows.exists(r => r.getString(2) == "book" && r.getLong(4) == 5L))
+    } finally q.stop()
+  }
+
+  test("velocityMonitor flags users over the per-window budget") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "user_id")
+    val q = StreamOps.velocityMonitor(df, maxPerWindow = 2, "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("velocity_test").outputMode("append").start()
+    try {
+      // base ts is NOT window-aligned (22:13:20): minutes 0 and 1 share
+      // the [22:10, 22:15) window, minute 2 would not
+      mem.addData((ts(0), 1L), (ts(1), 1L), (ts(1), 1L), (ts(1), 2L))
+      q.processAllAvailable()
+      mem.addData((ts(60), 9L))
+      q.processAllAvailable()
+      val rows = spark.table("velocity_test").collect()
+      val u1 = rows.find(r => r.getLong(2) == 1L)
+      val u2 = rows.find(r => r.getLong(2) == 2L)
+      assert(u1.exists(r => r.getLong(3) == 3 && r.getInt(4) == 1),
+        s"user 1 over limit: ${rows.mkString(";")}")
+      assert(u2.exists(r => r.getLong(3) == 1 && r.getInt(4) == 0))
+    } finally q.stop()
+  }
 }
