@@ -702,6 +702,7 @@ object SparkEntry {
     Q("e10_session_paths", Events.sessionPaths, Some(Events.sessionPathsSql)),
     Q("t11_bigram_surprisal", TextOps.bigramSurprisal, Some(TextOps.bigramSurprisalSql)),
     Q("c1_curation_funnel", Curation.funnel, Some(Curation.funnelSql)),
+    Q("c2_data_card", Curation.dataCard, Some(Curation.dataCardSql)),
     Q("w1_source_mix", Mix.sourceMix, Some(Mix.sourceMixSql)),
     Q("w2_seq_pack", Mix.seqPack, Some(Mix.seqPackSql)),
     Q("w3_pii_scan", Pii.piiScan, Some(Pii.piiScanSql)),

@@ -71,6 +71,81 @@ object Curation {
       .orderBy("stage", "source")
   }
 
+  /** C2: the per-source data card in ONE query — the table a
+    * pretraining run publishes next to its checkpoints: per source the
+    * corpus footprint (docs, tokens), the W1 mixture weight and quota,
+    * the mean T2 quality, the corpus-wide exact-duplicate fraction, and
+    * the T3 language distribution. Composes the shared column
+    * definitions ([[TextOps.qualityCol]], [[TextOps.predictedLang]],
+    * [[Mix.weightK]], the D1 min-doc_id-per-md5 canonical) so the card
+    * can't drift from the operators it summarizes.
+    *
+    * Determinism: counts are exact integers; quality is already
+    * rounded at 6, accumulates in exact DECIMAL(10,6), one division +
+    * round(6); dup_frac is one division of exact counts. The dup
+    * canonical is computed over the FULL corpus (a cross-source dup
+    * counts as dup in BOTH sources' rows — the data-card convention:
+    * per-source dup rates must expose cross-source contamination).
+    *
+    * Scale shape: ONE corpus scan builds the per-doc projection; the
+    * D1 dup marking is the groupBy(md5)+join-back (viral-key safe —
+    * map-side partials bound hot hashes); the final per-source
+    * aggregate is map-side partial; weight/quota derive from the
+    * source name post-aggregation, so no config-table join exists.
+    */
+  def dataCard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = t(s, dir).select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("ntok"),
+        TextOps.qualityCol.as("q"),
+        TextOps.predictedLang.as("plang"),
+        md5(col("text")).as("h"))
+      .persist() // one scan feeds the canonical agg + the join-back
+    val canon = base.groupBy("h").agg(min("doc_id").as("canonical_id"))
+    val marked = base.join(canon, "h")
+      .withColumn("is_dup", (col("doc_id") =!= col("canonical_id")).cast("long"))
+    marked.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("ntok").as("n_tokens"),
+        round(sum(col("q").cast(DecimalType(10, 6))).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_quality"),
+        round(sum("is_dup").cast("double") / count(lit(1)).cast("double"), 6)
+          .as("dup_frac"),
+        sum(when(col("plang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(when(col("plang") === "es", 1L).otherwise(0L)).as("n_es"),
+        sum(when(col("plang") === "de", 1L).otherwise(0L)).as("n_de"))
+      .withColumn("k", Mix.weightK(col("source")))
+      .select(col("source"),
+        col("n_docs"), col("n_tokens"),
+        (col("k").cast("double") / lit(4.0)).as("weight"),
+        expr("(n_docs * k) div 4").as("quota"),
+        col("mean_quality"), col("dup_frac"),
+        col("n_en"), col("n_es"), col("n_de"))
+      .orderBy("source")
+  }
+
+  val dataCardSql: String = s"""WITH base AS (
+      SELECT doc_id, source, CAST(len(${TextOps.tokensSql}) AS BIGINT) AS ntok,
+        ${TextOps.qualityColSql} AS q,
+        ${TextOps.predictedLangSql} AS plang,
+        MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+      FROM documents),
+    agg AS (
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+        ROUND(CAST(SUM(CAST(q AS DECIMAL(10,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_quality,
+        ROUND(CAST(SUM(CASE WHEN doc_id != canonical_id THEN 1 ELSE 0 END) AS DOUBLE) /
+          CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac,
+        CAST(SUM(CASE WHEN plang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        CAST(SUM(CASE WHEN plang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+        CAST(SUM(CASE WHEN plang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de
+      FROM base GROUP BY source)
+    SELECT source, n_docs, n_tokens,
+      CAST(${Mix.weightKSql("source")} AS DOUBLE) / 4.0 AS weight,
+      (n_docs * (${Mix.weightKSql("source")})) // 4 AS quota,
+      mean_quality, dup_frac, n_en, n_es, n_de
+    FROM agg ORDER BY source"""
+
   val funnelSql: String =
     s"""WITH RECURSIVE ${Dedup.clusterLabCtes},
     base AS (

@@ -231,16 +231,30 @@ object TextOps {
     FROM documents ORDER BY doc_id"""
   }
 
+  /** The T3 language decision as a column over `text` — shared by
+    * [[langId]] and the C2 data card so the heuristic can't drift.
+    */
+  def predictedLang: Column = {
+    val toks = tokens(col("text"))
+    val en = hits(toks, EnStop); val es = hits(toks, EsStop); val de = hits(toks, DeStop)
+    when(en >= es && en >= de, "en").when(es >= de, "es").otherwise("de")
+  }
+
+  /** SQL form of [[predictedLang]] — textually the fragment both the T3
+    * and C2 oracles state.
+    */
+  val predictedLangSql: String =
+    s"""CASE WHEN ${hitsSql(EnStop)} >= ${hitsSql(EsStop)} AND ${hitsSql(EnStop)} >= ${hitsSql(DeStop)} THEN 'en'
+           WHEN ${hitsSql(EsStop)} >= ${hitsSql(DeStop)} THEN 'es' ELSE 'de' END"""
+
   /** T3: language ID by stopword-hit argmax (en/es/de, ties resolved in
     * that order) — the n-gram-free heuristic tier of a language filter.
     */
   def langId(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
-    val en = hits(toks, EnStop); val es = hits(toks, EsStop); val de = hits(toks, DeStop)
     t(s, dir).select(
-      col("doc_id"), en.as("en_hits"), es.as("es_hits"), de.as("de_hits"),
-      when(en >= es && en >= de, "en").when(es >= de, "es").otherwise("de")
-        .as("predicted_lang"))
+      col("doc_id"), hits(toks, EnStop).as("en_hits"), hits(toks, EsStop).as("es_hits"),
+      hits(toks, DeStop).as("de_hits"), predictedLang.as("predicted_lang"))
       .orderBy("doc_id")
   }
 

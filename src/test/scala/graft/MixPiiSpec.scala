@@ -176,6 +176,33 @@ class MixPiiSpec extends SparkSpec {
     assert(rows.count(_.getAs[String]("stage") == "1_ingest") == 20)
   }
 
+  test("c2 data card agrees with the operators it summarizes on sf0.001") {
+    val card = graft.ext.Curation.dataCard(spark, Sf0001).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    assert(card.values.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // language counts partition each source's docs
+    card.values.foreach { r =>
+      assert(r.getAs[Long]("n_en") + r.getAs[Long]("n_es") + r.getAs[Long]("n_de")
+        == r.getAs[Long]("n_docs"))
+    }
+    // quotas match W1's mixture arithmetic source-for-source
+    val w1 = Mix.sourceMix(spark, Sf0001).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("quota"), r.getAs[Double]("weight"))).toMap
+    card.foreach { case (src, r) =>
+      assert(r.getAs[Long]("quota") == w1(src)._1, s"quota drift for $src")
+      assert(r.getAs[Double]("weight") == w1(src)._2)
+    }
+    // corpus-wide dup counts match D1's exact dedup
+    val dupTotal = graft.ext.Dedup.exact(spark, Sf0001).collect()
+      .count(_.getAs[Int]("is_dup") == 1)
+    val cardDups = card.values.map(r =>
+      math.round(r.getAs[Double]("dup_frac") * r.getAs[Long]("n_docs"))).sum
+    assert(cardDups == dupTotal,
+      s"per-source dup fractions must re-sum to D1's total: $cardDups vs $dupTotal")
+  }
+
   test("w4: exact global quality rank, tie-break on doc_id, equal phase split") {
     // 6 docs across 4 quality-range buckets, incl. a tied pair (docs 2,3)
     val d = Seq(
