@@ -701,6 +701,7 @@ object SparkEntry {
     Q("e9_user_anomaly", Events.userAnomaly, Some(Events.userAnomalySql)),
     Q("e10_session_paths", Events.sessionPaths, Some(Events.sessionPathsSql)),
     Q("t11_bigram_surprisal", TextOps.bigramSurprisal, Some(TextOps.bigramSurprisalSql)),
+    Q("t12_zipf_slope", TextOps.zipfSlope, Some(TextOps.zipfSlopeSql)),
     Q("c1_curation_funnel", Curation.funnel, Some(Curation.funnelSql)),
     Q("c2_data_card", Curation.dataCard, Some(Curation.dataCardSql)),
     Q("w1_source_mix", Mix.sourceMix, Some(Mix.sourceMixSql)),

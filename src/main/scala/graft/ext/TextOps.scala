@@ -625,6 +625,90 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary head size for the T12 Zipf fit. */
+  val ZipfK = 100
+
+  /** T12: Zipf slope — least-squares fit of ln(frequency) against
+    * ln(rank) over the top-[[ZipfK]] corpus tokens: the corpus-health
+    * check of a text pipeline (natural language sits near slope −1;
+    * templated/boilerplate corpora flatten, adversarial or deduped-to-
+    * death corpora steepen). Emits one row: the head size actually
+    * fitted, the slope, and the intercept.
+    *
+    * Determinism: ranks are exact integers (count desc, token asc);
+    * ln(rank)/ln(count) are rounded at 9 (the T10 transcendental rule);
+    * their products and squares — doubles of already-identical inputs —
+    * accumulate in exact DECIMAL(25,12); the closed-form slope is then
+    * arithmetic over identical doubles, rounded at 6. The fit relation
+    * is ≤ [[ZipfK]] rows, so the final aggregate is trivially bounded.
+    *
+    * Scale shape: corpus → (tok, count) is one pre-aggregated shuffle;
+    * the head extraction is the T8 two-phase bucketed top-k (no
+    * vocab-sized single-partition window); everything after operates on
+    * ≤ buckets·K rows.
+    */
+  def zipfSlope(s: SparkSession, dir: String): DataFrame =
+    zipfSlopeFrom(t(s, dir).select(col("doc_id"), col("text")))
+
+  /** [[zipfSlope]] over an explicit `(doc_id, text)` relation — the
+    * spec pins the slope on a corpus with an exact power-law head.
+    */
+  def zipfSlopeFrom(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val counts = d.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cc"))
+    val w1 = Window.partitionBy(pmod(tokenHash(col("tok")), lit(VocabBuckets.toLong)))
+      .orderBy(col("cc").desc, col("tok"))
+    val head = counts.withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= ZipfK)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cc").desc, col("tok"))))
+      .filter(col("rk") <= ZipfK)
+    val xy = head.select(
+      round(log(col("rk").cast("double")), 9).as("x"),
+      round(log(col("cc").cast("double")), 9).as("y"))
+    val sums = xy.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(DecimalType(25, 12))).cast("double").as("sx"),
+      sum(col("y").cast(DecimalType(25, 12))).cast("double").as("sy"),
+      sum((col("x") * col("y")).cast(DecimalType(25, 12))).cast("double").as("sxy"),
+      sum((col("x") * col("x")).cast(DecimalType(25, 12))).cast("double").as("sxx"))
+    sums.select(
+      col("n").as("n_fit"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+      round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+        col("n"), 6).as("intercept"))
+  }
+
+  val zipfSlopeSql: String = {
+    val slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+    s"""WITH counts AS (
+      SELECT tok, COUNT(*) AS cc
+      FROM (SELECT unnest($tokensSql) AS tok FROM documents)
+      GROUP BY tok),
+    head AS (
+      SELECT rk, cc FROM (
+        SELECT *, row_number() OVER (ORDER BY cc DESC, tok) AS rk FROM counts)
+      WHERE rk <= $ZipfK),
+    xy AS (
+      SELECT ROUND(ln(CAST(rk AS DOUBLE)), 9) AS x,
+             ROUND(ln(CAST(cc AS DOUBLE)), 9) AS y
+      FROM head),
+    sums AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(x AS DECIMAL(25,12))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(y AS DECIMAL(25,12))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(x * y AS DECIMAL(25,12))) AS DOUBLE) AS sxy,
+        CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE) AS sxx
+      FROM xy)
+    SELECT n AS n_fit,
+      ROUND($slope, 6) AS slope,
+      ROUND((sy - ($slope) * sx) / n, 6) AS intercept
+    FROM sums"""
+  }
+
   val bigramSurprisalSql: String = s"""WITH occ AS (
       SELECT doc_id, ${tokenHashSql("g")} AS h,
         ${tokenHashSql("split_part(g, ' ', 1)")} AS hp, COUNT(*) AS c

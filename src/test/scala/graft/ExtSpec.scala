@@ -667,6 +667,22 @@ class ExtSpec extends SparkSpec {
       "one output row per qualifying order (orders⋈customer is 1:1)")
   }
 
+  test("T12 Zipf: an exact 1/r head fits slope −1; real corpus slopes negative") {
+    // counts 12, 6, 4, 3 = 12/r for r = 1..4 → ln(c) = ln 12 − ln(r)
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    val r = TextOps.zipfSlopeFrom(Seq((1L, text)).toDF("doc_id", "text")).collect()(0)
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == -1.0, s"slope: ${r.getDouble(1)}")
+    assert(r.getDouble(2) == round6(math.log(12.0)), s"intercept: ${r.getDouble(2)}")
+    val real = TextOps.zipfSlope(spark, Sf0001).collect()(0)
+    val vocabSize = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(explode(TextOps.tokens(col("text"))).as("t")).distinct().count()
+    assert(real.getLong(0) == math.min(TextOps.ZipfK.toLong, vocabSize),
+      s"fit head = min(K, vocabulary): $real vs vocab $vocabSize")
+    assert(real.getDouble(1) < 0.0, s"real-corpus slope must be negative: $real")
+  }
+
   test("E9 anomaly: exact z on a planted outlier; sub-threshold types stay silent") {
     // type "x": ten 1-event users + one 12-event user → mean 2,
     // var = (11·154 − 22²)/11² = 10, z(12) = 10/√10 = √10 > 3
@@ -738,6 +754,26 @@ class ExtSpec extends SparkSpec {
     assert(real.length == spark.read.parquet(s"$Sf0001/documents.parquet").count())
     assert(real.forall(x => x.getDouble(5) > 0.0 && x.getDouble(5) <= 1.0 &&
       x.getLong(4) >= 1L && x.getLong(4) <= 16L))
+  }
+
+  test("new operators are total on an empty corpus (no throw, sane rows)") {
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.surprisalFrom(noDocs).collect().isEmpty)
+    assert(TextOps.bigramSurprisalFrom(noDocs).collect().isEmpty)
+    val zipf = TextOps.zipfSlopeFrom(noDocs).collect()
+    assert(zipf.length == 1 && zipf(0).getLong(0) == 0L,
+      "global agg over nothing reports n_fit 0")
+    assert(graft.ext.Mix.curriculumFrom(
+      Seq.empty[(Long, Double)].toDF("doc_id", "quality")).collect().isEmpty)
+    assert(Similarity.quantErrorFrom(
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")).collect().isEmpty)
+    assert(Multimodal.corruptionScanFrom(
+      Seq.empty[(Long, String, Array[Byte])].toDF("doc_id", "modality", "payload"))
+      .collect().isEmpty)
+    val noEvents = Seq.empty[(Long, Long, Long, String)]
+      .toDF("event_id", "us", "user_id", "event_type")
+    assert(Events.userAnomalyFrom(noEvents).collect().isEmpty)
+    assert(Events.sessionPathsFrom(noEvents).collect().isEmpty)
   }
 
   test("D9 calibration: pair conservation against D3 and bounded errors") {
