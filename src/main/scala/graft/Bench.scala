@@ -71,7 +71,8 @@ object Bench {
       // its bigram pre-agg — min-of-2 with a cache clear between
       // iterations times two COLD runs (~11 s / ~5 s) for ~1.5 s warm
       // queries
-      "d9_minhash_calibration", "t11_bigram_surprisal", "c2_data_card")
+      "d9_minhash_calibration", "t11_bigram_surprisal", "c2_data_card",
+      "t10_surprisal", "w4_curriculum", "e9_user_anomaly")
     val coldTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val iterCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def timed(name: String, f: () => Unit): Double = {

@@ -207,7 +207,12 @@ object Dedup {
     * string keys through the exchange; the oracle applies the identical
     * hash, so any collision affects both engines identically).
     */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** Df-capped distinct `(doc_id, sh)` hashed-shingle relation — the
+    * ONE place the stop-shingle semantics live, shared by D2 and the D9
+    * calibration so the "exact Jaccard" both report is definitionally
+    * the same. Both persists feed multiple legs (df cap + join sides).
+    */
+  private def cappedShingles(s: SparkSession, dir: String): DataFrame = {
     val raw = shingleDf(s, dir)
       .select(col("doc_id"), TextOps.tokenHash(col("shingle")).as("sh"))
       .distinct()
@@ -215,8 +220,22 @@ object Dedup {
     val keep = raw.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf)
       .select("sh")
-    val sh = raw.join(keep, "sh")
+    raw.join(keep, "sh")
       .persist() // feeds sizes + both join sides
+  }
+
+  /** Oracle CTE chain `shraw → shh → sizes` — the SQL dual of
+    * [[cappedShingles]] (+ per-doc sizes), shared by the D2 and D9
+    * oracles. Requires a preceding `shing` CTE.
+    */
+  private val cappedShingleCtes: String =
+    s"""shraw AS (SELECT DISTINCT doc_id, ${TextOps.tokenHashSql("shingle")} AS sh FROM shing),
+    shh AS (SELECT shraw.* FROM shraw
+      JOIN (SELECT sh FROM shraw GROUP BY sh HAVING COUNT(*) <= $MaxShingleDf) k USING (sh)),
+    sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shh GROUP BY 1)"""
+
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = cappedShingles(s, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val pairs = sh.as("a").join(sh.as("b"), "sh")
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -237,10 +256,7 @@ object Dedup {
   }
 
   val ngramJaccardSql: String = s"""WITH $shingleCte,
-    shraw AS (SELECT DISTINCT doc_id, ${TextOps.tokenHashSql("shingle")} AS sh FROM shing),
-    shh AS (SELECT shraw.* FROM shraw
-      JOIN (SELECT sh FROM shraw GROUP BY sh HAVING COUNT(*) <= $MaxShingleDf) k USING (sh)),
-    sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shh GROUP BY 1),
+    $cappedShingleCtes,
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
       FROM shh a JOIN shh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -369,14 +385,7 @@ object Dedup {
       .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (matches.cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))
-    val raw = shingleDf(s, dir)
-      .select(col("doc_id"), TextOps.tokenHash(col("shingle")).as("sh"))
-      .distinct()
-      .persist() // feeds the df cap + both inverted-index join sides
-    val keep = raw.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf)
-      .select("sh")
-    val shh = raw.join(keep, "sh").persist()
+    val shh = cappedShingles(s, dir)
     val sizes = shh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val com = shh.as("a").join(shh.as("b"), "sh")
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -409,13 +418,10 @@ object Dedup {
     est AS (
       SELECT doc_a, doc_b, CAST($matches AS DOUBLE) / ${NumHashes.toDouble} AS est_jaccard
       FROM cand JOIN sig a ON cand.doc_a = a.doc_id JOIN sig b ON cand.doc_b = b.doc_id),
-    shraw AS (SELECT DISTINCT doc_id, h FROM sh),
-    shh AS (SELECT shraw.* FROM shraw
-      JOIN (SELECT h FROM shraw GROUP BY h HAVING COUNT(*) <= $MaxShingleDf) k USING (h)),
-    sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shh GROUP BY 1),
+    $cappedShingleCtes,
     com AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-      FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+      FROM shh a JOIN shh b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
     ex AS (
       SELECT e.est_jaccard,

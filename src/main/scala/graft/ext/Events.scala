@@ -368,15 +368,25 @@ object Events {
     * populations with a known outlier.
     */
   def userAnomalyFrom(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val per = events.groupBy("event_type", "user_id")
       .agg(count(lit(1)).as("n_events"))
+      .persist() // feeds the per-type stats AND the z-score join
+    // Σc² accumulates in DECIMAL: a 3e9-event hot key squares past
+    // Long.MaxValue (ANSI abort), and nu·Σc² overflows 64 bits long
+    // before any real 100 TB population does — DECIMAL(14,0)² =
+    // DECIMAL(29,0) products summed under the 38-digit cap hold to
+    // ~1e38. The moments stay EXACT; they convert to double once, in
+    // the same expression both engines state.
     val stats = per.groupBy("event_type").agg(
       count(lit(1)).as("nu"),
-      sum("n_events").as("s1"),
-      sum(col("n_events") * col("n_events")).as("s2"))
+      sum(col("n_events").cast(DecimalType(14, 0))).as("s1"),
+      sum(col("n_events").cast(DecimalType(14, 0)) *
+        col("n_events").cast(DecimalType(14, 0))).as("s2"))
     val mean = col("s1").cast("double") / col("nu").cast("double")
-    val variance = (col("nu") * col("s2") - col("s1") * col("s1")).cast("double") /
-      (col("nu") * col("nu")).cast("double")
+    val variance = (col("nu").cast("double") * col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double")) /
+      (col("nu").cast("double") * col("nu").cast("double"))
     // zero-variance populations (every user at the mean) get z = 0
     // EXPLICITLY: the raw 0/0 is NaN, and the engines disagree on NaN
     // ordering (DuckDB sorts NaN above every value, Spark's comparison
@@ -395,15 +405,16 @@ object Events {
 
   val userAnomalySql: String = {
     val mean = "CAST(s1 AS DOUBLE) / CAST(nu AS DOUBLE)"
-    val variance = "CAST(nu * s2 - s1 * s1 AS DOUBLE) / CAST(nu * nu AS DOUBLE)"
+    val variance = "(CAST(nu AS DOUBLE) * CAST(s2 AS DOUBLE) - " +
+      "CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / (CAST(nu AS DOUBLE) * CAST(nu AS DOUBLE))"
     val z = s"CASE WHEN $variance > 0 THEN (CAST(n_events AS DOUBLE) - $mean) / sqrt($variance) ELSE 0.0 END"
     s"""WITH per AS (
       SELECT event_type, user_id, COUNT(*) AS n_events
       FROM events GROUP BY 1, 2),
     stats AS (
       SELECT event_type, COUNT(*) AS nu,
-        CAST(SUM(n_events) AS BIGINT) AS s1,
-        CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+        SUM(CAST(n_events AS DECIMAL(14,0))) AS s1,
+        SUM(CAST(n_events AS DECIMAL(14,0)) * CAST(n_events AS DECIMAL(14,0))) AS s2
       FROM per GROUP BY 1)
     SELECT event_type, user_id, n_events,
       ROUND($mean, 6) AS type_mean,

@@ -161,6 +161,10 @@ object Mix {
     val base = d.withColumn("bucket",
       least(floor(col("quality") * CurriculumBuckets), lit(CurriculumBuckets - 1L))
         .cast("long"))
+      // feeds the bucket-count, total-count, and ranked legs — the
+      // registry entry point embeds the regex-heavy qualityCol
+      // projection, which would otherwise re-scan the corpus 3×
+      .persist()
     // ≤64-row count relation; the exclusive running offset walks buckets
     // in DESCENDING order (global order is quality desc)
     val wOff = Window.orderBy(col("bucket").desc)

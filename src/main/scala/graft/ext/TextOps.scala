@@ -260,8 +260,7 @@ object TextOps {
 
   val langIdSql: String = s"""SELECT doc_id,
       ${hitsSql(EnStop)} AS en_hits, ${hitsSql(EsStop)} AS es_hits, ${hitsSql(DeStop)} AS de_hits,
-      CASE WHEN ${hitsSql(EnStop)} >= ${hitsSql(EsStop)} AND ${hitsSql(EnStop)} >= ${hitsSql(DeStop)} THEN 'en'
-           WHEN ${hitsSql(EsStop)} >= ${hitsSql(DeStop)} THEN 'es' ELSE 'de' END AS predicted_lang
+      $predictedLangSql AS predicted_lang
     FROM documents ORDER BY doc_id"""
 
   val FingerprintMod: Long = 1000000007L
@@ -508,6 +507,10 @@ object TextOps {
     val occ = d
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      // feeds the vocab→total, vocab→surp, and per-doc join legs —
+      // unpersisted, the corpus explode+pre-agg executes 3× (the T11
+      // multi-leg rule)
+      .persist()
     val vocab = occ.groupBy("tok").agg(sum("c").as("cc"))
     val total = vocab.agg(sum("cc").as("n")) // 1 row, provably bounded
     val surp = vocab.crossJoin(broadcast(total))
@@ -673,13 +676,15 @@ object TextOps {
       sum(col("y").cast(DecimalType(25, 12))).cast("double").as("sy"),
       sum((col("x") * col("y")).cast(DecimalType(25, 12))).cast("double").as("sxy"),
       sum((col("x") * col("x")).cast(DecimalType(25, 12))).cast("double").as("sxx"))
+    // a 0- or 1-point head has denominator 0: emit NULL explicitly —
+    // the raw 0/0 NaN orders differently across engines (CLAUDE.md)
+    val denom = col("n") * col("sxx") - col("sx") * col("sx")
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / denom
     sums.select(
       col("n").as("n_fit"),
-      round((col("n") * col("sxy") - col("sx") * col("sy")) /
-        (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
-      round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
-        (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
-        col("n"), 6).as("intercept"))
+      when(denom > 0, round(slope, 6)).as("slope"),
+      when(denom > 0, round((col("sy") - slope * col("sx")) / col("n"), 6))
+        .as("intercept"))
   }
 
   val zipfSlopeSql: String = {
@@ -704,8 +709,9 @@ object TextOps {
         CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE) AS sxx
       FROM xy)
     SELECT n AS n_fit,
-      ROUND($slope, 6) AS slope,
-      ROUND((sy - ($slope) * sx) / n, 6) AS intercept
+      CASE WHEN n * sxx - sx * sx > 0 THEN ROUND($slope, 6) END AS slope,
+      CASE WHEN n * sxx - sx * sx > 0
+        THEN ROUND((sy - ($slope) * sx) / n, 6) END AS intercept
     FROM sums"""
   }
 

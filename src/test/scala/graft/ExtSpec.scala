@@ -763,6 +763,11 @@ class ExtSpec extends SparkSpec {
     val zipf = TextOps.zipfSlopeFrom(noDocs).collect()
     assert(zipf.length == 1 && zipf(0).getLong(0) == 0L,
       "global agg over nothing reports n_fit 0")
+    assert(zipf(0).isNullAt(1) && zipf(0).isNullAt(2),
+      "degenerate fit emits NULL, never a 0/0 NaN")
+    // single-distinct-token corpus: one fit point, denominator 0
+    val one = TextOps.zipfSlopeFrom(Seq((1L, "a a a")).toDF("doc_id", "text")).collect()(0)
+    assert(one.getLong(0) == 1L && one.isNullAt(1) && one.isNullAt(2), s"$one")
     assert(graft.ext.Mix.curriculumFrom(
       Seq.empty[(Long, Double)].toDF("doc_id", "quality")).collect().isEmpty)
     assert(Similarity.quantErrorFrom(
