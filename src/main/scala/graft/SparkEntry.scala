@@ -702,12 +702,14 @@ object SparkEntry {
     Q("e10_session_paths", Events.sessionPaths, Some(Events.sessionPathsSql)),
     Q("t11_bigram_surprisal", TextOps.bigramSurprisal, Some(TextOps.bigramSurprisalSql)),
     Q("t12_zipf_slope", TextOps.zipfSlope, Some(TextOps.zipfSlopeSql)),
+    Q("t13_lexical_diversity", TextOps.lexicalDiversity, Some(TextOps.lexicalDiversitySql)),
     Q("c1_curation_funnel", Curation.funnel, Some(Curation.funnelSql)),
     Q("c2_data_card", Curation.dataCard, Some(Curation.dataCardSql)),
     Q("w1_source_mix", Mix.sourceMix, Some(Mix.sourceMixSql)),
     Q("w2_seq_pack", Mix.seqPack, Some(Mix.seqPackSql)),
     Q("w3_pii_scan", Pii.piiScan, Some(Pii.piiScanSql)),
     Q("w4_curriculum", Mix.curriculum, Some(Mix.curriculumSql)),
+    Q("w5_epoch_plan", Mix.epochPlan, Some(Mix.epochPlanSql)),
     Q("d1_exact_dedup", Dedup.exact, Some(Dedup.exactSql)),
     Q("d2_ngram_jaccard", Dedup.ngramJaccard, Some(Dedup.ngramJaccardSql)),
     Q("d3_minhash_lsh", Dedup.minhashLsh, Some(Dedup.minhashLshSql)),
@@ -717,6 +719,7 @@ object SparkEntry {
     Q("d7_dup_clusters", Dedup.dupClusters, Some(Dedup.dupClustersSql)),
     Q("d8_para_clusters", Dedup.paraClusters, Some(Dedup.paraClustersSql)),
     Q("d9_minhash_calibration", Dedup.minhashCalibration, Some(Dedup.minhashCalibrationSql)),
+    Q("d10_containment", Dedup.containment, Some(Dedup.containmentSql)),
     Q("s1_cosine_topk", Similarity.cosineTopk, Some(Similarity.cosineTopkSql)),
     Q("s2_lsh_ann_topk", Similarity.lshAnnTopk, Some(Similarity.lshAnnTopkSql)),
     Q("s3_cosine_neardup", Similarity.cosineNeardup, Some(Similarity.cosineNeardupSql)),

@@ -270,6 +270,56 @@ object Dedup {
       SELECT *, row_number() OVER (ORDER BY jaccard DESC, doc_a, doc_b) AS rk FROM j)
     WHERE rk <= 50"""
 
+  /** D10: containment / overlap-coefficient near-dup — top-50 candidate
+    * pairs by overlap = |∩| / min(|A|,|B|), over the SAME df-capped
+    * hashed-shingle relation as D2 (one shared definition, so "shingle
+    * set" can't drift between the two dedup lenses). Jaccard misses the
+    * subset case — a short document quoted whole inside a long one has
+    * tiny union-normalized similarity but overlap 1.0 — and containment
+    * is the standard detector for it (Broder 1997's containment
+    * coefficient; The Stack / RefinedWeb prune quote-subsets this way).
+    * Emits the exact set sizes and intersection alongside the ratio so
+    * the hash gate pins the arithmetic, not just the ordering.
+    *
+    * Scale shape: identical to D2 — the inverted-index self-join is
+    * bounded per shingle bucket by [[MaxShingleDf]]² and the top-50 is
+    * TakeOrdered, never a corpus-sized single-partition window.
+    */
+  def containment(s: SparkSession, dir: String): DataFrame = {
+    val sh = cappedShingles(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val pairs = sh.as("a").join(sh.as("b"), "sh")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    val o = pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("common"), col("na"), col("nb"),
+        (col("common").cast("double") / least(col("na"), col("nb")).cast("double"))
+          .as("overlap"))
+    o.orderBy(col("overlap").desc, col("doc_a"), col("doc_b")).limit(50)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("overlap").desc, col("doc_a"), col("doc_b"))))
+      .select(col("rk"), col("doc_a"), col("doc_b"), col("common"),
+        col("na"), col("nb"), col("overlap"))
+  }
+
+  val containmentSql: String = s"""WITH $shingleCte,
+    $cappedShingleCtes,
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM shh a JOIN shh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    o AS (
+      SELECT doc_a, doc_b, common, sa.nsh AS na, sb.nsh AS nb,
+        CAST(common AS DOUBLE) / CAST(LEAST(sa.nsh, sb.nsh) AS DOUBLE) AS overlap
+      FROM pairs JOIN sizes sa ON pairs.doc_a = sa.doc_id
+                 JOIN sizes sb ON pairs.doc_b = sb.doc_id)
+    SELECT rk, doc_a, doc_b, common, na, nb, overlap FROM (
+      SELECT *, row_number() OVER (ORDER BY overlap DESC, doc_a, doc_b) AS rk FROM o)
+    WHERE rk <= 50"""
+
   // -------------------------------------------------------------- minhash
 
   val NumHashes = 16

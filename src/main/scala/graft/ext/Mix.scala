@@ -122,6 +122,87 @@ object Mix {
     GROUP BY q.source, q.k, q.available, q.quota
     ORDER BY q.source"""
 
+  // ------------------------------------------------------------ W5 epochs
+
+  /** Total training-token budget the W5 planner allocates across
+    * sources. A constant of the plan (real runs substitute their compute
+    * budget); the allocation arithmetic is scale-free.
+    */
+  val EpochTokenBudget = 1000000L
+
+  /** W5: token-budget epoch planning — split [[EpochTokenBudget]] across
+    * sources proportionally to the W1 mixture weights and report, per
+    * source, how many passes (epochs) over its available tokens the
+    * allocation implies: the Pile/Gopher data-card "epochs" column
+    * (Gao et al. 2020 table 1 reports exactly this; >1 means the source
+    * repeats, ≪1 means it's subsampled). Shares the weight function with
+    * W1 so the mixture can't drift between the two views.
+    *
+    * Determinism: target_tokens = budget·k / Σk in pure integer
+    * arithmetic (`div`), full_epochs / remainder by integer div/mod,
+    * and the one fractional column (epochs) is a single IEEE division
+    * of exact integers rounded at the comparison boundary.
+    *
+    * Scale shape: one corpus scan pre-aggregated per source with
+    * map-side partials; everything after is arithmetic on the
+    * sources-sized stat relation (the Σk cross join broadcasts one
+    * row). Nothing here grows with the corpus but the first agg.
+    */
+  def epochPlan(s: SparkSession, dir: String): DataFrame =
+    epochPlanFrom(docs(s, dir).select(col("doc_id"), col("source"),
+      size(TextOps.tokens(col("text"))).cast("long").as("ntok")), EpochTokenBudget)
+
+  /** [[epochPlan]] over an explicit `(doc_id, source, ntok)` relation
+    * and budget — the spec pins the allocation on crafted strata.
+    */
+  def epochPlanFrom(d: DataFrame, budget: Long): DataFrame = {
+    val per = d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("ntok").as("available_tokens"))
+      .withColumn("k", weightK(col("source")))
+    val sumk = per.agg(sum("k").as("sk")) // 1 row, provably bounded
+    per.crossJoin(broadcast(sumk))
+      .withColumn("target_tokens", expr(s"($budget * k) div sk"))
+      .select(col("source"),
+        (col("k").cast("double") / col("sk").cast("double")).as("weight"),
+        col("n_docs"), col("available_tokens"), col("target_tokens"),
+        when(col("available_tokens") > 0,
+          round(col("target_tokens").cast("double") /
+            col("available_tokens").cast("double"), 6))
+          .otherwise(lit(0.0)).as("epochs"),
+        when(col("available_tokens") > 0,
+          expr("target_tokens div available_tokens")).otherwise(lit(0L))
+          .as("full_epochs"),
+        when(col("available_tokens") > 0,
+          expr("target_tokens % available_tokens")).otherwise(lit(0L))
+          .as("remainder_tokens"))
+      .orderBy("source")
+  }
+
+  val epochPlanSql: String = s"""WITH base AS (
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(len($tokensSqlRef)) AS BIGINT) AS available_tokens,
+        ${weightKSql("source")} AS k
+      FROM documents GROUP BY source),
+    sk AS (SELECT SUM(k) AS sk FROM base),
+    alloc AS (
+      SELECT source, k, sk, n_docs, available_tokens,
+        ($EpochTokenBudget * k) // sk AS target_tokens
+      FROM base CROSS JOIN sk)
+    SELECT source,
+      CAST(k AS DOUBLE) / CAST(sk AS DOUBLE) AS weight,
+      n_docs, available_tokens, CAST(target_tokens AS BIGINT) AS target_tokens,
+      CASE WHEN available_tokens > 0
+        THEN ROUND(CAST(target_tokens AS DOUBLE) / CAST(available_tokens AS DOUBLE), 6)
+        ELSE 0.0 END AS epochs,
+      CAST(CASE WHEN available_tokens > 0
+        THEN target_tokens // available_tokens ELSE 0 END AS BIGINT) AS full_epochs,
+      CAST(CASE WHEN available_tokens > 0
+        THEN target_tokens % available_tokens ELSE 0 END AS BIGINT) AS remainder_tokens
+    FROM alloc ORDER BY source"""
+
+  private def tokensSqlRef: String = TextOps.tokensSql
+
   // -------------------------------------------------------- W4 curriculum
 
   /** Value-range bucket count for the W4 two-phase quality rank. */

@@ -741,6 +741,85 @@ object TextOps {
     FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
     ORDER BY d.doc_id"""
 
+  // ----------------------------------------------- T13 lexical diversity
+
+  /** T13: lexical-diversity signals — type-token ratio, hapax-legomenon
+    * fraction, and top-token share per document. TTR and hapax rate are
+    * the classic lexical-richness measures (low TTR / low hapax = looped
+    * boilerplate; the MTLD family refines them, this is the scan-cheap
+    * core); top_share is the within-doc dual of the T6 repetition
+    * signal (one token dominating the doc). All three prune degenerate
+    * machine-generated text that passes length/stopword gates.
+    *
+    * Determinism: exact integer counts, one IEEE division per ratio,
+    * `round(…, 6)` at the comparison boundary (the CLAUDE.md float
+    * contract). Empty documents report 0.0 everywhere explicitly.
+    *
+    * Scale shape: the [[oovRate]] shape minus the vocab join — the
+    * explode pre-aggregates to doc-local (doc_id, tok, c) keys with
+    * map-side partials, then one further agg to doc_id. No corpus-wide
+    * key ever concentrates: both group keys carry doc_id, so skew is
+    * bounded by the longest single document, not the corpus.
+    */
+  def lexicalDiversity(s: SparkSession, dir: String): DataFrame =
+    lexicalDiversityFrom(t(s, dir).select(col("doc_id"), col("text")))
+
+  /** [[lexicalDiversity]] over an explicit `(doc_id, text)` relation —
+    * the spec pins exact ratios on crafted repetition ladders.
+    */
+  def lexicalDiversityFrom(d: DataFrame): DataFrame = {
+    val per = d
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tok"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, lit(1L)).otherwise(lit(0L))).as("n_hapax"),
+        max("c").as("max_c"))
+    d.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
+        when(col("n_tok") > 0,
+          round(col("n_types").cast("double") / col("n_tok").cast("double"), 6))
+          .otherwise(lit(0.0)).as("ttr"),
+        when(col("n_types") > 0,
+          round(col("n_hapax").cast("double") / col("n_types").cast("double"), 6))
+          .otherwise(lit(0.0)).as("hapax_frac"),
+        when(col("n_tok") > 0,
+          round(col("max_c").cast("double") / col("n_tok").cast("double"), 6))
+          .otherwise(lit(0.0)).as("top_share"))
+      .orderBy("doc_id")
+  }
+
+  val lexicalDiversitySql: String = s"""WITH occ AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest($tokensSql) AS tok FROM documents)
+      GROUP BY 1, 2),
+    per AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+        COUNT(*) AS n_types,
+        CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        CAST(MAX(c) AS BIGINT) AS max_c
+      FROM occ GROUP BY 1)
+    SELECT d.doc_id,
+      COALESCE(n_tok, 0) AS n_tok,
+      COALESCE(n_types, 0) AS n_types,
+      COALESCE(n_hapax, 0) AS n_hapax,
+      CASE WHEN COALESCE(n_tok, 0) > 0
+        THEN ROUND(CAST(n_types AS DOUBLE) / CAST(n_tok AS DOUBLE), 6)
+        ELSE 0.0 END AS ttr,
+      CASE WHEN COALESCE(n_types, 0) > 0
+        THEN ROUND(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6)
+        ELSE 0.0 END AS hapax_frac,
+      CASE WHEN COALESCE(n_tok, 0) > 0
+        THEN ROUND(CAST(max_c AS DOUBLE) / CAST(n_tok AS DOUBLE), 6)
+        ELSE 0.0 END AS top_share
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    ORDER BY d.doc_id"""
+
   val oovRateSql: String = s"""WITH occ AS (
       SELECT doc_id, tok, COUNT(*) AS c
       FROM (SELECT doc_id, unnest($tokensSql) AS tok FROM documents)

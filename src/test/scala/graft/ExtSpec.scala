@@ -779,6 +779,82 @@ class ExtSpec extends SparkSpec {
       .toDF("event_id", "us", "user_id", "event_type")
     assert(Events.userAnomalyFrom(noEvents).collect().isEmpty)
     assert(Events.sessionPathsFrom(noEvents).collect().isEmpty)
+    assert(TextOps.lexicalDiversityFrom(noDocs).collect().isEmpty)
+    assert(graft.ext.Mix.epochPlanFrom(
+      Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "ntok"), 1000L)
+      .collect().isEmpty)
+  }
+
+  test("T13 lexical diversity: exact ratios on crafted repetition ladders") {
+    val d = Seq((1L, "a a b c"), (2L, "x x x x"), (3L, "")).toDF("doc_id", "text")
+    val r = TextOps.lexicalDiversityFrom(d).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3),
+          x.getDouble(4), x.getDouble(5), x.getDouble(6))).toMap
+    // doc1: 4 tokens, 3 types {a×2,b,c}, hapax {b,c}, top a = 2/4
+    assert(r(1L) == ((4L, 3L, 2L, 0.75, round6(2.0 / 3.0), 0.5)), s"${r(1L)}")
+    // doc2: pure repetition — TTR collapses, top_share saturates
+    assert(r(2L) == ((4L, 1L, 0L, 0.25, 0.0, 1.0)), s"${r(2L)}")
+    // doc3: empty — explicit zeros, never NULL/NaN
+    assert(r(3L) == ((0L, 0L, 0L, 0.0, 0.0, 0.0)), s"${r(3L)}")
+    // real corpus: complete, every ratio in range, types ≤ tokens
+    val real = TextOps.lexicalDiversity(spark, Sf0001).collect()
+    assert(real.length == spark.read.parquet(s"$Sf0001/documents.parquet").count())
+    real.foreach { x =>
+      assert(x.getLong(2) <= x.getLong(1), "types cannot exceed tokens")
+      assert(x.getLong(3) <= x.getLong(2), "hapax cannot exceed types")
+      Seq(4, 5, 6).foreach(i =>
+        assert(x.getDouble(i) >= 0.0 && x.getDouble(i) <= 1.0, s"$x"))
+    }
+  }
+
+  test("D10 containment: overlap dominates Jaccard; arithmetic is exact") {
+    val cont = Dedup.containment(spark, Sf0001).collect()
+    assert(cont.nonEmpty)
+    val jac = Dedup.ngramJaccard(spark, Sf0001).collect()
+      .map(x => (x.getLong(1), x.getLong(2)) -> x.getDouble(3)).toMap
+    cont.foreach { x =>
+      val (common, na, nb, ov) =
+        (x.getLong(3), x.getLong(4), x.getLong(5), x.getDouble(6))
+      assert(common >= 1 && common <= math.min(na, nb), s"$x")
+      assert(ov == common.toDouble / math.min(na, nb), "one exact IEEE division")
+      // overlap = |∩|/min ≥ |∩|/union = jaccard for the same pair
+      jac.get((x.getLong(1), x.getLong(2))).foreach(j =>
+        assert(ov >= j - 1e-12, s"overlap $ov < jaccard $j"))
+    }
+    // ranks walk overlap non-increasingly
+    assert(cont.map(_.getDouble(6)).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("W5 epoch plan: integer allocation invariants on crafted strata") {
+    val d = ((1 to 10).map(i => (i.toLong, "alpha", 10L)) ++
+      (11 to 13).map(i => (i.toLong, "beta", 100L)))
+      .toDF("doc_id", "source", "ntok")
+    val budget = 1200L
+    val r = graft.ext.Mix.epochPlanFrom(d, budget).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("alpha", "beta"))
+    val bySrc = r.map(x => x.getString(0) ->
+      (x.getDouble(1), x.getLong(2), x.getLong(3), x.getLong(4),
+        x.getDouble(5), x.getLong(6), x.getLong(7))).toMap
+    val (_, nA, availA, _, _, _, _) = bySrc("alpha")
+    assert(nA == 10L && availA == 100L)
+    assert(bySrc("beta")._2 == 3L && bySrc("beta")._3 == 300L)
+    r.foreach { x =>
+      val (w, avail, target, epochs, fullE, rem) =
+        (x.getDouble(1), x.getLong(3), x.getLong(4), x.getDouble(5),
+          x.getLong(6), x.getLong(7))
+      assert(w > 0.0 && w <= 1.0)
+      assert(fullE * avail + rem == target, "div/mod reconstruct the target")
+      assert(epochs == round6(target.toDouble / avail.toDouble))
+    }
+    // weights exhaust the mixture; targets floor-sum to ≤ budget with
+    // at most one token lost per source
+    assert(math.abs(r.map(_.getDouble(1)).sum - 1.0) < 1e-9)
+    val totTarget = r.map(_.getLong(4)).sum
+    assert(totTarget <= budget && totTarget > budget - r.length * 2)
+    // real corpus: one row per source, complete
+    val real = graft.ext.Mix.epochPlan(spark, Sf0001).collect()
+    assert(real.map(_.getString(0)).distinct.length == real.length && real.nonEmpty)
   }
 
   test("D9 calibration: pair conservation against D3 and bounded errors") {
