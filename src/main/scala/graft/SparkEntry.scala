@@ -677,7 +677,8 @@ object SparkEntry {
     Q("x1_shipping_priority", Relational.shippingPriority, Some(Relational.shippingPrioritySql)),
     Q("x2_local_supplier_volume", Relational.localSupplierVolume, Some(Relational.localSupplierVolumeSql)),
     Q("x3_revenue_rollup", Relational.revenueRollup, Some(Relational.revenueRollupSql)),
-    Q("x4_large_orders", Relational.largeOrderCustomers, Some(Relational.largeOrderCustomersSql)))
+    Q("x4_large_orders", Relational.largeOrderCustomers, Some(Relational.largeOrderCustomersSql)),
+    Q("x5_priority_pivot", Relational.priorityPivot, Some(Relational.priorityPivotSql)))
 
   private val extQueries: Seq[Q] = Seq(
     Q("e1_sessionize", Events.sessionize, Some(Events.sessionizeSql)),
@@ -700,6 +701,7 @@ object SparkEntry {
     Q("t10_surprisal", TextOps.surprisal, Some(TextOps.surprisalSql)),
     Q("e9_user_anomaly", Events.userAnomaly, Some(Events.userAnomalySql)),
     Q("e10_session_paths", Events.sessionPaths, Some(Events.sessionPathsSql)),
+    Q("e11_burst_detect", Events.burstDetect, Some(Events.burstDetectSql)),
     Q("t11_bigram_surprisal", TextOps.bigramSurprisal, Some(TextOps.bigramSurprisalSql)),
     Q("t12_zipf_slope", TextOps.zipfSlope, Some(TextOps.zipfSlopeSql)),
     Q("t13_lexical_diversity", TextOps.lexicalDiversity, Some(TextOps.lexicalDiversitySql)),
@@ -728,6 +730,7 @@ object SparkEntry {
     Q("s4_ivf_ann_topk", Ivf.ivfTopk, None),
     Q("s5_centroid_outliers", Similarity.centroidOutliers, Some(Similarity.centroidOutliersSql)),
     Q("s6_quant_error", Similarity.quantError, Some(Similarity.quantErrorSql)),
+    Q("s7_centroid_separation", Similarity.centroidSeparation, Some(Similarity.centroidSeparationSql)),
     Q("m1_multimodal_meta", Multimodal.meta, Some(Multimodal.metaSql)),
     // mapPartitions feature extraction — the byte-nibble histogram IS
     // SQL-expressible (hex trick, see Multimodal.featuresSql), so the

@@ -426,6 +426,64 @@ object Events {
     ORDER BY event_type, user_id"""
   }
 
+  // ------------------------------------------------- E11 burst detection
+
+  /** Sliding burst window width: 5 minutes in exact microseconds. */
+  val BurstWindowUs: Long = 300L * 1000000L
+  /** Events inside one window (incl. the current) that flag a burst. */
+  val BurstThreshold: Long = 4L
+
+  /** E11: sliding-window rate / burst detection — for every event, the
+    * count of the SAME user's events in the trailing 5-minute RANGE
+    * frame `[us − 300 s, us]`, summarized per user: total events, the
+    * peak trailing rate, and how many events sat inside a ≥
+    * [[BurstThreshold]]-deep window (bot/abuse/scraper signal — the
+    * velocity rule of every ingestion pipeline, and the batch dual of
+    * StreamOps' velocityMonitor).
+    *
+    * The RANGE frame (value-based bounds, not row-based) is the point:
+    * equal-timestamp events are frame PEERS — the standard-SQL rule
+    * both engines implement identically — so the count is a pure
+    * function of the (user, timestamp multiset) and no ordering
+    * tiebreak can leak in. All bounds in exact integer microseconds.
+    *
+    * Scale shape: one shuffle on user_id; the frame walk is O(events
+    * per user) with two moving pointers. Exact sliding windows are
+    * inherently per-key-sequential (every event's count depends on all
+    * its user's prior 5 minutes — salting would change the ANSWER), so
+    * the skew bound is the hottest single user, and the final per-user
+    * agg is map-side partial on the same exchange.
+    */
+  def burstDetect(s: SparkSession, dir: String): DataFrame =
+    burstDetectFrom(t(s, dir))
+
+  /** [[burstDetect]] over an explicit events relation (`event_id`/`us`/
+    * `user_id`) — the spec drives crafted bursts through it.
+    */
+  def burstDetectFrom(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-BurstWindowUs, 0)
+    events
+      .withColumn("wc", count(lit(1)).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max("wc").as("peak_5m_rate"),
+        sum(when(col("wc") >= BurstThreshold, lit(1L)).otherwise(lit(0L)))
+          .as("n_burst_events"))
+      .orderBy("user_id")
+  }
+
+  val burstDetectSql: String = s"""WITH wc AS (
+      SELECT user_id,
+        COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+          RANGE BETWEEN $BurstWindowUs PRECEDING AND CURRENT ROW) AS wc
+      FROM (SELECT user_id, epoch_us(ts) AS us FROM events))
+    SELECT user_id, COUNT(*) AS n_events,
+      CAST(MAX(wc) AS BIGINT) AS peak_5m_rate,
+      CAST(SUM(CASE WHEN wc >= $BurstThreshold THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_burst_events
+    FROM wc GROUP BY user_id ORDER BY user_id"""
+
   val cohortRetentionSql: String = s"""WITH activity AS (
       SELECT DISTINCT user_id, epoch_us(ts) // $WeekUs AS week FROM events),
     cohorts AS (SELECT user_id, MIN(week) AS cohort_week FROM activity GROUP BY 1),

@@ -163,6 +163,56 @@ object Relational {
     JOIN customer ON o_custkey = c_custkey
     ORDER BY o_orderkey"""
 
+  /** The five TPC-H order priorities — the bounded, KNOWN pivot domain.
+    * Stating the values explicitly matters twice: Spark skips the
+    * distinct-values discovery job, and the output schema is static (a
+    * data-derived pivot column set would make the query's schema a
+    * function of the data — un-plannable downstream).
+    */
+  val PriorityVals: Seq[(String, String)] = Seq(
+    "1-URGENT" -> "urgent", "2-HIGH" -> "high", "3-MEDIUM" -> "medium",
+    "4-NOT SPECIFIED" -> "notspec", "5-LOW" -> "low")
+
+  /** X5: order-priority pivot — per order year, order count and total
+    * price restructured into one column pair per priority (the
+    * wide-report shape BI tools emit; the reference's §2.7 restructuring
+    * tier has no relational analog, this is it).
+    *
+    * Scale shape (the x3 leaf-agg lesson applied to pivot): the fact
+    * aggregates ONCE at the finest (year, priority) grain with map-side
+    * partials, and `.pivot` runs over that ≤ years×5-row leaf relation —
+    * never over the fact, where pivot's null-padded wide partials would
+    * carry 10 columns × every scan row through the exchange. Sums
+    * accumulate in DECIMAL, one double cast per output cell; absent
+    * (year, priority) cells are explicit 0/0.0 in both engines.
+    */
+  def priorityPivot(s: SparkSession, dir: String): DataFrame = {
+    val leaf = t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("order_year"),
+        col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("tp"))
+    val piv = leaf.groupBy("order_year")
+      .pivot("prio", PriorityVals.map(_._1))
+      .agg(first("n").as("n"), first(col("tp").cast("double")).as("rev"))
+    piv.select(col("order_year") +: PriorityVals.flatMap { case (v, a) =>
+        Seq(coalesce(col(s"`${v}_n`"), lit(0L)).as(s"${a}_n"),
+          coalesce(col(s"`${v}_rev`"), lit(0.0)).as(s"${a}_rev"))
+      }: _*)
+      .orderBy("order_year")
+  }
+
+  val priorityPivotSql: String = {
+    val cols = PriorityVals.map { case (v, a) =>
+      s"""CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '$v' THEN 1 END), 0) AS BIGINT) AS ${a}_n,
+      CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '$v'
+        THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS ${a}_rev"""
+    }.mkString(",\n      ")
+    s"""SELECT year(o_orderdate) AS order_year,
+      $cols
+    FROM orders GROUP BY 1 ORDER BY 1"""
+  }
+
   val revenueRollupSql: String = """SELECT
       COALESCE(l_returnflag, 'ALL') AS returnflag,
       COALESCE(l_linestatus, 'ALL') AS linestatus,

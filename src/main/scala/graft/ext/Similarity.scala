@@ -405,6 +405,88 @@ object Similarity {
         (a, b) -> a + b), 9) AS sq_err
     FROM err GROUP BY vec_id ORDER BY vec_id"""
 
+  // ------------------------------------------- S7 centroid separation
+
+  /** S7: label-centroid separation matrix — pairwise cosine between
+    * every two label centroids plus the member counts, ranked most-
+    * confusable first. The embedding-space confusion report of a
+    * labeled corpus: two centroids with high cosine are labels the
+    * downstream model (or the S5 outlier pruner, which shares the exact
+    * centroid construction) cannot separate; real curation merges or
+    * re-audits them. Complements S5: S5 scores members against their
+    * own centroid, S7 scores the centroids against each other.
+    *
+    * Determinism: centroids are the S5 position-wise exact DECIMAL
+    * means rounded once to float32; pairwise cosines run the same
+    * `graft_dot` left-assoc chain both engines state, so values are
+    * bit-equal and rank ties break on the label pair.
+    *
+    * Scale shape: one posexplode aggregate over the corpus (map-side
+    * partials on (label, pos)); everything after is arithmetic on the
+    * labels-sized centroid relation. The pairwise step is a triangular
+    * self-join bounded by label-vocabulary² — stat-sized for any real
+    * label set, and label cardinality is data-derived so the join
+    * strategy is left to the planner (the CLAUDE.md broadcast rule).
+    * The ranking window orders that same bounded relation.
+    */
+  def centroidSeparation(s: SparkSession, dir: String): DataFrame =
+    centroidSeparationFrom(t(s, dir))
+
+  /** [[centroidSeparation]] over an explicit (`vec_id`/`embedding`/
+    * `label`) corpus — the spec plants colinear and orthogonal label
+    * populations through it.
+    */
+  def centroidSeparationFrom(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val sums = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg((sum(col("v").cast("double").cast(DecimalType(28, 10))).cast("double") /
+        count(lit(1)).cast("double")).as("c"))
+    val centroids = sums.groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+        x => x("c").cast("float")).as("centroid"))
+    val members = emb.groupBy("label").agg(count(lit(1)).as("n"))
+    val cents = centroids.join(members, "label")
+    val a = cents.select(col("label").as("label_a"), col("centroid").as("ca"),
+      col("n").as("n_a"))
+    val b = cents.select(col("label").as("label_b"), col("centroid").as("cb"),
+      col("n").as("n_b"))
+    val pairs = a.join(b, col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        (dot(col("ca"), col("cb")) /
+          (sqrt(dot(col("ca"), col("ca"))) * sqrt(dot(col("cb"), col("cb")))))
+          .as("cos_centroid"))
+    pairs.withColumn("rk", row_number().over(
+        Window.orderBy(col("cos_centroid").desc, col("label_a"), col("label_b"))))
+      .select(col("rk"), col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("cos_centroid"))
+      .orderBy("rk")
+  }
+
+  val centroidSeparationSql: String = s"""WITH pos AS (
+      SELECT label, CAST(i - 1 AS INT) AS pos, embedding[CAST(i AS INT)] AS v
+      FROM (SELECT label, embedding, unnest(range(1, $Dim + 1)) AS i FROM embeddings)),
+    sums AS (
+      SELECT label, pos,
+        CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS c
+      FROM pos GROUP BY 1, 2),
+    cents AS (
+      SELECT label, list(CAST(c AS FLOAT) ORDER BY pos) AS centroid
+      FROM sums GROUP BY 1),
+    nm AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b, na.n AS n_a, nb.n AS n_b,
+        (${dotSql("a.centroid", "b.centroid")}) /
+          (sqrt(${dotSql("a.centroid", "a.centroid")}) *
+           sqrt(${dotSql("b.centroid", "b.centroid")})) AS cos_centroid
+      FROM cents a JOIN cents b ON a.label < b.label
+        JOIN nm na ON na.label = a.label JOIN nm nb ON nb.label = b.label)
+    SELECT rk, label_a, label_b, n_a, n_b, cos_centroid FROM (
+      SELECT *, row_number() OVER (ORDER BY cos_centroid DESC, label_a, label_b) AS rk
+      FROM pairs)
+    ORDER BY rk"""
+
   val cosineNeardupSql: String = {
     val bandRows = (0 until NeardupBands).map(b =>
       s"SELECT vec_id, $b AS blk, (code >> ${b * NeardupBandBits}) & ${(1L << NeardupBandBits) - 1} AS bval FROM coded")

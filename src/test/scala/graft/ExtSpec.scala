@@ -783,6 +783,81 @@ class ExtSpec extends SparkSpec {
     assert(graft.ext.Mix.epochPlanFrom(
       Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "ntok"), 1000L)
       .collect().isEmpty)
+    assert(Events.burstDetectFrom(noEvents).collect().isEmpty)
+    assert(Similarity.centroidSeparationFrom(
+      Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label"))
+      .collect().isEmpty)
+  }
+
+  test("E11 burst: RANGE-frame peers count; crafted burst flags exactly") {
+    // user 1: 4 events inside one 5-min span (two at the SAME us —
+    // frame peers), then a 5th far away; user 2: spaced out, no burst
+    val w = Events.BurstWindowUs
+    val rows = Seq(
+      (1L, 0L, 1L, "a"), (2L, 1000000L, 1L, "a"), (3L, 1000000L, 1L, "a"),
+      (4L, w, 1L, "a"), // exactly at the inclusive trailing edge of us=0
+      (5L, 10L * w, 1L, "a"),
+      (6L, 0L, 2L, "a"), (7L, 2L * w, 2L, "a"), (8L, 4L * w, 2L, "a"))
+    val df = rows.toDF("event_id", "us", "user_id", "event_type")
+    val r = Events.burstDetectFrom(df).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    // user 1: the window ending at us=w (or at the us=1e6 peers… the
+    // peak) sees all 4 early events; only that window depth reaches the
+    // threshold, and every event whose trailing window is ≥4 deep
+    // counts — here exactly the us=w event
+    assert(r(1L) == ((5L, 4L, 1L)), s"user1: ${r(1L)}")
+    assert(r(2L) == ((3L, 1L, 0L)), s"user2: ${r(2L)}")
+    // real corpus: complete per-user rows, peak ≥ 1, bursts ≤ events
+    val real = Events.burstDetect(spark, Sf0001).collect()
+    assert(real.nonEmpty)
+    real.foreach(x => assert(x.getLong(2) >= 1L && x.getLong(3) <= x.getLong(1)))
+  }
+
+  test("S7 separation: colinear labels cosine 1, orthogonal labels cosine 0") {
+    val d = Similarity.Dim
+    def vec(at: Int, scale: Float) =
+      (0 until d).map(i => if (i == at) scale else 0.0f)
+    // label 0: two vectors along e0 (centroid along e0); label 1: along
+    // e0 too but different magnitudes (colinear with label 0); label 2:
+    // along e1 (orthogonal to both)
+    val emb = Seq(
+      (1L, vec(0, 1.0f), 0), (2L, vec(0, 3.0f), 0),
+      (3L, vec(0, 5.0f), 1),
+      (4L, vec(1, 2.0f), 2), (5L, vec(1, 4.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.centroidSeparationFrom(emb).collect()
+      .map(x => (x.getInt(1), x.getInt(2)) ->
+        (x.getLong(3), x.getLong(4), x.getDouble(5))).toMap
+    assert(r.size == 3, "3 labels → 3 unordered pairs")
+    assert(r((0, 1)) == ((2L, 1L, 1.0)), s"colinear: ${r((0, 1))}")
+    assert(r((0, 2))._3 == 0.0 && r((1, 2))._3 == 0.0, "orthogonal pairs")
+    // real corpus: all 45 label pairs, cosines in [−1, 1], ranks walk
+    // the cosine non-increasingly
+    val real = Similarity.centroidSeparation(spark, Sf0001).collect()
+    assert(real.length == 45, s"10 labels → 45 pairs, got ${real.length}")
+    assert(real.forall(x => math.abs(x.getDouble(5)) <= 1.0 + 1e-9))
+    assert(real.map(_.getDouble(5)).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("X5 pivot: wide cells reconcile with the long leaf aggregation") {
+    val piv = graft.ext.Relational.priorityPivot(spark, Sf0001).collect()
+    assert(piv.nonEmpty)
+    // independent long-form recomputation via SQL over the same table
+    val ord = spark.read.parquet(s"$Sf0001/orders.parquet")
+    val long = ord.groupBy(year(col("o_orderdate")).as("y"), col("o_orderpriority").as("p"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(x => (x.getInt(0), x.getString(1)) -> x.getLong(2)).toMap
+    val names = graft.ext.Relational.PriorityVals
+    piv.foreach { row =>
+      val y = row.getInt(0)
+      names.zipWithIndex.foreach { case ((v, _), i) =>
+        assert(row.getLong(1 + 2 * i) == long.getOrElse((y, v), 0L),
+          s"cell ($y, $v)")
+      }
+    }
+    // every order lands in exactly one cell
+    assert(piv.map(r => names.indices.map(i => r.getLong(1 + 2 * i)).sum).sum ==
+      ord.count())
   }
 
   test("T13 lexical diversity: exact ratios on crafted repetition ladders") {
