@@ -72,7 +72,12 @@ object Bench {
       // iterations times two COLD runs (~11 s / ~5 s) for ~1.5 s warm
       // queries
       "d9_minhash_calibration", "t11_bigram_surprisal", "c2_data_card",
-      "t10_surprisal", "w4_curriculum", "e9_user_anomaly")
+      "t10_surprisal", "w4_curriculum", "e9_user_anomaly",
+      // r10c: d10 shares d2's persisted capped-shingle relation; t13's
+      // first run pays the same explode materialization; c3 composes
+      // the persisted D7 label relation; t15 persists its bucketed base
+      "d10_containment", "t13_lexical_diversity", "c3_dedup_impact",
+      "t15_quality_winsor")
     val coldTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val iterCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def timed(name: String, f: () => Unit): Double = {
@@ -123,7 +128,8 @@ object Bench {
     // "skipped: construction runs jobs"; their exchange shape is the
     // bounded per-round plan documented in Dedup.scala and doesn't vary
     // with SF, so the audit adds nothing for its cost.
-    val auditSkip = Set("d7_dup_clusters", "c1_curation_funnel", "d8_para_clusters")
+    val auditSkip = Set("d7_dup_clusters", "c1_curation_funnel", "d8_para_clusters",
+      "c3_dedup_impact")
     val exchanges = {
       val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
       spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -702,11 +702,15 @@ object SparkEntry {
     Q("e9_user_anomaly", Events.userAnomaly, Some(Events.userAnomalySql)),
     Q("e10_session_paths", Events.sessionPaths, Some(Events.sessionPathsSql)),
     Q("e11_burst_detect", Events.burstDetect, Some(Events.burstDetectSql)),
+    Q("e12_event_lift", Events.eventLift, Some(Events.eventLiftSql)),
+    Q("t14_source_drift", TextOps.sourceDrift, Some(TextOps.sourceDriftSql)),
     Q("t11_bigram_surprisal", TextOps.bigramSurprisal, Some(TextOps.bigramSurprisalSql)),
     Q("t12_zipf_slope", TextOps.zipfSlope, Some(TextOps.zipfSlopeSql)),
     Q("t13_lexical_diversity", TextOps.lexicalDiversity, Some(TextOps.lexicalDiversitySql)),
     Q("c1_curation_funnel", Curation.funnel, Some(Curation.funnelSql)),
     Q("c2_data_card", Curation.dataCard, Some(Curation.dataCardSql)),
+    Q("c3_dedup_impact", Curation.dedupImpact, Some(Curation.dedupImpactSql)),
+    Q("t15_quality_winsor", TextOps.qualityWinsor, Some(TextOps.qualityWinsorSql)),
     Q("w1_source_mix", Mix.sourceMix, Some(Mix.sourceMixSql)),
     Q("w2_seq_pack", Mix.seqPack, Some(Mix.seqPackSql)),
     Q("w3_pii_scan", Pii.piiScan, Some(Pii.piiScanSql)),

@@ -146,6 +146,68 @@ object Curation {
       mean_quality, dup_frac, n_en, n_es, n_de
     FROM agg ORDER BY source"""
 
+  /** C3: dedup impact report — per source, how much each dedup tier
+    * would remove: exact duplicates (the D1 min-doc_id-per-md5
+    * canonical) and near-duplicate cluster members (the D7 MinHash
+    * transitive closure, canonical = min doc_id of the component), with
+    * the token counts the removals reclaim. The
+    * "what did dedup buy us" table of a curation run — C2 reports only
+    * the exact tier; this composes both, from the SAME shared
+    * definitions, so the rates can't drift from the operators.
+    *
+    * Both canonicals are computed over the FULL corpus (cross-source
+    * dups count in both sources' rows — the C2 convention).
+    *
+    * Scale shape: one corpus scan builds the per-doc projection; the
+    * exact tier is the viral-key-safe groupBy(md5)+join-back; the near
+    * tier joins the D7 label relation (whose iterations are the
+    * bounded label-prop loop); the final per-source agg is map-side
+    * partial.
+    */
+  def dedupImpact(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir).select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("ntok"),
+        md5(col("text")).as("h"))
+      .persist() // one scan feeds the canonical agg + both join-backs
+    val canon = base.groupBy("h").agg(min("doc_id").as("canonical_id"))
+    val labels = Dedup.clusterIds(s, dir) // (id, lbl)
+    base.join(canon, "h")
+      .join(labels, col("doc_id") === col("id"))
+      .withColumn("exact_dup", (col("doc_id") =!= col("canonical_id")).cast("long"))
+      .withColumn("near_dup", (col("doc_id") =!= col("lbl")).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("ntok").as("n_tokens"),
+        sum("exact_dup").as("n_exact_dup"),
+        round(sum("exact_dup").cast("double") / count(lit(1)).cast("double"), 6)
+          .as("exact_dup_frac"),
+        sum("near_dup").as("n_near_dup"),
+        round(sum("near_dup").cast("double") / count(lit(1)).cast("double"), 6)
+          .as("near_dup_frac"),
+        sum(col("near_dup") * col("ntok")).as("reclaimed_tokens"))
+      .orderBy("source")
+  }
+
+  val dedupImpactSql: String =
+    s"""WITH RECURSIVE ${Dedup.clusterLabCtes},
+    base AS (
+      SELECT doc_id, source, CAST(len(${TextOps.tokensSql}) AS BIGINT) AS ntok,
+        MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+      FROM documents),
+    marked AS (
+      SELECT source, ntok,
+        CASE WHEN base.doc_id != canonical_id THEN 1 ELSE 0 END AS exact_dup,
+        CASE WHEN base.doc_id != lab.cluster_id THEN 1 ELSE 0 END AS near_dup
+      FROM base JOIN lab ON base.doc_id = lab.doc_id)
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+      CAST(SUM(exact_dup) AS BIGINT) AS n_exact_dup,
+      ROUND(CAST(SUM(exact_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS exact_dup_frac,
+      CAST(SUM(near_dup) AS BIGINT) AS n_near_dup,
+      ROUND(CAST(SUM(near_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS near_dup_frac,
+      CAST(SUM(near_dup * ntok) AS BIGINT) AS reclaimed_tokens
+    FROM marked GROUP BY source ORDER BY source"""
+
   val funnelSql: String =
     s"""WITH RECURSIVE ${Dedup.clusterLabCtes},
     base AS (

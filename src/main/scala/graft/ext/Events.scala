@@ -426,6 +426,75 @@ object Events {
     ORDER BY event_type, user_id"""
   }
 
+  // ------------------------------------------------ E12 co-occurrence lift
+
+  /** E12: event-type co-occurrence lift — for every unordered pair of
+    * event types, the market-basket lift P(a,b)/(P(a)·P(b)) over 30-min
+    * sessions as baskets (reusing the ONE session definition,
+    * [[sessionNumbered]]): lift > 1 = the types travel together, < 1 =
+    * they repel — the association matrix feature stores and
+    * recommendation baselines report.
+    *
+    * Determinism: all probabilities are ratios of exact session counts;
+    * lift is stated as ONE division `(n_ab·S) / (n_a·n_b)` with the
+    * integer products widened to double first (identical in both
+    * engines; the long product would overflow at 100 TB session
+    * counts), rounded at the comparison boundary.
+    *
+    * Scale shape: the corpus collapses to DISTINCT (user, session,
+    * type) immediately — bounded by sessions × type-vocabulary, with
+    * map-side partials — and the pair self-join runs INSIDE each
+    * session key (bounded by types-per-session², never cross-session).
+    * The per-type and total-session relations are type-vocabulary- and
+    * 1-row-sized; only the provably-1-row total is broadcast
+    * explicitly, the type join is left to the planner.
+    */
+  def eventLift(s: SparkSession, dir: String): DataFrame =
+    eventLiftFrom(t(s, dir))
+
+  /** [[eventLift]] over an explicit events relation (`event_id`/`us`/
+    * `user_id`/`event_type`) — the spec drives crafted baskets through
+    * it.
+    */
+  def eventLiftFrom(events: DataFrame): DataFrame = {
+    val st = sessionNumbered(events)
+      .select(col("user_id"), col("session_seq"), col("event_type"))
+      .distinct()
+      .persist() // feeds totals, per-type counts, and both pair legs
+    val total = st.select("user_id", "session_seq").distinct()
+      .agg(count(lit(1)).as("s")) // 1 row, provably bounded
+    val perType = st.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val pairs = st.as("x").join(st.as("y"), Seq("user_id", "session_seq"))
+      .filter(col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(perType.select(col("event_type").as("type_a"), col("n").as("n_a")), "type_a")
+      .join(perType.select(col("event_type").as("type_b"), col("n").as("n_b")), "type_b")
+      .crossJoin(broadcast(total))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_ab"),
+        round((col("n_ab").cast("double") * col("s").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val eventLiftSql: String = s"""WITH $sessionNumberedCtes,
+    st AS (SELECT DISTINCT user_id, session_seq, event_type FROM numbered),
+    tot AS (SELECT COUNT(*) AS s FROM (SELECT DISTINCT user_id, session_seq FROM st)),
+    pt AS (SELECT event_type, COUNT(*) AS n FROM st GROUP BY 1),
+    pr AS (
+      SELECT x.event_type AS type_a, y.event_type AS type_b, COUNT(*) AS n_ab
+      FROM st x JOIN st y ON x.user_id = y.user_id
+        AND x.session_seq = y.session_seq AND x.event_type < y.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b, a.n AS n_a, b.n AS n_b, n_ab,
+      ROUND((CAST(n_ab AS DOUBLE) * CAST(s AS DOUBLE)) /
+            (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)), 6) AS lift
+    FROM pr JOIN pt a ON pr.type_a = a.event_type
+            JOIN pt b ON pr.type_b = b.event_type
+    CROSS JOIN tot
+    ORDER BY type_a, type_b"""
+
   // ------------------------------------------------- E11 burst detection
 
   /** Sliding burst window width: 5 minutes in exact microseconds. */

@@ -741,6 +741,194 @@ object TextOps {
     FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
     ORDER BY d.doc_id"""
 
+  // -------------------------------------------- T15 quality winsorization
+
+  /** Value-range bucket count for the T15 two-phase exact rank. */
+  val WinsorBuckets = 64
+
+  /** T15: exact-percentile quality winsorization — the corpus' exact
+    * (nearest-rank) p05/p50/p95 quality scores, the winsorized mean,
+    * and the clipped-tail counts: the robust-statistics row of a data
+    * card (outlier-resistant where the plain mean is not, and the
+    * threshold pair a quality-gate sweep starts from). "Exact" is the
+    * point — percentile_approx-style sketches put engines off by a
+    * rank, so this computes the true order statistic.
+    *
+    * Determinism: quality is rounded at 6 BEFORE ranking (the shared
+    * [[qualityCol]] boundary), ranks tie-break on doc_id, the
+    * nearest-rank index k = ⌈p·n/100⌉ is pure integer arithmetic, and
+    * the winsorized mean accumulates already-rounded values in exact
+    * DECIMAL with one final division.
+    *
+    * Scale shape: the W4 two-phase VALUE-range rank — quality ∈ [0,1]
+    * buckets by ⌊q·64⌋ (monotone in the rank key), ranks are computed
+    * inside bounded bucket partitions, and the global rank is bucket
+    * offset (a ≤64-row window) + within-bucket rank; the corpus never
+    * sorts in one partition. The quantile extraction is a full-scan
+    * aggregate with map-side partials (3 conditional maxes), and the
+    * winsorized mean is a second scan against the broadcast 1-row
+    * quantile relation. The oracle states the naive single-window form;
+    * both agree exactly.
+    */
+  def qualityWinsor(s: SparkSession, dir: String): DataFrame =
+    qualityWinsorFrom(t(s, dir).select(col("doc_id"), qualityCol.as("q")))
+
+  /** [[qualityWinsor]] over an explicit `(doc_id, q)` relation with
+    * q ∈ [0,1] — the spec pins exact order statistics on a crafted
+    * ladder.
+    */
+  def qualityWinsorFrom(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = d.withColumn("bucket",
+        least(floor(col("q") * WinsorBuckets), lit(WinsorBuckets - 1L)).cast("long"))
+      .persist() // feeds the offsets, the ranked leg, and the final mean
+    val wOff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val off = base.groupBy("bucket").agg(count(lit(1)).as("c"))
+      .select(col("bucket"), coalesce(sum("c").over(wOff), lit(0L)).as("off"))
+    val total = base.agg(count(lit(1)).as("n")) // 1 row, provably bounded
+    val wRk = Window.partitionBy("bucket").orderBy(col("q"), col("doc_id"))
+    val ranked = base.withColumn("r", row_number().over(wRk))
+      .join(off, "bucket")
+      .withColumn("rk", col("off") + col("r"))
+    def kOf(p: Int) = expr(s"(n * $p + 99) div 100")
+    val qs = ranked.crossJoin(broadcast(total))
+      .agg(max("n").as("n_docs"),
+        max(when(col("rk") === kOf(5), col("q"))).as("p05"),
+        max(when(col("rk") === kOf(50), col("q"))).as("p50"),
+        max(when(col("rk") === kOf(95), col("q"))).as("p95"))
+    base.crossJoin(broadcast(qs))
+      .groupBy("n_docs", "p05", "p50", "p95")
+      .agg(
+        round(sum(least(greatest(col("q"), col("p05")), col("p95"))
+          .cast(DecimalType(10, 6))).cast("double") /
+          count(lit(1)).cast("double"), 6).as("win_mean"),
+        sum(when(col("q") < col("p05"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("q") > col("p95"), 1L).otherwise(0L)).as("n_hi"))
+      .select(col("n_docs"), col("p05"), col("p50"), col("p95"),
+        col("win_mean"), col("n_lo"), col("n_hi"))
+  }
+
+  val qualityWinsorSql: String = s"""WITH q AS (
+      SELECT doc_id, $qualityColSql AS q FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM q),
+    r AS (
+      SELECT doc_id, q, row_number() OVER (ORDER BY q, doc_id) AS rk FROM q),
+    qs AS (
+      SELECT MAX(n) AS n_docs,
+        MAX(CASE WHEN rk = (n * 5 + 99) // 100 THEN q END) AS p05,
+        MAX(CASE WHEN rk = (n * 50 + 99) // 100 THEN q END) AS p50,
+        MAX(CASE WHEN rk = (n * 95 + 99) // 100 THEN q END) AS p95
+      FROM r CROSS JOIN tot)
+    SELECT n_docs, p05, p50, p95,
+      ROUND(CAST(SUM(CAST(LEAST(GREATEST(q, p05), p95) AS DECIMAL(10,6))) AS DOUBLE) /
+        CAST(COUNT(*) AS DOUBLE), 6) AS win_mean,
+      CAST(SUM(CASE WHEN q < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+      CAST(SUM(CASE WHEN q > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+    FROM q CROSS JOIN qs
+    GROUP BY n_docs, p05, p50, p95"""
+
+  // ----------------------------------------------- T14 source drift (KL)
+
+  /** The union stopword probe set — the bounded vocabulary T14 measures
+    * distribution drift over (21 words across the three T3 languages,
+    * so a language-mix shift between sources registers directly).
+    */
+  val AllStop: Seq[String] = (EnStop ++ EsStop ++ DeStop).distinct
+
+  /** T14: per-source distribution drift — KL(source ‖ corpus) over the
+    * [[AllStop]] stopword-token distribution, plus the word driving the
+    * largest probability gap. The domain-shift monitor of a multi-source
+    * pretraining mix (a source whose stopword profile diverges from the
+    * pool is a different language/register/boilerplate mix — the cheap
+    * projection of embedding-drift detection onto a fixed 21-word
+    * vocabulary).
+    *
+    * Determinism (the transcendental tier): p/q reduces to the integer
+    * ratio (c_sw·N)/(ns·c_w); the products widen to double FIRST (the
+    * longs would overflow at 100 TB token counts), the division and
+    * `ln` happen once per (source, word) on the bounded sources×21
+    * relation, the log rounds at 9 immediately, and each term
+    * p·ln(p/q) accumulates in exact DECIMAL. Zero-count (source, word)
+    * cells contribute exactly 0 by the p→0 limit and never reach the
+    * log (they simply don't exist in the occ relation).
+    *
+    * Scale shape: one corpus scan filtered to the 21-word probe set
+    * (the IN predicate pushes into the scan's codegen), pre-aggregated
+    * to (source, word) with map-side partials — everything downstream
+    * is arithmetic on stat-sized relations; only the provably-1-row
+    * total broadcasts explicitly. The top-word window partitions by
+    * source over ≤21 rows.
+    */
+  def sourceDrift(s: SparkSession, dir: String): DataFrame =
+    sourceDriftFrom(t(s, dir).select(col("source"), col("text")))
+
+  /** [[sourceDrift]] over an explicit `(source, text)` relation — the
+    * spec pins exact KL values on crafted two-source corpora.
+    */
+  def sourceDriftFrom(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val occ = d
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isInCollection(AllStop))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .persist() // feeds ns, cw, and the term join legs (multi-leg rule)
+    val ns = occ.groupBy("source").agg(sum("c").as("n_stop_tokens"))
+    val cw = occ.groupBy("tok").agg(sum("c").as("cw"))
+    val n = cw.agg(sum("cw").as("n")) // 1 row, provably bounded
+    val p = col("c").cast("double") / col("n_stop_tokens").cast("double")
+    val q = col("cw").cast("double") / col("n").cast("double")
+    val terms = occ.join(ns, "source").join(cw, "tok").crossJoin(broadcast(n))
+      .select(col("source"), col("tok"), p.as("p"), q.as("q"),
+        (p * round(log((col("c").cast("double") * col("n").cast("double")) /
+          (col("n_stop_tokens").cast("double") * col("cw").cast("double"))), 9))
+          .as("term"))
+      .persist() // feeds the KL sum and the top-word rank
+    val kl = terms.groupBy("source")
+      .agg(round(sum(col("term").cast(DecimalType(25, 12))).cast("double"), 6)
+        .as("kl_drift"))
+    val wTop = Window.partitionBy("source")
+      .orderBy(abs(col("p") - col("q")).desc, col("tok"))
+    val top = terms.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("tok").as("top_word"),
+        round(col("p"), 6).as("top_p"), round(col("q"), 6).as("top_q"))
+    ns.join(kl, "source").join(top, "source")
+      .select(col("source"), col("n_stop_tokens"), col("kl_drift"),
+        col("top_word"), col("top_p"), col("top_q"))
+      .orderBy("source")
+  }
+
+  val sourceDriftSql: String = {
+    val inList = AllStop.map(w => s"'$w'").mkString(", ")
+    s"""WITH occ AS (
+      SELECT source, tok, COUNT(*) AS c
+      FROM (SELECT source, unnest($tokensSql) AS tok FROM documents)
+      WHERE tok IN ($inList)
+      GROUP BY 1, 2),
+    ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_stop_tokens FROM occ GROUP BY 1),
+    cw AS (SELECT tok, SUM(c) AS cw FROM occ GROUP BY 1),
+    tot AS (SELECT SUM(cw) AS n FROM cw),
+    terms AS (
+      SELECT source, tok,
+        CAST(c AS DOUBLE) / CAST(n_stop_tokens AS DOUBLE) AS p,
+        CAST(cw AS DOUBLE) / CAST(n AS DOUBLE) AS q,
+        (CAST(c AS DOUBLE) / CAST(n_stop_tokens AS DOUBLE)) *
+          ROUND(ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE)) /
+            (CAST(n_stop_tokens AS DOUBLE) * CAST(cw AS DOUBLE))), 9) AS term
+      FROM occ JOIN ns USING (source) JOIN cw USING (tok) CROSS JOIN tot),
+    kl AS (
+      SELECT source, ROUND(CAST(SUM(CAST(term AS DECIMAL(25,12))) AS DOUBLE), 6) AS kl_drift
+      FROM terms GROUP BY 1),
+    top AS (
+      SELECT source, tok AS top_word, ROUND(p, 6) AS top_p, ROUND(q, 6) AS top_q
+      FROM (SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY abs(p - q) DESC, tok) AS rk FROM terms)
+      WHERE rk = 1)
+    SELECT source, n_stop_tokens, kl_drift, top_word, top_p, top_q
+    FROM ns JOIN kl USING (source) JOIN top USING (source)
+    ORDER BY source"""
+  }
+
   // ----------------------------------------------- T13 lexical diversity
 
   /** T13: lexical-diversity signals — type-token ratio, hapax-legomenon

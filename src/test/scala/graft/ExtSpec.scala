@@ -787,6 +787,93 @@ class ExtSpec extends SparkSpec {
     assert(Similarity.centroidSeparationFrom(
       Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label"))
       .collect().isEmpty)
+    assert(Events.eventLiftFrom(noEvents).collect().isEmpty)
+    assert(TextOps.sourceDriftFrom(
+      Seq.empty[(String, String)].toDF("source", "text")).collect().isEmpty)
+    assert(TextOps.qualityWinsorFrom(
+      Seq.empty[(Long, Double)].toDF("doc_id", "q")).collect().isEmpty)
+  }
+
+  test("T15 winsor: exact order statistics and clamped mean on a ladder") {
+    val d = (1 to 100).map(i => (i.toLong, i / 100.0)).toDF("doc_id", "q")
+    val r = TextOps.qualityWinsorFrom(d).collect()
+    assert(r.length == 1)
+    val x = r(0)
+    assert(x.getLong(0) == 100L)
+    assert(x.getDouble(1) == 0.05 && x.getDouble(2) == 0.50 && x.getDouble(3) == 0.95,
+      s"$x")
+    assert(x.getDouble(4) == 0.5045, s"win_mean: $x")
+    assert(x.getLong(5) == 4L && x.getLong(6) == 5L, s"tails: $x")
+    // single doc: every percentile IS the doc, nothing clips
+    val one = TextOps.qualityWinsorFrom(Seq((7L, 0.3)).toDF("doc_id", "q"))
+      .collect()(0)
+    assert(one.getLong(0) == 1L && one.getDouble(1) == 0.3 &&
+      one.getDouble(3) == 0.3 && one.getDouble(4) == 0.3 &&
+      one.getLong(5) == 0L && one.getLong(6) == 0L, s"$one")
+    // real corpus: ordered percentiles, mean inside [p05, p95]
+    val real = TextOps.qualityWinsor(spark, Sf0001).collect()(0)
+    assert(real.getDouble(1) <= real.getDouble(2) &&
+      real.getDouble(2) <= real.getDouble(3))
+    assert(real.getDouble(4) >= real.getDouble(1) &&
+      real.getDouble(4) <= real.getDouble(3))
+  }
+
+  test("C3 impact: exact tier agrees with C2; near tier bounds and reclaim") {
+    val imp = graft.ext.Curation.dedupImpact(spark, Sf0001).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(imp.nonEmpty)
+    // the exact-dup fraction is C2's dup_frac — same definition, must agree
+    val card = graft.ext.Curation.dataCard(spark, Sf0001).collect()
+      .map(x => x.getString(0) -> x.getDouble(6)).toMap
+    imp.foreach { case (src, row) =>
+      assert(row.getDouble(4) == card(src), s"$src exact_dup_frac vs C2")
+      assert(row.getLong(3) <= row.getLong(1), "exact dups bounded by docs")
+      assert(row.getLong(5) <= row.getLong(1), "near dups bounded by docs")
+      assert(row.getLong(7) <= row.getLong(2), "reclaimed tokens bounded")
+    }
+  }
+
+  test("E12 lift: crafted baskets produce exact lifts; absent pairs absent") {
+    // three single-session users: {a,b}, {a}, {b,c} → S=3 sessions
+    val rows = Seq(
+      (1L, 0L, 1L, "a"), (2L, 1000000L, 1L, "b"),
+      (3L, 0L, 2L, "a"),
+      (4L, 0L, 3L, "b"), (5L, 1000000L, 3L, "c"))
+    val df = rows.toDF("event_id", "us", "user_id", "event_type")
+    val r = Events.eventLiftFrom(df).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4), x.getDouble(5))).toMap
+    assert(r.size == 2, s"only co-occurring pairs appear: $r")
+    assert(r(("a", "b")) == ((2L, 2L, 1L, 0.75)), s"${r(("a", "b"))}")
+    assert(r(("b", "c")) == ((2L, 1L, 1L, 1.5)), s"${r(("b", "c"))}")
+    // real corpus: lift positive, n_ab ≤ min(n_a, n_b)
+    val real = Events.eventLift(spark, Sf0001).collect()
+    assert(real.nonEmpty)
+    real.foreach(x => assert(x.getLong(4) <= math.min(x.getLong(2), x.getLong(3))
+      && x.getDouble(5) > 0.0))
+  }
+
+  test("T14 drift: exact KL on a crafted two-source corpus") {
+    val d = Seq(("A", "the the el"), ("B", "der und zzz"))
+      .toDF("source", "text")
+    val r = TextOps.sourceDriftFrom(d).collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(2), x.getString(3), x.getDouble(4),
+          x.getDouble(5))).toMap
+    // corpus stop counts: the=2 el=1 der=1 und=1, N=5 (zzz not a probe)
+    def term(c: Long, ns: Long, cw: Long) =
+      (c.toDouble / ns) * round9(math.log((c.toDouble * 5.0) / (ns.toDouble * cw)))
+    val klA = term(2, 3, 2) + term(1, 3, 1)
+    val klB = term(1, 2, 1) + term(1, 2, 1)
+    assert(r("A")._1 == 3L && r("B")._1 == 2L)
+    assert(math.abs(r("A")._2 - round6(klA)) < 1e-9, s"${r("A")}")
+    assert(math.abs(r("B")._2 - round6(klB)) < 1e-9, s"${r("B")}")
+    // top drift word for A: 'the' (|2/3−2/5| beats |1/3−1/5|)
+    assert(r("A")._3 == "the" && r("A")._4 == round6(2.0 / 3.0) && r("A")._5 == 0.4)
+    // real corpus: KL ≥ 0 up to term rounding, probe counts positive
+    val real = TextOps.sourceDrift(spark, Sf0001).collect()
+    assert(real.nonEmpty)
+    real.foreach(x => assert(x.getLong(1) > 0 && x.getDouble(2) > -1e-6, s"$x"))
   }
 
   test("E11 burst: RANGE-frame peers count; crafted burst flags exactly") {
