@@ -678,7 +678,8 @@ object SparkEntry {
     Q("x2_local_supplier_volume", Relational.localSupplierVolume, Some(Relational.localSupplierVolumeSql)),
     Q("x3_revenue_rollup", Relational.revenueRollup, Some(Relational.revenueRollupSql)),
     Q("x4_large_orders", Relational.largeOrderCustomers, Some(Relational.largeOrderCustomersSql)),
-    Q("x5_priority_pivot", Relational.priorityPivot, Some(Relational.priorityPivotSql)))
+    Q("x5_priority_pivot", Relational.priorityPivot, Some(Relational.priorityPivotSql)),
+    Q("x6_monthly_revenue", Relational.monthlyRevenue, Some(Relational.monthlyRevenueSql)))
 
   private val extQueries: Seq[Q] = Seq(
     Q("e1_sessionize", Events.sessionize, Some(Events.sessionizeSql)),
@@ -703,6 +704,7 @@ object SparkEntry {
     Q("e10_session_paths", Events.sessionPaths, Some(Events.sessionPathsSql)),
     Q("e11_burst_detect", Events.burstDetect, Some(Events.burstDetectSql)),
     Q("e12_event_lift", Events.eventLift, Some(Events.eventLiftSql)),
+    Q("e13_active_users", Events.activeUsers, Some(Events.activeUsersSql)),
     Q("t14_source_drift", TextOps.sourceDrift, Some(TextOps.sourceDriftSql)),
     Q("t11_bigram_surprisal", TextOps.bigramSurprisal, Some(TextOps.bigramSurprisalSql)),
     Q("t12_zipf_slope", TextOps.zipfSlope, Some(TextOps.zipfSlopeSql)),

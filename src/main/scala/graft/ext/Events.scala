@@ -426,6 +426,61 @@ object Events {
     ORDER BY event_type, user_id"""
   }
 
+  // ------------------------------------------------ E13 active-user curves
+
+  /** Exact integer microseconds per day. */
+  val DayUs: Long = 86400L * 1000000L
+
+  /** E13: DAU / trailing-7-day WAU / stickiness — the product-analytics
+    * activity curve, exactly (no HLL sketch: cross-engine hash gates
+    * need true distinct counts; a sketched variant would be the scale
+    * relaxation, not the semantics).
+    *
+    * The WAU join shape is the point: "distinct users active in
+    * [d−6, d]" is NOT computed by a range join (a per-day scan of 7
+    * days of activity) but by EXPANSION — each distinct (user, day)
+    * emits the 7 window-days it contributes to, then distinct + count
+    * per window-day. That turns an interval join into a plain
+    * exchange with map-side distinct partials, the shape that survives
+    * 1000 executors; the blowup factor is the fixed window width, and
+    * rows never concentrate beyond (users active near one day).
+    *
+    * Days without activity emit no row (the dau inner join drops the
+    * up-to-6-day ghost tail the expansion creates after the last
+    * active day). Stickiness DAU/WAU is one exact-integer IEEE
+    * division rounded at the boundary.
+    */
+  def activeUsers(s: SparkSession, dir: String): DataFrame =
+    activeUsersFrom(t(s, dir))
+
+  /** [[activeUsers]] over an explicit events relation (`us`/`user_id`)
+    * — the spec pins the curve on a crafted week.
+    */
+  def activeUsersFrom(events: DataFrame): DataFrame = {
+    val ud = events.select(col("user_id"), expr(s"us div $DayUs").as("day"))
+      .distinct()
+      .persist() // feeds the DAU agg and the window expansion
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 6)
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
+  val activeUsersSql: String = s"""WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day FROM events),
+    dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+    w AS (SELECT DISTINCT user_id, day + i AS day FROM ud, range(0, 7) t(i)),
+    wau AS (SELECT day, COUNT(*) AS wau FROM w GROUP BY 1)
+    SELECT day, dau, wau,
+      ROUND(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness
+    FROM dau JOIN wau USING (day) ORDER BY day"""
+
   // ------------------------------------------------ E12 co-occurrence lift
 
   /** E12: event-type co-occurrence lift — for every unordered pair of

@@ -163,6 +163,50 @@ object Relational {
     JOIN customer ON o_custkey = c_custkey
     ORDER BY o_orderkey"""
 
+  /** X6: monthly revenue time series — per ship-month revenue with the
+    * running cumulative and the 3-month trailing moving average (the
+    * finance-dashboard window shapes: cumulative RANGE-free running sum
+    * + ROWS-frame smoothing).
+    *
+    * Scale shape: the fact aggregates ONCE to the month grain with
+    * map-side partials (the x3 leaf-agg rule); both window functions
+    * then run over the months relation — bounded by the calendar span
+    * of the data (a century of months is 1 200 rows), the provably
+    * bounded single-partition window the CLAUDE.md global-order rule
+    * permits. Revenue accumulates in DECIMAL end-to-end; the running
+    * and smoothed values re-sum exact decimals, cast to double once
+    * per output cell, and the moving average divides by the window's
+    * actual row count (1..3 at the series head — both engines state
+    * the identical ROWS frame).
+    */
+  def monthlyRevenue(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("ym")
+    val monthly = t(s, dir, "lineitem")
+      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .cast("long").as("ym"))
+      .agg(revenueDec.as("rev"))
+    monthly.select(col("ym"),
+        col("rev").cast("double").as("revenue"),
+        sum(col("rev")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double").as("cum_revenue"),
+        round(sum(col("rev")).over(w.rowsBetween(-2, 0)).cast("double") /
+          count(lit(1)).over(w.rowsBetween(-2, 0)).cast("double"), 6).as("ma3"))
+      .orderBy("ym")
+  }
+
+  val monthlyRevenueSql: String = """WITH monthly AS (
+      SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+      FROM lineitem GROUP BY 1)
+    SELECT ym,
+      CAST(rev AS DOUBLE) AS revenue,
+      CAST(SUM(rev) OVER (ORDER BY ym ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue,
+      ROUND(CAST(SUM(rev) OVER (ORDER BY ym ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        CAST(COUNT(*) OVER (ORDER BY ym ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS ma3
+    FROM monthly ORDER BY ym"""
+
   /** The five TPC-H order priorities — the bounded, KNOWN pivot domain.
     * Stating the values explicitly matters twice: Spark skips the
     * distinct-values discovery job, and the output schema is static (a

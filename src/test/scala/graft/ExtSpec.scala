@@ -792,6 +792,51 @@ class ExtSpec extends SparkSpec {
       Seq.empty[(String, String)].toDF("source", "text")).collect().isEmpty)
     assert(TextOps.qualityWinsorFrom(
       Seq.empty[(Long, Double)].toDF("doc_id", "q")).collect().isEmpty)
+    assert(Events.activeUsersFrom(
+      Seq.empty[(Long, Long)].toDF("us", "user_id")).collect().isEmpty)
+  }
+
+  test("E13 DAU/WAU: crafted week; ghost days after the last active day drop") {
+    val d = Events.DayUs
+    // day 0: users 1,2 · day 1: user 1 · day 8: user 3 (outside day 0-1's
+    // 7-day horizon)
+    val rows = Seq((0L * d, 1L), (0L * d, 2L), (0L * d + 5L, 2L),
+      (1L * d, 1L), (8L * d, 3L))
+    val df = rows.toDF("us", "user_id")
+    val r = Events.activeUsersFrom(df).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r.keySet == Set(0L, 1L, 8L), s"only active days emit: $r")
+    assert(r(0L) == ((2L, 2L, 1.0)), s"day0: ${r(0L)}")
+    // day 1 window [−5..1] sees users {1,2}
+    assert(r(1L) == ((1L, 2L, 0.5)), s"day1: ${r(1L)}")
+    // day 8 window [2..8] sees only user 3
+    assert(r(8L) == ((1L, 1L, 1.0)), s"day8: ${r(8L)}")
+    // real corpus: wau ≥ dau, stickiness in (0, 1]
+    val real = Events.activeUsers(spark, Sf0001).collect()
+    assert(real.nonEmpty)
+    real.foreach(x => assert(x.getLong(2) >= x.getLong(1) &&
+      x.getDouble(3) > 0.0 && x.getDouble(3) <= 1.0))
+  }
+
+  test("X6 monthly revenue: cumulative reconciles; ma3 equals hand windows") {
+    val r = graft.ext.Relational.monthlyRevenue(spark, Sf0001).collect()
+    assert(r.length >= 3)
+    // cumulative = running sum of the revenue column (both from exact
+    // DECIMAL, so doubles agree bit-for-bit via BigDecimal re-sum)
+    val revs = r.map(_.getDouble(1))
+    val cums = r.map(_.getDouble(2))
+    var acc = BigDecimal(0)
+    revs.zip(cums).foreach { case (rev, cum) =>
+      acc += BigDecimal(rev)
+      assert((acc.toDouble - cum).abs <= cum.abs * 1e-12 + 1e-9, s"$acc vs $cum")
+    }
+    // ma3 at i averages the last min(3, i+1) revenues
+    r.indices.foreach { i =>
+      val win = revs.slice(math.max(0, i - 2), i + 1)
+      assert(math.abs(r(i).getDouble(3) - win.sum / win.length) < 1e-6,
+        s"ma3 at $i") }
+    // months ascend
+    assert(r.map(_.getLong(0)).sliding(2).forall(p => p(0) < p(1)))
   }
 
   test("T15 winsor: exact order statistics and clamped mean on a ladder") {
