@@ -743,7 +743,8 @@ object SparkEntry {
     // full hash gate applies despite the imperative decode plumbing.
     Q("m2_multimodal_features", Multimodal.features, Some(Multimodal.featuresSql)),
     Q("m3_frame_sample", Multimodal.frameSample, Some(Multimodal.frameSampleSql)),
-    Q("m4_corruption_scan", Multimodal.corruptionScan, Some(Multimodal.corruptionScanSql)))
+    Q("m4_corruption_scan", Multimodal.corruptionScan, Some(Multimodal.corruptionScanSql)),
+    Q("m5_payload_entropy", Multimodal.payloadEntropy, Some(Multimodal.payloadEntropySql)))
 
   // --------------------------------------------------------------- registry
 

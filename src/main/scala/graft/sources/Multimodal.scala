@@ -230,6 +230,92 @@ object Multimodal {
       FROM f ORDER BY doc_id"""
   }
 
+  /** Low-entropy threshold (nats over the 16-nibble alphabet; max is
+    * ln 16 ≈ 2.77). Constant-byte payloads score 0; natural text sits
+    * near 2.4-2.6 — the gap is the signal.
+    */
+  val LowEntropy = 1.0
+
+  /** M5: payload nibble entropy — Shannon entropy of each payload's
+    * low-nibble distribution, the compression-ratio proxy that flags
+    * blank/constant/truncated media BEFORE an expensive decode (the
+    * dual of M4: M4 catches a dominating symbol, M5 catches the whole
+    * distribution collapsing). Same hex-algebra histogram as M4 — no
+    * UDF, stays in codegen.
+    *
+    * Determinism (transcendental tier): each term's log is stated as
+    * ln(L/c) of two exact integers widened to double — computed once
+    * per (doc, nibble), `round(…, 9)` immediately (kills the 1-ulp
+    * libm divergence), multiplied by the exact ratio c/L, and the ≤16
+    * per-doc terms accumulate in exact DECIMAL with one final round at
+    * the comparison boundary. Zero-count nibbles contribute exactly 0
+    * (the p→0 limit) and never reach the log; empty payloads report
+    * entropy 0 and flag low.
+    *
+    * Scale shape: a pure per-row projection (the 16 counts + 16 terms
+    * fold inside one codegen stage) — no shuffle at all until the
+    * final presentation sort.
+    */
+  def payloadEntropy(s: SparkSession, dir: String): DataFrame =
+    payloadEntropyFrom(table(s, dir))
+
+  /** [[payloadEntropy]] over an explicit `(doc_id, modality, payload)`
+    * relation — the spec drives constant and uniform payloads through
+    * it.
+    */
+  def payloadEntropyFrom(tbl: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val low = regexp_replace(hex(col("payload")), ".(.)", "$1")
+    val counts = (0 until FeatureBins).map { k =>
+      val d = "0123456789ABCDEF"(k).toString
+      (length(low) - length(regexp_replace(low, d, ""))).as(s"c$k")
+    }
+    val base = tbl.select(
+      col("doc_id") +: col("modality") +:
+        length(col("payload")).cast("long").as("byte_len") +: counts: _*)
+    val terms = (0 until FeatureBins).map { k =>
+      val c = col(s"c$k").cast("double")
+      val l = col("byte_len").cast("double")
+      when(col(s"c$k") > 0,
+        ((c / l) * round(log(l / c), 9)).cast(DecimalType(20, 10)))
+        .otherwise(lit(0).cast(DecimalType(20, 10)))
+    }
+    base.select(col("doc_id"), col("modality"), col("byte_len"),
+        when(col("byte_len") === 0, lit(0.0))
+          .otherwise(round(terms.reduce(_ + _).cast("double"), 6))
+          .as("nibble_entropy"))
+      .withColumn("low_entropy", (col("nibble_entropy") < LowEntropy).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[payloadEntropy]] — the identical hex-algebra
+    * histogram and term chain over the UTF-8 text bytes.
+    */
+  val payloadEntropySql: String = {
+    val cdefs = (0 until FeatureBins).map { k =>
+      val d = "0123456789ABCDEF"(k)
+      s"strlen(low) - strlen(replace(low, '$d', '')) AS c$k"
+    }.mkString(", ")
+    val terms = (0 until FeatureBins).map { k =>
+      s"""CASE WHEN c$k > 0 THEN CAST((CAST(c$k AS DOUBLE) / CAST(byte_len AS DOUBLE)) *
+        ROUND(ln(CAST(byte_len AS DOUBLE) / CAST(c$k AS DOUBLE)), 9) AS DECIMAL(20,10))
+        ELSE CAST(0 AS DECIMAL(20,10)) END"""
+    }.mkString(" + ")
+    s"""WITH b AS (
+        SELECT doc_id, concat('modality_', source) AS modality,
+               CAST(strlen(text) AS BIGINT) AS byte_len,
+               regexp_replace(hex(encode(text)), '.(.)', '\\1', 'g') AS low
+        FROM documents),
+      c AS (SELECT doc_id, modality, byte_len, $cdefs FROM b),
+      e AS (
+        SELECT doc_id, modality, byte_len,
+          CASE WHEN byte_len = 0 THEN 0.0
+               ELSE ROUND(CAST($terms AS DOUBLE), 6) END AS nibble_entropy
+        FROM c)
+      SELECT *, CAST(nibble_entropy < $LowEntropy AS INT) AS low_entropy
+      FROM e ORDER BY doc_id"""
+  }
+
   /** STUB decoder: 16-bin byte histogram normalized by length — a
     * deterministic placeholder for codec + feature model output.
     */

@@ -794,6 +794,32 @@ class ExtSpec extends SparkSpec {
       Seq.empty[(Long, Double)].toDF("doc_id", "q")).collect().isEmpty)
     assert(Events.activeUsersFrom(
       Seq.empty[(Long, Long)].toDF("us", "user_id")).collect().isEmpty)
+    assert(Multimodal.payloadEntropyFrom(
+      Seq.empty[(Long, String, Array[Byte])].toDF("doc_id", "modality", "payload"))
+      .collect().isEmpty)
+  }
+
+  test("M5 entropy: constant payload 0, two-symbol payload ln 2; empty flags") {
+    val rows = Seq(
+      // 'AAAA' = 0x41×4 → low nibbles all '1' → entropy 0
+      (1L, "m", "AAAA".getBytes("UTF-8")),
+      // 'ABAB' = 0x41 0x42 ×2 → low nibbles 1,2,1,2 → entropy ln 2
+      (2L, "m", "ABAB".getBytes("UTF-8")),
+      (3L, "m", Array.empty[Byte]))
+    val r = Multimodal.payloadEntropyFrom(rows.toDF("doc_id", "modality", "payload"))
+      .collect().map(x => x.getLong(0) -> (x.getLong(2), x.getDouble(3), x.getInt(4)))
+      .toMap
+    assert(r(1L) == ((4L, 0.0, 1)), s"constant: ${r(1L)}")
+    val ln2 = round6(2.0 * (0.5 * round9(math.log(2.0))))
+    assert(r(2L) == ((4L, ln2, 1)), s"two-symbol: ${r(2L)}")
+    assert(r(3L) == ((0L, 0.0, 1)), s"empty: ${r(3L)}")
+    // real corpus: entropy in [0, ln 16], natural text is NOT low-entropy
+    val real = Multimodal.payloadEntropy(spark, Sf0001).collect()
+    assert(real.nonEmpty)
+    real.foreach(x => assert(x.getDouble(3) >= 0.0 &&
+      x.getDouble(3) <= math.log(16.0) + 1e-6))
+    assert(real.count(_.getInt(4) == 1) < real.length / 10,
+      "natural text rarely collapses to low entropy")
   }
 
   test("E13 DAU/WAU: crafted week; ghost days after the last active day drop") {
