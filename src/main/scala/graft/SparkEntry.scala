@@ -734,6 +734,9 @@ object SparkEntry {
     // KMeans coarse quantizer — not SQL-expressible; rows-only check,
     // but the output embeds its own exact-baseline recall columns.
     Q("s4_ivf_ann_topk", Ivf.ivfTopk, None),
+    // Same KMeans non-expressibility as s4; the embedded exact baseline
+    // is the ground truth and ExtSpec gates curve monotonicity.
+    Q("s9_ivf_probe_sweep", Ivf.probeSweep, None),
     Q("s5_centroid_outliers", Similarity.centroidOutliers, Some(Similarity.centroidOutliersSql)),
     Q("s6_quant_error", Similarity.quantError, Some(Similarity.quantErrorSql)),
     Q("s7_centroid_separation", Similarity.centroidSeparation, Some(Similarity.centroidSeparationSql)),

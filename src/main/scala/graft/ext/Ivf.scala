@@ -158,4 +158,86 @@ object Ivf {
     res.crossJoin(broadcast(guard))
       .orderBy("qid", "rk")
   }
+
+  /** The nprobe values S9 sweeps (≤ [[NList]]). */
+  val ProbeGrid: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** S9: recall-vs-nprobe sweep — for each probe width in [[ProbeGrid]],
+    * the mean recall@[[TopK]] against the in-plan exact baseline and the
+    * mean candidate count per query: the tuning curve every real ANN
+    * deployment reads before fixing its latency/recall point (FAISS'
+    * nprobe knob). Shares the quantizer, probe logic, and exact-top-k
+    * construction with [[ivfTopk]] so the curve describes exactly the
+    * operator s4 ships.
+    *
+    * One probe pass at the WIDEST grid value does all the work: each
+    * candidate row carries the probe RANK of the cell that produced it,
+    * and narrower widths are `prank ≤ p` filters over the same relation
+    * — the sweep never re-joins the corpus per grid point. Like s4, not
+    * SQL-expressible (KMeans); the embedded exact baseline is the
+    * ground truth and the spec gates monotonicity.
+    */
+  def probeSweep(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("features", toVec(col("embedding")))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+      .persist()
+    val train = emb
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(TrainSample)
+    val model = new KMeans().setK(NList).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(train)
+    val maxProbe = ProbeGrid.max
+    val bc = s.sparkContext.broadcast(model.clusterCenters.map(_.toArray))
+    // (cell, probe_rank) pairs for the widest width — identical distance
+    // logic to ivfTopk's probeCells
+    val probeRanked = udf((a: Seq[Float]) => {
+      val q = a.map(_.toDouble).toArray
+      bc.value.zipWithIndex.map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < q.length) { val t = q(j) - c(j); d += t * t; j += 1 }
+        (i, d)
+      }.sortBy(_._2).take(maxProbe).zipWithIndex
+        .map { case ((cell, _), r) => (cell, r + 1) }
+    })
+    val corpus = model.transform(emb)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    val queries = emb.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"),
+        explode(probeRanked(col("embedding"))).as("pc"))
+      .select(col("qid"), col("qe"), col("qn"),
+        col("pc._1").as("cell"), col("pc._2").as("prank"))
+    val cand = corpus.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("prank"), col("vec_id").as("oid"),
+        (Similarity.dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
+          .as("cos"))
+      .persist() // one probe pass feeds every grid point
+    val qbase = emb.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val exact = Similarity.exactTopk(
+        emb.select(col("vec_id"), col("embedding"), col("nrm")), qbase, TopK)
+      .select(col("qid"), col("oid"), lit(true).as("exact_hit"))
+    val perProbe = ProbeGrid.map { p =>
+      val topk = cand.filter(col("prank") <= p)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("oid"))))
+        .filter(col("rk") <= TopK)
+      val nCand = cand.filter(col("prank") <= p)
+        .agg(count(lit(1)).as("n_cand"), countDistinct(col("qid")).as("nq"))
+      topk.join(exact, Seq("qid", "oid"), "left")
+        .agg(
+          (sum(when(col("exact_hit"), 1L).otherwise(0L)).cast("double") /
+            (countDistinct(col("qid")) * TopK).cast("double")).as("mean_recall"),
+          countDistinct(col("qid")).as("nq2"))
+        .crossJoin(broadcast(nCand))
+        .select(lit(p).as("nprobe"),
+          round(col("mean_recall"), 6).as("mean_recall"),
+          round(col("n_cand").cast("double") / col("nq").cast("double"), 2)
+            .as("mean_candidates"))
+    }.reduce(_ unionAll _)
+    perProbe.orderBy("nprobe")
+  }
 }

@@ -1090,6 +1090,20 @@ class ExtSpec extends SparkSpec {
     assert(real.map(_.getString(0)).distinct.length == real.length && real.nonEmpty)
   }
 
+  test("S9 probe sweep: recall and candidate volume rise with nprobe") {
+    val r = graft.ext.Ivf.probeSweep(spark, Sf0001).collect()
+      .sortBy(_.getInt(0))
+    assert(r.map(_.getInt(0)).toSeq == graft.ext.Ivf.ProbeGrid)
+    val recalls = r.map(_.getDouble(1))
+    val cands = r.map(_.getDouble(2))
+    assert(recalls.forall(x => x >= 0.0 && x <= 1.0))
+    // widening the probe can only add candidates, so recall is monotone
+    assert(recalls.sliding(2).forall(p => p(0) <= p(1) + 1e-9), recalls.toSeq.toString)
+    assert(cands.sliding(2).forall(p => p(0) < p(1)), cands.toSeq.toString)
+    // the s4 operating point (nprobe=4) meets the same bar s4 guards
+    assert(recalls(graft.ext.Ivf.ProbeGrid.indexOf(4)) > graft.ext.Ivf.MinRecall)
+  }
+
   test("D9 calibration: pair conservation against D3 and bounded errors") {
     val cal = Dedup.minhashCalibration(spark, Sf0001).collect()
     assert(cal.nonEmpty)
