@@ -705,6 +705,7 @@ object SparkEntry {
     Q("e11_burst_detect", Events.burstDetect, Some(Events.burstDetectSql)),
     Q("e12_event_lift", Events.eventLift, Some(Events.eventLiftSql)),
     Q("e13_active_users", Events.activeUsers, Some(Events.activeUsersSql)),
+    Q("j2_point_in_time", Events.pointInTime, Some(Events.pointInTimeSql)),
     Q("t14_source_drift", TextOps.sourceDrift, Some(TextOps.sourceDriftSql)),
     Q("t11_bigram_surprisal", TextOps.bigramSurprisal, Some(TextOps.bigramSurprisalSql)),
     Q("t12_zipf_slope", TextOps.zipfSlope, Some(TextOps.zipfSlopeSql)),

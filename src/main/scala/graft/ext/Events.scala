@@ -30,6 +30,13 @@ object Events {
 
   val SessionGapUs: Long = 1800L * 1000000L // 30 min
 
+  /** Exact integer microseconds per day. Declared before every oracle
+    * `val` that interpolates it — Scala object vals initialize in
+    * declaration order, and a forward reference interpolates as 0
+    * (caught once: j2's oracle briefly read `// 0`).
+    */
+  val DayUs: Long = 86400L * 1000000L
+
   /** Shared session numbering (E1/E7): gap > [[SessionGapUs]] starts a
     * new session — lag + cumulative sum over a user-partitioned window
     * (one shuffle by user_id). The one place the session definition
@@ -426,10 +433,72 @@ object Events {
     ORDER BY event_type, user_id"""
   }
 
+  // ------------------------------------------- J2 point-in-time join
+
+  /** J2: cross-table point-in-time (as-of) join — attribute every event
+    * to the SAME customer's most recent order at-or-before the event
+    * timestamp (user_id ⋈ o_custkey), with the staleness in whole days.
+    * The feature-store staple (training-serving skew dies exactly here:
+    * a feature computed from any LATER order is leakage), and the
+    * cross-table generalization of E4's same-table as-of.
+    *
+    * Plan shape — the scale point: as-of is NOT an inequality join
+    * (which would be a per-row range scan) but a UNION-SORT: both
+    * tables tag into one stream keyed by user, sorted by (us, kind,
+    * id), and `last(..., ignoreNulls)` carries the latest order forward
+    * — ONE shuffle on user_id, O(stream) per key, the E4 pattern
+    * applied across tables. At equal timestamps the order sorts FIRST
+    * (kind 0 < 1), stating "at-or-before" deterministically in both
+    * engines.
+    */
+  def pointInTime(s: SparkSession, dir: String): DataFrame = {
+    val ord = s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey").as("user_id"),
+        // parquet TIMESTAMP(ms) surfaces as NTZ; the UTC session cast
+        // states the same wall-clock→epoch mapping DuckDB's epoch_us uses
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+        lit(0).as("kind"), col("o_orderkey"),
+        lit(null).cast("long").as("event_id"))
+    val ev = t(s, dir)
+      .select(col("user_id"), col("us"), lit(1).as("kind"),
+        lit(null).cast("long").as("o_orderkey"), col("event_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("kind"), coalesce(col("o_orderkey"), col("event_id")))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ord.unionAll(ev)
+      .withColumn("last_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("last_order_us",
+        last(when(col("kind") === 0, col("us")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("us").as("event_us"),
+        col("last_orderkey"),
+        expr(s"(us - last_order_us) div $DayUs").as("staleness_days"))
+      .orderBy("event_id")
+  }
+
+  val pointInTimeSql: String = s"""WITH u AS (
+      SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS us, 0 AS kind,
+        o_orderkey, CAST(NULL AS BIGINT) AS event_id
+      FROM orders
+      UNION ALL
+      SELECT user_id, epoch_us(ts), 1, CAST(NULL AS BIGINT), event_id
+      FROM events),
+    c AS (
+      SELECT *,
+        last_value(o_orderkey IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY us, kind, COALESCE(o_orderkey, event_id)
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_orderkey,
+        last_value(CASE WHEN kind = 0 THEN us END IGNORE NULLS) OVER (
+          PARTITION BY user_id
+          ORDER BY us, kind, COALESCE(o_orderkey, event_id)
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_order_us
+      FROM u)
+    SELECT event_id, user_id, us AS event_us, last_orderkey,
+      (us - last_order_us) // $DayUs AS staleness_days
+    FROM c WHERE kind = 1 ORDER BY event_id"""
+
   // ------------------------------------------------ E13 active-user curves
 
-  /** Exact integer microseconds per day. */
-  val DayUs: Long = 86400L * 1000000L
 
   /** E13: DAU / trailing-7-day WAU / stickiness — the product-analytics
     * activity curve, exactly (no HLL sketch: cross-engine hash gates

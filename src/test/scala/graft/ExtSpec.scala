@@ -1090,6 +1090,27 @@ class ExtSpec extends SparkSpec {
     assert(real.map(_.getString(0)).distinct.length == real.length && real.nonEmpty)
   }
 
+  test("J2 point-in-time: every event attributes to its user's latest prior order") {
+    val r = Events.pointInTime(spark, Sf0001).collect()
+    val nEvents = spark.read.parquet(s"$Sf0001/events.parquet").count()
+    assert(r.length == nEvents, "one output row per event")
+    // independent recomputation: on sf0.001 ALL orders precede ALL
+    // events, so each user's attribution is their max-(us, orderkey)
+    // order — the same tiebreak the union-sort states
+    val expected = spark.read.parquet(s"$Sf0001/orders.parquet")
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(max(struct(unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+        col("o_orderkey").as("k"))).as("m"))
+      .select(col("user_id"), col("m.k").as("exp_order"), col("m.us").as("exp_us"))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    r.foreach { x =>
+      val (exp, expUs) = expected(x.getLong(1))
+      assert(x.getLong(3) == exp, s"event ${x.getLong(0)} attribution")
+      assert(x.getLong(4) == (x.getLong(2) - expUs) / Events.DayUs &&
+        x.getLong(4) >= 0L, s"staleness: $x")
+    }
+  }
+
   test("S9 probe sweep: recall and candidate volume rise with nprobe") {
     val r = graft.ext.Ivf.probeSweep(spark, Sf0001).collect()
       .sortBy(_.getInt(0))
