@@ -242,18 +242,29 @@ object Bench {
     // lands in bench_full.json (git-tracked).
     def cs(v: Double): Long = math.round(v * 100.0)
     val FastCs = 50L
-    val (listed, fast) = all.partition { case (k, v) =>
-      cs(v) >= FastCs || v < 0 || k.startsWith("raster_") }
-    val qsCompact = listed.map { case (k, v) => s"\"" + k + "\":" + cs(v) }
-      .mkString("{", ",", "}")
-    val issues = (if (failed.isEmpty) "" else s""","failed":$failedJson""") +
-      (if (flaky.isEmpty) "" else s""","flaky":$flakyJson""")
-    val sfShort = sfDir.split('/').last
-    val compact = s"""{"u":"cs","tcs":${cs(total)},"qcs":$qsCompact,""" +
-      s""""fast_n":${fast.length},"fast_tcs":${cs(fast.map(_._2).sum)},""" +
-      s""""sncs":${cs(sentinel)},"sf":"$sfShort"$issues}"""
-    if (compact.length > 1900)
-      System.err.println(s"BENCH WARN: compact line ${compact.length} chars risks the 2000-char driver tail; shorten it")
+    def render(threshold: Long): String = {
+      val (listed, fast) = all.partition { case (k, v) =>
+        cs(v) >= threshold || v < 0 || k.startsWith("raster_") }
+      val qsCompact = listed.map { case (k, v) => s"\"" + k + "\":" + cs(v) }
+        .mkString("{", ",", "}")
+      val issues = (if (failed.isEmpty) "" else s""","failed":$failedJson""") +
+        (if (flaky.isEmpty) "" else s""","flaky":$flakyJson""")
+      val sfShort = sfDir.split('/').last
+      s"""{"u":"cs","tcs":${cs(total)},"qcs":$qsCompact,""" +
+        s""""fast_n":${fast.length},"fast_tcs":${cs(fast.map(_._2).sum)},""" +
+        s""""sncs":${cs(sentinel)},"sf":"$sfShort"$issues}"""
+    }
+    // Degrade, never overflow (r10 ADVICE): if the line would risk the
+    // driver's 2000-char stdout tail (which truncates the JSON HEAD —
+    // the exact round-9 failure), double the listing threshold until it
+    // fits; raster_* comparables and failures always stay listed, the
+    // demoted queries fold into the fast_n/fast_tcs remainder.
+    val compact = LazyList.iterate(FastCs)(_ * 2).take(12)
+      .map(render).find(_.length <= 1900)
+      .getOrElse {
+        System.err.println("BENCH WARN: compact line irreducible below 1900 chars")
+        render(Long.MaxValue / 2)
+      }
     println(compact)
     spark.stop()
   }

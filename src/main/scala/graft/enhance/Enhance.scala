@@ -107,29 +107,70 @@ object Clahe {
   val ClipLimit = 2.0
   val TileW: Int = (Grid.Cols + Tiles - 1) / Tiles // 32
 
+  /** Prepared-query memo: the a4 plan embeds ~60 copies of the grid
+    * lineage once the stats/corner subtrees are composed, and Spark's
+    * eager per-operation checkAnalysis makes CONSTRUCTION alone cost
+    * ~1.2 s of driver time per call (tools/A4Warm, r11) — on top of the
+    * identical plan-equality cache hits. Construction is pure in
+    * (session, dir), so the built Dataset (immutable) is memoized and
+    * its persists re-armed on each call (a clearCache between calls
+    * unregisters them; without the re-arm every later action would
+    * recompute the whole tree uncached). Bounded: one entry per live
+    * (session, dir) pair.
+    */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, Seq[DataFrame])]
+
   def query(s: SparkSession, dir: String): DataFrame = {
+    val (q, persisted) = memo.computeIfAbsent((s, dir), { _ =>
+      build(s, dir)
+    })
+    persisted.foreach { p =>
+      if (p.storageLevel == org.apache.spark.storage.StorageLevel.NONE) p.persist()
+    }
+    q
+  }
+
+  private def build(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     // The grid (global row_number) feeds the stats pass, both histograms,
     // and the sampling pass — cache it so the sort runs once, not 5×.
     val g = Grid.df(s, dir).persist()
-    val st = HistStats.stats(g.filter(col("valid")).select(col("db")))
+    // the one-row stats relation is a full two-pass subtree over the
+    // cached grid (agg + 4096-bin hist + CDF windows); without a persist
+    // every invocation rebuilds it just to broadcast one row (~1.6 s warm
+    // at sf0.1, measured tools/A4Prof r11)
+    val st = HistStats.stats(g.filter(col("valid")).select(col("db"))).persist()
     val params = st.select(col("p01").as("low"), col("p99").as("high"),
       greatest(col("p99") - col("p01"), lit(1.0)).as("rng"))
 
     // bin/tile assignment computed BEFORE the persist and projected
     // narrow: the cache then holds exactly what the three consumers
     // (histogram, tile counts, bilinear sampling) read, instead of
-    // re-deriving norm/bin per consumer and caching dead stat columns
+    // re-deriving norm/bin per consumer and caching dead stat columns.
+    // ONE select, not a withColumn chain: every withColumn re-analyzes
+    // the full lineage, and a4's construct cost was ~1.3 s of pure
+    // driver analysis before this batching (tools/A4Warm, r11) — the
+    // composed expressions are exactly what CollapseProject produced.
+    val tileH = expr(s"(rows_ + ${Tiles - 1}) div $Tiles")
+    val norm = when(col("valid"),
+      (least(greatest(col("db"), col("low")), col("high")) - col("low")) / col("rng"))
+      .otherwise(lit(0.0))
+    // the bilinear sampling coordinates (dy/dx + floored 00-corner tile
+    // ids) are precomputed INTO the cache: the warm-path probe side of
+    // the corner join then reads plain cached columns instead of
+    // re-evaluating the floor/greatest towers per row in the join keys,
+    // the null filter, AND the projection (3× per expression before)
+    val rfE = col("y").cast("double") / tileH.cast("double") - lit(0.5)
+    val cfE = col("x").cast("double") / lit(TileW.toDouble) - lit(0.5)
+    val tyfE = greatest(floor(rfE), lit(0.0))
+    val txfE = greatest(floor(cfE), lit(0.0))
     val px = g.crossJoin(broadcast(params))
-      .withColumn("tile_h", expr(s"(rows_ + ${Tiles - 1}) div $Tiles"))
-      .withColumn("norm", when(col("valid"),
-        (least(greatest(col("db"), col("low")), col("high")) - col("low")) / col("rng"))
-        .otherwise(lit(0.0)))
-      .withColumn("bin",
-        round(least(greatest(col("norm"), lit(0.0)), lit(1.0)) * lit(255.0), 0).cast("int"))
-      .withColumn("ty", expr("y div tile_h"))
-      .withColumn("tx", expr(s"x div $TileW"))
-      .select(col("y"), col("x"), col("valid"), col("tile_h"),
-        col("bin"), col("ty"), col("tx"))
+      .select(col("y"), col("x"), col("valid"),
+        round(least(greatest(norm, lit(0.0)), lit(1.0)) * lit(255.0), 0).cast("int").as("bin"),
+        expr(s"y div ((rows_ + ${Tiles - 1}) div $Tiles)").as("ty"),
+        expr(s"x div $TileW").as("tx"),
+        (rfE - tyfE).as("dy"), (cfE - txfE).as("dx"),
+        tyfE.cast("long").as("tyi"), txfE.cast("long").as("txi"))
       .persist()
 
     val hist = px.filter(col("valid"))
@@ -146,22 +187,24 @@ object Clahe {
       .crossJoin(s.range(Tiles).toDF("tx"))
     val rowsDf = g.agg(coalesce(max(col("rows_")), lit(0L)).as("rows_"))
       .withColumn("tile_h", expr(s"(rows_ + ${Tiles - 1}) div $Tiles"))
+    val tp =
+      greatest(least((col("ty") + 1) * col("tile_h"), col("rows_")) -
+        col("ty") * col("tile_h"), lit(0L)) *
+      greatest(least((col("tx") + 1) * lit(TileW.toLong), lit(Grid.Cols.toLong)) -
+        col("tx") * lit(TileW.toLong), lit(0L))
     val tiles = tileIds.crossJoin(broadcast(rowsDf))
-      .withColumn("tp",
-        greatest(least((col("ty") + 1) * col("tile_h"), col("rows_")) -
-          col("ty") * col("tile_h"), lit(0L)) *
-        greatest(least((col("tx") + 1) * lit(TileW.toLong), lit(Grid.Cols.toLong)) -
-          col("tx") * lit(TileW.toLong), lit(0L)))
-      .select(col("ty"), col("tx"), col("tp"))
-      .withColumn("ct", greatest(lit(ClipLimit) * (col("tp") / lit(NumBins.toDouble)), lit(1.0)))
+      .select(col("ty"), col("tx"), tp.as("tp"),
+        greatest(lit(ClipLimit) * (tp / lit(NumBins.toDouble)), lit(1.0)).as("ct"))
 
     val excess = tiles.join(hist, Seq("ty", "tx"), "left")
       .groupBy(col("ty"), col("tx"))
       .agg(coalesce(sum(when(col("h") > col("ct"), col("h") - col("ct")).otherwise(lit(0.0))),
         lit(0.0)).as("excess"))
+    val apb = floor(col("excess") / lit(NumBins.toDouble))
     val tinfo = tiles.join(excess, Seq("ty", "tx"))
-      .withColumn("apb", floor(col("excess") / lit(NumBins.toDouble)))
-      .withColumn("rem", round(col("excess") - col("apb") * lit(NumBins.toDouble), 0))
+      .select(col("ty"), col("tx"), col("tp"), col("ct"), col("excess"),
+        apb.as("apb"),
+        round(col("excess") - apb * lit(NumBins.toDouble), 0).as("rem"))
 
     val bins = s.range(NumBins).toDF("bin")
     val full = tinfo.crossJoin(bins)
@@ -200,29 +243,25 @@ object Clahe {
           col("bin") === col("b11"))
       .select(col("tyi"), col("txi"), col("bin"),
         col("c00"), col("c01"), col("c10"), col("c11"))
+      // bounded Tiles²·NumBins = 16 384 rows; persisted so a warm rerun
+      // broadcasts the cached corner table instead of re-running the
+      // three cdf self-joins (per the registry persist-lifetime contract)
+      .persist()
 
-    val samp = px
-      .withColumn("rf", col("y").cast("double") / col("tile_h").cast("double") - lit(0.5))
-      .withColumn("cf", col("x").cast("double") / lit(TileW.toDouble) - lit(0.5))
-      .withColumn("tyf", greatest(floor(col("rf")), lit(0.0)))
-      .withColumn("txf", greatest(floor(col("cf")), lit(0.0)))
-      .withColumn("dy", col("rf") - col("tyf"))
-      .withColumn("dx", col("cf") - col("txf"))
-      // the floored tile index is already ≤ Tiles-1 for every in-grid
-      // pixel (y < rows_ ≤ Tiles·tile_h), so it IS the 00-corner id
-      .withColumn("tyi", col("tyf").cast("long"))
-      .withColumn("txi", col("txf").cast("long"))
-
-    val joined = samp.join(broadcast(corner4), Seq("tyi", "txi", "bin"))
+    // the floored tile index is already ≤ Tiles-1 for every in-grid
+    // pixel (y < rows_ ≤ Tiles·tile_h), so it IS the 00-corner id —
+    // dy/dx/tyi/txi come straight out of the pixel cache
+    val joined = px.join(broadcast(corner4), Seq("tyi", "txi", "bin"))
 
     val top = col("c00") * (lit(1.0) - col("dx")) + col("c01") * col("dx")
     val bottom = col("c10") * (lit(1.0) - col("dx")) + col("c11") * col("dx")
     val out = top * (lit(1.0) - col("dy")) + bottom * col("dy")
-    joined.select(col("y"), col("x"),
+    val result = joined.select(col("y"), col("x"),
       when(col("valid"),
         floor(least(greatest(out, lit(0.0)), lit(1.0)) * lit(65535.0)).cast("int"))
         .otherwise(lit(0)).as("q"))
       .orderBy("y", "x")
+    (result, Seq(g, st, px, cdf, corner4))
   }
 
   val querySql: String = {

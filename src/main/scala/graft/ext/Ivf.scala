@@ -150,9 +150,15 @@ object Ivf {
     // persisted result (no intermediate distinct): each (qid, oid) row
     // is already unique, so mean recall = Σ hits / (n_queries · k) —
     // exact integer counts, a single IEEE division, strict > gate.
+    // denominator = the FULL query count (bounded one-row agg), not the
+    // distinct qids present in `res`: a query with zero IVF candidates
+    // must count as recall 0 in the gate, not silently drop out
+    val nq = qbase.agg(count(lit(1)).as("nq"))
     val guard = res
-      .agg((sum(when(col("exact_hit"), 1L).otherwise(0L)).cast("double") /
-        (countDistinct(col("qid")) * TopK).cast("double")).as("mean_recall"))
+      .agg(sum(when(col("exact_hit"), 1L).otherwise(0L)).as("n_hit"))
+      .crossJoin(broadcast(nq))
+      .select((col("n_hit").cast("double") /
+        (col("nq") * TopK).cast("double")).as("mean_recall"))
       .filter(col("mean_recall") > MinRecall)
       .select(lit(true).as("recall_ok"))
     res.crossJoin(broadcast(guard))
@@ -178,6 +184,7 @@ object Ivf {
     * ground truth and the spec gates monotonicity.
     */
   def probeSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
       .withColumn("features", toVec(col("embedding")))
       .withColumn("nrm", Similarity.norm(col("embedding")))
@@ -220,24 +227,46 @@ object Ivf {
     val exact = Similarity.exactTopk(
         emb.select(col("vec_id"), col("embedding"), col("nrm")), qbase, TopK)
       .select(col("qid"), col("oid"), lit(true).as("exact_hit"))
-    val perProbe = ProbeGrid.map { p =>
-      val topk = cand.filter(col("prank") <= p)
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("qid").orderBy(col("cos").desc, col("oid"))))
-        .filter(col("rk") <= TopK)
-      val nCand = cand.filter(col("prank") <= p)
-        .agg(count(lit(1)).as("n_cand"), countDistinct(col("qid")).as("nq"))
-      topk.join(exact, Seq("qid", "oid"), "left")
-        .agg(
-          (sum(when(col("exact_hit"), 1L).otherwise(0L)).cast("double") /
-            (countDistinct(col("qid")) * TopK).cast("double")).as("mean_recall"),
-          countDistinct(col("qid")).as("nq2"))
-        .crossJoin(broadcast(nCand))
-        .select(lit(p).as("nprobe"),
-          round(col("mean_recall"), 6).as("mean_recall"),
-          round(col("n_cand").cast("double") / col("nq").cast("double"), 2)
-            .as("mean_candidates"))
-    }.reduce(_ unionAll _)
-    perProbe.orderBy("nprobe")
+    // One relation serves every grid point (the e13 expansion pattern):
+    // a candidate produced at probe rank r belongs to every sweep width
+    // p ≥ r, so each row explodes into its ≤|grid| memberships and ONE
+    // window over (qid, nprobe) ranks all sweep points together —
+    // instead of a window + two aggs PER grid point (26 shuffles → the
+    // r10 audit's improvement item). Expansion factor is the constant
+    // grid size, never corpus-proportional.
+    val gridArr = array(ProbeGrid.sorted.map(lit): _*)
+    val candGrid = cand
+      .select(col("qid"), col("oid"), col("cos"),
+        explode(filter(gridArr, p => p >= col("prank"))).as("nprobe"))
+    val hits = candGrid
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid", "nprobe").orderBy(col("cos").desc, col("oid"))))
+      .filter(col("rk") <= TopK)
+      .join(exact, Seq("qid", "oid"), "left")
+      .groupBy("nprobe")
+      .agg(sum(when(col("exact_hit"), 1L).otherwise(0L)).as("n_hit"))
+    val nCand = candGrid.groupBy("nprobe").agg(count(lit(1)).as("n_cand"))
+    // Denominator = the FULL query count (one bounded agg), not the
+    // distinct qids that happened to produce candidates: a query with
+    // zero candidates at a narrow width counts as recall 0 instead of
+    // silently dropping out (which inflated narrow-width recall and
+    // weakened the monotonicity guarantee). With the full-count
+    // denominator, monotonicity is exact: widening the probe only adds
+    // candidates, and an exact-top-k member can never be displaced from
+    // the IVF top-k by a non-member (members are the k highest cosines).
+    val nq = qbase.agg(count(lit(1)).as("nq"))
+    // grid points with zero candidates still emit their row (left joins
+    // from the literal grid relation; n_hit/n_cand coalesce to 0)
+    val gridDf = ProbeGrid.sorted.toDF("nprobe")
+    gridDf
+      .join(hits, Seq("nprobe"), "left")
+      .join(nCand, Seq("nprobe"), "left")
+      .crossJoin(broadcast(nq))
+      .select(col("nprobe"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          (col("nq") * TopK).cast("double"), 6).as("mean_recall"),
+        round(coalesce(col("n_cand"), lit(0L)).cast("double") /
+          col("nq").cast("double"), 2).as("mean_candidates"))
+      .orderBy("nprobe")
   }
 }

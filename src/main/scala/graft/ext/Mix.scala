@@ -282,15 +282,33 @@ object Mix {
   /** Token budget per packed training sequence. */
   val PackBudget = 256L
 
-  /** Independent packing streams. Docs are hash-partitioned into
-    * [[PackBuckets]] streams and packed greedily WITHIN each — the
-    * standard parallel decomposition of packing (fragmentation cost is
-    * one partially-filled tail sequence per stream, negligible for
-    * streams ≫ budget). At 100 TB raise the bucket count so each
-    * stream's collected doc list stays executor-bounded; the per-stream
-    * fold is O(stream length), embarrassingly parallel across streams.
+  /** Minimum number of independent packing streams (keeps small corpora
+    * parallel across a few tasks).
     */
-  val PackBuckets = 16L
+  val PackBucketsMin = 16L
+
+  /** Target docs per packing stream: the stream count is DERIVED from
+    * the corpus size as `max(PackBucketsMin, ⌈n / PackStreamRows⌉)`
+    * ([[packStreams]]), so each stream's collected doc list stays
+    * executor-bounded (~64 Ki docs ≈ a few MB of (h, doc_id, ntok)
+    * structs) at ANY corpus size — a fixed stream count would grow each
+    * `collect_list` O(corpus/streams), the one corpus-proportional
+    * per-task structure the r10 audit flagged. The derivation is one
+    * bounded count agg cross-joined into the plan (no driver action),
+    * and the oracle states the identical formula.
+    */
+  val PackStreamRows = 65536L
+
+  /** Stream count for an `n`-document corpus — exact integer arithmetic,
+    * shared by the Spark plan and (textually) the oracle SQL; spec-pinned
+    * at the boundaries.
+    */
+  def packStreams(n: Long): Long =
+    math.max(PackBucketsMin, (n + PackStreamRows - 1) / PackStreamRows)
+
+  /** SQL rendering of [[packStreams]] over a column/expression `n`. */
+  def packStreamsSql(n: String): String =
+    s"GREATEST($PackBucketsMin, ($n + ${PackStreamRows - 1}) // $PackStreamRows)"
 
   /** W2: sequence packing — pack documents into fixed [[PackBudget]]
     * token-budget training sequences by greedy next-fit over the
@@ -318,8 +336,15 @@ object Mix {
     * differ.
     */
   def seqPackFrom(d: DataFrame, budget: Long): DataFrame = {
+    // stream count derived from the corpus size (see [[PackStreamRows]]):
+    // one bounded count agg, broadcast into the bucketing projection —
+    // `div`-exact mirror of packStreams()
+    val nTotal = d.agg(count(lit(1)).as("n_total"))
     val base = d.select(col("doc_id"), col("ntok"), docHash.as("h"))
-      .withColumn("bucket", pmod(col("h"), lit(PackBuckets)))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("bucket", pmod(col("h"),
+        greatest(lit(PackBucketsMin),
+          expr(s"(n_total + ${PackStreamRows - 1}) div $PackStreamRows"))))
     val binsType = "array<struct<n_docs:bigint,n_tokens:bigint>>"
     val packed = base.groupBy("bucket")
       .agg(sort_array(collect_list(struct(col("h"), col("doc_id"), col("ntok"))))
@@ -349,14 +374,16 @@ object Mix {
       .orderBy("bucket", "seq")
   }
 
-  val seqPackSql: String = s"""WITH RECURSIVE base AS (
+  val seqPackSql: String = s"""WITH RECURSIVE nb AS (
+      SELECT ${packStreamsSql("COUNT(*)")} AS nbuckets FROM documents),
+    base AS (
       SELECT doc_id, CAST(len(${TextOps.tokensSql}) AS BIGINT) AS ntok,
         ${TextOps.tokenHashSql("CAST(doc_id AS VARCHAR)")} AS h
       FROM documents),
     ord AS (
-      SELECT h % $PackBuckets AS bucket, ntok,
-        row_number() OVER (PARTITION BY h % $PackBuckets ORDER BY h, doc_id) AS i
-      FROM base),
+      SELECT h % nbuckets AS bucket, ntok,
+        row_number() OVER (PARTITION BY h % nbuckets ORDER BY h, doc_id) AS i
+      FROM base CROSS JOIN nb),
     rec AS (
       SELECT bucket, i, ntok, CAST(0 AS BIGINT) AS seq, ntok AS fill
       FROM ord WHERE i = 1

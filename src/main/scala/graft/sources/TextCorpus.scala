@@ -39,7 +39,18 @@ object TextCorpus {
 
   /** Read a quoted CSV corpus. `multiLine` because document text
     * contains newlines — the quote/escape convention below is what
-    * [[writeCsv]] emits, so the pair round-trips losslessly.
+    * [[writeCsv]] emits, so the pair round-trips losslessly INCLUDING
+    * the empty-string/null distinction (r10 ADVICE: Spark's CSV default
+    * reads an empty field back as null). The convention is the
+    * Hive/MySQL one: every value is quoted (`quoteAll`), null is the
+    * unquoted `\N` sentinel, whitespace is never trimmed — so `""` reads
+    * back as the empty string (the parsed value no longer collides with
+    * `nullValue`) and `\N` reads back as null. Pinned by the round-trip
+    * spec on a fixture with empty, null, and whitespace-only fields.
+    * One documented collision inherent to CSV: a field whose VALUE is
+    * the literal string `\N` is indistinguishable from null — corpora
+    * that may contain it should ride [[readJsonl]]/[[writeJsonl]], the
+    * fully general interchange format.
     */
   def readCsv(s: SparkSession, path: String): DataFrame =
     s.read.schema(documentsSchema)
@@ -47,15 +58,26 @@ object TextCorpus {
       .option("multiLine", "true")
       .option("quote", "\"")
       .option("escape", "\"")
+      .option("emptyValue", "")
+      .option("nullValue", "\\N")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .option("mode", "FAILFAST")
       .csv(path)
 
-  /** Write a corpus as quoted CSV in `parts` deterministic hash shards. */
+  /** Write a corpus as quoted CSV in `parts` deterministic hash shards
+    * (see [[readCsv]] for the round-trip convention).
+    */
   def writeCsv(df: DataFrame, path: String, parts: Int): Unit =
     df.repartition(parts, col("doc_id"))
       .write.mode("overwrite")
       .option("header", "true")
       .option("quote", "\"")
       .option("escape", "\"")
+      .option("quoteAll", "true")
+      .option("emptyValue", "\"\"")
+      .option("nullValue", "\\N")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .csv(path)
 }

@@ -65,4 +65,24 @@ class BucketSpec extends SparkSpec {
     assert(c.collect().map(_.toSeq).toSet == expect,
       "CSV round-trip incl. embedded newlines/quotes")
   }
+
+  test("CSV round-trip distinguishes empty string, null, and whitespace") {
+    val s = spark
+    import s.implicits._
+    // the r10 ADVICE case: the driver corpus has no empty strings, so the
+    // lossless claim needs a fixture that actually exercises the
+    // empty/null/whitespace corners of the quote convention
+    val rows = Seq(
+      (1L, "", "en", "web", 0L),                   // empty text
+      (2L, null.asInstanceOf[String], "en", "web", 0L), // null text
+      (3L, " ", "en", "web", 1L),                  // whitespace-only text
+      (4L, "plain", null.asInstanceOf[String], "web", 5L), // null lang
+      (5L, "q\"uote\nline", "", "web", 11L))       // empty lang + hard text
+    val df = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val expect = df.collect().map(_.toSeq).toSet
+    graft.sources.TextCorpus.writeCsv(df, "/tmp/graft_corpus_csv_edge", 2)
+    val back = graft.sources.TextCorpus.readCsv(s, "/tmp/graft_corpus_csv_edge")
+    assert(back.collect().map(_.toSeq).toSet == expect,
+      "empty string, null, and whitespace must each survive the round-trip")
+  }
 }

@@ -79,7 +79,7 @@ class MixPiiSpec extends SparkSpec {
     */
   test("w2: greedy next-fit packing, where greedy and optimal differ") {
     val sameBucket = (1L to 500L)
-      .filter(i => math.floorMod(mdHash(i.toString), Mix.PackBuckets) == 0L)
+      .filter(i => math.floorMod(mdHash(i.toString), Mix.PackBucketsMin) == 0L)
       .sortBy(i => (mdHash(i.toString), i))
       .take(4)
     assert(sameBucket.length == 4)
@@ -97,7 +97,7 @@ class MixPiiSpec extends SparkSpec {
 
   test("w2: oversized doc gets its own sequence; packing never splits a doc") {
     val sameBucket = (1L to 500L)
-      .filter(i => math.floorMod(mdHash(i.toString), Mix.PackBuckets) == 3L)
+      .filter(i => math.floorMod(mdHash(i.toString), Mix.PackBucketsMin) == 3L)
       .sortBy(i => (mdHash(i.toString), i))
       .take(3)
     val sizes = Seq(50L, 300L, 50L) // 300 > budget 256
@@ -123,6 +123,23 @@ class MixPiiSpec extends SparkSpec {
       assert(rows.map(_.getAs[Long]("seq")).sorted.toSeq ==
         (0L until rows.length.toLong))
     }
+  }
+
+  /** The stream count derives from the corpus size so per-stream
+    * collect_list state stays executor-bounded at any scale — pinned at
+    * the exact boundaries of the formula (the plan uses the identical
+    * `div` arithmetic via expr; the small-corpus tests above run with
+    * the floor value 16).
+    */
+  test("w2: packStreams derivation boundaries") {
+    assert(Mix.packStreams(0L) == Mix.PackBucketsMin)
+    assert(Mix.packStreams(500L) == Mix.PackBucketsMin)
+    assert(Mix.packStreams(16L * Mix.PackStreamRows) == Mix.PackBucketsMin)
+    assert(Mix.packStreams(16L * Mix.PackStreamRows + 1) == 17L)
+    assert(Mix.packStreams(100L * Mix.PackStreamRows) == 100L)
+    // 100 TB design point: ~10^11 docs → ~1.5M bounded streams, each
+    // still ~PackStreamRows docs of fold state
+    assert(Mix.packStreams(100000000000L) == 1525879L)
   }
 
   test("w3: regex counts and chained redaction on crafted strings") {
