@@ -729,6 +729,7 @@ object SparkEntry {
     Q("d8_para_clusters", Dedup.paraClusters, Some(Dedup.paraClustersSql)),
     Q("d9_minhash_calibration", Dedup.minhashCalibration, Some(Dedup.minhashCalibrationSql)),
     Q("d10_containment", Dedup.containment, Some(Dedup.containmentSql)),
+    Q("d11_incremental_dedup", Dedup.incrementalDedup, Some(Dedup.incrementalDedupSql)),
     Q("s1_cosine_topk", Similarity.cosineTopk, Some(Similarity.cosineTopkSql)),
     Q("s2_lsh_ann_topk", Similarity.lshAnnTopk, Some(Similarity.lshAnnTopkSql)),
     Q("s3_cosine_neardup", Similarity.cosineNeardup, Some(Similarity.cosineNeardupSql)),

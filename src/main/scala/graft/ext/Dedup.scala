@@ -337,14 +337,21 @@ object Dedup {
     sh.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
   }
 
+  /** Per-doc LSH band keys `(doc_id, band, key)` from a signature
+    * relation — shared by the pairwise candidate generator (D3/D7) and
+    * the batch-vs-corpus probe (D11).
+    */
+  private def sigBands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(array(
+      (0 until NumBands).map(b => struct(lit(b).as("band"),
+        concat_ws("_", (0 until NumHashes / NumBands).map(r => col(s"m${b * (NumHashes / NumBands) + r}")): _*).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+
   /** LSH-banding candidate pairs `(doc_a < doc_b)` from a signature
     * relation — the shared candidate generator of D3 and D7.
     */
   private def bandCandidates(sig: DataFrame): DataFrame = {
-    val bands = sig.select(col("doc_id"), explode(array(
-      (0 until NumBands).map(b => struct(lit(b).as("band"),
-        concat_ws("_", (0 until NumHashes / NumBands).map(r => col(s"m${b * (NumHashes / NumBands) + r}")): _*).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val bands = sigBands(sig)
     bands.as("x").join(bands.as("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -396,6 +403,89 @@ object Dedup {
     SELECT doc_a, doc_b, CAST($matches AS DOUBLE) / ${NumHashes.toDouble} AS est_jaccard
     FROM cand JOIN sig a ON cand.doc_a = a.doc_id JOIN sig b ON cand.doc_b = b.doc_id
     ORDER BY doc_a, doc_b"""
+  }
+
+  // ----------------------------------------------- D11 incremental dedup
+
+  /** Batch split modulus for D11: documents whose doc_id token-hash
+    * lands in bucket 0 of [[BatchMod]] play "today's ingest batch"
+    * (~10% of the corpus); the rest are the existing deduplicated
+    * corpus. Deterministic, so the oracle states the identical split.
+    */
+  val BatchMod = 10L
+
+  /** D11: incremental batch-vs-corpus dedup — the operator a real ingest
+    * pipeline runs daily: dedup a NEW document batch against the
+    * EXISTING corpus without touching corpus-internal pairs. Two tiers,
+    * exact first (the cheaper, stronger signal): a batch doc whose
+    * md5(text) matches any existing doc drops as `drop_exact`; otherwise
+    * a batch doc sharing any MinHash LSH band key with an existing doc
+    * drops as `drop_near` (the D3 banding operating point: 4 bands × 4
+    * rows, P[collision] = 1−(1−j⁴)⁴); otherwise `keep`. Each drop names
+    * the responsible existing document (min doc_id among its matches) —
+    * the provenance an audit trail needs.
+    *
+    * Scale shape: the batch is the bounded side. Membership is a pure
+    * predicate on doc_id (no membership join); the exact tier is an
+    * equi-join on 16-byte text hashes with the batch side filtered
+    * FIRST; the near tier reuses the corpus signature relation
+    * ([[minhashSig]] — at 100 TB this is the standing artifact an
+    * incremental pipeline maintains) and probes batch band keys against
+    * existing band keys: candidates are bounded per band bucket exactly
+    * like D3's self-join, but only batch×existing pairs materialize —
+    * corpus-internal collisions never leave the map side of the join.
+    * min-aggregates bound both responsible-doc lookups.
+    */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    def isBatch(c: Column): Column =
+      pmod(TextOps.tokenHash(c.cast("string")), lit(BatchMod)) === 0L
+    val docs = t(s, dir).select(col("doc_id"), md5(col("text")).as("h"))
+    val batch = docs.filter(isBatch(col("doc_id")))
+    val exist = docs.filter(!isBatch(col("doc_id")))
+    val exactResp = batch
+      .join(exist.select(col("h"), col("doc_id").as("eid")), "h")
+      .groupBy("doc_id").agg(min("eid").as("exact_of"))
+    val bands = sigBands(minhashSig(s, dir))
+    val nearResp = bands.filter(isBatch(col("doc_id")))
+      .join(bands.filter(!isBatch(col("doc_id")))
+        .select(col("doc_id").as("eid"), col("band"), col("key")),
+        Seq("band", "key"))
+      .groupBy("doc_id").agg(min("eid").as("near_of"))
+    batch.select(col("doc_id"))
+      .join(exactResp, Seq("doc_id"), "left")
+      .join(nearResp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_of").isNotNull, "drop_exact")
+          .when(col("near_of").isNotNull, "drop_near")
+          .otherwise("keep").as("verdict"),
+        coalesce(col("exact_of"), col("near_of")).as("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  val incrementalDedupSql: String = {
+    def isBatchSql(c: String) =
+      s"${TextOps.tokenHashSql(s"CAST($c AS VARCHAR)")} % $BatchMod = 0"
+    s"""WITH $minhashCandCtes,
+    memb AS (SELECT doc_id, md5(text) AS h, ${isBatchSql("doc_id")} AS is_batch
+             FROM documents),
+    eresp AS (
+      SELECT b.doc_id, MIN(e.doc_id) AS exact_of
+      FROM memb b JOIN memb e ON b.h = e.h AND b.is_batch AND NOT e.is_batch
+      GROUP BY b.doc_id),
+    nresp AS (
+      SELECT x.doc_id, MIN(y.doc_id) AS near_of
+      FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+      WHERE ${isBatchSql("x.doc_id")} AND NOT (${isBatchSql("y.doc_id")})
+      GROUP BY x.doc_id)
+    SELECT m.doc_id,
+      CASE WHEN exact_of IS NOT NULL THEN 'drop_exact'
+           WHEN near_of IS NOT NULL THEN 'drop_near'
+           ELSE 'keep' END AS verdict,
+      COALESCE(exact_of, near_of) AS dup_of
+    FROM memb m
+    LEFT JOIN eresp ON m.doc_id = eresp.doc_id
+    LEFT JOIN nresp ON m.doc_id = nresp.doc_id
+    WHERE m.is_batch ORDER BY m.doc_id"""
   }
 
   // ----------------------------------------------------- D9 calibration

@@ -1141,4 +1141,39 @@ class ExtSpec extends SparkSpec {
       assert((est * 16).isWhole, s"est grid: $est")
     }
   }
+
+  test("D11 incremental dedup: verdicts, provenance, and tier precedence") {
+    import org.apache.spark.sql.functions._
+    val dir = Sf0001
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def isBatch(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        md.take(4).map("%02x".format(_)).mkString, 16)
+      h % graft.ext.Dedup.BatchMod == 0
+    }
+    val r = graft.ext.Dedup.incrementalDedup(spark, dir).collect()
+    val batchIds = docs.keySet.filter(isBatch)
+    // one row per batch doc, none for existing docs
+    assert(r.map(_.getLong(0)).toSet == batchIds)
+    r.foreach { row =>
+      val (id, verdict) = (row.getLong(0), row.getString(1))
+      val dupOf = if (row.isNullAt(2)) None else Some(row.getLong(2))
+      // dup_of present iff dropped, and always names an EXISTING doc
+      assert(dupOf.isDefined == (verdict != "keep"), s"$id $verdict")
+      dupOf.foreach(e => assert(!isBatch(e), s"dup_of $e must be existing"))
+      // exact tier: responsible doc carries the identical text (md5 keys
+      // the join, but the corpus has no engineered collisions)
+      if (verdict == "drop_exact")
+        assert(docs(dupOf.get) == docs(id), s"$id exact text mismatch")
+      // tier precedence: a doc with an exact match never reports near
+      if (verdict == "drop_near")
+        assert(docs.filterNot { case (e, _) => isBatch(e) }
+          .forall { case (_, t) => t != docs(id) }, s"$id should be drop_exact")
+    }
+    assert(r.exists(_.getString(1) == "keep"))
+  }
 }
