@@ -742,6 +742,7 @@ object SparkEntry {
     Q("s5_centroid_outliers", Similarity.centroidOutliers, Some(Similarity.centroidOutliersSql)),
     Q("s6_quant_error", Similarity.quantError, Some(Similarity.quantErrorSql)),
     Q("s7_centroid_separation", Similarity.centroidSeparation, Some(Similarity.centroidSeparationSql)),
+    Q("s10_semantic_dedup", Similarity.semanticDedup, Some(Similarity.semanticDedupSql)),
     Q("m1_multimodal_meta", Multimodal.meta, Some(Multimodal.metaSql)),
     // mapPartitions feature extraction — the byte-nibble histogram IS
     // SQL-expressible (hex trick, see Multimodal.featuresSql), so the

@@ -506,4 +506,127 @@ object Similarity {
       SELECT *, row_number() OVER (ORDER BY cos DESC, va, vb) AS rk FROM pairs)
     WHERE rk <= 20"""
   }
+
+  // ----------------------------------------------- S10 semantic dedup
+
+  /** Cell count for [[semanticDedup]] — matches [[graft.ext.Ivf.NList]]
+    * so s10's cells are the same granularity s4's quantizer uses. At
+    * corpus scale THIS is the knob that keeps the within-cell pairwise
+    * pass bounded: SemDeDup (Abbas et al. 2023) grows k with the corpus
+    * so cluster size stays ~constant; cells here are ~N/16 at test SF.
+    */
+  val SemSeeds = 16
+
+  /** Within-cell cosine threshold above which the less-central member of
+    * a pair is pruned. The SemDeDup paper operates at ~0.95 on real CLIP
+    * embeddings; the synthetic table's near-dup tail sits at cos
+    * ≈ 0.47–0.51 (measured, r11), so the operating point is calibrated
+    * to 0.45 so the operator demonstrably prunes on the test corpus —
+    * on a real corpus this is the deployment-tuned knob, threaded
+    * through [[semanticDedupFrom]].
+    */
+  val SemThresh = 0.45
+
+  /** S10: semantic (SemDeDup-style) cluster dedup — partition the corpus
+    * into Voronoi cells around seed vectors, and within each cell prune
+    * every vector that has a MORE CENTRAL semantic duplicate: x is
+    * pruned iff some same-cell y has cos(x,y) > [[SemThresh]] and y is
+    * closer to the cell seed (tie: smaller vec_id). The survivor of each
+    * dup neighborhood is exactly the centroid-nearest member — the
+    * cluster-scoped semantic prune web-scale corpora run after exact and
+    * MinHash tiers (unlike S3, which reports global near-dup PAIRS).
+    *
+    * Quantizer choice (and why this is hash-checkable where s4/s9 are
+    * not): the cell assignment uses DETERMINISTIC seeds — the first
+    * [[SemSeeds]] vectors in (md5-hash, vec_id) order, i.e. KMeans-style
+    * cells with hash-random init and zero refinement steps — instead of
+    * s4's trained KMeans. Training is orthogonal to the dedup semantics
+    * being verified; with seeds stated as a CTE, DuckDB states the ENTIRE
+    * operator (assignment + pairwise prune) and the full rows+schema+hash
+    * gate applies. Swapping in s4's trained centroids changes only the
+    * `seeds` relation.
+    *
+    * Determinism: every cosine (assignment and pairwise) goes through
+    * the one `graft_dot` chain, so both engines compare bit-identical
+    * doubles; assignment ties break on seed id, prune dominance ties on
+    * vec_id; output rounds at 6 only at the boundary.
+    *
+    * Scale shape: seeds are provably bounded (LIMIT [[SemSeeds]]) →
+    * broadcast; assignment is one broadcast cross join + a max-struct
+    * agg (map-side partials, no per-vector window shuffle); the pairwise
+    * pass joins the cell-keyed membership to itself — O(cell²) per cell,
+    * bounded by growing the seed count with the corpus (see [[SemSeeds]]);
+    * the dominance anti-pattern resolves as a min-agg, never a global
+    * window.
+    */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame =
+    semanticDedupFrom(withNorm(t(s, dir)), SemSeeds, SemThresh)
+
+  /** [[semanticDedup]] over an explicit corpus (`vec_id`/`embedding`/
+    * `nrm`) with explicit seed count and threshold — the spec drives a
+    * crafted fixture with known duplicates through it.
+    */
+  def semanticDedupFrom(emb0: DataFrame, nSeeds: Int, thresh: Double): DataFrame = {
+    val emb = emb0.select(col("vec_id"), col("embedding"), col("nrm"))
+    val seeds = emb
+      .orderBy(TextOps.tokenHash(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nSeeds)
+      .select(col("vec_id").as("sid"), col("embedding").as("se"), col("nrm").as("sn"))
+    val scored = emb.crossJoin(broadcast(seeds))
+      .select(col("vec_id"),
+        (dot(col("embedding"), col("se")) / (col("nrm") * col("sn"))).as("ccos"),
+        col("sid"))
+    // argmax over the bounded seed set WITHOUT a per-vector window: the
+    // lexicographic max of (ccos, -sid) picks max cosine, tie → min seed
+    val asg = scored.groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("sid")).as("nsid"))).as("m"))
+      .select(col("vec_id"), (-col("m.nsid")).as("cell"), col("m.ccos").as("ccos"))
+    // cell-keyed membership feeds BOTH pairwise sides and the output base
+    val mem = asg.join(emb, "vec_id").persist()
+    val x = mem.select(col("vec_id"), col("cell"), col("ccos"),
+      col("embedding"), col("nrm"))
+    val y = mem.select(col("vec_id").as("yid"), col("cell").as("ycell"),
+      col("ccos").as("yccos"),
+      col("embedding").as("ye"), col("nrm").as("yn"))
+    val dom = x.join(y,
+        col("cell") === col("ycell") && col("vec_id") =!= col("yid") &&
+          (dot(col("embedding"), col("ye")) / (col("nrm") * col("yn")) > thresh) &&
+          (col("yccos") > col("ccos") ||
+            (col("yccos") === col("ccos") && col("yid") < col("vec_id"))))
+      .groupBy("vec_id").agg(min("yid").as("pruned_by"))
+    mem.select(col("vec_id"), col("cell"), col("ccos"))
+      .join(dom, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        round(col("ccos"), 6).as("cent_cos"),
+        col("pruned_by").isNotNull.cast("int").as("is_pruned"),
+        col("pruned_by"))
+      .orderBy("vec_id")
+  }
+
+  val semanticDedupSql: String = s"""WITH $normCte,
+    seeds AS (
+      SELECT vec_id AS sid, embedding AS se, nrm AS sn FROM en
+      ORDER BY ${graft.ext.TextOps.tokenHashSql("CAST(vec_id AS VARCHAR)")}, vec_id
+      LIMIT $SemSeeds),
+    scored AS (
+      SELECT vec_id, sid, (${dotSql("embedding", "se")}) / (nrm * sn) AS ccos
+      FROM en CROSS JOIN seeds),
+    asg AS (
+      SELECT vec_id, sid AS cell, ccos FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY ccos DESC, sid) AS rk FROM scored)
+      WHERE rk = 1),
+    mem AS (
+      SELECT a.vec_id, a.cell, a.ccos, e.embedding, e.nrm
+      FROM asg a JOIN en e ON a.vec_id = e.vec_id),
+    dom AS (
+      SELECT x.vec_id, MIN(y.vec_id) AS pruned_by
+      FROM mem x JOIN mem y ON x.cell = y.cell AND x.vec_id != y.vec_id
+        AND (${dotSql("x.embedding", "y.embedding")}) / (x.nrm * y.nrm) > $SemThresh
+        AND (y.ccos > x.ccos OR (y.ccos = x.ccos AND y.vec_id < x.vec_id))
+      GROUP BY x.vec_id)
+    SELECT m.vec_id, m.cell, ROUND(m.ccos, 6) AS cent_cos,
+      CAST(pruned_by IS NOT NULL AS INT) AS is_pruned, pruned_by
+    FROM mem m LEFT JOIN dom ON m.vec_id = dom.vec_id
+    ORDER BY m.vec_id"""
 }

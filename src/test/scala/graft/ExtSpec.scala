@@ -1142,6 +1142,42 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("S10 semantic dedup: centroid-nearest survives, less-central dups prune") {
+    import org.apache.spark.sql.functions._
+    def mdHash(sv: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(sv.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    // 6 vectors, ids 1..6; the two hash-smallest become the seeds, which
+    // the fixture aims along x and y; two members orbit each seed at
+    // 0.1/0.2 rad so centrality strictly orders them
+    val ids = (1L to 6L).toSeq
+    val ordered = ids.sortBy(i => (mdHash(i.toString), i))
+    val Seq(seedX, seedY) = ordered.take(2)
+    val Seq(x1, x2, y1, y2) = ordered.drop(2)
+    def v(a0: Double, axis: Int): Array[Float] =
+      Array.tabulate(64)(i =>
+        if (i == axis) math.cos(a0).toFloat
+        else if (i == (axis + 1) % 64) math.sin(a0).toFloat else 0f)
+    val rows = Seq(
+      (seedX, v(0.0, 0)), (x1, v(0.1, 0)), (x2, v(0.2, 0)),
+      (seedY, v(0.0, 2)), (y1, v(0.1, 2)), (y2, v(0.2, 2)))
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+      .withColumn("nrm", graft.ext.Similarity.norm(col("embedding")))
+    val r = graft.ext.Similarity.semanticDedupFrom(df, 2, 0.9)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getInt(3), if (x.isNullAt(4)) -1L else x.getLong(4))).toMap
+    // seeds survive in their own cells (centrality 1.0 dominates all)
+    assert(r(seedX) == (seedX, 0, -1L) && r(seedY) == (seedY, 0, -1L))
+    // members assign to their seed's cell and prune toward the center:
+    // x1's only dominator is the seed; x2 is dominated by both
+    assert(r(x1) == (seedX, 1, seedX))
+    assert(r(x2) == (seedX, 1, math.min(seedX, x1)))
+    assert(r(y1) == (seedY, 1, seedY))
+    assert(r(y2) == (seedY, 1, math.min(seedY, y1)))
+  }
+
   test("D11 incremental dedup: verdicts, provenance, and tier precedence") {
     import org.apache.spark.sql.functions._
     val dir = Sf0001
