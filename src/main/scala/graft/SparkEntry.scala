@@ -714,6 +714,7 @@ object SparkEntry {
     Q("c2_data_card", Curation.dataCard, Some(Curation.dataCardSql)),
     Q("c3_dedup_impact", Curation.dedupImpact, Some(Curation.dedupImpactSql)),
     Q("t15_quality_winsor", TextOps.qualityWinsor, Some(TextOps.qualityWinsorSql)),
+    Q("t16_bpe_exact", TextOps.bpeExact, Some(TextOps.bpeExactSql)),
     Q("w1_source_mix", Mix.sourceMix, Some(Mix.sourceMixSql)),
     Q("w2_seq_pack", Mix.seqPack, Some(Mix.seqPackSql)),
     Q("w3_pii_scan", Pii.piiScan, Some(Pii.piiScanSql)),

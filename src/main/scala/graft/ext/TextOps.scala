@@ -110,6 +110,121 @@ object TextOps {
             CAST(len($tokensSql) AS DOUBLE), 6) AS tokens_per_word
     FROM documents ORDER BY doc_id"""
 
+  // -------------------------------------------------------- T16 exact BPE
+
+  /** T16 merge table — (left, right) pairs in RANK order, a tiny
+    * GPT-2-style learned-merge prefix over frequent English character
+    * pairs, embedded as a literal so the oracle states the identical
+    * table. Well-formed: every operand is a single character or the
+    * output of a strictly earlier merge, the invariant BPE training
+    * guarantees (Sennrich et al. 2016) and the one that makes
+    * rank-order exhaustive application equivalent to
+    * lowest-rank-first iteration.
+    */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r", "a" -> "n",
+    "r" -> "e", "o" -> "n", "a" -> "t", "e" -> "n", "o" -> "r",
+    "in" -> "g", "an" -> "d")
+
+  /** Replace passes per merge (see [[bpeExact]]): a left-to-right
+    * replace-all pass can skip an occurrence whose leading separator the
+    * previous replacement consumed (adjacent repetitions of the same
+    * pair), and each extra pass catches the stragglers; 3 covers the
+    * repetition runs natural text contains. The tokenization is DEFINED
+    * by this pass count, so both engines agree exactly even on
+    * pathological inputs.
+    */
+  val BpePasses = 3
+
+  /** Per-word exact-BPE symbol count: the word is encoded as
+    * `|c|h|a|r|s|`, each merge in [[BpeMerges]] rank order is applied as
+    * [[BpePasses]] `replace(s, "|l|r|", "|lr|")` passes, and the
+    * surviving symbol count is the separator count − 1. Pure string
+    * algebra — no floats, no UDF, one static codegen'd expression chain.
+    */
+  private def bpeWordTokens(w: Column): Column = {
+    val init = concat(lit("|"), regexp_replace(w, "(.)", "$1|"))
+    val merged = BpeMerges.foldLeft(init) { case (acc, (l, r)) =>
+      (1 to BpePasses).foldLeft(acc)((a, _) =>
+        replace(a, lit(s"|$l|$r|"), lit(s"|$l$r|")))
+    }
+    length(merged) - length(replace(merged, lit("|"), lit(""))) - 1
+  }
+
+  /** T16: tokenizer-TRUE BPE token count — unlike T5's character-class
+    * heuristic, this runs a real byte-pair-encoding merge loop with a
+    * fixed learned-merge table over every lowercased alphabetic word
+    * (non-alpha words count as one atomic token, the unknown-symbol
+    * convention). Token budgets denominated in these counts (W2/W5's
+    * role) track a real tokenizer's behavior: common sequences
+    * ("the", "ing", "and") compress to single symbols exactly as a
+    * trained BPE vocabulary would.
+    *
+    * Cross-engine exactness WITHOUT recursion or UDFs: the merge loop
+    * unrolls into a static chain of `replace` calls (merges in rank
+    * order × [[BpePasses]] passes — both engines define `replace` as
+    * non-overlapping left-to-right replace-all, so the chain computes
+    * the identical integer in both), and every output is an exact
+    * integer or one guarded division rounded at 6.
+    *
+    * Scale shape: one explode over words, a per-row codegen projection
+    * (36 nested string replaces on short words), one map-side-partial
+    * aggregate back to doc grain, and a left join to keep empty
+    * documents — no window, no extra shuffle beyond the doc-grain agg.
+    */
+  def bpeExact(s: SparkSession, dir: String): DataFrame =
+    bpeExactFrom(t(s, dir))
+
+  /** [[bpeExact]] over an explicit `(doc_id, text)` relation — the spec
+    * drives crafted words through it against a plain-JVM reference fold.
+    */
+  def bpeExactFrom(d: DataFrame): DataFrame = {
+    val words = d
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w0"))
+      .select(col("doc_id"), lower(col("w0")).as("w"))
+    val perDoc = words
+      .select(col("doc_id"),
+        when(col("w").rlike("^[a-z]+$"), bpeWordTokens(col("w")).cast("long"))
+          .otherwise(lit(1L)).as("ntok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("ntok").as("n_bpe_exact"))
+    d.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_exact"), lit(0L)).as("n_bpe_exact"),
+        when(coalesce(col("n_words"), lit(0L)) > 0,
+          round(col("n_bpe_exact").cast("double") / col("n_words").cast("double"), 6))
+          .otherwise(lit(0.0)).as("bpe_per_word"))
+      .orderBy("doc_id")
+  }
+
+  val bpeExactSql: String = {
+    val init = "'|' || regexp_replace(lower(w), '(.)', '\\1|', 'g')"
+    val chain = BpeMerges.foldLeft(init) { case (acc, (l, r)) =>
+      (1 to BpePasses).foldLeft(acc)((a, _) =>
+        s"replace($a, '|$l|$r|', '|$l$r|')")
+    }
+    s"""WITH words AS (
+      SELECT doc_id, unnest($tokensSql) AS w FROM documents),
+    cnt AS (
+      SELECT doc_id,
+        CASE WHEN regexp_matches(lower(w), '^[a-z]+$$')
+          THEN length($chain) - length(replace($chain, '|', '')) - 1
+          ELSE 1 END AS ntok
+      FROM words),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(ntok) AS BIGINT) AS n_bpe_exact
+      FROM cnt GROUP BY doc_id)
+    SELECT d.doc_id,
+      COALESCE(n_words, 0) AS n_words,
+      COALESCE(n_bpe_exact, 0) AS n_bpe_exact,
+      CASE WHEN COALESCE(n_words, 0) > 0
+        THEN ROUND(CAST(n_bpe_exact AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+        ELSE 0.0 END AS bpe_per_word
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    ORDER BY d.doc_id"""
+  }
+
   /** Stopword sets used by the quality/language heuristics. */
   val EnStop: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
   val EsStop: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "un")

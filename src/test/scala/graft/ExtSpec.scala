@@ -1142,6 +1142,41 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("T16 exact BPE: merge fold matches the reference algorithm and pins known merges") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.TextOps
+    // plain-JVM reference of the DEFINED tokenization: merges in rank
+    // order, BpePasses replace-all passes each (java String.replace is
+    // the same non-overlapping left-to-right semantics as both engines)
+    def ref(word: String): Long =
+      if (!word.matches("^[a-z]+$")) 1L
+      else {
+        var s = word.toCharArray.mkString("|", "|", "|")
+        TextOps.BpeMerges.foreach { case (l, r) =>
+          (1 to TextOps.BpePasses).foreach { _ =>
+            s = s.replace(s"|$l|$r|", s"|$l$r|")
+          }
+        }
+        (s.count(_ == '|') - 1).toLong
+      }
+    val docs = Seq(
+      (1L, "the"), (2L, "and in on"), (3L, "banana"), (4L, "123 x9!"),
+      (5L, "thththth"), (6L, "ingrate erring thereon"),
+      (7L, "Mixed CASE The"), (8L, "aaaaaa"))
+    val df = docs.toDF("doc_id", "text")
+    val r = TextOps.bpeExactFrom(df).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty).map(_.toLowerCase)
+      assert(r(id) == (ws.length.toLong, ws.map(ref).sum),
+        s"doc $id '$text': got ${r(id)}")
+    }
+    // hand-pinned table behavior: common sequences collapse to 1 symbol
+    assert(r(1L)._2 == 1L)                 // t h e -> th e -> the
+    assert(r(2L)._2 == 3L)                 // and, in, on each 1
+    assert(r(3L)._2 == 4L)                 // b an an a
+  }
+
   test("S10 semantic dedup: centroid-nearest survives, less-central dups prune") {
     import org.apache.spark.sql.functions._
     def mdHash(sv: String): Long = {
