@@ -77,7 +77,10 @@ object Bench {
       // first run pays the same explode materialization; c3 composes
       // the persisted D7 label relation; t15 persists its bucketed base
       "d10_containment", "t13_lexical_diversity", "c3_dedup_impact",
-      "t15_quality_winsor", "s9_ivf_probe_sweep")
+      "t15_quality_winsor", "s9_ivf_probe_sweep",
+      // r11: d11 persists its band-probe relation; s10 its cell-keyed
+      // membership (both feed two plan legs)
+      "d11_incremental_dedup", "s10_semantic_dedup")
     val coldTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val iterCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def timed(name: String, f: () => Unit): Double = {

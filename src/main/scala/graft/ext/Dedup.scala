@@ -445,7 +445,10 @@ object Dedup {
     val exactResp = batch
       .join(exist.select(col("h"), col("doc_id").as("eid")), "h")
       .groupBy("doc_id").agg(min("eid").as("exact_of"))
-    val bands = sigBands(minhashSig(s, dir))
+    // the band relation feeds BOTH probe sides (batch filter + existing
+    // filter) — without the persist the shingle-explode signature build
+    // runs once per leg; left cached per the registry persist contract
+    val bands = sigBands(minhashSig(s, dir)).persist()
     val nearResp = bands.filter(isBatch(col("doc_id")))
       .join(bands.filter(!isBatch(col("doc_id")))
         .select(col("doc_id").as("eid"), col("band"), col("key")),
