@@ -679,7 +679,8 @@ object SparkEntry {
     Q("x3_revenue_rollup", Relational.revenueRollup, Some(Relational.revenueRollupSql)),
     Q("x4_large_orders", Relational.largeOrderCustomers, Some(Relational.largeOrderCustomersSql)),
     Q("x5_priority_pivot", Relational.priorityPivot, Some(Relational.priorityPivotSql)),
-    Q("x6_monthly_revenue", Relational.monthlyRevenue, Some(Relational.monthlyRevenueSql)))
+    Q("x6_monthly_revenue", Relational.monthlyRevenue, Some(Relational.monthlyRevenueSql)),
+    Q("x7_volume_shipping", Relational.volumeShipping, Some(Relational.volumeShippingSql)))
 
   private val extQueries: Seq[Q] = Seq(
     Q("e1_sessionize", Events.sessionize, Some(Events.sessionizeSql)),
@@ -715,6 +716,9 @@ object SparkEntry {
     Q("c3_dedup_impact", Curation.dedupImpact, Some(Curation.dedupImpactSql)),
     Q("t15_quality_winsor", TextOps.qualityWinsor, Some(TextOps.qualityWinsorSql)),
     Q("t16_bpe_exact", TextOps.bpeExact, Some(TextOps.bpeExactSql)),
+    Q("t17_gopher_filter", TextOps.gopherFilter, Some(TextOps.gopherFilterSql)),
+    Q("t18_c4_line_filter", TextOps.c4LineFilter, Some(TextOps.c4LineFilterSql)),
+    Q("e14_markov_transitions", Events.markovTransitions, Some(Events.markovTransitionsSql)),
     Q("w1_source_mix", Mix.sourceMix, Some(Mix.sourceMixSql)),
     Q("w2_seq_pack", Mix.seqPack, Some(Mix.seqPackSql)),
     Q("w3_pii_scan", Pii.piiScan, Some(Pii.piiScanSql)),

@@ -309,6 +309,51 @@ object Events {
       SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path) AS rk FROM counts)
     WHERE rk <= $PathTopK ORDER BY rk"""
 
+  /** E14: within-session Markov transition matrix — for each ordered
+    * event pair inside a 30-min session (the E1 numbering), the count
+    * and the row-normalized transition probability, with an explicit
+    * `END` absorbing state after each session's last event. The
+    * event-type alphabet bounds the output (≤ |types|·(|types|+1)
+    * rows), so the row-normalizing window runs over a provably bounded
+    * relation — the session lead itself is the same user-partitioned
+    * window E1 already shuffles for, and the pair counts are map-side
+    * partial.
+    *
+    * Determinism: counts are exact; probability is one IEEE division of
+    * two exact longs rounded at 6; ties in the session order break on
+    * `event_id` exactly as every other session operator here.
+    */
+  def markovTransitions(s: SparkSession, dir: String): DataFrame =
+    markovTransitionsFrom(t(s, dir))
+
+  /** [[markovTransitions]] over an explicit event relation — the spec
+    * pins session boundaries, the END state, and row normalization.
+    */
+  def markovTransitionsFrom(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "session_seq").orderBy("us", "event_id")
+    val counts = sessionNumbered(events)
+      .withColumn("to_type", coalesce(lead(col("event_type"), 1).over(w), lit("END")))
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("from_total", sum("n").over(Window.partitionBy("from_type")))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("from_total").cast("double"), 6).as("prob"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val markovTransitionsSql: String = s"""WITH $sessionNumberedCtes,
+    led AS (
+      SELECT event_type AS from_type,
+        COALESCE(lead(event_type) OVER (PARTITION BY user_id, session_seq
+          ORDER BY us, event_id), 'END') AS to_type
+      FROM numbered),
+    counts AS (
+      SELECT from_type, to_type, COUNT(*) AS n FROM led GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+      ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS prob
+    FROM counts ORDER BY from_type, to_type"""
+
   /** Epoch-week length in exact integer microseconds (tumbling 7-day
     * windows from the epoch — no calendar/timezone arithmetic enters
     * the cohort logic).

@@ -257,6 +257,63 @@ object Relational {
     FROM orders GROUP BY 1 ORDER BY 1"""
   }
 
+  /** X7 (Q7-shaped): volume shipping between two trading nations —
+    * revenue by (supplier nation, customer nation, ship year) for the
+    * NATION_9↔NATION_10 pair (the corpus' two busiest trading nations)
+    * over 1995–1996.
+    *
+    * Scale shape: the year filter prunes the fact FIRST (partition
+    * pruning at 100 TB if the lake is ship-date partitioned); nation
+    * (25 rows, bounded) is the only broadcast — supplier/customer grow
+    * with the corpus, so their joins are left to size-based planning.
+    * Filtering nation to the two names BEFORE the join makes each
+    * dimension join itself selective (~2/25 of suppliers/customers
+    * survive), so the orders⋈lineitem shuffle carries only qualifying
+    * rows. Revenue accumulates in DECIMAL, cast once per output row.
+    */
+  def volumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val nations = Seq("NATION_9", "NATION_10")
+    val n1 = t(s, dir, "nation").filter(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation").filter(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    val supp = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li = t(s, dir, "lineitem")
+      .filter(year(col("l_shipdate")).isin(1995, 1996))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"),
+        year(col("l_shipdate")).as("l_year"))
+    li.join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val volumeShippingSql: String = """SELECT
+      n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      CAST(year(l_shipdate) AS INT) AS l_year,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE year(l_shipdate) IN (1995, 1996)
+      AND n1.n_name IN ('NATION_9', 'NATION_10')
+      AND n2.n_name IN ('NATION_9', 'NATION_10')
+      AND n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
   val revenueRollupSql: String = """SELECT
       COALESCE(l_returnflag, 'ALL') AS returnflag,
       COALESCE(l_linestatus, 'ALL') AS linestatus,

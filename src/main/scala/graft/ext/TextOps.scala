@@ -1142,4 +1142,193 @@ object TextOps {
         ELSE 0.0 END AS oov_frac
     FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
     ORDER BY d.doc_id"""
+
+  /** Gopher rule-filter stopword set (Rae et al. 2021, table A1: a doc
+    * must contain ≥ 2 DISTINCT of these 8 words).
+    */
+  val GopherStop: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** T17: the Gopher quality-filter DECISION layer (Rae et al. 2021,
+    * table A1) — T2 emits the signals; this emits the per-rule pass
+    * flags and the keep bit a curation pipeline actually acts on:
+    * word count ∈ [50, 100 000], mean word length ∈ [3, 10],
+    * symbol-to-word ratio ≤ 0.1, bullet-start lines ≤ 90 %,
+    * ellipsis-end lines ≤ 30 %, ≥ 80 % words with an alphabetic char,
+    * ≥ 2 distinct [[GopherStop]] words, and ≤ 30 % duplicate lines
+    * (the line-level half of Gopher's repetition table).
+    *
+    * Parity: every ratio is exact integer counts through ONE IEEE
+    * division then `round(…, 6)`; flags compare the ROUNDED value, so
+    * the 6-dp boundary is the single comparison point in both engines
+    * (the [[qualityCol]] convention). Zero-token/zero-length docs are
+    * guarded to ratio 0 before any division (NaN never reaches a
+    * comparison — CLAUDE.md's cross-engine NaN rule). One scan, pure
+    * codegen projection, no shuffle (`ORDER BY` aside).
+    */
+  def gopherFilter(s: SparkSession, dir: String): DataFrame =
+    gopherFilterFrom(t(s, dir).select(col("doc_id"), col("text")))
+
+  /** [[gopherFilter]] over an explicit `(doc_id, text)` relation — the
+    * spec pins each rule's boundary on crafted docs.
+    */
+  def gopherFilterFrom(d: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nw = size(toks)
+    val nwD = nw.cast("double")
+    val sumWordLen = length(concat_ws("", toks))
+    val nHash = length(col("text")) - length(replace(col("text"), lit("#"), lit("")))
+    val nUEll = length(col("text")) - length(replace(col("text"), lit("…"), lit("")))
+    val nDotEll = ((length(col("text")) -
+      length(replace(col("text"), lit("..."), lit("")))) / lit(3)).cast("long")
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines)
+    val bulletLines = size(filter(lines, x =>
+      Seq("-", "*", "•").map(b => ltrim(x).startsWith(b)).reduce(_ || _)))
+    val ellLines = size(filter(lines, x =>
+      rtrim(x).endsWith("...") || rtrim(x).endsWith("…")))
+    val alphaWords = size(filter(toks, x => x.rlike("[A-Za-z]")))
+    val stopDistinct = size(array_intersect(toks, array(GopherStop.map(lit): _*)))
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast("double") / den.cast("double"), 6)).otherwise(lit(0.0))
+    val sig = d.select(
+      col("doc_id"),
+      nw.as("n_words"),
+      ratio(sumWordLen, nw).as("mean_word_len"),
+      ratio((nHash + nUEll + nDotEll), nw).as("symbol_word_ratio"),
+      ratio(bulletLines, nLines).as("bullet_line_frac"),
+      ratio(ellLines, nLines).as("ellipsis_line_frac"),
+      ratio(alphaWords, nw).as("alpha_word_frac"),
+      stopDistinct.as("n_stop_distinct"),
+      ratio(nLines - size(array_distinct(lines)), nLines).as("dup_line_frac"))
+    val flags = Seq(
+      (col("n_words") >= 50 && col("n_words") <= 100000).as("f_words"),
+      (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0).as("f_word_len"),
+      (col("symbol_word_ratio") <= 0.1).as("f_symbol"),
+      (col("bullet_line_frac") <= 0.9).as("f_bullet"),
+      (col("ellipsis_line_frac") <= 0.3).as("f_ellipsis"),
+      (col("alpha_word_frac") >= 0.8).as("f_alpha"),
+      (col("n_stop_distinct") >= 2).as("f_stop"),
+      (col("dup_line_frac") <= 0.3).as("f_dup_line"))
+    sig.select(
+      (col("doc_id") +: sig.columns.tail.map(col) :+
+        flags.map(_.cast("int")).reduce(_ + _).as("n_pass")): _*)
+      .withColumn("keep", (col("n_pass") === flags.size).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val gopherFilterSql: String = {
+    val nSym = "(length(text) - length(replace(text, '#', ''))) + " +
+      "(length(text) - length(replace(text, chr(8230), ''))) + " +
+      "(length(text) - length(replace(text, '...', ''))) // 3"
+    val lines = "string_split(text, chr(10))"
+    val bullet = s"len(list_filter($lines, x -> starts_with(ltrim(x), '-') " +
+      "OR starts_with(ltrim(x), '*') OR starts_with(ltrim(x), chr(8226))))"
+    val ell = s"len(list_filter($lines, x -> ends_with(rtrim(x), '...') " +
+      "OR ends_with(rtrim(x), chr(8230))))"
+    val alpha = s"len(list_filter($tokensSql, x -> regexp_matches(x, '[A-Za-z]')))"
+    val stopLit = GopherStop.map(w => s"'$w'").mkString(", ")
+    def ratio(num: String, den: String): String =
+      s"CASE WHEN $den > 0 THEN ROUND(CAST($num AS DOUBLE) / CAST($den AS DOUBLE), 6) ELSE 0.0 END"
+    s"""WITH sig AS (
+      SELECT doc_id,
+        len($tokensSql) AS n_words,
+        ${ratio(s"length(array_to_string($tokensSql, ''))", s"len($tokensSql)")} AS mean_word_len,
+        ${ratio(nSym, s"len($tokensSql)")} AS symbol_word_ratio,
+        ${ratio(bullet, s"len($lines)")} AS bullet_line_frac,
+        ${ratio(ell, s"len($lines)")} AS ellipsis_line_frac,
+        ${ratio(alpha, s"len($tokensSql)")} AS alpha_word_frac,
+        len(list_intersect($tokensSql, [$stopLit])) AS n_stop_distinct,
+        ${ratio(s"len($lines) - len(list_distinct($lines))", s"len($lines)")} AS dup_line_frac
+      FROM documents),
+    flagged AS (
+      SELECT *,
+        CAST(n_words >= 50 AND n_words <= 100000 AS INT)
+        + CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT)
+        + CAST(symbol_word_ratio <= 0.1 AS INT)
+        + CAST(bullet_line_frac <= 0.9 AS INT)
+        + CAST(ellipsis_line_frac <= 0.3 AS INT)
+        + CAST(alpha_word_frac >= 0.8 AS INT)
+        + CAST(n_stop_distinct >= 2 AS INT)
+        + CAST(dup_line_frac <= 0.3 AS INT) AS n_pass
+      FROM sig)
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+      bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+      CAST(n_stop_distinct AS BIGINT) AS n_stop_distinct, dup_line_frac,
+      n_pass, CAST(n_pass = 8 AS INT) AS keep
+    FROM flagged ORDER BY doc_id"""
+  }
+
+  /** T18: C4-style line-level cleaning stats (Raffel et al. 2020 §2.2)
+    * — a line survives iff it ends in terminal punctuation (. ! ? ")
+    * after right-trim, holds ≥ 5 words, and does not mention
+    * "javascript" (case-folded); the document survives iff ≥ 3 lines
+    * survive and it contains neither '{' nor "lorem ipsum". Emits the
+    * per-doc audit a cleaning pipeline logs: line counts, surviving
+    * character fraction, and each page-level flag.
+    *
+    * Parity/scale: all line logic runs INSIDE the per-row line array
+    * (filter/transform/aggregate — no explode, no shuffle); the kept
+    * character fraction is exact integer character counts through one
+    * rounded IEEE division.
+    */
+  def c4LineFilter(s: SparkSession, dir: String): DataFrame =
+    c4LineFilterFrom(t(s, dir).select(col("doc_id"), col("text")))
+
+  /** [[c4LineFilter]] over an explicit `(doc_id, text)` relation — the
+    * spec pins each line rule and page flag on crafted docs.
+    */
+  def c4LineFilterFrom(d: DataFrame): DataFrame = {
+    def lineWords(x: Column): Column =
+      size(filter(split(x, " "), w => w =!= lit("")))
+    def lineKeep(x: Column): Column = {
+      val rt = rtrim(x)
+      (Seq(".", "!", "?", "\"").map(p => rt.endsWith(p)).reduce(_ || _)) &&
+        lineWords(x) >= 5 && !contains(lower(x), lit("javascript"))
+    }
+    val lines = split(col("text"), "\n")
+    val kept = filter(lines, lineKeep(_))
+    val nLines = size(lines)
+    val nKept = size(kept)
+    val keptChars = aggregate(kept, lit(0L), (acc, x) => acc + length(x).cast("long"))
+    val lineChars = (length(col("text")) - (nLines - 1)).cast("long")
+    val hasBrace = contains(col("text"), lit("{"))
+    val hasLorem = contains(lower(col("text")), lit("lorem ipsum"))
+    d.select(
+      col("doc_id"),
+      nLines.as("n_lines"),
+      nKept.as("n_kept_lines"),
+      when(lineChars > 0,
+        round(keptChars.cast("double") / lineChars.cast("double"), 6))
+        .otherwise(lit(0.0)).as("kept_char_frac"),
+      hasBrace.cast("int").as("has_brace"),
+      hasLorem.cast("int").as("has_lorem"),
+      (nKept >= 3 && !hasBrace && !hasLorem).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val c4LineFilterSql: String = {
+    val lines = "string_split(text, chr(10))"
+    val lineKeep = "x -> (ends_with(rtrim(x), '.') OR ends_with(rtrim(x), '!') " +
+      "OR ends_with(rtrim(x), '?') OR ends_with(rtrim(x), '\"')) " +
+      "AND len(list_filter(string_split(x, ' '), w -> w != '')) >= 5 " +
+      "AND NOT contains(lower(x), 'javascript')"
+    val kept = s"list_filter($lines, $lineKeep)"
+    s"""WITH sig AS (
+      SELECT doc_id,
+        len($lines) AS n_lines,
+        len($kept) AS n_kept_lines,
+        CAST(COALESCE(list_sum(list_transform($kept, x -> length(x))), 0) AS BIGINT) AS kept_chars,
+        CAST(length(text) - (len($lines) - 1) AS BIGINT) AS line_chars,
+        CAST(contains(text, '{') AS INT) AS has_brace,
+        CAST(contains(lower(text), 'lorem ipsum') AS INT) AS has_lorem
+      FROM documents)
+    SELECT doc_id, n_lines, n_kept_lines,
+      CASE WHEN line_chars > 0
+        THEN ROUND(CAST(kept_chars AS DOUBLE) / CAST(line_chars AS DOUBLE), 6)
+        ELSE 0.0 END AS kept_char_frac,
+      has_brace, has_lorem,
+      CAST(n_kept_lines >= 3 AND has_brace = 0 AND has_lorem = 0 AS INT) AS keep
+    FROM sig ORDER BY doc_id"""
+  }
 }

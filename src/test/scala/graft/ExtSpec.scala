@@ -1247,4 +1247,104 @@ class ExtSpec extends SparkSpec {
     }
     assert(r.exists(_.getString(1) == "keep"))
   }
+
+  test("T17 Gopher filter: each rule trips on its crafted violator only") {
+    val good = (Seq("the", "and", "with", "have") ++
+      Seq.fill(28)(Seq("solid", "data")).flatten).mkString(" ") // 60 words
+    val short = "the and tiny doc"                    // <50 words
+    val bullets = Seq.fill(10)("- the bullet item list again here more words yes")
+      .mkString("\n")                                 // all lines bullet-start
+    val numeric = (Seq("the", "and") ++ Seq.fill(58)("12345")).mkString(" ")
+    val dupLines = (Seq.fill(9)("the quick and solid line with have words here") ++
+      Seq("unique closer line")).mkString("\n")       // 9/10 dup lines
+    val d = Seq(
+      (1L, good), (2L, short), (3L, bullets), (4L, numeric), (5L, dupLines))
+      .toDF("doc_id", "text")
+    val r = TextOps.gopherFilterFrom(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    def f(id: Long, c: String): Int =
+      r(id).getInt(r(id).fieldIndex(c))
+    assert(f(1L, "keep") == 1 && f(1L, "n_pass") == 8)
+    // short doc: fails word count only → exactly 7 of 8 rules pass
+    assert(f(2L, "n_pass") == 7 && f(2L, "keep") == 0)
+    // rule-specific: bullets doc fails ONLY via bullet (+words) rules
+    assert(f(3L, "keep") == 0)
+    assert(r(3L).getDouble(r(3L).fieldIndex("bullet_line_frac")) == 1.0)
+    // numeric doc fails the alpha-word rule
+    assert(r(4L).getDouble(r(4L).fieldIndex("alpha_word_frac")) < 0.8)
+    // dup-lines doc: 10 lines, 2 distinct → frac 0.8 > 0.3
+    assert(r(5L).getDouble(r(5L).fieldIndex("dup_line_frac")) == 0.8)
+    assert(f(5L, "keep") == 0)
+    // the good doc's distinct-stopword count is exactly the 4 planted
+    assert(r(1L).getInt(r(1L).fieldIndex("n_stop_distinct")) == 4)
+  }
+
+  test("T18 C4 line filter: line rules, page flags, exact char fraction") {
+    val keepLine = "This is a good long sentence."      // 6 words, '.'
+    val fewWords = "Too short here."                    // 3 words
+    val noPunct = "no terminal punctuation on this line at all"
+    val jsLine = "Enable JavaScript to view this page now."
+    val textA = Seq(keepLine, fewWords, noPunct, jsLine, keepLine, keepLine)
+      .mkString("\n")
+    val braceDoc = Seq.fill(4)(keepLine).mkString("\n") + "\nfunction() { }"
+    val loremDoc = Seq.fill(3)(keepLine).mkString("\n") + "\nLorem Ipsum dolor."
+    val d = Seq((1L, textA), (2L, braceDoc), (3L, loremDoc))
+      .toDF("doc_id", "text")
+    val r = TextOps.c4LineFilterFrom(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getInt(r(1L).fieldIndex("n_lines")) == 6)
+    assert(r(1L).getInt(r(1L).fieldIndex("n_kept_lines")) == 3)
+    val lineChars = textA.length - 5
+    val expFrac = BigDecimal(3.0 * keepLine.length / lineChars)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(1L).getDouble(r(1L).fieldIndex("kept_char_frac")) == expFrac)
+    assert(r(1L).getInt(r(1L).fieldIndex("keep")) == 1)
+    // brace page: 4 kept lines but '{' kills the page
+    assert(r(2L).getInt(r(2L).fieldIndex("has_brace")) == 1)
+    assert(r(2L).getInt(r(2L).fieldIndex("keep")) == 0)
+    // lorem page: case-folded match on a kept-line count of 3+
+    assert(r(3L).getInt(r(3L).fieldIndex("has_lorem")) == 1)
+    assert(r(3L).getInt(r(3L).fieldIndex("keep")) == 0)
+  }
+
+  test("E14 Markov: session-scoped lead, END state, exact row normalization") {
+    val base = 1700000000000000L
+    val sec = 1000000L
+    val rows = Seq(
+      (1L, base, 7L, "view"), (2L, base + sec, 7L, "click"),
+      (3L, base + 2 * sec, 7L, "view"), (4L, base + 3 * sec, 7L, "purchase"),
+      // second session 31 min later: its view must lead to END, not leak
+      (5L, base + 31L * 60 * sec, 7L, "view"))
+    val d = rows.toDF("event_id", "us", "user_id", "event_type")
+    val r = Events.markovTransitionsFrom(d).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    assert(r(("view", "click")).getLong(2) == 1L)
+    assert(r(("view", "purchase")).getLong(2) == 1L)
+    assert(r(("view", "END")).getLong(2) == 1L)
+    assert(r(("view", "click")).getDouble(3) == 0.333333)
+    assert(r(("click", "view")).getDouble(3) == 1.0)
+    assert(r(("purchase", "END")).getDouble(3) == 1.0)
+    assert(r.size == 5)
+    // probabilities out of each from-state sum to 1 (rounding aside)
+    val byFrom = r.values.groupBy(_.getString(0))
+    byFrom.foreach { case (_, g) =>
+      assert(math.abs(g.map(_.getDouble(3)).sum - 1.0) < 1e-5)
+    }
+  }
+
+  test("X7 volume shipping: bounded nation pair, year window, positive revenue") {
+    // sf0.001's supplier sample misses the 9↔10 pair entirely — the
+    // smallest corpus where the pair trades is sf0.01 (tables are still
+    // dimension-sized; the query itself is oracle-gated there too).
+    val r = graft.ext.Relational.volumeShipping(spark, "/root/testdata/sf0.01").collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (sn, cn) = (row.getString(0), row.getString(1))
+      assert(Set("NATION_9", "NATION_10")(sn) && Set("NATION_9", "NATION_10")(cn))
+      assert(sn != cn)
+      assert(Set(1995, 1996)(row.getInt(2)))
+      assert(row.getDouble(3) > 0.0)
+      assert(row.getLong(4) > 0L)
+    }
+  }
 }
