@@ -735,6 +735,8 @@ object SparkEntry {
     Q("d9_minhash_calibration", Dedup.minhashCalibration, Some(Dedup.minhashCalibrationSql)),
     Q("d10_containment", Dedup.containment, Some(Dedup.containmentSql)),
     Q("d11_incremental_dedup", Dedup.incrementalDedup, Some(Dedup.incrementalDedupSql)),
+    Q("d12_substring_spans", Dedup.substringSpans, Some(Dedup.substringSpansSql)),
+    Q("w6_split_leakage", Mix.splitLeakage, Some(Mix.splitLeakageSql)),
     Q("s1_cosine_topk", Similarity.cosineTopk, Some(Similarity.cosineTopkSql)),
     Q("s2_lsh_ann_topk", Similarity.lshAnnTopk, Some(Similarity.lshAnnTopkSql)),
     Q("s3_cosine_neardup", Similarity.cosineNeardup, Some(Similarity.cosineNeardupSql)),

@@ -917,4 +917,94 @@ object Dedup {
       ROUND(CAST(n_shared AS DOUBLE) / CAST(nsh AS DOUBLE), 6) AS contamination
     FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
     ORDER BY contamination DESC, h.doc_id"""
+
+  /** D12 duplicated-span window length in tokens. */
+  val SpanK = 8
+
+  /** D12: exact-substring span dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better") — the token-coverage
+    * view of duplication: every [[SpanK]]-token window is hashed; a
+    * window whose hash appears in ≥ 2 documents is a duplicated span,
+    * and each document reports how much of it is covered by duplicated
+    * spans (the union of [p, p+k−1] over its duplicated positions —
+    * exact, overlap-aware). This is the signal substring-level dedup
+    * prunes on, where document-level D1–D4 see nothing (two documents
+    * sharing one long paragraph inside otherwise-distinct text).
+    *
+    * Scale shape — deliberately JOIN-FREE on pairs: the cross-doc test
+    * is `count(distinct doc_id) ≥ 2` per hash (map-side partial), and
+    * duplicated positions join back by hash (semi-join). A boilerplate
+    * span appearing in 1M docs costs 1M posting rows but never a
+    * quadratic pair bucket, so no df cap is needed — the one dedup
+    * operator here that needs none. Coverage explodes duplicated
+    * positions ×k only (bounded blowup on the duplicated subset).
+    */
+  def substringSpans(s: SparkSession, dir: String): DataFrame =
+    substringSpansFrom(t(s, dir).select(col("doc_id"), col("text")))
+
+  /** [[substringSpans]] over an explicit `(doc_id, text)` relation —
+    * the spec pins coverage arithmetic on planted shared spans.
+    */
+  def substringSpansFrom(d: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val base = d.select(col("doc_id"), size(toks).as("n_tokens"),
+      TextOps.ngrams(toks, SpanK).as("grams"))
+    val g = base
+      .select(col("doc_id"), posexplode(col("grams")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        TextOps.tokenHash(col("col")).as("gh"))
+      .persist() // feeds the dup agg, the join-back, and the per-doc counts
+    val dup = g.groupBy("gh").agg(countDistinct("doc_id").as("dfd"))
+      .filter(col("dfd") >= 2).select("gh")
+    val dupg = g.join(dup, "gh").persist() // feeds coverage + dup counts
+    val cov = dupg
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (SpanK - 1))).as("cp"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("covered"))
+    val counts = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val dcounts = dupg.groupBy("doc_id").agg(count(lit(1)).as("n_dup_grams"))
+    base.select("doc_id", "n_tokens")
+      .join(counts, Seq("doc_id"), "left")
+      .join(dcounts, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("covered"), lit(0L)).as("covered_tokens"),
+        when(col("n_tokens") > 0,
+          round(coalesce(col("covered"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double"), 6))
+          .otherwise(lit(0.0)).as("dup_span_frac"))
+      .orderBy("doc_id")
+  }
+
+  val substringSpansSql: String = {
+    val k = SpanK
+    s"""WITH toks AS (SELECT doc_id, ${TextOps.tokensSql} AS tk FROM documents),
+    gl AS (SELECT doc_id, ${TextOps.ngramsSql("tk", k)} AS g FROM toks),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, ${TextOps.tokenHashSql("g[i]")} AS gh
+      FROM gl, UNNEST(range(1, len(g)+1)) AS u(i)),
+    dup AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+    dupg AS (SELECT doc_id, pos FROM grams JOIN dup USING (gh)),
+    cov AS (SELECT doc_id, COUNT(*) AS covered FROM (
+      SELECT DISTINCT doc_id, pos + o AS cp
+      FROM dupg, UNNEST(range(0, $k)) AS t(o)) GROUP BY 1),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1),
+    dcnt AS (SELECT doc_id, COUNT(*) AS n_dup_grams FROM dupg GROUP BY 1),
+    nt AS (SELECT doc_id, len(${TextOps.tokensSql}) AS n_tokens FROM documents)
+    SELECT nt.doc_id, n_tokens,
+      COALESCE(n_grams, 0) AS n_grams,
+      COALESCE(n_dup_grams, 0) AS n_dup_grams,
+      COALESCE(covered, 0) AS covered_tokens,
+      CASE WHEN n_tokens > 0
+        THEN ROUND(CAST(COALESCE(covered, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        ELSE 0.0 END AS dup_span_frac
+    FROM nt
+    LEFT JOIN cnt ON nt.doc_id = cnt.doc_id
+    LEFT JOIN dcnt ON nt.doc_id = dcnt.doc_id
+    LEFT JOIN cov ON nt.doc_id = cov.doc_id
+    ORDER BY nt.doc_id"""
+  }
 }

@@ -395,4 +395,65 @@ object Mix {
     SELECT bucket, seq, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens,
       ROUND(CAST(SUM(ntok) AS DOUBLE) / $PackBudget.0, 6) AS fill_frac
     FROM rec GROUP BY bucket, seq ORDER BY bucket, seq"""
+
+  /** W6 leakage threshold: a candidate pair leaks when ≥ this many of
+    * the 16 MinHash signature positions agree (8/16 ≈ estimated
+    * Jaccard 0.5 — the D3 operating point's near-dup band).
+    */
+  val LeakMinMatches = 8
+
+  /** W6: split-leakage audit — near-duplicate pairs that STRADDLE the
+    * T7 train/val/test boundary. Deduplicating before splitting is the
+    * textbook order precisely because a val/test doc with a near-dup in
+    * train silently inflates eval; this operator measures that leakage
+    * on the actual split assignment: D3's LSH candidate pairs, kept at
+    * ≥ [[LeakMinMatches]]/16 signature agreement, grouped by the
+    * unordered split pair, with the cross-split rows flagged. Composes
+    * the two shared single-source-of-truth definitions — the D3
+    * signature/banding chain and [[TextOps.splitOf]] — so neither can
+    * drift from its parent operator.
+    *
+    * Determinism: signature agreement counts are exact ints (mean
+    * agreement = one division of two exact ints, rounded at 6); the
+    * split pair is name-ordered via least/greatest (ASCII order, same
+    * in both engines). Scale shape: inherits D3's banding bounds (no
+    * pairwise scan; per-band buckets bound candidates); everything
+    * after the candidate join is a ≤ 6-row aggregate.
+    */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val sa = TextOps.splitOf(col("doc_a"))
+    val sb = TextOps.splitOf(col("doc_b"))
+    Dedup.minhashLsh(s, dir)
+      .filter(col("est_jaccard") * Dedup.NumHashes >= LeakMinMatches)
+      .select(least(sa, sb).as("split_a"), greatest(sa, sb).as("split_b"),
+        (col("est_jaccard") * Dedup.NumHashes).cast("long").as("matches"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"), sum("matches").as("sm"))
+      .select(col("split_a"), col("split_b"),
+        (col("split_a") =!= col("split_b")).cast("int").as("is_cross"),
+        col("n_pairs"),
+        round(col("sm").cast("double") /
+          (col("n_pairs") * Dedup.NumHashes).cast("double"), 6).as("mean_agreement"))
+      .orderBy("split_a", "split_b")
+  }
+
+  val splitLeakageSql: String = {
+    val matches = (0 until Dedup.NumHashes).map(i =>
+      s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH ${Dedup.minhashCandCtes},
+    scored AS (
+      SELECT doc_a, doc_b, $matches AS matches
+      FROM cand JOIN sig a ON cand.doc_a = a.doc_id JOIN sig b ON cand.doc_b = b.doc_id),
+    leaked AS (
+      SELECT LEAST(${TextOps.splitOfSql("doc_a")}, ${TextOps.splitOfSql("doc_b")}) AS split_a,
+             GREATEST(${TextOps.splitOfSql("doc_a")}, ${TextOps.splitOfSql("doc_b")}) AS split_b,
+             matches
+      FROM scored WHERE matches >= $LeakMinMatches)
+    SELECT split_a, split_b,
+      CAST(split_a != split_b AS INT) AS is_cross,
+      COUNT(*) AS n_pairs,
+      ROUND(CAST(SUM(matches) AS DOUBLE) /
+        CAST(COUNT(*) * ${Dedup.NumHashes} AS DOUBLE), 6) AS mean_agreement
+    FROM leaked GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
 }

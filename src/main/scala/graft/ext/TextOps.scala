@@ -401,6 +401,23 @@ object TextOps {
   val TrainBuckets = 80
   val ValBuckets = 90
 
+  /** The T7 split decision as a column over a doc-id column — the ONE
+    * place the 80/10/10 assignment lives, shared by [[hashSplit]] and
+    * the W6 leakage check so the split definition can't drift.
+    */
+  def splitOf(docId: Column): Column = {
+    val bucket = pmod(tokenHash(docId.cast("string")), lit(100L))
+    when(bucket < TrainBuckets, "train")
+      .when(bucket < ValBuckets, "val")
+      .otherwise("test")
+  }
+
+  /** SQL form of [[splitOf]] over a doc-id expression. */
+  def splitOfSql(e: String): String =
+    s"""CASE WHEN ${tokenHashSql(s"CAST($e AS VARCHAR)")} % 100 < $TrainBuckets THEN 'train'
+         WHEN ${tokenHashSql(s"CAST($e AS VARCHAR)")} % 100 < $ValBuckets THEN 'val'
+         ELSE 'test' END"""
+
   /** T7: deterministic train/val/test assignment — bucket = MD5-prefix
     * hash of the document id mod 100. Hash-based (not random) so the
     * assignment is reproducible across engines and STABLE under corpus
@@ -413,9 +430,7 @@ object TextOps {
     t(s, dir).select(
       col("doc_id"),
       bucket.as("bucket"),
-      when(bucket < TrainBuckets, "train")
-        .when(bucket < ValBuckets, "val")
-        .otherwise("test").as("split"))
+      splitOf(col("doc_id")).as("split"))
       .orderBy("doc_id")
   }
 

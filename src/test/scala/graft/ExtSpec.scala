@@ -1332,6 +1332,58 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("D12 substring spans: planted 8-token run covers exactly; overlaps union") {
+    val d = Seq(
+      (1L, "a b c d e f g h i j"),           // shares a..h with doc 2
+      (2L, "x a b c d e f g h y"),
+      (3L, "completely different tokens here now then when why how what"),
+      (4L, "p q r s t u v w x"),             // 9-token run shared with doc 5
+      (5L, "z p q r s t u v w x"))
+      .toDF("doc_id", "text")
+    val r = graft.ext.Dedup.substringSpansFrom(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    def covered(id: Long) = r(id).getLong(r(id).fieldIndex("covered_tokens"))
+    def frac(id: Long) = r(id).getDouble(r(id).fieldIndex("dup_span_frac"))
+    // docs 1/2: ONE shared 8-gram → 8 of 10 tokens covered
+    assert(covered(1L) == 8L && frac(1L) == 0.8)
+    assert(covered(2L) == 8L && frac(2L) == 0.8)
+    assert(covered(3L) == 0L && frac(3L) == 0.0)
+    // docs 4/5: two OVERLAPPING shared 8-grams → union is 9, not 16
+    assert(covered(4L) == 9L && frac(4L) == 1.0)
+    assert(r(4L).getLong(r(4L).fieldIndex("n_dup_grams")) == 2L)
+    assert(covered(5L) == 9L && frac(5L) == 0.9)
+    // gram counts: n−k+1, and never negative on short docs
+    assert(r(1L).getLong(r(1L).fieldIndex("n_grams")) == 3L)
+    assert(r(4L).getLong(r(4L).fieldIndex("n_grams")) == 2L)
+  }
+
+  test("W6 leakage: agrees with an independent recomputation from D3 + T7") {
+    import graft.ext.{Dedup, Mix}
+    val splits = TextOps.hashSplit(spark, Sf0001).collect()
+      .map(x => x.getLong(0) -> x.getString(2)).toMap
+    val pairs = Dedup.minhashLsh(spark, Sf0001).collect()
+      .map(x => (x.getLong(0), x.getLong(1), math.round(x.getDouble(2) * 16).toInt))
+      .filter(_._3 >= Mix.LeakMinMatches)
+    val expect = pairs.groupBy { case (a, b, _) =>
+      val (sa, sb) = (splits(a), splits(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.view.mapValues(_.map(_._3).sum).toMap
+    val got = Mix.splitLeakage(spark, Sf0001).collect()
+    assert(got.map(x => (x.getString(0), x.getString(1))).toSet == expect.keySet)
+    got.foreach { row =>
+      val key = (row.getString(0), row.getString(1))
+      val n = row.getLong(3)
+      assert(n == pairs.count { case (a, b, _) =>
+        val (sa, sb) = (splits(a), splits(b))
+        (if (sa <= sb) (sa, sb) else (sb, sa)) == key
+      })
+      val exp = BigDecimal(expect(key).toDouble / (n * 16).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(row.getDouble(4) == exp)
+      assert((row.getInt(2) == 1) == (key._1 != key._2))
+    }
+  }
+
   test("X7 volume shipping: bounded nation pair, year window, positive revenue") {
     // sf0.001's supplier sample misses the 9↔10 pair entirely — the
     // smallest corpus where the pair trades is sf0.01 (tables are still
