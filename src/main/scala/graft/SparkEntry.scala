@@ -719,6 +719,8 @@ object SparkEntry {
     Q("t17_gopher_filter", TextOps.gopherFilter, Some(TextOps.gopherFilterSql)),
     Q("t18_c4_line_filter", TextOps.c4LineFilter, Some(TextOps.c4LineFilterSql)),
     Q("e14_markov_transitions", Events.markovTransitions, Some(Events.markovTransitionsSql)),
+    Q("e15_conversion_latency", Events.conversionLatency, Some(Events.conversionLatencySql)),
+    Q("t19_ccnet_buckets", TextOps.ccnetBuckets, Some(TextOps.ccnetBucketsSql)),
     Q("w1_source_mix", Mix.sourceMix, Some(Mix.sourceMixSql)),
     Q("w2_seq_pack", Mix.seqPack, Some(Mix.seqPackSql)),
     Q("w3_pii_scan", Pii.piiScan, Some(Pii.piiScanSql)),

@@ -106,15 +106,22 @@ object Events {
     * (`event_id`/`us`/`user_id`/`event_type`) — the spec pins the
     * strict-ordering semantics on crafted sessions.
     */
-  def conversionFunnelFrom(events: DataFrame): DataFrame = {
+  /** Per-session funnel marks `(user_id, session_seq, fv, fc)` — the
+    * Spark dual of [[funnelPerCtes]], shared by E7 and E15.
+    */
+  private def funnelMarks(events: DataFrame): DataFrame = {
     val sess = sessionNumbered(events)
     val ws = Window.partitionBy("user_id", "session_seq")
-    val marked = sess
+    sess
       .withColumn("fv", min(when(col("event_type") === "view", col("us"))).over(ws))
       .withColumn("fc", min(when(col("event_type") === "click" && col("us") > col("fv"),
         col("us"))).over(ws))
-    marked.groupBy(col("user_id"), col("session_seq"))
+      .groupBy(col("user_id"), col("session_seq"))
       .agg(min("fv").as("fv"), min("fc").as("fc"))
+  }
+
+  def conversionFunnelFrom(events: DataFrame): DataFrame = {
+    funnelMarks(events)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"),
         sum(col("fv").isNotNull.cast("long")).as("n_view"),
@@ -125,8 +132,11 @@ object Events {
       .orderBy("user_id")
   }
 
-  val conversionFunnelSql: String = s"""WITH $sessionNumberedCtes,
-    m1 AS (
+  /** Oracle CTE chain `m1 → m2 → per(user_id, session_seq, fv, fc)` —
+    * the SQL dual of the E7 per-session funnel marks, shared by the E7
+    * and E15 oracles (requires the session CTEs before it).
+    */
+  private val funnelPerCtes: String = """m1 AS (
       SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
         OVER (PARTITION BY user_id, session_seq) AS fv
       FROM numbered),
@@ -136,13 +146,59 @@ object Events {
       FROM m1),
     per AS (
       SELECT user_id, session_seq, MIN(fv) AS fv, MIN(fc) AS fc
-      FROM m2 GROUP BY 1, 2)
+      FROM m2 GROUP BY 1, 2)"""
+
+  val conversionFunnelSql: String = s"""WITH $sessionNumberedCtes,
+    $funnelPerCtes
     SELECT user_id, COUNT(*) AS n_sessions,
       CAST(SUM(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
       CAST(SUM(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
       ROUND(CAST(SUM(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
         CAST(COUNT(*) AS DOUBLE), 6) AS conversion
     FROM per GROUP BY user_id ORDER BY user_id"""
+
+  /** E15: conversion latency — for every user with at least one
+    * converted session (E7's strict view→click chain), the exact
+    * per-user latency profile: conversion count and min / mean / max
+    * time from the session's first view to its first qualifying click.
+    * The follow-on question every funnel report gets ("how LONG does
+    * conversion take?"), derived from the SAME [[funnelMarks]] relation
+    * as E7 so the chain semantics can't drift.
+    *
+    * Determinism: latencies are exact integer microseconds; the mean is
+    * one IEEE division of an exact long sum, rounded at 6. Scale shape:
+    * inherits E1/E7's one user_id shuffle; everything after the session
+    * marks is a keyed aggregate with map-side partials.
+    */
+  def conversionLatency(s: SparkSession, dir: String): DataFrame =
+    conversionLatencyFrom(t(s, dir))
+
+  /** [[conversionLatency]] over an explicit event relation — the spec
+    * pins the latency arithmetic on crafted sessions.
+    */
+  def conversionLatencyFrom(events: DataFrame): DataFrame =
+    funnelMarks(events)
+      .filter(col("fc").isNotNull)
+      .select(col("user_id"), (col("fc") - col("fv")).as("lat"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_conversions"),
+        min("lat").as("min_latency_us"),
+        max("lat").as("max_latency_us"),
+        sum("lat").as("slat"))
+      .select(col("user_id"), col("n_conversions"),
+        col("min_latency_us"), col("max_latency_us"),
+        round(col("slat").cast("double") / col("n_conversions").cast("double"), 6)
+          .as("mean_latency_us"))
+      .orderBy("user_id")
+
+  val conversionLatencySql: String = s"""WITH $sessionNumberedCtes,
+    $funnelPerCtes
+    SELECT user_id, COUNT(*) AS n_conversions,
+      MIN(fc - fv) AS min_latency_us,
+      MAX(fc - fv) AS max_latency_us,
+      ROUND(CAST(SUM(fc - fv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_latency_us
+    FROM per WHERE fc IS NOT NULL
+    GROUP BY user_id ORDER BY user_id"""
 
   val WindowUs: Long = 300L * 1000000L // 5 min tumbling
 

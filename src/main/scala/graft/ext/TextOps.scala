@@ -668,7 +668,11 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val surprisalSql: String = s"""WITH occ AS (
+  /** Oracle CTE chain `occ → vocab → tot → surp → per` — the SQL dual
+    * of [[surprisalFrom]]'s internals, shared by the T10 and T19
+    * oracles so the perplexity proxy can't drift between them.
+    */
+  private val surprisalCtes: String = s"""occ AS (
       SELECT doc_id, tok, COUNT(*) AS c
       FROM (SELECT doc_id, unnest($tokensSql) AS tok FROM documents)
       GROUP BY 1, 2),
@@ -682,7 +686,9 @@ object TextOps {
         SUM(CAST(surp AS DECIMAL(20,10)) * CAST(c AS DECIMAL(10,0))) AS tot,
         MAX(surp) AS max_surprisal
       FROM occ JOIN surp USING (tok)
-      GROUP BY 1)
+      GROUP BY 1)"""
+
+  val surprisalSql: String = s"""WITH $surprisalCtes
     SELECT d.doc_id,
       COALESCE(n_tok, 0) AS n_tok,
       CASE WHEN n_tok > 0
@@ -1346,4 +1352,83 @@ object TextOps {
       CAST(n_kept_lines >= 3 AND has_brace = 0 AND has_lorem = 0 AS INT) AS keep
     FROM sig ORDER BY doc_id"""
   }
+
+  /** T19 value-range bucket count for the per-language two-phase rank
+    * (mean surprisal lives in [0, ~ln N] nats; ⌊s·8⌋ clamped to 128
+    * buckets keeps the offset relation ≤ langs×128 rows).
+    */
+  val CcnetBuckets = 128
+
+  /** T19: CCNet-style perplexity terciles (Wenzek et al. 2020) — per
+    * language, rank documents by the T10 perplexity proxy (mean unigram
+    * surprisal) and cut the EXACT per-language rank into head / middle
+    * / tail thirds: CCNet's quality stratification, where "head" (the
+    * lowest-perplexity third) feeds training first and "tail" is the
+    * candidate discard. Composes [[surprisalFrom]] unchanged, so the
+    * score is definitionally T10's.
+    *
+    * Scale shape: the W4 two-phase VALUE-range rank, partitioned by
+    * language — bucket = ⌊surprisal·8⌋ clamped to [[CcnetBuckets]],
+    * ranks inside bounded (lang, bucket) partitions, global per-lang
+    * rank = the ≤ langs×128-row exclusive bucket-offset window + the
+    * within-bucket rank. No language ever sorts in one partition. The
+    * oracle states the naive per-language window; both agree
+    * row-for-row (ties break on doc_id; the score is already rounded
+    * at its 6-dp comparison boundary).
+    */
+  def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir)
+    ccnetBucketsFrom(
+      surprisalFrom(d.select(col("doc_id"), col("text")))
+        .join(d.select(col("doc_id"), col("lang")), "doc_id"))
+  }
+
+  /** [[ccnetBuckets]] over an explicit `(doc_id, lang, mean_surprisal)`
+    * relation — the spec pins tercile boundaries on crafted ladders.
+    */
+  def ccnetBucketsFrom(sc: DataFrame): DataFrame = {
+    val base = sc.select(col("doc_id"), col("lang"), col("mean_surprisal"))
+      .withColumn("bucket",
+        least(greatest(floor(col("mean_surprisal") * 8), lit(0L)),
+          lit(CcnetBuckets - 1L)).cast("long"))
+      .persist() // feeds the offset, per-lang-count, and ranked legs
+    val wOff = Window.partitionBy("lang").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = base.groupBy("lang", "bucket").agg(count(lit(1)).as("c"))
+      .select(col("lang"), col("bucket"),
+        coalesce(sum("c").over(wOff), lit(0L)).as("off"))
+    val nLang = base.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val wRk = Window.partitionBy("lang", "bucket")
+      .orderBy(col("mean_surprisal"), col("doc_id"))
+    base.withColumn("r", row_number().over(wRk))
+      .join(off, Seq("lang", "bucket"))
+      .join(broadcast(nLang), "lang") // ≤ |langs| rows, provably bounded
+      .select(col("doc_id"), col("lang"), col("mean_surprisal"),
+        (col("off") + col("r")).as("lang_rank"), col("n_lang"),
+        // exact integer tercile (the W4 `div` rule: survives 2^53)
+        expr("1L + ((off + r - 1) * 3) div n_lang").as("tercile"))
+      .withColumn("bucket",
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle").otherwise("tail"))
+      .drop("tercile")
+      .orderBy("doc_id")
+  }
+
+  val ccnetBucketsSql: String = s"""WITH $surprisalCtes,
+    sc AS (
+      SELECT d.doc_id, d.lang,
+        CASE WHEN n_tok > 0
+          THEN ROUND(CAST(tot AS DOUBLE) / CAST(n_tok AS DOUBLE), 6)
+          ELSE 0.0 END AS mean_surprisal
+      FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id),
+    nl AS (SELECT lang, COUNT(*) AS n_lang FROM sc GROUP BY 1),
+    r AS (
+      SELECT doc_id, lang, mean_surprisal,
+        row_number() OVER (PARTITION BY lang ORDER BY mean_surprisal, doc_id) AS rk
+      FROM sc)
+    SELECT doc_id, lang, mean_surprisal,
+      CAST(rk AS BIGINT) AS lang_rank, n_lang,
+      CASE CAST(1 + (rk - 1) * 3 // n_lang AS BIGINT)
+        WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM r JOIN nl USING (lang) ORDER BY doc_id"""
 }

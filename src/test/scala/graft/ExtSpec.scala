@@ -1384,6 +1384,49 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("T19 CCNet terciles: exact thirds per language; two-phase rank = naive") {
+    val en = (1 to 9).map(i => (i.toLong, "en", i.toDouble)) // ladder 1..9
+    val de = Seq((101L, "de", 0.0), (102L, "de", 2.5), (103L, "de", 2.5),
+      (104L, "de", 50.0)) // tie on 2.5 → doc_id order; 50 clamps the bucket
+    val d = (en ++ de).toDF("doc_id", "lang", "mean_surprisal")
+    val r = TextOps.ccnetBucketsFrom(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    def rank(id: Long) = r(id).getLong(r(id).fieldIndex("lang_rank"))
+    def buck(id: Long) = r(id).getString(r(id).fieldIndex("bucket"))
+    // en: 9 docs → exact thirds
+    assert((1 to 3).forall(i => buck(i.toLong) == "head"))
+    assert((4 to 6).forall(i => buck(i.toLong) == "middle"))
+    assert((7 to 9).forall(i => buck(i.toLong) == "tail"))
+    assert((1 to 9).forall(i => rank(i.toLong) == i.toLong))
+    // de: 4 docs → 2/1/1 split; tie 102<103 by doc_id
+    assert(rank(101L) == 1L && buck(101L) == "head")
+    assert(rank(102L) == 2L && buck(102L) == "head")
+    assert(rank(103L) == 3L && buck(103L) == "middle")
+    assert(rank(104L) == 4L && buck(104L) == "tail")
+    assert(r(104L).getLong(r(104L).fieldIndex("n_lang")) == 4L)
+  }
+
+  test("E15 latency: exact min/mean/max; strict chain excludes click-first") {
+    val base = 1700000000000000L
+    val sec = 1000000L
+    val rows = Seq(
+      (1L, base, 7L, "view"), (2L, base + 5 * sec, 7L, "click"),
+      // second session: 15 s latency
+      (3L, base + 40L * 60 * sec, 7L, "view"),
+      (4L, base + 40L * 60 * sec + 15 * sec, 7L, "click"),
+      // user 8: click BEFORE the first view → no conversion
+      (5L, base, 8L, "click"), (6L, base + sec, 8L, "view"))
+    val d = rows.toDF("event_id", "us", "user_id", "event_type")
+    val r = Events.conversionLatencyFrom(d).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == 7L)
+    assert(row.getLong(1) == 2L)
+    assert(row.getLong(2) == 5L * sec)
+    assert(row.getLong(3) == 15L * sec)
+    assert(row.getDouble(4) == 10.0 * sec)
+  }
+
   test("X7 volume shipping: bounded nation pair, year window, positive revenue") {
     // sf0.001's supplier sample misses the 9↔10 pair entirely — the
     // smallest corpus where the pair trades is sf0.01 (tables are still
