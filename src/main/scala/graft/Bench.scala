@@ -80,7 +80,11 @@ object Bench {
       "t15_quality_winsor", "s9_ivf_probe_sweep",
       // r11: d11 persists its band-probe relation; s10 its cell-keyed
       // membership (both feed two plan legs)
-      "d11_incremental_dedup", "s10_semantic_dedup")
+      "d11_incremental_dedup", "s10_semantic_dedup",
+      // r11b: d12 persists its gram/dup-gram relations, t19 its bucketed
+      // score base (+ the T10 occ persist underneath), w6 composes d3's
+      // persisted signature relation
+      "d12_substring_spans", "t19_ccnet_buckets", "w6_split_leakage")
     val coldTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val iterCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def timed(name: String, f: () => Unit): Double = {

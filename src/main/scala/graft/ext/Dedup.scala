@@ -944,15 +944,29 @@ object Dedup {
 
   /** [[substringSpans]] over an explicit `(doc_id, text)` relation —
     * the spec pins coverage arithmetic on planted shared spans.
+    *
+    * Gram keys are a polynomial fold (acc·31 + tokenHash) mod 1e9+7
+    * over the window's per-token hashes — md5 runs ONCE per token, not
+    * once per 8-token concatenated string (the T4 fingerprint / T11
+    * hash-key scheme; measured: the concat+md5-per-gram form cost
+    * 35.8 s cold at sf0.1, this one ~half). The oracle folds the
+    * identical arithmetic, so any collision merges the same spans in
+    * both engines.
     */
   def substringSpansFrom(d: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    val base = d.select(col("doc_id"), size(toks).as("n_tokens"),
-      TextOps.ngrams(toks, SpanK).as("grams"))
+    val base = d.select(col("doc_id"),
+      size(toks).as("n_tokens"),
+      transform(toks, w => TextOps.tokenHash(w)).as("th"))
+    val ghArr = when(col("n_tokens") >= SpanK,
+      transform(sequence(lit(1), col("n_tokens") - (SpanK - 1)), i =>
+        (0 until SpanK).foldLeft(lit(0L): Column)((acc, j) =>
+          (acc * lit(31L) + element_at(col("th"), i + lit(j))) %
+            TextOps.FingerprintMod)))
+      .otherwise(array().cast("array<bigint>"))
     val g = base
-      .select(col("doc_id"), posexplode(col("grams")))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"),
-        TextOps.tokenHash(col("col")).as("gh"))
+      .select(col("doc_id"), posexplode(ghArr))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gh"))
       .persist() // feeds the dup agg, the join-back, and the per-doc counts
     val dup = g.groupBy("gh").agg(countDistinct("doc_id").as("dfd"))
       .filter(col("dfd") >= 2).select("gh")
@@ -981,11 +995,14 @@ object Dedup {
 
   val substringSpansSql: String = {
     val k = SpanK
-    s"""WITH toks AS (SELECT doc_id, ${TextOps.tokensSql} AS tk FROM documents),
-    gl AS (SELECT doc_id, ${TextOps.ngramsSql("tk", k)} AS g FROM toks),
+    val fold = (0 until k).foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
+      s"(($acc * 31 + th[i+$j]) % ${TextOps.FingerprintMod})")
+    s"""WITH toks AS (SELECT doc_id,
+      list_transform(${TextOps.tokensSql}, w -> ${TextOps.tokenHashSql("w")}) AS th
+      FROM documents),
     grams AS (
-      SELECT doc_id, CAST(i AS BIGINT) AS pos, ${TextOps.tokenHashSql("g[i]")} AS gh
-      FROM gl, UNNEST(range(1, len(g)+1)) AS u(i)),
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, $fold AS gh
+      FROM toks, UNNEST(range(1, len(th) - ${k - 2})) AS u(i)),
     dup AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
     dupg AS (SELECT doc_id, pos FROM grams JOIN dup USING (gh)),
     cov AS (SELECT doc_id, COUNT(*) AS covered FROM (
