@@ -84,7 +84,8 @@ object Bench {
       // r11b: d12 persists its gram/dup-gram relations, t19 its bucketed
       // score base (+ the T10 occ persist underneath), w6 composes d3's
       // persisted signature relation
-      "d12_substring_spans", "t19_ccnet_buckets", "w6_split_leakage")
+      "d12_substring_spans", "t19_ccnet_buckets", "w6_split_leakage",
+      "d13_shingle_novelty")
     val coldTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val iterCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def timed(name: String, f: () => Unit): Double = {

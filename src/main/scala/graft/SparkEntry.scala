@@ -680,7 +680,8 @@ object SparkEntry {
     Q("x4_large_orders", Relational.largeOrderCustomers, Some(Relational.largeOrderCustomersSql)),
     Q("x5_priority_pivot", Relational.priorityPivot, Some(Relational.priorityPivotSql)),
     Q("x6_monthly_revenue", Relational.monthlyRevenue, Some(Relational.monthlyRevenueSql)),
-    Q("x7_volume_shipping", Relational.volumeShipping, Some(Relational.volumeShippingSql)))
+    Q("x7_volume_shipping", Relational.volumeShipping, Some(Relational.volumeShippingSql)),
+    Q("x8_market_share", Relational.marketShare, Some(Relational.marketShareSql)))
 
   private val extQueries: Seq[Q] = Seq(
     Q("e1_sessionize", Events.sessionize, Some(Events.sessionizeSql)),
@@ -738,7 +739,9 @@ object SparkEntry {
     Q("d10_containment", Dedup.containment, Some(Dedup.containmentSql)),
     Q("d11_incremental_dedup", Dedup.incrementalDedup, Some(Dedup.incrementalDedupSql)),
     Q("d12_substring_spans", Dedup.substringSpans, Some(Dedup.substringSpansSql)),
+    Q("d13_shingle_novelty", Dedup.shingleNovelty, Some(Dedup.shingleNoveltySql)),
     Q("w6_split_leakage", Mix.splitLeakage, Some(Mix.splitLeakageSql)),
+    Q("w7_mixture_temperature", Mix.mixtureTemperature, Some(Mix.mixtureTemperatureSql)),
     Q("s1_cosine_topk", Similarity.cosineTopk, Some(Similarity.cosineTopkSql)),
     Q("s2_lsh_ann_topk", Similarity.lshAnnTopk, Some(Similarity.lshAnnTopkSql)),
     Q("s3_cosine_neardup", Similarity.cosineNeardup, Some(Similarity.cosineNeardupSql)),

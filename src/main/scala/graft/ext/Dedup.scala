@@ -1024,4 +1024,63 @@ object Dedup {
     LEFT JOIN cov ON nt.doc_id = cov.doc_id
     ORDER BY nt.doc_id"""
   }
+
+  /** D13: shingle novelty — per document, the fraction of its distinct
+    * trigram shingles whose FIRST appearance (min doc_id, the ingest
+    * order) is this document: the "new content contribution" curve a
+    * crawl pipeline tracks to decide when a source is mined out (the
+    * complement of D2's duplication view, over the same shared shingle
+    * definition). A doc of pure boilerplate scores ~0; genuinely new
+    * text scores ~1. Docs with < 3 tokens have no shingles and score 0
+    * by convention.
+    *
+    * Scale shape: min-aggregate per shingle hash + one join-back on the
+    * hash — no pair join exists, so like D12 no df cap is needed; a
+    * shingle in 1M docs is one min-agg row. Ties inside one doc don't
+    * exist (distinct shingles), ties across docs resolve to the
+    * smallest doc_id in both engines by the same MIN.
+    */
+  def shingleNovelty(s: SparkSession, dir: String): DataFrame =
+    shingleNoveltyFrom(t(s, dir).select(col("doc_id"), col("text")))
+
+  /** [[shingleNovelty]] over an explicit `(doc_id, text)` relation —
+    * the spec pins the first-appearance attribution.
+    */
+  def shingleNoveltyFrom(d: DataFrame): DataFrame = {
+    val sh = d.select(col("doc_id"),
+      explode(TextOps.ngrams(TextOps.tokens(col("text")), 3)).as("shingle"))
+      .select(col("doc_id"), TextOps.tokenHash(col("shingle")).as("sh"))
+      .distinct()
+      .persist() // feeds the first-appearance agg and the join-back leg
+    val first = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
+    val per = sh.join(first, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col("doc_id") === col("first_doc")).cast("long")).as("n_novel"))
+    d.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_shingles") > 0,
+          round(col("n_novel").cast("double") / col("n_shingles").cast("double"), 6))
+          .otherwise(lit(0.0)).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  val shingleNoveltySql: String = s"""WITH $shingleCte,
+    sh AS (SELECT DISTINCT doc_id, ${TextOps.tokenHashSql("shingle")} AS sh FROM shing),
+    first AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+    per AS (
+      SELECT doc_id, COUNT(*) AS n_shingles,
+        CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      FROM sh JOIN first USING (sh) GROUP BY 1)
+    SELECT d.doc_id,
+      COALESCE(n_shingles, 0) AS n_shingles,
+      COALESCE(n_novel, 0) AS n_novel,
+      CASE WHEN COALESCE(n_shingles, 0) > 0
+        THEN ROUND(CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6)
+        ELSE 0.0 END AS novelty
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    ORDER BY d.doc_id"""
 }

@@ -203,6 +203,88 @@ object Mix {
 
   private def tokensSqlRef: String = TextOps.tokensSql
 
+  // ------------------------------------------------- W7 temperature mixing
+
+  /** W7 temperature exponent α = 1/2: weights ∝ p^α flatten the natural
+    * source distribution toward uniform (α→0) — the multilingual /
+    * multi-source sampling temperature of XLM-R (Conneau et al. 2020)
+    * and the LLaMA corpus up-sampling. α = 1/2 specifically makes
+    * p^α = sqrt(p), which IEEE-754 requires to be CORRECTLY ROUNDED —
+    * unlike ln/exp there is no cross-libm ulp risk, so the only
+    * determinism care left is the Σw′ accumulation (DECIMAL, below).
+    */
+  val TemperatureAlphaInv = 2
+
+  /** W7: temperature-scaled mixture weights — per source, the natural
+    * token share p, the temperature weight w = √p / Σ√p, and the token
+    * allocation + implied epochs under [[EpochTokenBudget]]. The
+    * up-/down-sampling view of the mixture: low-resource sources gain
+    * (epochs > natural), dominant sources shrink — emitted next to the
+    * W5 natural-weight plan so a data card can show both columns.
+    *
+    * Determinism: p is one IEEE division of exact longs; √p is exact
+    * per IEEE-754; each w′ = round(√p, 9) then Σw′ accumulates those
+    * identical values in DECIMAL (order-free); w and epochs are single
+    * divisions rounded at 6; target_tokens = ⌊budget·w⌋ over the
+    * already-rounded w. Scale: one corpus scan with map-side partials;
+    * everything else is arithmetic on the sources-sized relation.
+    */
+  def mixtureTemperature(s: SparkSession, dir: String): DataFrame =
+    mixtureTemperatureFrom(docs(s, dir).select(col("doc_id"), col("source"),
+      size(TextOps.tokens(col("text"))).cast("long").as("ntok")), EpochTokenBudget)
+
+  /** [[mixtureTemperature]] over an explicit `(doc_id, source, ntok)`
+    * relation and budget — the spec pins the allocation invariants.
+    */
+  def mixtureTemperatureFrom(d: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val per = d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("ntok").as("available_tokens"))
+    val tot = per.agg(sum("available_tokens").as("nn")) // 1 row, bounded
+    val scored = per.crossJoin(broadcast(tot))
+      .withColumn("p",
+        col("available_tokens").cast("double") / col("nn").cast("double"))
+      .withColumn("w9", round(sqrt(col("p")), 9))
+    val sw = scored.agg(
+      sum(col("w9").cast(DecimalType(20, 9))).cast("double").as("sw")) // 1 row
+    scored.crossJoin(broadcast(sw))
+      .withColumn("w_temp", round(col("w9") / col("sw"), 6))
+      .withColumn("target_tokens",
+        floor(lit(budget.toDouble) * col("w_temp")).cast("long"))
+      .select(col("source"), col("n_docs"), col("available_tokens"),
+        round(col("p"), 6).as("p_natural"), col("w_temp"), col("target_tokens"),
+        when(col("available_tokens") > 0,
+          round(col("target_tokens").cast("double") /
+            col("available_tokens").cast("double"), 6))
+          .otherwise(lit(0.0)).as("epochs"))
+      .orderBy("source")
+  }
+
+  val mixtureTemperatureSql: String = s"""WITH per AS (
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(len($tokensSqlRef)) AS BIGINT) AS available_tokens
+      FROM documents GROUP BY source),
+    tot AS (SELECT SUM(available_tokens) AS nn FROM per),
+    scored AS (
+      SELECT source, n_docs, available_tokens,
+        CAST(available_tokens AS DOUBLE) / CAST(nn AS DOUBLE) AS p,
+        ROUND(sqrt(CAST(available_tokens AS DOUBLE) / CAST(nn AS DOUBLE)), 9) AS w9
+      FROM per CROSS JOIN tot),
+    sw AS (SELECT CAST(SUM(CAST(w9 AS DECIMAL(20,9))) AS DOUBLE) AS sw FROM scored),
+    alloc AS (
+      SELECT source, n_docs, available_tokens, p,
+        ROUND(w9 / sw, 6) AS w_temp
+      FROM scored CROSS JOIN sw)
+    SELECT source, n_docs, available_tokens,
+      ROUND(p, 6) AS p_natural, w_temp,
+      CAST(FLOOR($EpochTokenBudget.0 * w_temp) AS BIGINT) AS target_tokens,
+      CASE WHEN available_tokens > 0
+        THEN ROUND(CAST(CAST(FLOOR($EpochTokenBudget.0 * w_temp) AS BIGINT) AS DOUBLE) /
+          CAST(available_tokens AS DOUBLE), 6)
+        ELSE 0.0 END AS epochs
+    FROM alloc ORDER BY source"""
+
   // -------------------------------------------------------- W4 curriculum
 
   /** Value-range bucket count for the W4 two-phase quality rank. */

@@ -314,6 +314,76 @@ object Relational {
       AND n1.n_name <> n2.n_name
     GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
 
+  /** X8 market-share target supplier nation. */
+  val ShareNation = "NATION_9"
+
+  /** X8 (Q8-shaped): supplier-nation market share — for orders placed
+    * by ASIA-region customers, the yearly share of revenue supplied by
+    * [[ShareNation]] suppliers. The conditional-aggregate form of Q8:
+    * one pass computes total and target revenue per order year, share =
+    * one exact-DECIMAL-ratio division rounded at 6.
+    *
+    * Scale shape: region/nation broadcasts prune the customer side
+    * before the fact joins; the supplier nation becomes a 0/1 flag
+    * column BEFORE aggregation (no second fact pass, no self-join);
+    * both revenue sums accumulate in DECIMAL with map-side partials.
+    */
+  def marketShare(s: SparkSession, dir: String): DataFrame = {
+    val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      .select(col("r_regionkey"))
+    val nation = t(s, dir, "nation").select(col("n_nationkey"), col("n_regionkey"))
+    val supNation = t(s, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("sn_name"))
+    val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val supp = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val ord = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("o_year"))
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    val revDec = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(supNation), col("s_nationkey") === col("sn_key"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(revDec).cast("double").as("total_revenue"),
+        sum(when(col("sn_name") === ShareNation, revDec)
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double").as("nation_revenue"),
+        count(lit(1)).as("n_items"))
+      .select(col("o_year"), col("total_revenue"), col("nation_revenue"),
+        round(col("nation_revenue") / col("total_revenue"), 6).as("mkt_share"),
+        col("n_items"))
+      .orderBy("o_year")
+  }
+
+  val marketShareSql: String = s"""WITH f AS (
+      SELECT year(o_orderdate) AS o_year,
+        CAST(l_extendedprice AS DECIMAL(18,2)) *
+          (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS rev,
+        n2.n_name AS sn_name
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA'),
+    agg AS (
+      SELECT o_year,
+        CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+        CAST(SUM(CASE WHEN sn_name = '$ShareNation' THEN rev
+          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_revenue,
+        COUNT(*) AS n_items
+      FROM f GROUP BY 1)
+    SELECT o_year, total_revenue, nation_revenue,
+      ROUND(nation_revenue / total_revenue, 6) AS mkt_share, n_items
+    FROM agg ORDER BY o_year"""
+
   val revenueRollupSql: String = """SELECT
       COALESCE(l_returnflag, 'ALL') AS returnflag,
       COALESCE(l_linestatus, 'ALL') AS linestatus,

@@ -1427,6 +1427,54 @@ class ExtSpec extends SparkSpec {
     assert(row.getDouble(4) == 10.0 * sec)
   }
 
+  test("D13 novelty: first appearance wins; repeats score zero; short docs empty") {
+    val d = Seq(
+      (1L, "a b c d"),   // both shingles novel
+      (2L, "a b c x"),   // shares "a b c" with doc 1 → 1/2 novel
+      (3L, "a b c d"),   // exact repeat → 0 novel
+      (4L, "x y"))       // < 3 tokens → no shingles
+      .toDF("doc_id", "text")
+    val r = graft.ext.Dedup.shingleNoveltyFrom(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    def nov(id: Long) = r(id).getDouble(r(id).fieldIndex("novelty"))
+    assert(nov(1L) == 1.0)
+    assert(nov(2L) == 0.5)
+    assert(nov(3L) == 0.0)
+    assert(r(4L).getLong(r(4L).fieldIndex("n_shingles")) == 0L && nov(4L) == 0.0)
+    assert(r(2L).getLong(r(2L).fieldIndex("n_novel")) == 1L)
+  }
+
+  test("W7 temperature: sqrt flattening is exact on a 90/10 corpus") {
+    import graft.ext.Mix
+    val d = Seq((1L, "A", 900L), (2L, "B", 100L))
+      .toDF("doc_id", "source", "ntok")
+    val r = Mix.mixtureTemperatureFrom(d, 1000000L).collect()
+      .map(x => x.getString(0) -> x).toMap
+    def f(src: String, c: String) = r(src).getDouble(r(src).fieldIndex(c))
+    // sqrt(0.9) = 3·sqrt(0.1) → weights are EXACTLY 0.75 / 0.25
+    assert(f("A", "w_temp") == 0.75 && f("B", "w_temp") == 0.25)
+    assert(f("A", "p_natural") == 0.9 && f("B", "p_natural") == 0.1)
+    // temperature flattens: the minority source gains weight vs natural
+    assert(f("B", "w_temp") > f("B", "p_natural"))
+    assert(f("A", "w_temp") < f("A", "p_natural"))
+    assert(r("A").getLong(r("A").fieldIndex("target_tokens")) == 750000L)
+    assert(r("B").getLong(r("B").fieldIndex("target_tokens")) == 250000L)
+    assert(f("B", "epochs") == 2500.0)
+  }
+
+  test("X8 market share: share bounded, components reconcile per year") {
+    val r = graft.ext.Relational.marketShare(spark, "/root/testdata/sf0.01").collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (tot, nat, share) = (row.getDouble(1), row.getDouble(2), row.getDouble(3))
+      assert(tot > 0.0 && nat >= 0.0 && nat <= tot)
+      assert(share >= 0.0 && share <= 1.0)
+      val exp = BigDecimal(nat / tot).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(share == exp)
+      assert(row.getLong(4) > 0L)
+    }
+  }
+
   test("X7 volume shipping: bounded nation pair, year window, positive revenue") {
     // sf0.001's supplier sample misses the 9↔10 pair entirely — the
     // smallest corpus where the pair trades is sf0.01 (tables are still
