@@ -755,6 +755,7 @@ object SparkEntry {
     Q("s6_quant_error", Similarity.quantError, Some(Similarity.quantErrorSql)),
     Q("s7_centroid_separation", Similarity.centroidSeparation, Some(Similarity.centroidSeparationSql)),
     Q("s10_semantic_dedup", Similarity.semanticDedup, Some(Similarity.semanticDedupSql)),
+    Q("s11_pq_encode", Similarity.pqEncode, Some(Similarity.pqEncodeSql)),
     Q("m1_multimodal_meta", Multimodal.meta, Some(Multimodal.metaSql)),
     // mapPartitions feature extraction — the byte-nibble histogram IS
     // SQL-expressible (hex trick, see Multimodal.featuresSql), so the
@@ -762,7 +763,8 @@ object SparkEntry {
     Q("m2_multimodal_features", Multimodal.features, Some(Multimodal.featuresSql)),
     Q("m3_frame_sample", Multimodal.frameSample, Some(Multimodal.frameSampleSql)),
     Q("m4_corruption_scan", Multimodal.corruptionScan, Some(Multimodal.corruptionScanSql)),
-    Q("m5_payload_entropy", Multimodal.payloadEntropy, Some(Multimodal.payloadEntropySql)))
+    Q("m5_payload_entropy", Multimodal.payloadEntropy, Some(Multimodal.payloadEntropySql)),
+    Q("m6_frame_overlap", Multimodal.frameOverlap, Some(Multimodal.frameOverlapSql)))
 
   // --------------------------------------------------------------- registry
 

@@ -629,4 +629,104 @@ object Similarity {
       CAST(pruned_by IS NOT NULL AS INT) AS is_pruned, pruned_by
     FROM mem m LEFT JOIN dom ON m.vec_id = dom.vec_id
     ORDER BY m.vec_id"""
+
+  /** S11 product-quantization geometry: 64 dims split into 4 subspaces
+    * of 16 dims, 16 codes per subspace (8 bits/vector payload + id).
+    */
+  val PqSubSpaces = 4
+  val PqSubDim: Int = Dim / PqSubSpaces
+  val PqCodes = 16
+
+  /** Left-assoc dot of one 16-dim subspace slice — the [[dotSql]] chain
+    * restricted to subspace `m`'s indices, so Spark's `graft_dot` over
+    * `slice(...)` and the oracle fold the identical term order.
+    */
+  private def subDotSql(a: String, b: String, m: Int): String =
+    (1 to PqSubDim).map { i =>
+      val ia = m * PqSubDim + i
+      s"CAST($a[$ia] AS DOUBLE)*CAST($b[$ia] AS DOUBLE)"
+    }.mkString(" + ")
+
+  /** S11: product quantization (Jégou et al. 2011) — encode each vector
+    * as [[PqSubSpaces]] sub-codes (argmin squared L2 to the subspace
+    * codebook) and report the exact reconstruction error, the
+    * memory-bound ANN compression layer between S6's scalar int8 and
+    * S4's IVF cells. Codebooks are DETERMINISTIC, the s10 seed trick:
+    * the first [[PqCodes]] corpus vectors in (md5-hash, vec_id) order
+    * serve as code vectors per subspace (training-free PQ init;
+    * swapping in k-means-refined codebooks changes only the `codes`
+    * relation) — which is what lets DuckDB state the ENTIRE operator
+    * and the full hash gate apply, where s4/s9's trained quantizer
+    * cannot.
+    *
+    * Determinism: every subspace distance is xx + cc − 2·x·c over
+    * [[subDotSql]]-shaped left-assoc chains (bit-identical doubles in
+    * both engines); argmin resolves as MIN over a (distance, code-id)
+    * struct — lexicographic in both engines, ties to the smaller code
+    * id; rounding only at the output boundary.
+    *
+    * Scale shape: the codebook is provably bounded (LIMIT 16) →
+    * broadcast; ONE cross join scores all 4 subspaces per (vector,
+    * code) row and one grouped MIN-struct agg per subspace picks the
+    * codes (map-side partials, no per-vector window); nothing after
+    * grows with the corpus.
+    */
+  def pqEncode(s: SparkSession, dir: String): DataFrame =
+    pqEncodeFrom(t(s, dir).select(col("vec_id"), col("embedding")))
+
+  /** [[pqEncode]] over an explicit `(vec_id, embedding)` relation — the
+    * spec pins self-encoding of seed vectors and error arithmetic.
+    */
+  def pqEncodeFrom(emb0: DataFrame): DataFrame = {
+    val emb = emb0.select(col("vec_id"), col("embedding"))
+    val codes = emb
+      .orderBy(TextOps.tokenHash(col("vec_id").cast("string")), col("vec_id"))
+      .limit(PqCodes)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    def sub(c: Column, m: Int): Column = slice(c, m * PqSubDim + 1, PqSubDim)
+    val dCols = (0 until PqSubSpaces).map { m =>
+      val xs = sub(col("embedding"), m); val cs = sub(col("ce"), m)
+      (dot(xs, xs) + dot(cs, cs) - lit(2.0) * dot(xs, cs)).as(s"d$m")
+    }
+    val scored = emb.crossJoin(broadcast(codes))
+      .select(Seq(col("vec_id"),
+        dot(col("embedding"), col("embedding")).as("xx"), col("cid")) ++ dCols: _*)
+    val aggs = (0 until PqSubSpaces).map(m =>
+      min(struct(col(s"d$m").as("d"), col("cid").as("c"))).as(s"m$m")) :+
+      max(col("xx")).as("xx") // xx is constant per vec_id
+    val agg = scored.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+    val err = (0 until PqSubSpaces).map(m => col(s"m$m.d")).reduce(_ + _)
+    agg.select(
+      Seq(col("vec_id")) ++
+        (0 until PqSubSpaces).map(m => col(s"m$m.c").as(s"code$m")) ++ Seq(
+        round(err, 6).as("recon_err"),
+        when(col("xx") > 0, round(err / col("xx"), 6))
+          .otherwise(lit(0.0)).as("rel_err")): _*)
+      .orderBy("vec_id")
+  }
+
+  val pqEncodeSql: String = {
+    val ds = (0 until PqSubSpaces).map(m =>
+      s"(${subDotSql("embedding", "embedding", m)}) + (${subDotSql("ce", "ce", m)}) " +
+        s"- 2.0*(${subDotSql("embedding", "ce", m)}) AS d$m").mkString(",\n        ")
+    val mins = (0 until PqSubSpaces).map(m =>
+      s"MIN({'d': d$m, 'c': cid}) AS m$m").mkString(", ")
+    val err = (0 until PqSubSpaces).map(m => s"m$m.d").mkString(" + ")
+    val codeCols = (0 until PqSubSpaces).map(m => s"m$m.c AS code$m").mkString(", ")
+    s"""WITH en AS (SELECT vec_id, embedding FROM embeddings),
+    codes AS (
+      SELECT vec_id AS cid, embedding AS ce FROM en
+      ORDER BY ${TextOps.tokenHashSql("CAST(vec_id AS VARCHAR)")}, vec_id
+      LIMIT $PqCodes),
+    scored AS (
+      SELECT vec_id, ${dotSql("embedding", "embedding")} AS xx, cid,
+        $ds
+      FROM en CROSS JOIN codes),
+    agg AS (
+      SELECT vec_id, $mins, MAX(xx) AS xx FROM scored GROUP BY 1)
+    SELECT vec_id, $codeCols,
+      ROUND($err, 6) AS recon_err,
+      CASE WHEN xx > 0 THEN ROUND(($err) / xx, 6) ELSE 0.0 END AS rel_err
+    FROM agg ORDER BY vec_id"""
+  }
 }

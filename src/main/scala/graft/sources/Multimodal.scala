@@ -118,7 +118,16 @@ object Multimodal {
     * frame, ready for per-frame feature extraction or dedup.
     */
   def frameSample(s: SparkSession, dir: String): DataFrame =
-    table(s, dir)
+    frames(s, dir).orderBy("doc_id", "frame_id")
+
+  /** The sampled-frame relation (unordered) — the ONE frame definition,
+    * shared by M3 and the M6 overlap detector.
+    */
+  private def frames(s: SparkSession, dir: String): DataFrame =
+    framesOf(table(s, dir))
+
+  private def framesOf(tbl: DataFrame): DataFrame =
+    tbl
       .select(col("doc_id"), col("payload"),
         length(col("payload")).cast("long").as("len"))
       // a frame is ≥1 byte, so the frame count is capped by the payload
@@ -136,24 +145,29 @@ object Multimodal {
         col("frame_offset"), col("w").as("frame_bytes"),
         md5(expr("substring(payload, cast(frame_offset + 1 as int), cast(w as int))"))
           .as("frame_hash"))
-      .orderBy("doc_id", "frame_id")
 
-  /** DuckDB oracle for [[frameSample]] — same arithmetic over the text
-    * (the corpus is ASCII, so char offsets == byte offsets; the verify
-    * gate would catch any divergence).
+  /** Oracle CTE chain ending in `frames` — the SQL dual of [[frames]]
+    * over the text bytes (the corpus is ASCII, so char offsets == byte
+    * offsets; the verify gate would catch any divergence). Shared by
+    * the M3 and M6 oracles.
     */
-  val frameSampleSql: String = s"""WITH b AS (
+  private val frameCtes: String = s"""b AS (
       SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
              LEAST(CAST(length(text) % 16 + 1 AS BIGINT), length(text)) AS nf
       FROM documents WHERE length(text) > 0),
     p AS (SELECT doc_id, text, nf, LEAST(nf, $MaxSampledFrames) AS sn,
              len // nf AS w FROM b),
-    f AS (SELECT doc_id, text, nf, sn, w, unnest(range(0, sn)) AS frame_id FROM p)
-    SELECT doc_id, frame_id, (frame_id * nf) // sn AS frame_index,
-      ((frame_id * nf) // sn) * w AS frame_offset, w AS frame_bytes,
-      md5(substring(text, CAST(((frame_id * nf) // sn) * w + 1 AS INT), CAST(w AS INT)))
-        AS frame_hash
-    FROM f ORDER BY doc_id, frame_id"""
+    f AS (SELECT doc_id, text, nf, sn, w, unnest(range(0, sn)) AS frame_id FROM p),
+    frames AS (
+      SELECT doc_id, frame_id, (frame_id * nf) // sn AS frame_index,
+        ((frame_id * nf) // sn) * w AS frame_offset, w AS frame_bytes,
+        md5(substring(text, CAST(((frame_id * nf) // sn) * w + 1 AS INT), CAST(w AS INT)))
+          AS frame_hash
+      FROM f)"""
+
+  val frameSampleSql: String = s"""WITH $frameCtes
+    SELECT doc_id, frame_id, frame_index, frame_offset, frame_bytes, frame_hash
+    FROM frames ORDER BY doc_id, frame_id"""
 
   /** Low-nibble concentration above which a payload is flagged as
     * corrupt/degenerate (a healthy codec stream spreads nibble mass; a
@@ -315,6 +329,80 @@ object Multimodal {
       SELECT *, CAST(nibble_entropy < $LowEntropy AS INT) AS low_entropy
       FROM e ORDER BY doc_id"""
   }
+
+  /** Frame-hash document-frequency cap for M6 — the [[graft.ext.Dedup]]
+    * stop-shingle rule applied to frames: a frame hash appearing in more
+    * than this many payloads (constant-black frames, zero-fill padding)
+    * is dropped before the inverted-index self-join, bounding every join
+    * bucket to cap² pairs at any corpus size.
+    */
+  val MaxFrameDf = 100
+
+  /** M6: cross-payload frame overlap — pairs of payloads sharing sampled
+    * frame content (by [[frames]]' per-frame hash), ranked by overlap =
+    * |shared| / min(|A|, |B|): the video/image content-overlap detector
+    * (re-encoded copies, clipped excerpts, duplicated stills share exact
+    * frame hashes under a real per-frame pHash; the sampled-frame index
+    * is how video dedup runs at corpus scale — never all frames, never
+    * all pairs). The D10 containment lens over the M3 frame relation;
+    * both definitions are shared, not restated.
+    *
+    * Scale shape: distinct (doc, hash) postings, [[MaxFrameDf]]-capped
+    * inverted-index self-join (the D2 bound), overlap from per-doc frame
+    * counts, top-50 via TakeOrdered then a 50-row rank window — never a
+    * full-pair global window.
+    */
+  def frameOverlap(s: SparkSession, dir: String): DataFrame =
+    frameOverlapFrom(table(s, dir))
+
+  /** [[frameOverlap]] over an explicit `(doc_id, payload)` relation —
+    * the spec drives crafted shared-frame payloads through it.
+    */
+  def frameOverlapFrom(tbl: DataFrame): DataFrame = {
+    val fh = framesOf(tbl).select(col("doc_id"), col("frame_hash")).distinct()
+      .persist() // feeds the df cap, both join sides, and the sizes leg
+    val keep = fh.groupBy("frame_hash").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxFrameDf).select("frame_hash")
+    val capped = fh.join(keep, "frame_hash")
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("nfh"))
+    val pairs = capped.as("a").join(capped.as("b"), "frame_hash")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    val ov = pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nfh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nfh", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("na"), col("nb"),
+        round(col("shared").cast("double") /
+          least(col("na"), col("nb")).cast("double"), 6).as("overlap"))
+    ov.orderBy(col("overlap").desc, col("doc_a"), col("doc_b")).limit(50)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("overlap").desc, col("doc_a"), col("doc_b"))))
+      .select(col("rk"), col("doc_a"), col("doc_b"), col("shared"),
+        col("na"), col("nb"), col("overlap"))
+  }
+
+  val frameOverlapSql: String = s"""WITH $frameCtes,
+    fh AS (SELECT DISTINCT doc_id, frame_hash FROM frames),
+    capped AS (
+      SELECT fh.* FROM fh
+      JOIN (SELECT frame_hash FROM fh GROUP BY frame_hash
+            HAVING COUNT(*) <= $MaxFrameDf) k USING (frame_hash)),
+    sizes AS (SELECT doc_id, COUNT(*) AS nfh FROM capped GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM capped a JOIN capped b
+        ON a.frame_hash = b.frame_hash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    ov AS (
+      SELECT doc_a, doc_b, shared, sa.nfh AS na, sb.nfh AS nb,
+        ROUND(CAST(shared AS DOUBLE) / CAST(LEAST(sa.nfh, sb.nfh) AS DOUBLE), 6) AS overlap
+      FROM pairs JOIN sizes sa ON pairs.doc_a = sa.doc_id
+                 JOIN sizes sb ON pairs.doc_b = sb.doc_id)
+    SELECT rk, doc_a, doc_b, shared, na, nb, overlap FROM (
+      SELECT *, row_number() OVER (ORDER BY overlap DESC, doc_a, doc_b) AS rk FROM ov)
+    WHERE rk <= 50"""
 
   /** STUB decoder: 16-bin byte histogram normalized by length — a
     * deterministic placeholder for codec + feature model output.

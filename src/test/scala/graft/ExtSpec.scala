@@ -1475,6 +1475,51 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("M6 frame overlap: identical payloads share all frames; distinct share none") {
+    val d = Seq(
+      (1L, "AAAABBBBCCCCDDDD"),   // 16 bytes → 1 frame (len%16+1 = 1)
+      (2L, "AAAABBBBCCCCDDDD"),   // exact copy → overlap 1.0 with doc 1
+      (3L, "EEEEFFFFGGGGHHHH"))   // same shape, different content
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val r = Multimodal.frameOverlapFrom(d).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 1L && row.getLong(2) == 2L)
+    assert(row.getLong(3) == 1L) // shared frames
+    assert(row.getDouble(6) == 1.0)
+  }
+
+  test("S11 PQ: seed vectors self-encode at zero error; codes stay in the codebook") {
+    import graft.ext.Similarity
+    val r = Similarity.pqEncode(spark, Sf0001).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // replicate the deterministic codebook choice: first 16 by (md5, id)
+    def h(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val seeds = r.keySet.toSeq.sortBy(id => (h(id), id)).take(Similarity.PqCodes)
+    seeds.foreach { sid =>
+      val row = r(sid)
+      assert(row.getDouble(row.fieldIndex("recon_err")) == 0.0, s"seed $sid")
+      (0 until Similarity.PqSubSpaces).foreach { m =>
+        assert(row.getLong(row.fieldIndex(s"code$m")) == sid, s"seed $sid code$m")
+      }
+    }
+    val seedSet = seeds.toSet
+    r.values.foreach { row =>
+      (0 until Similarity.PqSubSpaces).foreach { m =>
+        assert(seedSet(row.getLong(row.fieldIndex(s"code$m"))))
+      }
+      assert(row.getDouble(row.fieldIndex("recon_err")) >= 0.0)
+      val rel = row.getDouble(row.fieldIndex("rel_err"))
+      assert(rel >= 0.0)
+    }
+    assert(r.size > Similarity.PqCodes) // non-seed vectors exist and encoded
+  }
+
   test("X7 volume shipping: bounded nation pair, year window, positive revenue") {
     // sf0.001's supplier sample misses the 9↔10 pair entirely — the
     // smallest corpus where the pair trades is sf0.01 (tables are still
