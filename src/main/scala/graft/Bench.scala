@@ -85,7 +85,10 @@ object Bench {
       // score base (+ the T10 occ persist underneath), w6 composes d3's
       // persisted signature relation
       "d12_substring_spans", "t19_ccnet_buckets", "w6_split_leakage",
-      "d13_shingle_novelty", "m6_frame_overlap")
+      "d13_shingle_novelty", "m6_frame_overlap",
+      // r11c: x11 persists its per-customer stat relation (feeds the
+      // three rank legs and two stat broadcasts)
+      "x11_rfm_segments")
     val coldTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val iterCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def timed(name: String, f: () => Unit): Double = {

@@ -681,7 +681,10 @@ object SparkEntry {
     Q("x5_priority_pivot", Relational.priorityPivot, Some(Relational.priorityPivotSql)),
     Q("x6_monthly_revenue", Relational.monthlyRevenue, Some(Relational.monthlyRevenueSql)),
     Q("x7_volume_shipping", Relational.volumeShipping, Some(Relational.volumeShippingSql)),
-    Q("x8_market_share", Relational.marketShare, Some(Relational.marketShareSql)))
+    Q("x8_market_share", Relational.marketShare, Some(Relational.marketShareSql)),
+    Q("x9_order_distribution", Relational.orderDistribution, Some(Relational.orderDistributionSql)),
+    Q("x10_returned_items", Relational.returnedItems, Some(Relational.returnedItemsSql)),
+    Q("x11_rfm_segments", Relational.rfmSegments, Some(Relational.rfmSegmentsSql)))
 
   private val extQueries: Seq[Q] = Seq(
     Q("e1_sessionize", Events.sessionize, Some(Events.sessionizeSql)),
@@ -722,6 +725,7 @@ object SparkEntry {
     Q("e14_markov_transitions", Events.markovTransitions, Some(Events.markovTransitionsSql)),
     Q("e15_conversion_latency", Events.conversionLatency, Some(Events.conversionLatencySql)),
     Q("t19_ccnet_buckets", TextOps.ccnetBuckets, Some(TextOps.ccnetBucketsSql)),
+    Q("t20_encoding_scan", TextOps.encodingScan, Some(TextOps.encodingScanSql)),
     Q("w1_source_mix", Mix.sourceMix, Some(Mix.sourceMixSql)),
     Q("w2_seq_pack", Mix.seqPack, Some(Mix.seqPackSql)),
     Q("w3_pii_scan", Pii.piiScan, Some(Pii.piiScanSql)),

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -393,4 +394,186 @@ object Relational {
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     ORDER BY returnflag, linestatus"""
+
+  /** X9 (Q13-shaped): customer order-count distribution — how many
+    * customers placed exactly k orders, including the zero-order tail
+    * the inner joins everywhere else never see.
+    *
+    * Scale shape: orders pre-aggregates to one row per customer BEFORE
+    * the left join (the classic Q13 rewrite — joining raw orders first
+    * would carry every order row through the outer join), so the join
+    * is stat-row-per-customer vs customer, both hashed on custkey, one
+    * shuffle each; the final distribution agg is over ≤max-order-count
+    * distinct keys with map-side partials. Nothing broadcast: both
+    * sides grow with the corpus.
+    */
+  def orderDistribution(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").select(col("c_custkey"))
+    val perCust = t(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    cust.join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val orderDistributionSql: String = """SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT COALESCE(cnt, 0) AS c_count
+      FROM customer
+      LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1) pc
+        ON c_custkey = o_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC"""
+
+  /** X10 (Q10-shaped): top-20 customers by revenue lost to returns in
+    * one quarter — selective fact filter (returnflag + order-date
+    * window) feeding the customer/nation dimension chain, ranked by a
+    * DECIMAL-exact revenue sum with a key tie-break.
+    *
+    * Scale shape: both fact filters apply at the scan (pushed to
+    * parquet; the date window partition-prunes a date-partitioned
+    * lake); nation (bounded, 25 rows) is the only broadcast hint —
+    * customer grows with the corpus and is left to size-based
+    * planning; top-20 is TakeOrdered (no global sort), and the rank
+    * window runs over the 20 surviving rows only.
+    */
+  def returnedItems(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+    val nation = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-04-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"),
+        col("revenue"), col("n_items"))
+  }
+
+  val returnedItemsSql: String = """SELECT c_custkey, c_name, c_acctbal, n_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20"""
+
+  /** X11: RFM (recency / frequency / monetary) quartile segmentation —
+    * the classic customer-analytics cut: per customer, days since last
+    * order, order count, and DECIMAL-exact lifetime spend; each measure
+    * gets an EXACT global quartile (1 = best), and the output is the
+    * ≤64-segment (r_q, f_q, m_q) grid with customer counts, total
+    * monetary, and mean frequency.
+    *
+    * Determinism: quartile = 1 + (rank−1)·4 div n in pure integer
+    * arithmetic (NOT `ntile`, whose remainder distribution differs
+    * between engines); every rank ties-breaks on custkey; monetary
+    * stays DECIMAL until the final cast; avg_freq is one IEEE division
+    * of exact integers rounded at the boundary.
+    *
+    * Scale shape: the three global ranks use the W4 two-phase
+    * value-range pattern — bucket by a monotone ⌊value·64/(max+1)⌋
+    * transform (bucket-major order equals global order), rank inside
+    * bounded bucket partitions, reconstruct the global rank from the
+    * ≤64-row exclusive bucket-offset window. The per-customer stat
+    * relation is persisted once and feeds all three rank legs plus the
+    * two 1-row stat broadcasts; the corpus-sized orders table is
+    * touched exactly once. The oracle states the naive single-window
+    * ranks; bucket math is Spark-internal so only the rank ORDER keys
+    * need cross-engine parity.
+    */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val pc = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(
+        max(col("o_orderdate")).as("last_date"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("mon"))
+      .persist()
+    // 1-row corpus stats: anchor date + population; provably bounded
+    val st = pc.agg(max(col("last_date")).as("maxd"), count(lit(1)).as("n"))
+    val base = pc.crossJoin(broadcast(st))
+      .withColumn("recency", datediff(col("maxd"), col("last_date")).cast("long"))
+      .withColumn("mond", col("mon").cast("double"))
+    // 1-row bucket-scale stats (Spark-internal; never reach the output)
+    val mx = base.agg(
+      max(col("recency")).as("max_rec"),
+      max(col("freq")).as("max_freq"),
+      max(col("mond")).as("max_mon"))
+    val b = base.crossJoin(broadcast(mx))
+      .withColumn("rb", least(floor(col("recency").cast("double") * 64.0 /
+        (col("max_rec").cast("double") + 1.0)), lit(63L)))
+      .withColumn("fb", least(floor(col("freq").cast("double") * 64.0 /
+        (col("max_freq").cast("double") + 1.0)), lit(63L)))
+      .withColumn("mb", least(floor(col("mond") * 64.0 /
+        (col("max_mon") + 1.0)), lit(63L)))
+      .persist()
+    def off(bucket: String, asc: Boolean): DataFrame = {
+      val w = Window.orderBy(if (asc) col(bucket).asc else col(bucket).desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      b.groupBy(col(bucket)).agg(count(lit(1)).as("c"))
+        .select(col(bucket), coalesce(sum("c").over(w), lit(0L)).as(s"off_$bucket"))
+    }
+    val ranked = b
+      .withColumn("rr", row_number().over(
+        Window.partitionBy("rb").orderBy(col("recency").asc, col("custkey"))))
+      .withColumn("rf", row_number().over(
+        Window.partitionBy("fb").orderBy(col("freq").desc, col("custkey"))))
+      .withColumn("rm", row_number().over(
+        Window.partitionBy("mb").orderBy(col("mon").desc, col("custkey"))))
+      .join(broadcast(off("rb", asc = true)), "rb")
+      .join(broadcast(off("fb", asc = false)), "fb")
+      .join(broadcast(off("mb", asc = false)), "mb")
+      .select(col("custkey"), col("freq"), col("mon"), col("n"),
+        expr("1L + ((off_rb + rr - 1) * 4) div n").as("r_q"),
+        expr("1L + ((off_fb + rf - 1) * 4) div n").as("f_q"),
+        expr("1L + ((off_mb + rm - 1) * 4) div n").as("m_q"))
+    ranked.groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("mon")).cast("double").as("monetary"),
+        round(sum(col("freq")).cast("double") / count(lit(1)), 6).as("avg_freq"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
+  val rfmSegmentsSql: String = """WITH pc AS (
+      SELECT o_custkey AS custkey, max(o_orderdate) AS last_date,
+        COUNT(*) AS freq, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+      FROM orders GROUP BY 1),
+    st AS (SELECT max(last_date) AS maxd, COUNT(*) AS n FROM pc),
+    b AS (
+      SELECT pc.*, st.n, date_diff('day', last_date, maxd) AS recency
+      FROM pc, st),
+    r AS (
+      SELECT b.*,
+        row_number() OVER (ORDER BY recency ASC, custkey) AS rr,
+        row_number() OVER (ORDER BY freq DESC, custkey) AS rf,
+        row_number() OVER (ORDER BY mon DESC, custkey) AS rm
+      FROM b),
+    q AS (
+      SELECT custkey, freq, mon,
+        1 + ((rr - 1) * 4) // n AS r_q,
+        1 + ((rf - 1) * 4) // n AS f_q,
+        1 + ((rm - 1) * 4) // n AS m_q
+      FROM r)
+    SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
+      CAST(SUM(mon) AS DOUBLE) AS monetary,
+      ROUND(CAST(SUM(freq) AS DOUBLE) / COUNT(*), 6) AS avg_freq
+    FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
 }

@@ -1431,4 +1431,107 @@ object TextOps {
       CASE CAST(1 + (rk - 1) * 3 // n_lang AS BIGINT)
         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
     FROM r JOIN nl USING (lang) ORDER BY doc_id"""
+  // -------------------------------------------------------- T20 encoding
+
+  /** Mojibake / control / replacement-character patterns for the T20
+    * encoding scan — shared verbatim between the Spark and DuckDB sides
+    * (the Java-regex ∩ RE2 subset: `\xhh` escapes and codepoint
+    * classes mean the same thing in both engines, exactly the W3 PII
+    * contract).
+    */
+  val ReplRe = "�"
+  val CtrlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+  val MojiRe = "Ã[\\x80-\\xBF]|â€|Â[\\xA0-\\xBF]"
+  val NonAsciiRe = "[^\\x00-\\x7F]"
+
+  /** T20: encoding-quality scan — per language, how much of the corpus
+    * shows the classic ingest defects: U+FFFD replacement characters
+    * (decoder gave up), raw C0 control characters (binary bleed),
+    * UTF-8-read-as-Latin-1 mojibake digraphs (Ã/â€/Â sequences), and
+    * the byte-per-char inflation of non-ASCII text. The standard
+    * pre-tokenizer QA gate in web-corpus pipelines (the C4/CCNet
+    * cleaning stage drops exactly these rows).
+    *
+    * Determinism: every signal is an exact integer `regexp_count` over
+    * a shared Java∩RE2 pattern; the two ratio columns are single IEEE
+    * divisions of exact integer sums rounded at the boundary.
+    *
+    * Scale shape: one codegen'd projection over one corpus scan, then
+    * a per-lang aggregate with map-side partials — no joins, no
+    * windows, nothing grows past the language-count output.
+    */
+  def encodingScan(s: SparkSession, dir: String): DataFrame =
+    encodingScanFrom(t(s, dir))
+
+  /** [[encodingScan]] over an explicit `(doc_id, text, lang)` relation —
+    * the driver corpus is clean ASCII, so the spec pins nonzero signal
+    * values on crafted mojibake through this.
+    */
+  def encodingScanFrom(d: DataFrame): DataFrame = {
+    val per = d.select(
+      col("lang"),
+      regexp_count(col("text"), lit(ReplRe)).cast("long").as("n_repl"),
+      regexp_count(col("text"), lit(CtrlRe)).cast("long").as("n_ctrl"),
+      regexp_count(col("text"), lit(MojiRe)).cast("long").as("n_moji"),
+      regexp_count(col("text"), lit(NonAsciiRe)).cast("long").as("n_nonascii"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      length(col("text")).cast("long").as("n_chars"))
+    per.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_repl") > 0, 1L).otherwise(0L)).as("docs_with_repl"),
+        sum(when(col("n_ctrl") > 0, 1L).otherwise(0L)).as("docs_with_ctrl"),
+        sum(when(col("n_moji") > 0, 1L).otherwise(0L)).as("docs_with_moji"),
+        sum(col("n_repl")).as("total_repl"),
+        sum(col("n_ctrl")).as("total_ctrl"),
+        sum(col("n_moji")).as("total_moji"),
+        sum(col("n_nonascii")).as("total_nonascii"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("n_chars")).as("total_chars"))
+      .select(col("lang"), col("n_docs"),
+        col("docs_with_repl"), col("docs_with_ctrl"), col("docs_with_moji"),
+        col("total_repl"), col("total_ctrl"), col("total_moji"), col("total_nonascii"),
+        round((col("n_docs") - greatest(col("docs_with_repl"),
+          col("docs_with_ctrl"), col("docs_with_moji"))).cast("double") /
+          col("n_docs"), 6).as("clean_lb"),
+        when(col("total_chars") > 0,
+          round(col("total_bytes").cast("double") / col("total_chars"), 6))
+          .otherwise(lit(1.0)).as("bytes_per_char"))
+      .orderBy("lang")
+  }
+
+  // DuckDB standard SQL strings pass backslashes through untouched, so
+  // the Java-side pattern string IS the RE2 pattern — only quotes escape.
+  private def reCount(c: String, re: String): String =
+    s"CAST(len(regexp_extract_all($c, '${re.replace("'", "''")}')) AS BIGINT)"
+
+  val encodingScanSql: String = s"""WITH per AS (
+      SELECT lang,
+        ${reCount("text", ReplRe)} AS n_repl,
+        ${reCount("text", CtrlRe)} AS n_ctrl,
+        ${reCount("text", MojiRe)} AS n_moji,
+        ${reCount("text", NonAsciiRe)} AS n_nonascii,
+        CAST(strlen(text) AS BIGINT) AS n_bytes,
+        CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents),
+    agg AS (
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN n_repl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_repl,
+        CAST(SUM(CASE WHEN n_ctrl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_ctrl,
+        CAST(SUM(CASE WHEN n_moji > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_moji,
+        CAST(SUM(n_repl) AS BIGINT) AS total_repl,
+        CAST(SUM(n_ctrl) AS BIGINT) AS total_ctrl,
+        CAST(SUM(n_moji) AS BIGINT) AS total_moji,
+        CAST(SUM(n_nonascii) AS BIGINT) AS total_nonascii,
+        CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM per GROUP BY 1)
+    SELECT lang, n_docs, docs_with_repl, docs_with_ctrl, docs_with_moji,
+      total_repl, total_ctrl, total_moji, total_nonascii,
+      ROUND(CAST(n_docs - GREATEST(docs_with_repl, docs_with_ctrl,
+        docs_with_moji) AS DOUBLE) / n_docs, 6) AS clean_lb,
+      CASE WHEN total_chars > 0
+        THEN ROUND(CAST(total_bytes AS DOUBLE) / total_chars, 6)
+        ELSE 1.0 END AS bytes_per_char
+    FROM agg ORDER BY lang"""
 }

@@ -1520,6 +1520,71 @@ class ExtSpec extends SparkSpec {
     assert(r.size > Similarity.PqCodes) // non-seed vectors exist and encoded
   }
 
+  test("X9 order distribution: masses reconcile with customer and order counts") {
+    val r = graft.ext.Relational.orderDistribution(spark, Sf0001).collect()
+    val nCust = spark.read.parquet(s"$Sf0001/customer.parquet").count()
+    val nOrd = spark.read.parquet(s"$Sf0001/orders.parquet").count()
+    assert(r.map(_.getLong(1)).sum == nCust)   // every customer in exactly one bin
+    assert(r.map(x => x.getLong(0) * x.getLong(1)).sum == nOrd) // orders conserved
+    // output ordered by custdist desc (ties by c_count desc)
+    val dists = r.map(x => (x.getLong(1), x.getLong(0)))
+    assert(dists.sameElements(dists.sortBy(x => (-x._1, -x._2))))
+  }
+
+  test("X10 returned items: top-20 by returned revenue, descending, window-scoped") {
+    val r = graft.ext.Relational.returnedItems(spark, "/root/testdata/sf0.01").collect()
+    assert(r.nonEmpty && r.length <= 20)
+    val revs = r.map(_.getDouble(4))
+    assert(revs.sameElements(revs.sortBy(-_)))
+    r.foreach { row =>
+      assert(row.getDouble(4) > 0.0 && row.getLong(5) > 0L)
+      assert(row.getString(3).startsWith("NATION_"))
+    }
+  }
+
+  test("X11 RFM: quartile marginals balance to n/4 ±1 and masses reconcile") {
+    val seg = graft.ext.Relational.rfmSegments(spark, Sf0001).collect()
+    val ords = spark.read.parquet(s"$Sf0001/orders.parquet")
+    val n = ords.select("o_custkey").distinct().count()
+    assert(seg.map(_.getLong(3)).sum == n) // every active customer in one segment
+    // each quartile label is 1..4 and each marginal holds n/4 rounded
+    for (dim <- 0 to 2) {
+      val marg = seg.groupBy(_.getLong(dim)).view.mapValues(_.map(_.getLong(3)).sum)
+      assert(marg.keySet.subsetOf(Set(1L, 2L, 3L, 4L)))
+      marg.values.foreach(c => assert(c == n / 4 || c == n / 4 + 1, s"dim $dim: $c"))
+    }
+    // monetary mass conserved vs the raw DECIMAL total
+    val tot = ords.agg(sum(col("o_totalprice")
+      .cast(org.apache.spark.sql.types.DecimalType(18, 2))).cast("double")).head.getDouble(0)
+    assert(math.abs(seg.map(_.getDouble(4)).sum - tot) < 1e-6 * tot)
+  }
+
+  test("T20 encoding scan: crafted mojibake/control/replacement signals") {
+    val d = Seq(
+      (1L, "hello world", "xx"),
+      (2L, "bad � here", "xx"),
+      (3L, "ab", "xx"),
+      (4L, "cafÃ© â€™", "xx")) // Ã© + â€™ mojibake
+      .toDF("doc_id", "text", "lang")
+    val r = TextOps.encodingScanFrom(d).collect()
+    assert(r.length == 1)
+    val row = r.head
+    def L(n: String) = row.getLong(row.fieldIndex(n))
+    assert(L("n_docs") == 4L)
+    assert(L("docs_with_repl") == 1L && L("total_repl") == 1L)
+    assert(L("docs_with_ctrl") == 1L && L("total_ctrl") == 1L)
+    assert(L("docs_with_moji") == 1L && L("total_moji") == 2L)
+    assert(L("total_nonascii") == 6L) // � + Ã © â € ™
+    assert(row.getDouble(row.fieldIndex("clean_lb")) == 0.75)
+    assert(row.getDouble(row.fieldIndex("bytes_per_char")) > 1.0)
+    // the real corpus is clean ASCII end-to-end
+    val corpus = TextOps.encodingScan(spark, Sf0001).collect()
+    corpus.foreach { c =>
+      assert(c.getLong(c.fieldIndex("docs_with_repl")) == 0L)
+      assert(c.getDouble(c.fieldIndex("bytes_per_char")) == 1.0)
+    }
+  }
+
   test("X7 volume shipping: bounded nation pair, year window, positive revenue") {
     // sf0.001's supplier sample misses the 9↔10 pair entirely — the
     // smallest corpus where the pair trades is sf0.01 (tables are still
