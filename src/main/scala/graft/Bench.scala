@@ -87,8 +87,10 @@ object Bench {
       "d12_substring_spans", "t19_ccnet_buckets", "w6_split_leakage",
       "d13_shingle_novelty", "m6_frame_overlap",
       // r11c: x11 persists its per-customer stat relation (feeds the
-      // three rank legs and two stat broadcasts)
-      "x11_rfm_segments")
+      // three rank legs and two stat broadcasts); d14 shares d2's capped
+      // shingles + persists its pair relation; m7 persists its hash
+      // relation (cap + both join sides)
+      "x11_rfm_segments", "d14_dedup_sweep", "m7_ahash_neardup")
     val coldTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val iterCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def timed(name: String, f: () => Unit): Double = {

@@ -744,6 +744,7 @@ object SparkEntry {
     Q("d11_incremental_dedup", Dedup.incrementalDedup, Some(Dedup.incrementalDedupSql)),
     Q("d12_substring_spans", Dedup.substringSpans, Some(Dedup.substringSpansSql)),
     Q("d13_shingle_novelty", Dedup.shingleNovelty, Some(Dedup.shingleNoveltySql)),
+    Q("d14_dedup_sweep", Dedup.dedupSweep, Some(Dedup.dedupSweepSql)),
     Q("w6_split_leakage", Mix.splitLeakage, Some(Mix.splitLeakageSql)),
     Q("w7_mixture_temperature", Mix.mixtureTemperature, Some(Mix.mixtureTemperatureSql)),
     Q("s1_cosine_topk", Similarity.cosineTopk, Some(Similarity.cosineTopkSql)),
@@ -768,7 +769,8 @@ object SparkEntry {
     Q("m3_frame_sample", Multimodal.frameSample, Some(Multimodal.frameSampleSql)),
     Q("m4_corruption_scan", Multimodal.corruptionScan, Some(Multimodal.corruptionScanSql)),
     Q("m5_payload_entropy", Multimodal.payloadEntropy, Some(Multimodal.payloadEntropySql)),
-    Q("m6_frame_overlap", Multimodal.frameOverlap, Some(Multimodal.frameOverlapSql)))
+    Q("m6_frame_overlap", Multimodal.frameOverlap, Some(Multimodal.frameOverlapSql)),
+    Q("m7_ahash_neardup", Multimodal.ahashNeardup, Some(Multimodal.ahashNeardupSql)))
 
   // --------------------------------------------------------------- registry
 

@@ -1083,4 +1083,91 @@ object Dedup {
         ELSE 0.0 END AS novelty
     FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
     ORDER BY d.doc_id"""
+
+  // ------------------------------------------------------ threshold sweep
+
+  /** D14 sweep grid: Jaccard thresholds in integer percent — integer
+    * spine values keep the grid join exact; each comparison casts the
+    * SAME literal the same way in both engines.
+    */
+  val SweepThresholds: Seq[Int] = Seq(50, 60, 70, 80, 90)
+
+  /** D14: dedup-rate-vs-threshold curve — for each Jaccard threshold,
+    * how many candidate pairs and how many distinct documents a near-dup
+    * prune at that threshold would touch. The knob-tuning view every
+    * dedup deployment wants before committing a threshold (CCNet and
+    * RefinedWeb both report exactly this curve when choosing their
+    * prune point).
+    *
+    * Scale shape: the s9 one-pass-sweep pattern applied to D2 — the
+    * [[MaxShingleDf]]-capped pair relation with its exact Jaccard is
+    * built ONCE (shared definitionally with D2/D9/D10 via
+    * [[cappedShingles]]), and every sweep point derives by filter from
+    * that single relation: the 5-row threshold spine joins in, pairs
+    * explode ×2 for the distinct-doc count, and the output left-joins
+    * back onto the spine so empty thresholds stay visible as zeros.
+    * Nothing re-probes, nothing rescans the corpus per point.
+    */
+  def dedupSweep(s: SparkSession, dir: String): DataFrame = {
+    val sh = cappedShingles(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val pairs = sh.as("a").join(sh.as("b"), "sh")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    val j = pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") /
+          (col("na") + col("nb") - col("common")).cast("double")).as("jaccard"))
+      .persist() // one candidate pass feeds every sweep point
+    val spine = s.createDataFrame(SweepThresholds.map(Tuple1(_)))
+      .toDF("thr_pct") // 5 rows, provably bounded
+    val hit = j.crossJoin(broadcast(spine))
+      .filter(col("jaccard") >= col("thr_pct").cast("double") / 100.0)
+    val nPairs = hit.groupBy("thr_pct").agg(count(lit(1)).as("n_pairs"))
+    val nDocs = hit.select(col("thr_pct"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .groupBy("thr_pct").agg(countDistinct(col("doc")).as("n_docs_affected"))
+    val total = t(s, dir).agg(count(lit(1)).as("n_corpus")) // 1 row
+    spine
+      .join(nPairs, Seq("thr_pct"), "left")
+      .join(nDocs, Seq("thr_pct"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("thr_pct"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"),
+        round(coalesce(col("n_docs_affected"), lit(0L)).cast("double") /
+          col("n_corpus").cast("double"), 6).as("affected_rate"))
+      .orderBy("thr_pct")
+  }
+
+  val dedupSweepSql: String = s"""WITH $shingleCte,
+    $cappedShingleCtes,
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM shh a JOIN shh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    j AS (
+      SELECT doc_a, doc_b,
+        CAST(common AS DOUBLE) / CAST(sa.nsh + sb.nsh - common AS DOUBLE) AS jaccard
+      FROM pairs JOIN sizes sa ON pairs.doc_a = sa.doc_id
+                 JOIN sizes sb ON pairs.doc_b = sb.doc_id),
+    spine AS (SELECT unnest(${SweepThresholds.mkString("[", ", ", "]")}) AS thr_pct),
+    hit AS (
+      SELECT thr_pct, doc_a, doc_b FROM j JOIN spine
+        ON jaccard >= CAST(thr_pct AS DOUBLE) / 100.0),
+    np AS (SELECT thr_pct, COUNT(*) AS n_pairs FROM hit GROUP BY 1),
+    nd AS (SELECT thr_pct, COUNT(DISTINCT doc) AS n_docs_affected FROM (
+        SELECT thr_pct, doc_a AS doc FROM hit
+        UNION ALL SELECT thr_pct, doc_b FROM hit)
+      GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n_corpus FROM documents)
+    SELECT spine.thr_pct,
+      COALESCE(n_pairs, 0) AS n_pairs,
+      COALESCE(n_docs_affected, 0) AS n_docs_affected,
+      ROUND(CAST(COALESCE(n_docs_affected, 0) AS DOUBLE) /
+        CAST(n_corpus AS DOUBLE), 6) AS affected_rate
+    FROM spine LEFT JOIN np USING (thr_pct) LEFT JOIN nd USING (thr_pct), tot
+    ORDER BY thr_pct"""
 }

@@ -404,6 +404,126 @@ object Multimodal {
       SELECT *, row_number() OVER (ORDER BY overlap DESC, doc_a, doc_b) AS rk FROM ov)
     WHERE rk <= 50"""
 
+  // ------------------------------------------------------- M7 aHash
+
+  /** M7 aHash geometry: 64 sampled bytes → 64-bit hash in 4×16-bit
+    * blocks; pigeonhole over 4 blocks is COMPLETE for hamming ≤ 3
+    * (a pair differing in ≤3 bits leaves ≥1 block intact), so unlike a
+    * banded MinHash there is no recall loss inside the radius.
+    */
+  val AHashBlocks = 4
+  val AHashBlockBits = 16
+  val AHashHamMax = 3
+
+  /** Block-occupancy cap — the S3/`Dedup.MaxShingleDf` bound applied to
+    * the (block, value) posting lists: a degenerate block value shared
+    * by more than this many payloads (e.g. the all-zero block of
+    * near-constant payloads) is dropped before the self-join, keeping
+    * every bucket ≤ cap² pairs regardless of corpus size.
+    */
+  val MaxAHashBlockDf = 256
+
+  /** M7: perceptual-hash (aHash-family) near-duplicate pairs over the
+    * binary payload column — the image-side D4: sample 64 evenly-spaced
+    * bytes per payload, threshold each against the sampled mean
+    * (64·byte > Σ, integer-exact: the average-hash construction), pack
+    * the 64 bits into 4×16-bit blocks, and emit every pair within
+    * hamming ≤ [[AHashHamMax]] via the pigeonhole block join. Under a
+    * real codec the sampled bytes become the 8×8 downscaled luma
+    * (classic aHash); the byte-level stand-in keeps the whole pipeline
+    * — sampling, thresholding, packing, block join — bit-deterministic
+    * and oracle-checkable.
+    *
+    * Scale shape: one codegen'd projection per payload (the 64-sample
+    * transform + two array folds), a [[MaxAHashBlockDf]]-capped
+    * inverted-index self-join on (block, value), exact per-block XOR
+    * popcount filter — candidates constant in corpus size, and the
+    * hash relation is persisted once to feed the cap and both join
+    * sides.
+    */
+  def ahashNeardup(s: SparkSession, dir: String): DataFrame =
+    ahashNeardupFrom(table(s, dir))
+
+  /** [[ahashNeardup]] over an explicit `(doc_id, payload)` relation —
+    * the spec drives crafted bit-flip payloads through it.
+    */
+  def ahashNeardupFrom(tbl: DataFrame): DataFrame = {
+    val base = tbl.filter(octet_length(col("payload")) > 0)
+      .withColumn("hx", hex(col("payload")))
+      .withColumn("blen", octet_length(col("payload")))
+    // byte j reads the hex pair at sampled position 1+⌊j·(len−1)/63⌋;
+    // floor of an exact small-int division is engine-identical
+    val bytesCol = transform(sequence(lit(0), lit(63)), j =>
+      conv(col("hx").substr(
+        (floor(j.cast("double") * (col("blen") - 1).cast("double") / 63.0)
+          .cast("int") + 1) * 2 - 1, lit(2)), 16, 10).cast("int"))
+    val withBits = base
+      .withColumn("bs", bytesCol)
+      .withColumn("s64", aggregate(col("bs"), lit(0), (acc, x) => acc + x))
+      .withColumn("bits", transform(col("bs"), x =>
+        when(x * 64 > col("s64"), 1L).otherwise(0L)))
+    val blockCols = (0 until AHashBlocks).map { b =>
+      aggregate(slice(col("bits"), b * AHashBlockBits + 1, AHashBlockBits),
+        lit(0L), (acc, x) => acc * 2 + x).as(s"blk$b")
+    }
+    val hashed = withBits.select(col("doc_id") +: blockCols: _*)
+      .persist() // feeds the occupancy cap and both join sides
+    val blocks = hashed.select(col("doc_id"),
+      col("blk0"), col("blk1"), col("blk2"), col("blk3"),
+      explode(array((0 until AHashBlocks).map(b =>
+        struct(lit(b).as("blk"), col(s"blk$b").as("bval"))): _*)).as("e"))
+      .select(col("doc_id"), col("blk0"), col("blk1"), col("blk2"), col("blk3"),
+        col("e.blk"), col("e.bval"))
+    val keep = blocks.groupBy("blk", "bval").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxAHashBlockDf).select("blk", "bval")
+    val capped = blocks.join(keep, Seq("blk", "bval"))
+    val hamming = (0 until AHashBlocks).map(b =>
+      bit_count(col(s"x.blk$b").bitwiseXOR(col(s"y.blk$b")))).reduce(_ + _)
+    capped.as("x").join(capped.as("y"), Seq("blk", "bval"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= AHashHamMax)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val ahashNeardupSql: String = {
+    val sample = "CAST(concat('0x', substr(hx, CAST(2 * (1 + CAST(floor(" +
+      "(CAST(j AS DOUBLE) * (blen - 1)) / 63.0) AS INT)) - 1 AS INT), 2)) AS INT)"
+    val blockExprs = (0 until AHashBlocks).map { b =>
+      (0 until AHashBlockBits).map(k =>
+        s"CAST(bits[${b * AHashBlockBits + k + 1}] AS BIGINT) * ${1L << (AHashBlockBits - 1 - k)}")
+        .mkString(" + ") + s" AS blk$b"
+    }.mkString(",\n        ")
+    val blockRows = (0 until AHashBlocks).map(b =>
+      s"SELECT doc_id, blk0, blk1, blk2, blk3, $b AS blk, blk$b AS bval FROM hash")
+      .mkString(" UNION ALL ")
+    val ham = (0 until AHashBlocks).map(b =>
+      s"bit_count(xor(x.blk$b, y.blk$b))").mkString(" + ")
+    s"""WITH base AS (
+      SELECT doc_id, hex(CAST(text AS BLOB)) AS hx, strlen(text) AS blen
+      FROM documents WHERE strlen(text) > 0),
+    wb AS (SELECT doc_id, blen,
+      list_transform(range(0, 64), j -> $sample) AS bs FROM base),
+    ws AS (SELECT doc_id, bs, list_sum(bs) AS s64 FROM wb),
+    bits AS (SELECT doc_id,
+      list_transform(bs, x -> CASE WHEN x * 64 > s64 THEN 1 ELSE 0 END) AS bits
+      FROM ws),
+    hash AS (SELECT doc_id,
+        $blockExprs
+      FROM bits),
+    blocks AS ($blockRows),
+    keep AS (SELECT blk, bval FROM blocks GROUP BY 1, 2
+      HAVING COUNT(*) <= $MaxAHashBlockDf),
+    cb AS (SELECT blocks.* FROM blocks JOIN keep USING (blk, bval))
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, $ham AS hamming
+    FROM cb x JOIN cb y ON x.blk = y.blk AND x.bval = y.bval
+      AND x.doc_id < y.doc_id
+    WHERE $ham <= $AHashHamMax
+    ORDER BY doc_a, doc_b"""
+  }
+
   /** STUB decoder: 16-bin byte histogram normalized by length — a
     * deterministic placeholder for codec + feature model output.
     */

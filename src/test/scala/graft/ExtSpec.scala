@@ -1585,6 +1585,40 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("D14 dedup sweep: full spine, monotone non-increasing curve, bounded rate") {
+    val r = Dedup.dedupSweep(spark, Sf0001).collect()
+    assert(r.map(_.getInt(0)).toSeq == Dedup.SweepThresholds)
+    val pairs = r.map(_.getLong(1))
+    val docs = r.map(_.getLong(2))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a >= b }) // raising thr prunes
+    assert(docs.zip(docs.tail).forall { case (a, b) => a >= b })
+    r.foreach { row =>
+      val rate = row.getDouble(3)
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(row.getLong(2) <= 2 * row.getLong(1) || row.getLong(1) == 0)
+    }
+  }
+
+  test("M7 aHash: identical payloads at hamming 0, 1-bit flip found, distinct absent") {
+    val d = Seq(
+      (1L, "a" * 32 + "z" * 32),          // bits: 32×0 then 32×1
+      (2L, "a" * 32 + "z" * 32),          // exact copy of 1
+      (3L, "a" * 31 + "~" + "z" * 32),    // one sampled byte above mean → 1-bit flip
+      (4L, "AZ" * 32))                    // alternating → far from all
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val r = Multimodal.ahashNeardupFrom(d).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getInt(2).toLong).toMap
+    assert(r((1L, 2L)) == 0L)
+    assert(r((1L, 3L)) == 1L && r((2L, 3L)) == 1L)
+    assert(r.size == 3) // doc 4 pairs with nobody
+    // corpus run: every emitted pair is inside the pigeonhole radius
+    Multimodal.ahashNeardup(spark, Sf0001).collect().foreach { row =>
+      assert(row.getInt(2) <= Multimodal.AHashHamMax)
+      assert(row.getLong(0) < row.getLong(1))
+    }
+  }
+
   test("X7 volume shipping: bounded nation pair, year window, positive revenue") {
     // sf0.001's supplier sample misses the 9↔10 pair entirely — the
     // smallest corpus where the pair trades is sf0.01 (tables are still
