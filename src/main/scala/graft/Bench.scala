@@ -90,7 +90,9 @@ object Bench {
       // three rank legs and two stat broadcasts); d14 shares d2's capped
       // shingles + persists its pair relation; m7 persists its hash
       // relation (cap + both join sides)
-      "x11_rfm_segments", "d14_dedup_sweep", "m7_ahash_neardup")
+      "x11_rfm_segments", "d14_dedup_sweep", "m7_ahash_neardup",
+      // r11d: w8 runs through curriculumFrom's persisted quality base
+      "w8_quality_upsample")
     val coldTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val iterCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def timed(name: String, f: () => Unit): Double = {

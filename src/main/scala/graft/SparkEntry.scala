@@ -747,6 +747,7 @@ object SparkEntry {
     Q("d14_dedup_sweep", Dedup.dedupSweep, Some(Dedup.dedupSweepSql)),
     Q("w6_split_leakage", Mix.splitLeakage, Some(Mix.splitLeakageSql)),
     Q("w7_mixture_temperature", Mix.mixtureTemperature, Some(Mix.mixtureTemperatureSql)),
+    Q("w8_quality_upsample", Mix.qualityUpsample, Some(Mix.qualityUpsampleSql)),
     Q("s1_cosine_topk", Similarity.cosineTopk, Some(Similarity.cosineTopkSql)),
     Q("s2_lsh_ann_topk", Similarity.lshAnnTopk, Some(Similarity.lshAnnTopkSql)),
     Q("s3_cosine_neardup", Similarity.cosineNeardup, Some(Similarity.cosineNeardupSql)),
@@ -761,6 +762,7 @@ object SparkEntry {
     Q("s7_centroid_separation", Similarity.centroidSeparation, Some(Similarity.centroidSeparationSql)),
     Q("s10_semantic_dedup", Similarity.semanticDedup, Some(Similarity.semanticDedupSql)),
     Q("s11_pq_encode", Similarity.pqEncode, Some(Similarity.pqEncodeSql)),
+    Q("s12_pq_adc_recall", Similarity.pqAdcRecall, Some(Similarity.pqAdcRecallSql)),
     Q("m1_multimodal_meta", Multimodal.meta, Some(Multimodal.metaSql)),
     // mapPartitions feature extraction — the byte-nibble histogram IS
     // SQL-expressible (hex trick, see Multimodal.featuresSql), so the

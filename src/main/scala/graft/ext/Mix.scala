@@ -538,4 +538,102 @@ object Mix {
         CAST(COUNT(*) * ${Dedup.NumHashes} AS DOUBLE), 6) AS mean_agreement
     FROM leaked GROUP BY 1, 2 ORDER BY 1, 2"""
   }
+
+  // ------------------------------------------------ W8 quality upsampling
+
+  /** W8 per-phase repetition multipliers: W4's cleanest tercile repeats
+    * 4× relative to the tail, the middle 2× — the "repeat your best
+    * data" recipe (high-quality subsets are multi-epoch'd while the tail
+    * sees ≤1 pass; cf. the Llama / FineWeb data-recipe practice of
+    * up-sampling curated sources).
+    */
+  def phaseMult(phase: Column): Column =
+    when(phase === 1, 4L).when(phase === 2, 2L).otherwise(1L)
+
+  def phaseMultSql(p: String): String =
+    s"CASE WHEN $p = 1 THEN 4 WHEN $p = 2 THEN 2 ELSE 1 END"
+
+  /** W8: quality-weighted upsampling plan — cross W4's exact quality
+    * terciles with the source strata and allocate [[EpochTokenBudget]]
+    * proportionally to mult·available_tokens per (source, phase) cell,
+    * where mult is [[phaseMult]]: the quality-aware refinement of W5's
+    * flat per-source plan. Emits the same epochs/full_epochs/remainder
+    * accounting as W5 so the two plans are directly comparable.
+    *
+    * Determinism: phases come from W4's [[curriculumFrom]] (identical
+    * rank machinery, shared definitionally); the allocation is pure
+    * integer arithmetic (`div`/`%`) and the one fractional column is a
+    * single IEEE division rounded at the boundary.
+    *
+    * Scale shape: one corpus scan builds (doc, source, ntok, quality);
+    * the phase join is corpus⋈corpus on doc_id (one co-partitioned
+    * shuffle each side — at 100 TB both sides hash on the same key, and
+    * a doc_id-bucketed lake makes it zero-exchange); everything after
+    * the (source, phase) aggregate is arithmetic on a ≤3·sources-row
+    * stat relation with one 1-row broadcast total.
+    */
+  def qualityUpsample(s: SparkSession, dir: String): DataFrame =
+    qualityUpsampleFrom(docs(s, dir).select(col("doc_id"), col("source"),
+      size(TextOps.tokens(col("text"))).cast("long").as("ntok"),
+      TextOps.qualityCol.as("quality")), EpochTokenBudget)
+
+  /** [[qualityUpsample]] over an explicit `(doc_id, source, ntok,
+    * quality)` relation and budget — the spec pins the allocation on a
+    * crafted quality ladder.
+    */
+  def qualityUpsampleFrom(d: DataFrame, budget: Long): DataFrame = {
+    val phases = curriculumFrom(d.select(col("doc_id"), col("quality")))
+      .select(col("doc_id"), col("phase"))
+    val per = d.select(col("doc_id"), col("source"), col("ntok"))
+      .join(phases, "doc_id")
+      .groupBy(col("source"), col("phase"))
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("available_tokens"))
+      .withColumn("mult", phaseMult(col("phase")))
+    val tot = per.agg(sum(col("mult") * col("available_tokens")).as("tot")) // 1 row
+    per.crossJoin(broadcast(tot))
+      .withColumn("target_tokens", expr(s"($budget * (mult * available_tokens)) div tot"))
+      .select(col("source"), col("phase"), col("n_docs"),
+        col("available_tokens"), col("mult"), col("target_tokens"),
+        when(col("available_tokens") > 0,
+          round(col("target_tokens").cast("double") /
+            col("available_tokens").cast("double"), 6))
+          .otherwise(lit(0.0)).as("epochs"),
+        when(col("available_tokens") > 0,
+          expr("target_tokens div available_tokens")).otherwise(lit(0L))
+          .as("full_epochs"))
+      .orderBy("source", "phase")
+  }
+
+  val qualityUpsampleSql: String = s"""WITH q AS (
+      SELECT doc_id, source,
+        CAST(len(${TextOps.tokensSql}) AS BIGINT) AS ntok,
+        ${TextOps.qualityColSql} AS quality
+      FROM documents),
+    n AS (SELECT COUNT(*) AS n FROM q),
+    r AS (
+      SELECT doc_id, source, ntok,
+        row_number() OVER (ORDER BY quality DESC, doc_id) AS rk
+      FROM q),
+    p AS (
+      SELECT source, ntok,
+        1 + (rk - 1) * $CurriculumPhases // n AS phase
+      FROM r CROSS JOIN n),
+    per AS (
+      SELECT source, phase, COUNT(*) AS n_docs,
+        CAST(SUM(ntok) AS BIGINT) AS available_tokens,
+        ${phaseMultSql("phase")} AS mult
+      FROM p GROUP BY 1, 2),
+    tw AS (SELECT SUM(mult * available_tokens) AS tot FROM per),
+    alloc AS (
+      SELECT source, phase, n_docs, available_tokens, mult,
+        ($EpochTokenBudget * (mult * available_tokens)) // tot AS target_tokens
+      FROM per CROSS JOIN tw)
+    SELECT source, CAST(phase AS BIGINT) AS phase, n_docs, available_tokens,
+      CAST(mult AS BIGINT) AS mult, CAST(target_tokens AS BIGINT) AS target_tokens,
+      CASE WHEN available_tokens > 0
+        THEN ROUND(CAST(target_tokens AS DOUBLE) / CAST(available_tokens AS DOUBLE), 6)
+        ELSE 0.0 END AS epochs,
+      CAST(CASE WHEN available_tokens > 0
+        THEN target_tokens // available_tokens ELSE 0 END AS BIGINT) AS full_epochs
+    FROM alloc ORDER BY source, phase"""
 }

@@ -677,13 +677,27 @@ object Similarity {
   /** [[pqEncode]] over an explicit `(vec_id, embedding)` relation — the
     * spec pins self-encoding of seed vectors and error arithmetic.
     */
+  /** The deterministic PQ codebook: first [[PqCodes]] vectors in
+    * (md5-hash, vec_id) order — shared by S11 encode and S12 ADC so the
+    * code space can't drift between the two views.
+    */
+  private def pqCodebook(emb: DataFrame): DataFrame = emb
+    .orderBy(TextOps.tokenHash(col("vec_id").cast("string")), col("vec_id"))
+    .limit(PqCodes)
+    .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+
+  /** Oracle dual of [[pqCodebook]] (requires a preceding `en` CTE). */
+  private val pqCodesCte: String =
+    s"""codes AS (
+      SELECT vec_id AS cid, embedding AS ce FROM en
+      ORDER BY ${TextOps.tokenHashSql("CAST(vec_id AS VARCHAR)")}, vec_id
+      LIMIT $PqCodes)"""
+
+  private def sub(c: Column, m: Int): Column = slice(c, m * PqSubDim + 1, PqSubDim)
+
   def pqEncodeFrom(emb0: DataFrame): DataFrame = {
     val emb = emb0.select(col("vec_id"), col("embedding"))
-    val codes = emb
-      .orderBy(TextOps.tokenHash(col("vec_id").cast("string")), col("vec_id"))
-      .limit(PqCodes)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    def sub(c: Column, m: Int): Column = slice(c, m * PqSubDim + 1, PqSubDim)
+    val codes = pqCodebook(emb)
     val dCols = (0 until PqSubSpaces).map { m =>
       val xs = sub(col("embedding"), m); val cs = sub(col("ce"), m)
       (dot(xs, xs) + dot(cs, cs) - lit(2.0) * dot(xs, cs)).as(s"d$m")
@@ -714,10 +728,7 @@ object Similarity {
     val err = (0 until PqSubSpaces).map(m => s"m$m.d").mkString(" + ")
     val codeCols = (0 until PqSubSpaces).map(m => s"m$m.c AS code$m").mkString(", ")
     s"""WITH en AS (SELECT vec_id, embedding FROM embeddings),
-    codes AS (
-      SELECT vec_id AS cid, embedding AS ce FROM en
-      ORDER BY ${TextOps.tokenHashSql("CAST(vec_id AS VARCHAR)")}, vec_id
-      LIMIT $PqCodes),
+    $pqCodesCte,
     scored AS (
       SELECT vec_id, ${dotSql("embedding", "embedding")} AS xx, cid,
         $ds
@@ -728,5 +739,134 @@ object Similarity {
       ROUND($err, 6) AS recon_err,
       CASE WHEN xx > 0 THEN ROUND(($err) / xx, 6) ELSE 0.0 END AS rel_err
     FROM agg ORDER BY vec_id"""
+  }
+
+  // ---------------------------------------------------------- S12 PQ ADC
+
+  /** S12: PQ asymmetric-distance (ADC) retrieval recall — run the S11
+    * product-quantized index end-to-end: approximate each query→vector
+    * squared L2 as the sum of per-subspace query-to-codeword distances
+    * (the ADC lookup of Jégou et al. 2011), take the ADC top-k, and
+    * report per query the overlap with the EXACT squared-L2 top-k: the
+    * recall@k curve every PQ deployment publishes. Completes the
+    * compression story S11 starts — S11 proves the encoding, S12
+    * measures what retrieval through it costs.
+    *
+    * Determinism: codebook shared with S11 ([[pqCodebook]]); every
+    * distance is a [[subDotSql]]/[[dotSql]]-shaped left-assoc chain
+    * (bit-identical doubles both engines); both rankings tie-break on
+    * vec_id; recall is one IEEE division rounded at the boundary.
+    *
+    * Scale shape: the query→codeword table is provably bounded
+    * ([[NumQueries]]×[[PqCodes]] rows → broadcast ×4); the corpus is
+    * scanned twice (once through the S11 encoder, once for the exact
+    * baseline) and never reshuffles — ranking is the S1 per-query
+    * window; everything after the two top-k prunes is
+    * NumQueries-sized.
+    */
+  def pqAdcRecall(s: SparkSession, dir: String): DataFrame =
+    pqAdcRecallFrom(t(s, dir).select(col("vec_id"), col("embedding")))
+
+  /** [[pqAdcRecall]] over an explicit `(vec_id, embedding)` relation. */
+  def pqAdcRecallFrom(emb0: DataFrame): DataFrame = {
+    val emb = emb0.select(col("vec_id"), col("embedding"))
+    val codes = pqCodebook(emb)
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    // (query × codeword) subspace distances — 20×16 rows, provably bounded
+    val qcd = q.crossJoin(broadcast(codes)).select(
+      Seq(col("qid"), col("cid")) ++ (0 until PqSubSpaces).map { m =>
+        val qs = sub(col("qe"), m); val cs = sub(col("ce"), m)
+        (dot(qs, qs) + dot(cs, cs) - lit(2.0) * dot(qs, cs)).as(s"qd$m")
+      }: _*)
+    val db = pqEncodeFrom(emb)
+      .select(col("vec_id") +: (0 until PqSubSpaces).map(m => col(s"code$m")): _*)
+    val cand = db.crossJoin(broadcast(q.select(col("qid"))))
+      .filter(col("vec_id") =!= col("qid"))
+    val withD = (0 until PqSubSpaces).foldLeft(cand) { (acc, m) =>
+      val qm = qcd.select(col("qid").as(s"q$m"), col("cid").as(s"k$m"), col(s"qd$m"))
+      acc.join(broadcast(qm),
+        acc("qid") === col(s"q$m") && acc(s"code$m") === col(s"k$m"))
+        .drop(s"q$m", s"k$m")
+    }
+    val atop = withD
+      .withColumn("adc", (0 until PqSubSpaces).map(m => col(s"qd$m")).reduce(_ + _))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id"))))
+      .filter(col("ark") <= TopK)
+      .select(col("qid"), col("vec_id"))
+    val etop = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (dot(col("embedding"), col("embedding")) + dot(col("qe"), col("qe")) -
+          lit(2.0) * dot(col("qe"), col("embedding"))).as("d2"))
+      .withColumn("erk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2").asc, col("vec_id"))))
+      .filter(col("erk") <= TopK)
+      .select(col("qid"), col("vec_id"))
+    val ov = atop.join(etop, Seq("qid", "vec_id"))
+      .groupBy("qid").agg(count(lit(1)).as("n_overlap"))
+    q.select(col("qid"))
+      .join(ov, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double") /
+          lit(TopK.toDouble), 6).as("recall"))
+      .orderBy("qid")
+  }
+
+  val pqAdcRecallSql: String = {
+    val ds = (0 until PqSubSpaces).map(m =>
+      s"(${subDotSql("embedding", "embedding", m)}) + (${subDotSql("ce", "ce", m)}) " +
+        s"- 2.0*(${subDotSql("embedding", "ce", m)}) AS d$m").mkString(",\n        ")
+    val mins = (0 until PqSubSpaces).map(m =>
+      s"MIN({'d': d$m, 'c': cid}) AS m$m").mkString(", ")
+    val codeCols = (0 until PqSubSpaces).map(m => s"m$m.c AS code$m").mkString(", ")
+    val qds = (0 until PqSubSpaces).map(m =>
+      s"(${subDotSql("qe", "qe", m)}) + (${subDotSql("ce", "ce", m)}) " +
+        s"- 2.0*(${subDotSql("qe", "ce", m)}) AS qd$m").mkString(",\n        ")
+    val adcJoins = (0 until PqSubSpaces).map(m =>
+      s"JOIN qcd j$m ON j$m.qid = q.qid AND j$m.cid = db.code$m").mkString("\n      ")
+    val adcSum = (0 until PqSubSpaces).map(m => s"j$m.qd$m").mkString(" + ")
+    s"""WITH en AS (SELECT vec_id, embedding FROM embeddings),
+    $pqCodesCte,
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM en WHERE vec_id < $NumQueries),
+    scored AS (
+      SELECT vec_id, cid,
+        $ds
+      FROM en CROSS JOIN codes),
+    agg AS (SELECT vec_id, $mins FROM scored GROUP BY 1),
+    db AS (SELECT vec_id, $codeCols FROM agg),
+    qcd AS (
+      SELECT qid, cid,
+        $qds
+      FROM q CROSS JOIN codes),
+    cand AS (
+      SELECT db.vec_id, q.qid, $adcSum AS adc
+      FROM db CROSS JOIN q
+      $adcJoins
+      WHERE db.vec_id != q.qid),
+    atop AS (SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+          row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id) AS ark
+        FROM cand)
+      WHERE ark <= $TopK),
+    ex AS (
+      SELECT qid, en.vec_id,
+        (${dotSql("en.embedding", "en.embedding")}) + (${dotSql("qe", "qe")})
+          - 2.0*(${dotSql("qe", "en.embedding")}) AS d2
+      FROM en CROSS JOIN q WHERE en.vec_id != qid),
+    etop AS (SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+          row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, vec_id) AS erk
+        FROM ex)
+      WHERE erk <= $TopK),
+    ov AS (SELECT qid, COUNT(*) AS n_overlap
+      FROM atop JOIN etop USING (qid, vec_id) GROUP BY 1)
+    SELECT q.qid,
+      COALESCE(n_overlap, 0) AS n_overlap,
+      ROUND(CAST(COALESCE(n_overlap, 0) AS DOUBLE) / ${TopK.toDouble}, 6) AS recall
+    FROM q LEFT JOIN ov ON q.qid = ov.qid
+    ORDER BY q.qid"""
   }
 }

@@ -1619,6 +1619,28 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("S12 PQ ADC: perfect recall when every vector is a codeword; corpus bounded") {
+    // 16 distinct vectors = the whole codebook → zero quantization error
+    // → ADC ranking equals the exact ranking → recall 1.0 everywhere
+    def v(i: Int): Array[Float] = Array.tabulate(Similarity.Dim)(d =>
+      ((((i * Similarity.Dim + d) * 2654435761L) >>> 16) & 0xffL).toFloat)
+    val d = (0 until Similarity.PqCodes).map(i => (i.toLong, v(i))).toDF("vec_id", "embedding")
+    val r = Similarity.pqAdcRecallFrom(d).collect()
+    assert(r.length == Similarity.PqCodes)
+    r.foreach { row =>
+      assert(row.getLong(1) == Similarity.TopK.toLong, s"qid ${row.getLong(0)}")
+      assert(row.getDouble(2) == 1.0)
+    }
+    // real corpus: one row per query, recall bounded
+    val c = Similarity.pqAdcRecall(spark, Sf0001).collect()
+    assert(c.length == Similarity.NumQueries)
+    c.foreach { row =>
+      assert(row.getLong(1) >= 0L && row.getLong(1) <= Similarity.TopK.toLong)
+      val rec = row.getDouble(2)
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
   test("X7 volume shipping: bounded nation pair, year window, positive revenue") {
     // sf0.001's supplier sample misses the 9↔10 pair entirely — the
     // smallest corpus where the pair trades is sf0.01 (tables are still

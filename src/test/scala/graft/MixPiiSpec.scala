@@ -250,4 +250,34 @@ class MixPiiSpec extends SparkSpec {
     assert(byPhase.keySet == Set(1L, 2L, 3L))
     assert(byPhase.values.max - byPhase.values.min <= 1)
   }
+
+  test("w8: with budget == Σ(mult·tokens), epochs collapse to the multipliers") {
+    import org.apache.spark.sql.functions.col
+    // 9 docs, quality ladder 0.9..0.1 → phases (1,1,1,2,2,2,3,3,3);
+    // 100 tokens each; tot = 4·300 + 2·300 + 1·300 = 2100
+    val src = Seq("A", "A", "B", "A", "B", "B", "B", "B", "B")
+    val d = (1 to 9).map(i =>
+        (i.toLong, src(i - 1), 100L, (10 - i) / 10.0))
+      .toDF("doc_id", "source", "ntok", "quality")
+    val r = graft.ext.Mix.qualityUpsampleFrom(d, 2100L).collect()
+    assert(r.length == 5) // (A,1) (A,2) (B,1) (B,2) (B,3)
+    r.foreach { row =>
+      val mult = row.getLong(4)
+      val phase = row.getLong(1)
+      assert(mult == (if (phase == 1) 4L else if (phase == 2) 2L else 1L))
+      // target = mult·available exactly → epochs == mult, no remainder
+      assert(row.getLong(5) == mult * row.getLong(3))
+      assert(row.getDouble(6) == mult.toDouble)
+      assert(row.getLong(7) == mult)
+    }
+    val cells = r.map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(cells == Map(("A", 1L) -> 2L, ("B", 1L) -> 1L, ("A", 2L) -> 1L,
+      ("B", 2L) -> 2L, ("B", 3L) -> 3L))
+    // registry entry runs on the real corpus with budget conservation
+    val c = graft.ext.Mix.qualityUpsample(spark, Sf0001).collect()
+    assert(c.nonEmpty)
+    val alloc = c.map(_.getLong(5)).sum
+    assert(alloc <= graft.ext.Mix.EpochTokenBudget) // div truncation only loses
+    assert(alloc > graft.ext.Mix.EpochTokenBudget * 9 / 10)
+  }
 }
