@@ -18,15 +18,26 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Events {
 
-  /** events.parquet carries TIMESTAMP(NANOS); Spark reads it as a long
-    * (`spark.sql.legacy.parquet.nanosAsLong=true`, set by Verify/Bench).
-    * All temporal logic runs in exact integer epoch MICROSECONDS (`us`,
-    * nanos div 1000) — the same value DuckDB's `epoch_us(ts)` yields,
-    * since its micros timestamp truncates the nanos identically.
+  /** All temporal logic runs in exact integer epoch MICROSECONDS (`us`)
+    * — the same value DuckDB's `epoch_us(ts)` yields. The physical `ts`
+    * type is dispatched on, because the corpus generator has shipped both
+    * encodings across rounds: TIMESTAMP(NANOS) (read as long nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set by Verify/Bench)
+    * and TIMESTAMP(MICROS) without UTC adjustment (read as
+    * TIMESTAMP_NTZ). For NTZ the session timezone is UTC (set by
+    * Verify/Bench/specs), so the NTZ→LTZ cast reproduces exactly the
+    * wall-clock-as-UTC epoch DuckDB's `epoch_us` computes.
     */
-  private def t(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("us", expr("ts div 1000"))
+  private def t(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val us = raw.schema("ts").dataType match {
+      case LongType         => expr("ts div 1000")
+      case TimestampNTZType => expr("unix_micros(cast(ts as timestamp))")
+      case _                => expr("unix_micros(ts)")
+    }
+    raw.withColumn("us", us)
+  }
 
   val SessionGapUs: Long = 1800L * 1000000L // 30 min
 
