@@ -24,7 +24,14 @@ object Bench {
       d.select(bit_xor(xxhash64(struct(d.columns.toIndexedSeq.map(col): _*)))).collect()
       ()
     }
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_BENCH_ONLY=<comma-list> restricts the run to matching
+    // query names (registry and raster cases) — perf iteration on a
+    // subset without paying the full 120-query sweep. The driver never
+    // sets it, so round artifacts always carry the complete suite.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def keep(name: String): Boolean = only.forall(_.contains(name))
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1).filter(q => keep(q._1))
     // Warmup at the smallest SF: triggers codegen compilation + JIT for
     // every plan shape so the timed pass measures steady-state execution,
     // not first-call compilation.
@@ -177,7 +184,7 @@ object Bench {
     // SAFE→synRGB/TIFF wall times). Best of 2 runs (JIT/infra noise).
     import graft.api.Engine
     import graft.model._
-    val rasterCases: Seq[(String, () => Unit)] = Seq(
+    val rasterCases: Seq[(String, () => Unit)] = Seq[(String, () => Unit)](
       "raster_standard_16mp" -> (() => { Engine.processBand(spark, "b", "vv", 4096, 4096,
         ProcessingParams(autoscale = AutoscaleStrategy.Standard, targetSize = Some(2048))); () }),
       "raster_clahe_16mp" -> (() => { Engine.processBand(spark, "b", "vv", 4096, 4096,
@@ -207,7 +214,7 @@ object Bench {
         require(report.processed == 4 && report.errors.isEmpty,
           s"batch bench must process cleanly: $report")
         () }))
-    val rasterResults = rasterCases.map { case (name, f) =>
+    val rasterResults = rasterCases.filter(c => keep(c._1)).map { case (name, f) =>
       try { f() } catch { case _: Throwable => } // warm
       name -> timed(name, f)
     }
