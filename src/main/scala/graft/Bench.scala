@@ -99,7 +99,10 @@ object Bench {
       // relation (cap + both join sides)
       "x11_rfm_segments", "d14_dedup_sweep", "m7_ahash_neardup",
       // r11d: w8 runs through curriculumFrom's persisted quality base
-      "w8_quality_upsample")
+      "w8_quality_upsample",
+      // r11e: s13 persists its pruned (dim,qid,oid) rank relation (feeds
+      // the truncated and full-dim overlap legs)
+      "s13_matryoshka_recall")
     val coldTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val iterCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def timed(name: String, f: () => Unit): Double = {

@@ -763,6 +763,7 @@ object SparkEntry {
     Q("s10_semantic_dedup", Similarity.semanticDedup, Some(Similarity.semanticDedupSql)),
     Q("s11_pq_encode", Similarity.pqEncode, Some(Similarity.pqEncodeSql)),
     Q("s12_pq_adc_recall", Similarity.pqAdcRecall, Some(Similarity.pqAdcRecallSql)),
+    Q("s13_matryoshka_recall", Similarity.matryoshkaRecall, Some(Similarity.matryoshkaRecallSql)),
     Q("m1_multimodal_meta", Multimodal.meta, Some(Multimodal.metaSql)),
     // mapPartitions feature extraction — the byte-nibble histogram IS
     // SQL-expressible (hex trick, see Multimodal.featuresSql), so the

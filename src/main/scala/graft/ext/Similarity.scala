@@ -39,8 +39,14 @@ object Similarity {
     */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
-  def dotSql(a: String, b: String): String =
-    (1 to Dim).map(i =>
+  def dotSql(a: String, b: String): String = prefixDotSql(a, b, Dim)
+
+  /** Left-assoc dot over the first `d` components only — the oracle dual
+    * of `graft_dot(slice(a,1,d), slice(b,1,d))`: both engines multiply
+    * ascending indexes and fold left, so prefix dots are bit-equal.
+    */
+  def prefixDotSql(a: String, b: String, d: Int): String =
+    (1 to d).map(i =>
       s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)").mkString(" + ")
 
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -813,6 +819,113 @@ object Similarity {
         round(coalesce(col("n_overlap"), lit(0L)).cast("double") /
           lit(TopK.toDouble), 6).as("recall"))
       .orderBy("qid")
+  }
+
+  // -------------------------------------------------- S13 Matryoshka recall
+
+  /** Truncated prefix dimensions measured by [[matryoshkaRecall]]. */
+  val PrefixDims: Seq[Int] = Seq(8, 16, 32)
+
+  /** S13: Matryoshka (truncated-dimension) retrieval recall — rank the
+    * corpus by cosine over only the first d ∈ {8,16,32} embedding
+    * components and report per query the top-k overlap with the
+    * full-dimension exact top-k. This is the published evaluation of
+    * Matryoshka Representation Learning (Kusupati et al. 2022): nested
+    * prefixes as cheap first-pass retrievers, the recall-vs-dim curve
+    * deciding how few dimensions the scale path can afford. Pairs with
+    * S11/S12: PQ compresses by codebook, Matryoshka by truncation.
+    *
+    * Determinism: each prefix cosine is graft_dot over `slice(e,1,d)` —
+    * ascending-index multiply, left-assoc fold — and the oracle states
+    * the identical d-term chain ([[prefixDotSql]]), so cosines are
+    * bit-equal; both rankings tie-break on the candidate id; recall is
+    * one IEEE division rounded at the boundary.
+    *
+    * Scale shape: ONE corpus×queries pass computes every prefix cosine
+    * (the query side with its prefix norms is bounded → broadcast), a
+    * 4-way explode feeds a single (dim, qid)-partitioned top-k window,
+    * and everything after the rank prune is ≤ |dims|·NumQueries·TopK
+    * rows (persisted — the pruned relation feeds both the truncated and
+    * the full-dim legs of the overlap join).
+    */
+  def matryoshkaRecall(s: SparkSession, dir: String): DataFrame =
+    matryoshkaRecallFrom(t(s, dir))
+
+  /** [[matryoshkaRecall]] over an explicit `(vec_id, embedding)` relation. */
+  def matryoshkaRecallFrom(emb0: DataFrame): DataFrame = {
+    val allDims = PrefixDims :+ Dim
+    def pdot(a: Column, b: Column, d: Int): Column =
+      if (d == Dim) dot(a, b) else dot(slice(a, 1, d), slice(b, 1, d))
+    val en = emb0.select(Seq(col("vec_id"), col("embedding")) ++
+      allDims.map(d => sqrt(pdot(col("embedding"), col("embedding"), d)).as(s"n$d")): _*)
+    val q = en.filter(col("vec_id") < NumQueries)
+      .select(Seq(col("vec_id").as("qid"), col("embedding").as("qe")) ++
+        allDims.map(d => col(s"n$d").as(s"qn$d")): _*)
+    val entries = allDims.map { d =>
+      struct(lit(d).as("dim"),
+        (pdot(col("qe"), col("embedding"), d) / (col(s"qn$d") * col(s"n$d"))).as("cos"))
+    }
+    val ranked = en.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("oid"), explode(array(entries: _*)).as("e"))
+      .select(col("qid"), col("oid"), col("e.dim").as("dim"), col("e.cos").as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("dim", "qid").orderBy(col("cos").desc, col("oid"))))
+      .filter(col("rk") <= TopK)
+      .select(col("dim"), col("qid"), col("oid"))
+      .persist() // bounded: |dims|·NumQueries·TopK rows; feeds both legs
+    val etop = ranked.filter(col("dim") === Dim).select(col("qid"), col("oid"))
+    val ov = ranked.filter(col("dim") =!= Dim)
+      .join(etop, Seq("qid", "oid"))
+      .groupBy("dim", "qid").agg(count(lit(1)).as("n_overlap"))
+    q.select(col("qid"), explode(array(PrefixDims.map(lit): _*)).as("dim"))
+      .join(ov, Seq("dim", "qid"), "left")
+      .select(col("dim"), col("qid"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double") /
+          lit(TopK.toDouble), 6).as("recall"))
+      .orderBy("dim", "qid")
+  }
+
+  val matryoshkaRecallSql: String = {
+    val allDims = PrefixDims :+ Dim
+    val norms = allDims.map(d =>
+      s"sqrt(${prefixDotSql("embedding", "embedding", d)}) AS n$d").mkString(",\n        ")
+    val qn = allDims.map(d => s"n$d AS qn$d").mkString(", ")
+    val coss = allDims.map(d =>
+      s"(${prefixDotSql("qe", "en.embedding", d)}) / (qn$d * n$d) AS cos$d")
+      .mkString(",\n        ")
+    val unp = allDims.map(d =>
+      s"SELECT qid, oid, $d AS dim, cos$d AS cos FROM cosall").mkString("\n      UNION ALL ")
+    val dimVals = PrefixDims.map(d => s"($d)").mkString(",")
+    s"""WITH en AS (
+      SELECT vec_id, embedding,
+        $norms
+      FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qe, $qn
+      FROM en WHERE vec_id < $NumQueries),
+    cosall AS (
+      SELECT qid, en.vec_id AS oid,
+        $coss
+      FROM en CROSS JOIN q WHERE en.vec_id != qid),
+    unp AS (
+      $unp),
+    ranked AS (SELECT dim, qid, oid FROM (
+        SELECT dim, qid, oid,
+          row_number() OVER (PARTITION BY dim, qid ORDER BY cos DESC, oid) AS rk
+        FROM unp)
+      WHERE rk <= $TopK),
+    etop AS (SELECT qid, oid FROM ranked WHERE dim = $Dim),
+    ov AS (
+      SELECT r.dim, r.qid, COUNT(*) AS n_overlap
+      FROM ranked r JOIN etop e ON r.qid = e.qid AND r.oid = e.oid
+      WHERE r.dim != $Dim GROUP BY 1, 2),
+    grid AS (SELECT qid, dim FROM q CROSS JOIN (VALUES $dimVals) d(dim))
+    SELECT grid.dim, grid.qid,
+      COALESCE(n_overlap, 0) AS n_overlap,
+      ROUND(CAST(COALESCE(n_overlap, 0) AS DOUBLE) / ${TopK.toDouble}, 6) AS recall
+    FROM grid LEFT JOIN ov ON grid.dim = ov.dim AND grid.qid = ov.qid
+    ORDER BY grid.dim, grid.qid"""
   }
 
   val pqAdcRecallSql: String = {

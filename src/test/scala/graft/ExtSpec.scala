@@ -1641,6 +1641,32 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("S13 Matryoshka: tail-zero vectors give recall 1.0 at every prefix dim") {
+    // direction lives entirely in the first 8 components; zeros beyond
+    // contribute nothing to any prefix dot or norm, so cos_8 == cos_16
+    // == cos_32 == cos_64 bit-exactly and every truncated top-k equals
+    // the full-dim top-k
+    def v(i: Int): Array[Float] = Array.tabulate(Similarity.Dim)(d =>
+      if (d < 8) ((((i * 8 + d) * 2654435761L) >>> 16) & 0xffL).toFloat + 1f
+      else 0f)
+    val d = (0 until 40).map(i => (i.toLong, v(i))).toDF("vec_id", "embedding")
+    val r = Similarity.matryoshkaRecallFrom(d).collect()
+    assert(r.length == Similarity.PrefixDims.length * Similarity.NumQueries)
+    r.foreach { row =>
+      assert(row.getLong(2) == Similarity.TopK.toLong,
+        s"dim ${row.getInt(0)} qid ${row.getLong(1)}")
+      assert(row.getDouble(3) == 1.0)
+    }
+    // real corpus: full grid present, recall bounded
+    val c = Similarity.matryoshkaRecall(spark, Sf0001).collect()
+    assert(c.length == Similarity.PrefixDims.length * Similarity.NumQueries)
+    c.foreach { row =>
+      assert(Similarity.PrefixDims.contains(row.getInt(0)))
+      assert(row.getLong(2) >= 0L && row.getLong(2) <= Similarity.TopK.toLong)
+      assert(row.getDouble(3) >= 0.0 && row.getDouble(3) <= 1.0)
+    }
+  }
+
   test("X7 volume shipping: bounded nation pair, year window, positive revenue") {
     // sf0.001's supplier sample misses the 9↔10 pair entirely — the
     // smallest corpus where the pair trades is sf0.01 (tables are still
