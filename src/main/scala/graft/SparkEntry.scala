@@ -745,6 +745,7 @@ object SparkEntry {
     Q("d12_substring_spans", Dedup.substringSpans, Some(Dedup.substringSpansSql)),
     Q("d13_shingle_novelty", Dedup.shingleNovelty, Some(Dedup.shingleNoveltySql)),
     Q("d14_dedup_sweep", Dedup.dedupSweep, Some(Dedup.dedupSweepSql)),
+    Q("d15_bloom_prefilter", Dedup.bloomPrefilter, Some(Dedup.bloomPrefilterSql)),
     Q("w6_split_leakage", Mix.splitLeakage, Some(Mix.splitLeakageSql)),
     Q("w7_mixture_temperature", Mix.mixtureTemperature, Some(Mix.mixtureTemperatureSql)),
     Q("w8_quality_upsample", Mix.qualityUpsample, Some(Mix.qualityUpsampleSql)),

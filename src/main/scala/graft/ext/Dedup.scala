@@ -491,6 +491,120 @@ object Dedup {
     WHERE m.is_batch ORDER BY m.doc_id"""
   }
 
+  // -------------------------------------------------- D15 Bloom prefilter
+
+  /** Bloom geometry for D15: [[BloomBits]]-bit filter probed by
+    * [[BloomHashes]] salted hashes. Sized for the test corpus; at 100 TB
+    * the same plan holds with m raised to keep kn/m ≈ ln 2 · k — the bit
+    * set is a RELATION of set positions (never a driver-side bitmap), so
+    * a larger m only changes whether the position join broadcasts (small
+    * m) or shuffles (large m). */
+  val BloomBits = 1 << 18
+  val BloomHashes = 3
+
+  /** D15: Bloom-filter dedup prefilter audit — the CCNet/Dolma ingest
+    * pattern: the existing corpus populates an m-bit Bloom filter of
+    * canonical text hashes; today's batch ([[BatchMod]] split, shared
+    * with D11) probes it, and docs whose k positions are all set are
+    * routed to the expensive exact/near tiers. The audit compares the
+    * Bloom verdict against exact membership and reports, per source,
+    * batch size, Bloom hits, true exact dups, false positives, and the
+    * measured FP rate — the number that decides whether m is big enough
+    * before anyone trusts the prefilter.
+    *
+    * Determinism: positions are salted MD5-prefix hashes mod m
+    * ([[graft.ext.TextOps.tokenHash]] over `md5(text) || '#' || i` —
+    * engine-identical); every output is an exact integer count except
+    * the one IEEE division rounded at the boundary.
+    *
+    * Scale shape: the bit set is `SELECT DISTINCT pos` over the existing
+    * side — provably ≤ m rows regardless of corpus size (the planner
+    * picks broadcast vs shuffle by its actual size; no hint, m is a
+    * config, not a fixture bound). The probe explodes the batch into k
+    * rows/doc, LEFT-joins the bit set on pos, and reduces per doc_id —
+    * map-side partials, no skew surface (positions are uniform by
+    * construction). The exact tier is D11's bounded batch-side hash
+    * join.
+    */
+  def bloomPrefilter(s: SparkSession, dir: String): DataFrame =
+    bloomPrefilterFrom(t(s, dir))
+
+  /** [[bloomPrefilter]] over an explicit `(doc_id, text, source)` relation. */
+  def bloomPrefilterFrom(docs0: DataFrame): DataFrame = {
+    def isBatch(c: Column): Column =
+      pmod(TextOps.tokenHash(c.cast("string")), lit(BatchMod)) === 0L
+    val docs = docs0.select(col("doc_id"), col("source"),
+        md5(col("text")).as("h"),
+        isBatch(col("doc_id")).as("is_batch"))
+    val posArr = array((0 until BloomHashes).map(i =>
+      pmod(TextOps.tokenHash(concat(col("h"), lit(s"#$i"))), lit(BloomBits.toLong))): _*)
+    val pos = docs.select(col("doc_id"), col("is_batch"), explode(posArr).as("pos"))
+    val bits = pos.filter(!col("is_batch")).select("pos").distinct()
+    val probe = pos.filter(col("is_batch"))
+      .join(bits.withColumn("set", lit(1)), Seq("pos"), "left")
+      .groupBy("doc_id")
+      .agg((count(col("set")) === lit(BloomHashes.toLong)).as("bloom_hit"))
+    val exact = docs.filter(col("is_batch")).select(col("doc_id"), col("h"))
+      .join(docs.filter(!col("is_batch")).select(col("h")).distinct(), Seq("h"))
+      .select(col("doc_id"), lit(true).as("is_dup"))
+    docs.filter(col("is_batch")).select(col("doc_id"), col("source"))
+      .join(probe, Seq("doc_id"), "left")
+      .join(exact, Seq("doc_id"), "left")
+      .select(col("source"), col("bloom_hit"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_batch"),
+        count(when(col("bloom_hit"), 1)).as("n_bloom_hit"),
+        count(when(col("is_dup"), 1)).as("n_exact_dup"),
+        count(when(col("bloom_hit") && !col("is_dup"), 1)).as("n_false_pos"))
+      .select(col("source"), col("n_batch"), col("n_bloom_hit"),
+        col("n_exact_dup"), col("n_false_pos"),
+        when(col("n_batch") > col("n_exact_dup"),
+          round(col("n_false_pos").cast("double") /
+            (col("n_batch") - col("n_exact_dup")).cast("double"), 6))
+          .otherwise(lit(0.0)).as("fp_rate"))
+      .orderBy("source")
+  }
+
+  val bloomPrefilterSql: String = {
+    def isBatchSql(c: String) =
+      s"${TextOps.tokenHashSql(s"CAST($c AS VARCHAR)")} % $BatchMod = 0"
+    val saltVals = (0 until BloomHashes).map(i => s"($i)").mkString(",")
+    s"""WITH docs AS (
+      SELECT doc_id, source, md5(text) AS h, ${isBatchSql("doc_id")} AS is_batch
+      FROM documents),
+    pos AS (
+      SELECT doc_id, is_batch,
+        ${TextOps.tokenHashSql("concat(h, '#', i)")} % $BloomBits AS pos
+      FROM docs CROSS JOIN (VALUES $saltVals) s(i)),
+    bits AS (SELECT DISTINCT pos FROM pos WHERE NOT is_batch),
+    probe AS (
+      SELECT p.doc_id, COUNT(b.pos) = $BloomHashes AS bloom_hit
+      FROM pos p LEFT JOIN bits b ON p.pos = b.pos
+      WHERE p.is_batch GROUP BY p.doc_id),
+    ex AS (
+      SELECT DISTINCT d.doc_id, TRUE AS is_dup
+      FROM docs d JOIN docs e ON d.h = e.h AND d.is_batch AND NOT e.is_batch),
+    verdicts AS (
+      SELECT d.source, probe.bloom_hit, COALESCE(ex.is_dup, FALSE) AS is_dup
+      FROM docs d
+      LEFT JOIN probe ON d.doc_id = probe.doc_id
+      LEFT JOIN ex ON d.doc_id = ex.doc_id
+      WHERE d.is_batch),
+    agg AS (
+      SELECT source,
+        COUNT(*) AS n_batch,
+        CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hit,
+        CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+        CAST(SUM(CASE WHEN bloom_hit AND NOT is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+      FROM verdicts GROUP BY source)
+    SELECT source, n_batch, n_bloom_hit, n_exact_dup, n_false_pos,
+      CASE WHEN n_batch > n_exact_dup
+        THEN ROUND(CAST(n_false_pos AS DOUBLE) / CAST(n_batch - n_exact_dup AS DOUBLE), 6)
+        ELSE 0.0 END AS fp_rate
+    FROM agg ORDER BY source"""
+  }
+
   // ----------------------------------------------------- D9 calibration
 
   /** D9: MinHash calibration curve — the dedup-quality report a data

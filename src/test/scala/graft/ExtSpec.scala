@@ -1641,6 +1641,28 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("D15 Bloom prefilter: exact dups always hit, FP rate bounded, counts consistent") {
+    // batch membership is hash-of-doc_id — craft ids on both sides of the
+    // split, with one exact dup pair crossing it
+    val d = (0L until 400L)
+      .map(i => (i, if (i % 7 == 0) "shared text" else s"unique text $i", s"src${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.bloomPrefilterFrom(d).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (nb, nh, ne, nf) = (row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+      assert(nb > 0L)
+      assert(nh <= nb && ne <= nb && nf <= nh)
+      assert(nh >= ne, "a Bloom filter has no false negatives")
+      val rate = row.getDouble(5)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // real corpus: per-source rows, no false negatives anywhere
+    val c = Dedup.bloomPrefilter(spark, Sf0001).collect()
+    assert(c.nonEmpty)
+    c.foreach { row => assert(row.getLong(2) >= row.getLong(3)) }
+  }
+
   test("S13 Matryoshka: tail-zero vectors give recall 1.0 at every prefix dim") {
     // direction lives entirely in the first 8 components; zeros beyond
     // contribute nothing to any prefix dot or norm, so cos_8 == cos_16
