@@ -724,8 +724,10 @@ object SparkEntry {
     Q("t18_c4_line_filter", TextOps.c4LineFilter, Some(TextOps.c4LineFilterSql)),
     Q("e14_markov_transitions", Events.markovTransitions, Some(Events.markovTransitionsSql)),
     Q("e15_conversion_latency", Events.conversionLatency, Some(Events.conversionLatencySql)),
+    Q("e16_interarrival", Events.interarrival, Some(Events.interarrivalSql)),
     Q("t19_ccnet_buckets", TextOps.ccnetBuckets, Some(TextOps.ccnetBucketsSql)),
     Q("t20_encoding_scan", TextOps.encodingScan, Some(TextOps.encodingScanSql)),
+    Q("t21_readability", TextOps.readability, Some(TextOps.readabilitySql)),
     Q("w1_source_mix", Mix.sourceMix, Some(Mix.sourceMixSql)),
     Q("w2_seq_pack", Mix.seqPack, Some(Mix.seqPackSql)),
     Q("w3_pii_scan", Pii.piiScan, Some(Pii.piiScanSql)),

@@ -801,4 +801,102 @@ object Events {
       ROUND(CAST(n_active AS DOUBLE) / CAST(cohort_users AS DOUBLE), 6) AS retention
     FROM act JOIN sizes USING (cohort_week)
     ORDER BY cohort_week, week_offset"""
+
+  // --------------------------------------------------- E16 inter-arrival
+
+  /** E16: per-user inter-arrival gap distribution — the activity-cadence
+    * fingerprint behind bot screening and engagement tiering: each
+    * user's exact rank-based gap quartiles (q1/median/q3) between
+    * consecutive events, rolled up into (decimal-decade, leading-digit)
+    * bins of the median with user counts, exact min/max medians, and
+    * mean quartiles per bin. The decade axis is
+    * `length(CAST(gap AS VARCHAR))` — a pure integer digit count, NOT
+    * `floor(log10(gap))`: a 1-ulp libm divergence at an exact power of
+    * ten would flip the bin, digit counting cannot (and gap 0, equal
+    * timestamps, lands in decade 1 in both engines).
+    *
+    * Determinism: gaps are exact integer µs; the lower median is the
+    * ⌊(n+1)/2⌋-th smallest under a fully-keyed (gap, us, event_id)
+    * order; means accumulate exact DECIMAL sums with one division
+    * rounded at the boundary.
+    *
+    * Scale shape: both windows partition by user_id — ONE shuffle on the
+    * natural key, no global ordering anywhere; the rollup groups a
+    * ≤12-row key space with map-side partials.
+    */
+  def interarrival(s: SparkSession, dir: String): DataFrame =
+    interarrivalFrom(t(s, dir))
+
+  /** [[interarrival]] over an explicit events relation (needs `user_id`,
+    * `event_id`, `us`).
+    */
+  def interarrivalFrom(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val wSeq = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val gaps = events.select(col("user_id"), col("us"), col("event_id"))
+      .withColumn("prev", lag("us", 1).over(wSeq))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"), (col("us") - col("prev")).as("gap"),
+        col("us"), col("event_id"))
+    val wRk = Window.partitionBy("user_id")
+      .orderBy(col("gap"), col("us"), col("event_id"))
+    def pick(rank: String) = max(when(col("rk") === expr(rank), col("gap")))
+    val quart = gaps
+      .withColumn("rk", row_number().over(wRk))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+      .groupBy("user_id").agg(
+        pick("greatest((n + 1) div 4, 1)").as("q1"),
+        pick("(n + 1) div 2").as("med"),
+        pick("greatest((3 * (n + 1)) div 4, 1)").as("q3"))
+    quart.groupBy(
+        length(col("med").cast("string")).as("gap_digits"),
+        substring(col("med").cast("string"), 1, 1).as("lead_digit"))
+      .agg(count(lit(1)).as("n_users"),
+        min("med").as("min_median_us"),
+        max("med").as("max_median_us"),
+        sum(col("q1").cast(DecimalType(20, 0))).as("t1"),
+        sum(col("med").cast(DecimalType(20, 0))).as("t2"),
+        sum(col("q3").cast(DecimalType(20, 0))).as("t3"))
+      .select(col("gap_digits"), col("lead_digit"), col("n_users"),
+        col("min_median_us"), col("max_median_us"),
+        // means reported in SECONDS: at 11-digit µs magnitudes a
+        // 6-decimal value is not double-representable and the two
+        // engines' round() implementations disagree in the last digit
+        // (observed at sf0.01); scaled to seconds the quotient sits in
+        // the magnitude band every other round(…,6) in this repo uses
+        round(col("t1").cast("double") / col("n_users").cast("double")
+          / lit(1e6), 6).as("mean_q1_sec"),
+        round(col("t2").cast("double") / col("n_users").cast("double")
+          / lit(1e6), 6).as("mean_median_sec"),
+        round(col("t3").cast("double") / col("n_users").cast("double")
+          / lit(1e6), 6).as("mean_q3_sec"))
+      .orderBy("gap_digits", "lead_digit")
+  }
+
+  val interarrivalSql: String = """WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    g AS (
+      SELECT user_id, us, event_id,
+        us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
+      FROM ev),
+    ranked AS (
+      SELECT user_id, gap,
+        row_number() OVER (PARTITION BY user_id ORDER BY gap, us, event_id) AS rk,
+        COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM g WHERE gap IS NOT NULL),
+    quart AS (
+      SELECT user_id,
+        MAX(CASE WHEN rk = greatest((n + 1) // 4, 1) THEN gap END) AS q1,
+        MAX(CASE WHEN rk = (n + 1) // 2 THEN gap END) AS med,
+        MAX(CASE WHEN rk = greatest((3 * (n + 1)) // 4, 1) THEN gap END) AS q3
+      FROM ranked GROUP BY user_id)
+    SELECT CAST(length(CAST(med AS VARCHAR)) AS INTEGER) AS gap_digits,
+      substr(CAST(med AS VARCHAR), 1, 1) AS lead_digit,
+      COUNT(*) AS n_users,
+      MIN(med) AS min_median_us,
+      MAX(med) AS max_median_us,
+      ROUND(CAST(SUM(CAST(q1 AS DECIMAL(20,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6, 6) AS mean_q1_sec,
+      ROUND(CAST(SUM(CAST(med AS DECIMAL(20,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6, 6) AS mean_median_sec,
+      ROUND(CAST(SUM(CAST(q3 AS DECIMAL(20,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6, 6) AS mean_q3_sec
+    FROM quart GROUP BY 1, 2 ORDER BY gap_digits, lead_digit"""
 }

@@ -1534,4 +1534,77 @@ object TextOps {
         THEN ROUND(CAST(total_bytes AS DOUBLE) / total_chars, 6)
         ELSE 1.0 END AS bytes_per_char
     FROM agg ORDER BY lang"""
+
+  // ----------------------------------------------------- T21 readability
+
+  /** T21: Flesch reading-ease distribution — the classic readability
+    * screen (Flesch 1948; its band thresholds are the ones every style
+    * checker ships): score = 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), with sentences counted as terminal-punct
+    * runs and syllables as vowel-group runs (the standard regex
+    * heuristic when no pronunciation lexicon is available). Each doc is
+    * banded very_easy/…/very_hard and the report gives, per (source,
+    * band), the doc count and mean score — the quality-mix view a
+    * curriculum (W4) slices on.
+    *
+    * Determinism: words/sentences/syllables are exact integer regex
+    * counts; the score is two IEEE divisions and three constant
+    * mult/subs in the identical left-assoc shape both engines parse
+    * (constants CAST AS DOUBLE in the oracle so DuckDB's decimal
+    * literals can't change the arithmetic); round(…,4) per doc BEFORE
+    * banding/summing, then DECIMAL(20,4) accumulation and one division
+    * rounded at the boundary.
+    *
+    * Scale shape: one codegen'd projection pass over the corpus, one
+    * grouped aggregate with map-side partials on a ≤|sources|·5 key
+    * space; nothing else.
+    */
+  def readability(s: SparkSession, dir: String): DataFrame =
+    readabilityFrom(t(s, dir))
+
+  /** [[readability]] over an explicit `(doc_id, text, source)` relation. */
+  def readabilityFrom(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = size(tokens(col("text"))).cast("double")
+    val sen = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)).cast("double")
+    val syl = greatest(regexp_count(lower(col("text")), lit("[aeiouy]+")), lit(1)).cast("double")
+    val score = lit(206.835) - lit(1.015) * (w / sen) - lit(84.6) * (syl / w)
+    val per = d.filter(size(tokens(col("text"))) > 0)
+      .select(col("source"), round(score, 4).as("score"))
+      .withColumn("band",
+        when(col("score") >= 90, "very_easy")
+          .when(col("score") >= 70, "easy")
+          .when(col("score") >= 50, "medium")
+          .when(col("score") >= 30, "hard")
+          .otherwise("very_hard"))
+    per.groupBy("source", "band").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("score").cast(DecimalType(20, 4))).as("tot"))
+      .select(col("source"), col("band"), col("n_docs"),
+        round(col("tot").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_score"))
+      .orderBy("source", "band")
+  }
+
+  val readabilitySql: String = {
+    val w = s"CAST(len($tokensSql) AS DOUBLE)"
+    val sen = "CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE)"
+    val syl = "CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS DOUBLE)"
+    val score = s"CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE)*($w / $sen) " +
+      s"- CAST(84.6 AS DOUBLE)*($syl / $w)"
+    s"""WITH per AS (
+      SELECT source, ROUND($score, 4) AS score
+      FROM documents WHERE len($tokensSql) > 0),
+    banded AS (
+      SELECT source, score,
+        CASE WHEN score >= 90 THEN 'very_easy'
+             WHEN score >= 70 THEN 'easy'
+             WHEN score >= 50 THEN 'medium'
+             WHEN score >= 30 THEN 'hard'
+             ELSE 'very_hard' END AS band
+      FROM per)
+    SELECT source, band, COUNT(*) AS n_docs,
+      ROUND(CAST(SUM(CAST(score AS DECIMAL(20,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_score
+    FROM banded GROUP BY source, band ORDER BY source, band"""
+  }
 }

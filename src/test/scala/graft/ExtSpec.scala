@@ -1641,6 +1641,56 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("T21 readability: band thresholds pinned on crafted texts, corpus bands valid") {
+    // one-word one-sentence monosyllable: w=1, sen=1, syl=1 →
+    // 206.835 − 1.015·1 − 84.6·1 = 121.22; three vowel-run words:
+    // 206.835 − 1.015·3 − 84.6·(3/3) = 119.19 — both very_easy, split
+    // by source so each mean is a pinned single-doc score
+    val d = Seq(
+      (1L, "go.", "a"),
+      (2L, "aeiou aeiou aeiou.", "b"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.ext.TextOps.readabilityFrom(d).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getDouble(3)).toMap
+    assert(r(("a", "very_easy")) == 121.22)
+    assert(r(("b", "very_easy")) == 119.19)
+    val c = graft.ext.TextOps.readability(spark, Sf0001).collect()
+    assert(c.nonEmpty)
+    val bands = Set("very_easy", "easy", "medium", "hard", "very_hard")
+    c.foreach { row =>
+      assert(bands(row.getString(1)))
+      assert(row.getLong(2) > 0L)
+    }
+  }
+
+  test("E16 inter-arrival: exact lower medians on a crafted cadence, decade bins") {
+    // user 1: events at 0, 10, 30, 60 s → gaps 10e6, 20e6, 30e6 µs →
+    // lower median = 20e6 (8 digits); user 2: one event → no gap row
+    val ev = Seq(
+      (1L, 1L, 0L), (2L, 1L, 10000000L), (3L, 1L, 30000000L), (4L, 1L, 60000000L),
+      (5L, 2L, 5L))
+      .toDF("event_id", "user_id", "us")
+    val r = graft.ext.Events.interarrivalFrom(ev).collect()
+    assert(r.length == 1)
+    val h = r.head
+    assert(h.getInt(0) == 8)            // 20000000 has 8 digits
+    assert(h.getString(1) == "2")
+    assert(h.getLong(2) == 1L)          // one user with a median
+    assert(h.getLong(3) == 20000000L && h.getLong(4) == 20000000L)
+    assert(h.getDouble(5) == 10.0)      // q1 = rank 1 gap, in seconds
+    assert(h.getDouble(6) == 20.0)
+    assert(h.getDouble(7) == 30.0)      // q3 = rank 3 gap, in seconds
+    // real corpus: digit bins valid, quartiles ordered
+    val c = graft.ext.Events.interarrival(spark, Sf0001).collect()
+    assert(c.nonEmpty)
+    c.foreach { row =>
+      assert(row.getInt(0) >= 1 && row.getInt(0) <= 18)
+      assert(row.getLong(3) <= row.getLong(4))
+      assert(row.getDouble(5) <= row.getDouble(6) &&
+        row.getDouble(6) <= row.getDouble(7))
+    }
+  }
+
   test("D15 Bloom prefilter: exact dups always hit, FP rate bounded, counts consistent") {
     // batch membership is hash-of-doc_id — craft ids on both sides of the
     // split, with one exact dup pair crossing it
