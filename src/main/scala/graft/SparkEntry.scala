@@ -684,7 +684,8 @@ object SparkEntry {
     Q("x8_market_share", Relational.marketShare, Some(Relational.marketShareSql)),
     Q("x9_order_distribution", Relational.orderDistribution, Some(Relational.orderDistributionSql)),
     Q("x10_returned_items", Relational.returnedItems, Some(Relational.returnedItemsSql)),
-    Q("x11_rfm_segments", Relational.rfmSegments, Some(Relational.rfmSegmentsSql)))
+    Q("x11_rfm_segments", Relational.rfmSegments, Some(Relational.rfmSegmentsSql)),
+    Q("x12_promo_revenue", Relational.promoRevenue, Some(Relational.promoRevenueSql)))
 
   private val extQueries: Seq[Q] = Seq(
     Q("e1_sessionize", Events.sessionize, Some(Events.sessionizeSql)),
@@ -776,7 +777,8 @@ object SparkEntry {
     Q("m4_corruption_scan", Multimodal.corruptionScan, Some(Multimodal.corruptionScanSql)),
     Q("m5_payload_entropy", Multimodal.payloadEntropy, Some(Multimodal.payloadEntropySql)),
     Q("m6_frame_overlap", Multimodal.frameOverlap, Some(Multimodal.frameOverlapSql)),
-    Q("m7_ahash_neardup", Multimodal.ahashNeardup, Some(Multimodal.ahashNeardupSql)))
+    Q("m7_ahash_neardup", Multimodal.ahashNeardup, Some(Multimodal.ahashNeardupSql)),
+    Q("m8_block_dedup", Multimodal.blockDedup, Some(Multimodal.blockDedupSql)))
 
   // --------------------------------------------------------------- registry
 

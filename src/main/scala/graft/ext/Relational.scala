@@ -576,4 +576,62 @@ object Relational {
       CAST(SUM(mon) AS DOUBLE) AS monetary,
       ROUND(CAST(SUM(freq) AS DOUBLE) / COUNT(*), 6) AS avg_freq
     FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+  /** X12: promotion revenue share per ship month — TPC-H Q14's measure
+    * (`/root/reference` has no relational tier; the TPC-H spec is the
+    * public oracle here) over the full month axis instead of a single
+    * month: how much of each month's discounted revenue came from PROMO
+    * parts. The conditional-share-of-total shape complements X8 (share
+    * by nation) with a share by part attribute.
+    *
+    * Determinism: revenue accumulates in exact DECIMAL both sides
+    * (the X3/X8 rule), one IEEE division per month rounded at the
+    * boundary.
+    *
+    * Scale shape: lineitem joins part on the fact's foreign key — part
+    * grows with the corpus so NO broadcast hint (the planner picks by
+    * size; at 100 TB this is the textbook shuffle join on a uniform
+    * key); the month rollup groups a bounded ≤84-key space with
+    * map-side partials.
+    */
+  def promoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part").select(col("p_partkey"), col("p_type"))
+    val li = t(s, dir, "lineitem").select(col("l_partkey"),
+      (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .cast("long").as("ym"),
+      col("l_extendedprice"), col("l_discount"))
+    val revDec = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy("ym")
+      .agg(
+        sum(revDec).cast("double").as("total_revenue"),
+        sum(when(col("p_type") === "PROMO", revDec)
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double")
+          .as("promo_revenue"),
+        count(lit(1)).as("n_items"))
+      .select(col("ym"), col("promo_revenue"), col("total_revenue"),
+        round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6)
+          .as("promo_share_pct"),
+        col("n_items"))
+      .orderBy("ym")
+  }
+
+  val promoRevenueSql: String = """WITH f AS (
+      SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym,
+        CAST(l_extendedprice AS DECIMAL(18,2)) *
+          (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS rev,
+        p_type
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    agg AS (
+      SELECT ym,
+        CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+        CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+        COUNT(*) AS n_items
+      FROM f GROUP BY 1)
+    SELECT ym, promo_revenue, total_revenue,
+      ROUND(100.0 * promo_revenue / total_revenue, 6) AS promo_share_pct,
+      n_items
+    FROM agg ORDER BY ym"""
 }

@@ -524,6 +524,77 @@ object Multimodal {
     ORDER BY doc_a, doc_b"""
   }
 
+  /** Fixed chunk size (in characters) for [[blockDedup]]. */
+  val BlockChars = 64
+
+  /** M8: payload block-dedup estimate — the storage-deduplication audit
+    * a blob store runs before committing a corpus: chunk every payload
+    * into fixed [[BlockChars]]-unit blocks, hash each block, and report
+    * per modality how much of the corpus is redundant at block
+    * granularity (total vs distinct blocks, duplicate rate, mean block
+    * reuse). Fixed-size chunking is the deterministic baseline of the
+    * content-defined-chunking family; D12 covers the
+    * shift-robust-substring side.
+    *
+    * Determinism: blocks are character slices (both engines slice
+    * UTF-8 strings by codepoint with identical semantics) hashed by
+    * md5; counts are exact integers; the two rates are single IEEE
+    * divisions rounded at the boundary.
+    *
+    * Scale shape: explode to one row per block, then ONE grouped
+    * distinct on (modality, block-hash) — partial aggregation collapses
+    * repeated blocks map-side, so the exchange carries at most the
+    * distinct-block set per partition; no windows, no joins, nothing
+    * driver-side.
+    */
+  def blockDedup(s: SparkSession, dir: String): DataFrame =
+    blockDedupFrom(table(s, dir))
+
+  /** [[blockDedup]] over an explicit `(doc_id, modality, payload)`
+    * relation.
+    */
+  def blockDedupFrom(tbl: DataFrame): DataFrame = {
+    val txt = col("payload").cast("string")
+    val blocks = tbl
+      .filter(length(txt) > 0)
+      .select(col("doc_id"), col("modality"), txt.as("txt"),
+        explode(sequence(lit(0L), expr(s"(length(CAST(payload AS STRING)) - 1) div $BlockChars")))
+          .as("i"))
+      .select(col("doc_id"), col("modality"),
+        md5(col("txt").substr((col("i") * BlockChars + 1).cast("int"),
+          lit(BlockChars)).cast("binary")).as("h"))
+    blocks.groupBy("modality")
+      .agg(countDistinct(col("doc_id")).as("n_payloads"),
+        count(lit(1)).as("total_blocks"),
+        countDistinct(col("h")).as("distinct_blocks"))
+      .select(col("modality"), col("n_payloads"), col("total_blocks"),
+        col("distinct_blocks"),
+        round((col("total_blocks") - col("distinct_blocks")).cast("double") /
+          col("total_blocks").cast("double"), 6).as("dup_rate"),
+        round(col("total_blocks").cast("double") /
+          col("distinct_blocks").cast("double"), 6).as("mean_reuse"))
+      .orderBy("modality")
+  }
+
+  val blockDedupSql: String = s"""WITH docs AS (
+      SELECT doc_id, concat('modality_', source) AS modality, text
+      FROM documents WHERE length(text) > 0),
+    idx AS (
+      SELECT doc_id, modality, text,
+        unnest(range(0, (length(text) - 1) // $BlockChars + 1)) AS i
+      FROM docs),
+    blocks AS (
+      SELECT doc_id, modality,
+        md5(substr(text, CAST(i * $BlockChars + 1 AS INTEGER), $BlockChars)) AS h
+      FROM idx)
+    SELECT modality,
+      COUNT(DISTINCT doc_id) AS n_payloads,
+      COUNT(*) AS total_blocks,
+      COUNT(DISTINCT h) AS distinct_blocks,
+      ROUND(CAST(COUNT(*) - COUNT(DISTINCT h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate,
+      ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(COUNT(DISTINCT h) AS DOUBLE), 6) AS mean_reuse
+    FROM blocks GROUP BY modality ORDER BY modality"""
+
   /** STUB decoder: 16-bin byte histogram normalized by length — a
     * deterministic placeholder for codec + feature model output.
     */

@@ -1641,6 +1641,46 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("M8 block dedup: exact rates on a crafted corpus, corpus invariants hold") {
+    // two identical 128-char payloads (4 blocks total, 2 distinct) plus
+    // one 64-char unique payload in another modality
+    val block = "x" * 64
+    val d = Seq(
+      (1L, "img", block + block.toUpperCase),
+      (2L, "img", block + block.toUpperCase),
+      (3L, "aud", "unique " + "y" * 57))
+      .toDF("doc_id", "modality", "text")
+      .select(col("doc_id"), col("modality"), col("text").cast("binary").as("payload"))
+    val r = graft.sources.Multimodal.blockDedupFrom(d).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val img = r("img")
+    assert(img.getLong(1) == 2L && img.getLong(2) == 4L && img.getLong(3) == 2L)
+    assert(img.getDouble(4) == 0.5 && img.getDouble(5) == 2.0)
+    val aud = r("aud")
+    assert(aud.getLong(2) == 1L && aud.getLong(3) == 1L && aud.getDouble(4) == 0.0)
+    // real corpus: distinct ≤ total, rates in range
+    val c = graft.sources.Multimodal.blockDedup(spark, Sf0001).collect()
+    assert(c.nonEmpty)
+    c.foreach { row =>
+      assert(row.getLong(3) <= row.getLong(2))
+      assert(row.getDouble(4) >= 0.0 && row.getDouble(4) < 1.0)
+      assert(row.getDouble(5) >= 1.0)
+    }
+  }
+
+  test("X12 promo revenue: share bounded, promo ≤ total, months ordered") {
+    val r = graft.ext.Relational.promoRevenue(spark, "/root/testdata/sf0.01").collect()
+    assert(r.nonEmpty)
+    val yms = r.map(_.getLong(0))
+    assert(yms.sameElements(yms.sorted))
+    r.foreach { row =>
+      assert(row.getDouble(1) >= 0.0 && row.getDouble(1) <= row.getDouble(2))
+      val share = row.getDouble(3)
+      assert(share >= 0.0 && share <= 100.0)
+      assert(row.getLong(4) > 0L)
+    }
+  }
+
   test("T21 readability: band thresholds pinned on crafted texts, corpus bands valid") {
     // one-word one-sentence monosyllable: w=1, sen=1, syl=1 →
     // 206.835 − 1.015·1 − 84.6·1 = 121.22; three vowel-run words:
