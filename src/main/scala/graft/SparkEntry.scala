@@ -729,6 +729,7 @@ object SparkEntry {
     Q("t19_ccnet_buckets", TextOps.ccnetBuckets, Some(TextOps.ccnetBucketsSql)),
     Q("t20_encoding_scan", TextOps.encodingScan, Some(TextOps.encodingScanSql)),
     Q("t21_readability", TextOps.readability, Some(TextOps.readabilitySql)),
+    Q("t22_langid_confusion", TextOps.langidConfusion, Some(TextOps.langidConfusionSql)),
     Q("w1_source_mix", Mix.sourceMix, Some(Mix.sourceMixSql)),
     Q("w2_seq_pack", Mix.seqPack, Some(Mix.seqPackSql)),
     Q("w3_pii_scan", Pii.piiScan, Some(Pii.piiScanSql)),

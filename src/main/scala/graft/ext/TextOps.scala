@@ -378,6 +378,45 @@ object TextOps {
       $predictedLangSql AS predicted_lang
     FROM documents ORDER BY doc_id"""
 
+  /** T22: language-ID confusion matrix — the audit that decides whether
+    * the T3 heuristic is good enough to gate on: per (source, declared
+    * lang, predicted lang), the doc count and its share of the declared
+    * class (the per-class recall diagonal and the off-diagonal confusion
+    * mass). Declared labels come from the corpus, predictions from the
+    * SAME [[predictedLang]] column T3 and the C2 data card use, so the
+    * three views cannot drift.
+    *
+    * Determinism: exact integer counts; the share is one IEEE division
+    * rounded at the boundary.
+    *
+    * Scale shape: one grouped count over the corpus (map-side partials
+    * onto a ≤|sources|·|langs|² key space), then the class totals as a
+    * window over that already-aggregated bounded relation — the corpus
+    * is scanned ONCE; no join-back, no second scan.
+    */
+  def langidConfusion(s: SparkSession, dir: String): DataFrame = {
+    val wTot = Window.partitionBy("source", "lang")
+    t(s, dir).select(col("source"), col("lang"), predictedLang.as("plang"))
+      .groupBy("source", "lang", "plang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_lang", sum("n_docs").over(wTot))
+      .select(col("source"), col("lang"), col("plang"), col("n_docs"),
+        col("n_lang"),
+        round(col("n_docs").cast("double") / col("n_lang").cast("double"), 6)
+          .as("class_share"))
+      .orderBy("source", "lang", "plang")
+  }
+
+  val langidConfusionSql: String = s"""WITH base AS (
+      SELECT source, lang, $predictedLangSql AS plang FROM documents),
+    cnt AS (
+      SELECT source, lang, plang, COUNT(*) AS n_docs
+      FROM base GROUP BY 1, 2, 3)
+    SELECT source, lang, plang, n_docs,
+      CAST(SUM(n_docs) OVER (PARTITION BY source, lang) AS BIGINT) AS n_lang,
+      ROUND(CAST(n_docs AS DOUBLE) /
+        CAST(CAST(SUM(n_docs) OVER (PARTITION BY source, lang) AS BIGINT) AS DOUBLE), 6) AS class_share
+    FROM cnt ORDER BY source, lang, plang"""
+
   val FingerprintMod: Long = 1000000007L
 
   /** T4: document fingerprint — rolling polynomial hash over token hashes

@@ -1641,6 +1641,22 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("T22 lang-id confusion: shares sum to 1 per class, predictions in range") {
+    val c = graft.ext.TextOps.langidConfusion(spark, Sf0001).collect()
+    assert(c.nonEmpty)
+    val langs = Set("en", "es", "de")
+    c.foreach { row =>
+      assert(langs(row.getString(2)))
+      assert(row.getLong(3) <= row.getLong(4))
+      assert(row.getDouble(5) > 0.0 && row.getDouble(5) <= 1.0)
+    }
+    c.groupBy(r => (r.getString(0), r.getString(1))).foreach { case (_, rows) =>
+      val tot = rows.map(_.getDouble(5)).sum
+      assert(math.abs(tot - 1.0) < 1e-4, s"class shares sum to $tot")
+      assert(rows.map(_.getLong(3)).sum == rows.head.getLong(4))
+    }
+  }
+
   test("M8 block dedup: exact rates on a crafted corpus, corpus invariants hold") {
     // two identical 128-char payloads (4 blocks total, 2 distinct) plus
     // one 64-char unique payload in another modality
