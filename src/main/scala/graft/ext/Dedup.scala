@@ -208,21 +208,56 @@ object Dedup {
     * hash, so any collision affects both engines identically).
     */
   /** Df-capped distinct `(doc_id, sh)` hashed-shingle relation — the
-    * ONE place the stop-shingle semantics live, shared by D2 and the D9
-    * calibration so the "exact Jaccard" both report is definitionally
-    * the same. Both persists feed multiple legs (df cap + join sides).
+    * ONE place the stop-shingle semantics live, shared by D2, D9, D10
+    * and D14 so the "exact Jaccard" they report is definitionally the
+    * same. Memoized below; both persists feed multiple legs (df cap +
+    * join sides) in every consumer.
     */
-  private def cappedShingles(s: SparkSession, dir: String): DataFrame = {
-    val raw = shingleDf(s, dir)
-      .select(col("doc_id"), TextOps.tokenHash(col("shingle")).as("sh"))
-      .distinct()
-      .persist() // the explode+distinct dominates; feeds both the df cap and the join
-    val keep = raw.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf)
-      .select("sh")
-    raw.join(keep, "sh")
-      .persist() // feeds sizes + both join sides
+  /** Session-lifetime memo of the two shingle relations — the raw
+    * distinct `(doc_id, sh)` hashed-shingle relation and its df-capped
+    * projection — in the same re-armed-persist pattern as [[ccMemo]]
+    * (d7's labels). Before r12 every shingle-family query (d2, d9, d10,
+    * d13, d14) re-built its own copy of the explode+distinct+cap
+    * relation per call: cold d14 129 s, d13 75 s, d10 44 s, d9 42 s at
+    * sf0.1 — the suite's entire cold budget spent rebuilding one
+    * relation five times. Both Datasets are pure in (session, dir), so
+    * they are constructed once and their persists re-armed per call:
+    * after a caller's clearCache the next action recomputes the (one)
+    * shared plan instead of five structurally-equal ones. `capped`'s
+    * plan contains `raw` as a subtree, so re-arming both lets the cache
+    * manager serve the cap build and the join sides from the raw cache.
+    * Bounded: one entry per live (session, dir).
+    */
+  private val shingleMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]
+
+  private def rearmed(df: DataFrame): DataFrame = {
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+    df
   }
+
+  private def shingleRelations(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (raw, capped) = shingleMemo.computeIfAbsent((s, dir), _ => {
+      val raw = shingleDf(s, dir)
+        .select(col("doc_id"), TextOps.tokenHash(col("shingle")).as("sh"))
+        .distinct()
+      val keep = raw.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxShingleDf)
+        .select("sh")
+      (raw, raw.join(keep, "sh"))
+    })
+    (rearmed(raw), rearmed(capped))
+  }
+
+  /** The memoized raw distinct `(doc_id, sh)` relation — D13's base
+    * (first-appearance novelty needs the UNCAPPED distinct shingles,
+    * one step before the df cap).
+    */
+  private def distinctShingles(s: SparkSession, dir: String): DataFrame =
+    shingleRelations(s, dir)._1
+
+  private def cappedShingles(s: SparkSession, dir: String): DataFrame =
+    shingleRelations(s, dir)._2
 
   /** Oracle CTE chain `shraw → shh → sizes` — the SQL dual of
     * [[cappedShingles]] (+ per-doc sizes), shared by the D2 and D9
@@ -1155,10 +1190,13 @@ object Dedup {
     * smallest doc_id in both engines by the same MIN.
     */
   def shingleNovelty(s: SparkSession, dir: String): DataFrame =
-    shingleNoveltyFrom(t(s, dir).select(col("doc_id"), col("text")))
+    // the registry path rides the memoized shared base instead of
+    // re-materializing its own copy (r11 cold: 75 s for exactly that)
+    shingleNoveltyFromSh(t(s, dir).select(col("doc_id")),
+      distinctShingles(s, dir))
 
   /** [[shingleNovelty]] over an explicit `(doc_id, text)` relation —
-    * the spec pins the first-appearance attribution.
+    * the spec pins the first-appearance attribution on micro-fixtures.
     */
   def shingleNoveltyFrom(d: DataFrame): DataFrame = {
     val sh = d.select(col("doc_id"),
@@ -1166,12 +1204,16 @@ object Dedup {
       .select(col("doc_id"), TextOps.tokenHash(col("shingle")).as("sh"))
       .distinct()
       .persist() // feeds the first-appearance agg and the join-back leg
+    shingleNoveltyFromSh(d.select(col("doc_id")), sh)
+  }
+
+  private def shingleNoveltyFromSh(ids: DataFrame, sh: DataFrame): DataFrame = {
     val first = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
     val per = sh.join(first, "sh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum((col("doc_id") === col("first_doc")).cast("long")).as("n_novel"))
-    d.select(col("doc_id"))
+    ids
       .join(per, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
