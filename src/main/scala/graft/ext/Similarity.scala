@@ -861,9 +861,18 @@ object Similarity {
     val q = en.filter(col("vec_id") < NumQueries)
       .select(Seq(col("vec_id").as("qid"), col("embedding").as("qe")) ++
         allDims.map(d => col(s"n$d").as(s"qn$d")): _*)
+    // Zero-norm guard (r11 ADVICE): a vector whose first d components
+    // are all zero has undefined prefix cosine — Spark would produce
+    // NaN/Inf where DuckDB yields NULL (div-by-zero), and that value
+    // reaches the rank sort. Both sides pin the convention cos := 0.0
+    // ("no similarity"), which keeps the ordering engine-deterministic
+    // (no NULL-placement semantics involved). Not triggered by the
+    // current corpus; latent-divergence guard only.
     val entries = allDims.map { d =>
+      val den = col(s"qn$d") * col(s"n$d")
       struct(lit(d).as("dim"),
-        (pdot(col("qe"), col("embedding"), d) / (col(s"qn$d") * col(s"n$d"))).as("cos"))
+        when(den === 0, lit(0.0))
+          .otherwise(pdot(col("qe"), col("embedding"), d) / den).as("cos"))
     }
     val ranked = en.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
@@ -893,7 +902,8 @@ object Similarity {
       s"sqrt(${prefixDotSql("embedding", "embedding", d)}) AS n$d").mkString(",\n        ")
     val qn = allDims.map(d => s"n$d AS qn$d").mkString(", ")
     val coss = allDims.map(d =>
-      s"(${prefixDotSql("qe", "en.embedding", d)}) / (qn$d * n$d) AS cos$d")
+      s"CASE WHEN qn$d * n$d = 0 THEN 0.0 " +
+        s"ELSE (${prefixDotSql("qe", "en.embedding", d)}) / (qn$d * n$d) END AS cos$d")
       .mkString(",\n        ")
     val unp = allDims.map(d =>
       s"SELECT qid, oid, $d AS dim, cos$d AS cos FROM cosall").mkString("\n      UNION ALL ")

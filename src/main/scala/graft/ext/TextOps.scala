@@ -1606,7 +1606,13 @@ object TextOps {
     import org.apache.spark.sql.types.DecimalType
     val w = size(tokens(col("text"))).cast("double")
     val sen = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)).cast("double")
-    val syl = greatest(regexp_count(lower(col("text")), lit("[aeiouy]+")), lit(1)).cast("double")
+    // ASCII-only lowercase (r11 ADVICE): JVM and DuckDB lower() may
+    // disagree on Unicode case mapping (length-changing codepoints like
+    // U+0130 can alter [aeiouy]+ run counts); translate over A-Z is
+    // engine-identical and sufficient — the vowel class is ASCII anyway.
+    val syl = greatest(regexp_count(
+      translate(col("text"), "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"),
+      lit("[aeiouy]+")), lit(1)).cast("double")
     val score = lit(206.835) - lit(1.015) * (w / sen) - lit(84.6) * (syl / w)
     val per = d.filter(size(tokens(col("text"))) > 0)
       .select(col("source"), round(score, 4).as("score"))
@@ -1628,7 +1634,9 @@ object TextOps {
   val readabilitySql: String = {
     val w = s"CAST(len($tokensSql) AS DOUBLE)"
     val sen = "CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE)"
-    val syl = "CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS DOUBLE)"
+    val syl = "CAST(greatest(len(regexp_extract_all(" +
+      "translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')" +
+      ", '[aeiouy]+')), 1) AS DOUBLE)"
     val score = s"CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE)*($w / $sen) " +
       s"- CAST(84.6 AS DOUBLE)*($syl / $w)"
     s"""WITH per AS (
