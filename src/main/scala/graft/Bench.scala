@@ -368,7 +368,13 @@ object Bench {
       "isolated TimeQ runs); per-chunk sentinels listed in 'sentinels', " +
       "'sentinel' is their max; validation protocol: any regression on an " +
       "untouched query must reproduce under tools/TimeQ before being " +
-      "treated as real"
+      "treated as real. a4 stage verdict (r12, isolated at sf0.1): TimeQ " +
+      "warm min 2.13s (r10 target <=2.2s MET), cold ~9s; A4Warm breakdown " +
+      "of the warm 2.4s: Grid construct 0.3s, all plan phases ~0.00s, " +
+      "execution 2.3s in ONE fused stage (grid cache scan -> broadcast " +
+      "corner join -> bilinear project -> partial agg; 1 shuffle + 1 " +
+      "broadcast) - a compute floor over the 6.25M-pixel grid, not plan " +
+      "overhead"
 
   def emitArtifacts(r: SuiteResult, sfDir: String, nChunks: Int): Unit = {
     val all = r.results

@@ -730,6 +730,7 @@ object SparkEntry {
     Q("t20_encoding_scan", TextOps.encodingScan, Some(TextOps.encodingScanSql)),
     Q("t21_readability", TextOps.readability, Some(TextOps.readabilitySql)),
     Q("t22_langid_confusion", TextOps.langidConfusion, Some(TextOps.langidConfusionSql)),
+    Q("t23_bm25_topk", TextOps.bm25Topk, Some(TextOps.bm25TopkSql)),
     Q("w1_source_mix", Mix.sourceMix, Some(Mix.sourceMixSql)),
     Q("w2_seq_pack", Mix.seqPack, Some(Mix.seqPackSql)),
     Q("w3_pii_scan", Pii.piiScan, Some(Pii.piiScanSql)),
@@ -750,6 +751,7 @@ object SparkEntry {
     Q("d13_shingle_novelty", Dedup.shingleNovelty, Some(Dedup.shingleNoveltySql)),
     Q("d14_dedup_sweep", Dedup.dedupSweep, Some(Dedup.dedupSweepSql)),
     Q("d15_bloom_prefilter", Dedup.bloomPrefilter, Some(Dedup.bloomPrefilterSql)),
+    Q("d16_url_canonical", Dedup.urlCanonical, Some(Dedup.urlCanonicalSql)),
     Q("w6_split_leakage", Mix.splitLeakage, Some(Mix.splitLeakageSql)),
     Q("w7_mixture_temperature", Mix.mixtureTemperature, Some(Mix.mixtureTemperatureSql)),
     Q("w8_quality_upsample", Mix.qualityUpsample, Some(Mix.qualityUpsampleSql)),

@@ -1326,4 +1326,134 @@ object Dedup {
         CAST(n_corpus AS DOUBLE), 6) AS affected_rate
     FROM spine LEFT JOIN np USING (thr_pct) LEFT JOIN nd USING (thr_pct), tot
     ORDER BY thr_pct"""
+
+  // -------------------------------------------- D16 URL canonicalization
+
+  /** D16: URL-canonicalization dedup — the FIRST dedup stage of every
+    * web-corpus pipeline (CCNet §2.1 dedups per-snapshot by URL before
+    * any content hashing; RefinedWeb likewise): normalize each
+    * document's URL (lowercase scheme+host, strip `www.`, drop
+    * tracking query params but KEEP meaningful ones, strip fragment and
+    * trailing slash), group by the canonical key, and keep the
+    * highest-quality member (max `n_chars`, tie → min doc_id). Emits
+    * per document the raw URL, its canonical form, the dup-group size,
+    * and the kept flag.
+    *
+    * The corpus has no URL column, so the raw URL is DERIVED
+    * deterministically from real table columns in BOTH engines — a
+    * simulated ingest field exercising every normalization rule:
+    * scheme case (`HTTPS://` every 11th doc), `www.` prefix (even
+    * docs), host from the doc-triple group key (so canonical dup
+    * groups genuinely form), pure-tracking query strings (doc_id%4==0),
+    * meaningful `page=` params kept alone (%4==1) or mixed with
+    * tracking (%4==2), fragments (every 7th doc), trailing slash
+    * (every 5th). The CANONICALIZATION is the operator under test; the
+    * construction is just its fixture, stated identically in the
+    * oracle.
+    *
+    * Determinism: pure string expressions — regexp_extract/replace
+    * with engine-appropriate backreference syntax ($1 Java, \\1 RE2)
+    * over ASCII; param filtering via the same split→filter→rejoin
+    * lambda chain both sides; integer arithmetic for every branch.
+    *
+    * Scale shape: one codegen'd projection pass builds the canonical
+    * key; the dedup is two map-side-combinable aggregates over the key
+    * (group size + max quality, then min doc_id among the quality
+    * maxima) joined back — NO window over the dup group, so a
+    * pathological hot URL (a boilerplate page duplicated millions of
+    * times) costs a skewed-but-mergeable agg, never a single-partition
+    * sort.
+    */
+  def urlCanonical(s: SparkSession, dir: String): DataFrame =
+    urlCanonicalFrom(t(s, dir).select(col("doc_id"), col("n_chars")))
+
+  /** [[urlCanonical]] over an explicit `(doc_id, n_chars)` relation. */
+  def urlCanonicalFrom(d: DataFrame): DataFrame = {
+    val g = floor(col("doc_id") / 3).cast("long")
+    val url = concat(
+      when(pmod(col("doc_id"), lit(11)) === 0, lit("HTTPS://")).otherwise(lit("https://")),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("www.")).otherwise(lit("")),
+      concat(lit("site"), pmod(g, lit(50)).cast("string"), lit(".example.com")),
+      concat(lit("/doc/"), g.cast("string")),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit("/")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(4)) === 0, lit("?utm_source=feed&utm_campaign=x"))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("?page="), pmod(col("doc_id"), lit(3)).cast("string")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(lit("?utm_source=feed&page="), pmod(col("doc_id"), lit(3)).cast("string")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0, lit("#sec")).otherwise(lit("")))
+    val withUrl = d.withColumn("url", url)
+    val noFrag = regexp_replace(col("url"), "#.*$", "")
+    val base = regexp_extract(noFrag, "^([^?]*)", 1)
+    val qs = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val kept = filter(split(qs, "&"), p =>
+      p =!= lit("") && !p.startsWith("utm_") &&
+        !p.startsWith("fbclid") && !p.startsWith("gclid"))
+    val canonQ = when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+      .otherwise(lit(""))
+    val schemeHostRaw = regexp_extract(base, "^([^/]*//[^/]*)", 1)
+    val schemeHost = regexp_replace(lower(schemeHostRaw), "^(https?://)www\\.", "$1")
+    val path = regexp_replace(
+      base.substr(length(schemeHostRaw) + 1, length(base)), "/$", "")
+    val canon = withUrl.withColumn("canon_url", concat(schemeHost, path, canonQ))
+      .select(col("doc_id"), col("n_chars"), col("url"), col("canon_url"))
+    val g1 = canon.groupBy("canon_url")
+      .agg(count(lit(1)).as("n_dup"), max("n_chars").as("mx"))
+    val g2 = canon.join(g1, "canon_url")
+      .filter(col("n_chars") === col("mx"))
+      .groupBy("canon_url").agg(min("doc_id").as("kept_doc"))
+    canon
+      .join(g1.select("canon_url", "n_dup"), "canon_url")
+      .join(g2, "canon_url")
+      .select(col("doc_id"), col("url"), col("canon_url"), col("n_dup"),
+        (col("doc_id") === col("kept_doc")).cast("int").as("kept"))
+      .orderBy("doc_id")
+  }
+
+  val urlCanonicalSql: String = s"""WITH w AS (
+      SELECT doc_id, n_chars,
+        concat(
+          CASE WHEN doc_id % 11 = 0 THEN 'HTTPS://' ELSE 'https://' END,
+          CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END,
+          concat('site', CAST((doc_id // 3) % 50 AS VARCHAR), '.example.com'),
+          concat('/doc/', CAST(doc_id // 3 AS VARCHAR)),
+          CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+          CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_campaign=x'
+               WHEN doc_id % 4 = 1 THEN concat('?page=', CAST(doc_id % 3 AS VARCHAR))
+               WHEN doc_id % 4 = 2 THEN concat('?utm_source=feed&page=', CAST(doc_id % 3 AS VARCHAR))
+               ELSE '' END,
+          CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END) AS url
+      FROM documents),
+    parts AS (
+      SELECT doc_id, n_chars, url,
+        regexp_extract(regexp_replace(url, '#.*$$', ''), '^([^?]*)', 1) AS base,
+        regexp_extract(regexp_replace(url, '#.*$$', ''), '\\?(.*)$$', 1) AS qs
+      FROM w),
+    canon0 AS (
+      SELECT doc_id, n_chars, url, base,
+        regexp_extract(base, '^([^/]*//[^/]*)', 1) AS shraw,
+        list_filter(string_split(qs, '&'), p -> p != ''
+          AND NOT starts_with(p, 'utm_')
+          AND NOT starts_with(p, 'fbclid')
+          AND NOT starts_with(p, 'gclid')) AS kp
+      FROM parts),
+    canon AS (
+      SELECT doc_id, n_chars, url,
+        concat(
+          regexp_replace(lower(shraw), '^(https?://)www\\.', '\\1'),
+          regexp_replace(substr(base, len(shraw) + 1), '/$$', ''),
+          CASE WHEN len(kp) > 0 THEN concat('?', array_to_string(kp, '&')) ELSE '' END
+        ) AS canon_url
+      FROM canon0),
+    g1 AS (SELECT canon_url, COUNT(*) AS n_dup, MAX(n_chars) AS mx
+      FROM canon GROUP BY 1),
+    g2 AS (SELECT c.canon_url, MIN(c.doc_id) AS kept_doc
+      FROM canon c JOIN g1 ON c.canon_url = g1.canon_url AND c.n_chars = g1.mx
+      GROUP BY 1)
+    SELECT c.doc_id, c.url, c.canon_url, g1.n_dup,
+      CASE WHEN c.doc_id = g2.kept_doc THEN 1 ELSE 0 END AS kept
+    FROM canon c JOIN g1 ON c.canon_url = g1.canon_url
+                 JOIN g2 ON c.canon_url = g2.canon_url
+    ORDER BY c.doc_id"""
 }

@@ -1719,6 +1719,70 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("T23 BM25: tf dominance, symmetric scores, empty docs excluded") {
+    import graft.ext.TextOps
+    // N=4 (empty doc counts), tot=9 tokens, avgdl=2.25; df(a)=df(b)=df(c)=2
+    // → idf = ln((4-2+0.5)/(2+0.5)+1) = ln 2 for every term
+    val d = Seq(
+      (1L, "a a b"),
+      (2L, "a c"),
+      (3L, "b c c c"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val r = TextOps.bm25TopkFrom(d).collect()
+    // every term retrieves exactly its 2 posting docs; doc 4 never appears
+    assert(r.length == 6)
+    assert(r.forall(_.getLong(2) != 4L))
+    val byTerm = r.groupBy(_.getString(0))
+    assert(byTerm.keySet == Set("a", "b", "c"))
+    def top(term: String) = byTerm(term).minBy(_.getInt(1)).getLong(2)
+    // higher tf wins within a term: a→doc1 (tf 2), c→doc3 (tf 3)
+    assert(top("a") == 1L && top("c") == 3L)
+    // b: tf=1 in both docs 1 (dl 3) and 3 (dl 4) — shorter doc wins
+    assert(top("b") == 1L)
+    // symmetric evidence: (tf=1, dl=2) occurs for a@doc2 and c@doc2 —
+    // identical idf ⇒ identical rounded score
+    def score(term: String, doc: Long) =
+      byTerm(term).find(_.getLong(2) == doc).get.getDouble(5)
+    assert(score("a", 2L) == score("c", 2L))
+    assert(r.forall(_.getDouble(5) > 0.0))
+    // real corpus: bounded output, ranks contiguous from 1
+    val c = TextOps.bm25Topk(spark, Sf0001).collect()
+    assert(c.nonEmpty && c.length <= TextOps.Bm25Queries * TextOps.Bm25TopK)
+    c.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length))
+    }
+  }
+
+  test("D16 URL canon: every rule fires; quality keep with doc_id tie-break") {
+    // doc 0 exercises ALL strip rules at once (scheme case, www.,
+    // trailing slash, pure-tracking query, fragment); docs 3/4 and 7/8
+    // form canonical dup pairs ({%4==3, %4==0} members of one triple)
+    val d = Seq(
+      (0L, 5L), (1L, 5L), (2L, 5L),
+      (3L, 10L), (4L, 99L), (5L, 5L),
+      (6L, 5L), (7L, 5L), (8L, 5L))
+      .toDF("doc_id", "n_chars")
+    val r = graft.ext.Dedup.urlCanonicalFrom(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    def canon(id: Long) = r(id).getString(2)
+    def nDup(id: Long) = r(id).getLong(3)
+    def kept(id: Long) = r(id).getInt(4)
+    assert(r(0L).getString(1) ==
+      "HTTPS://www.site0.example.com/doc/0/?utm_source=feed&utm_campaign=x#sec")
+    assert(canon(0L) == "https://site0.example.com/doc/0")
+    // meaningful params survive canonicalization, tracking does not
+    assert(canon(1L) == "https://site0.example.com/doc/0?page=1")
+    assert(canon(2L) == "https://site0.example.com/doc/0?page=2")
+    // dup pair {3,4}: same canon, higher n_chars kept
+    assert(canon(3L) == canon(4L) && nDup(3L) == 2L)
+    assert(kept(4L) == 1 && kept(3L) == 0)
+    // dup pair {7,8}: equal n_chars → min doc_id kept
+    assert(canon(7L) == canon(8L) && kept(7L) == 1 && kept(8L) == 0)
+    // singletons keep themselves
+    assert(nDup(1L) == 1L && kept(1L) == 1)
+  }
+
   test("E16 inter-arrival: exact lower medians on a crafted cadence, decade bins") {
     // user 1: events at 0, 10, 30, 60 s → gaps 10e6, 20e6, 30e6 µs →
     // lower median = 20e6 (8 digits); user 2: one event → no gap row
