@@ -75,7 +75,7 @@ object Bench {
   // min-of-2; the warm third iteration separates steady state from the
   // fixture build (full per-query history in earlier-round comments,
   // git log).
-  private val extraIters = Set("a4_clahe", "d2_ngram_jaccard", "d3_minhash_lsh",
+  private[graft] val extraIters = Set("a4_clahe", "d2_ngram_jaccard", "d3_minhash_lsh",
     "d5_contamination", "s3_cosine_neardup", "s4_ivf_ann_topk",
     "a5_local_median_range", "a5b_local_enhanced_quantize",
     "d7_dup_clusters", "c1_curation_funnel", "d8_para_clusters",
@@ -90,15 +90,21 @@ object Bench {
     "x11_rfm_segments", "d14_dedup_sweep", "m7_ahash_neardup",
     "w8_quality_upsample", "s13_matryoshka_recall",
     // r12: t23 persists its postings relation (feeds the query-term
-    // join and the df spine); d16 has no persists but shares none
-    "t23_bm25_topk")
+    // join and the df spine)
+    "t23_bm25_topk",
+    // r12 PersistAudit findings: these five ALWAYS had internal persists
+    // (d4 sig, d6 para blocks, e12 event pairs, e13 day-user base, t14
+    // source vocab) but were missing from this set — their min-of-2 was
+    // timing two cold runs
+    "d4_simhash", "d6_paragraph_dedup", "e12_event_lift",
+    "e13_active_users", "t14_source_drift")
 
   // The iterative connected-components queries (d7/c1/d8/c3) execute
   // their full label-propagation loop (per-round count() actions) just
   // to CONSTRUCT the DataFrame — auditing them would run each
   // essentially to completion twice per bench. Recorded as (-2, -2) =
   // "skipped: construction runs jobs".
-  private val auditSkip = Set("d7_dup_clusters", "c1_curation_funnel",
+  private[graft] val auditSkip = Set("d7_dup_clusters", "c1_curation_funnel",
     "d8_para_clusters", "c3_dedup_impact")
 
   /** Raster-pipeline E2E cases — the direct comparables to the
