@@ -374,7 +374,11 @@ object Bench {
       "isolated TimeQ runs); per-chunk sentinels listed in 'sentinels', " +
       "'sentinel' is their max; validation protocol: any regression on an " +
       "untouched query must reproduce under tools/TimeQ before being " +
-      "treated as real. a4 stage verdict (r12, isolated at sf0.1): TimeQ " +
+      "treated as real. r12 protocol validation at sf0.1 (artifact vs " +
+      "isolated TimeQ): d10 1.22/1.52, d13 1.06/0.84, t6 1.53/1.66, d14 " +
+      "1.05/0.80, c1 0.33/0.38, a4 2.74/2.13 - all within ~1.3x (r11 " +
+      "single-JVM sweep was up to 5x off: d10 7.20, d13 4.20, warp 2.44 " +
+      "-> now 1.22/1.06/1.02). a4 stage verdict (r12, isolated at sf0.1): TimeQ " +
       "warm min 2.13s (r10 target <=2.2s MET), cold ~9s; A4Warm breakdown " +
       "of the warm 2.4s: Grid construct 0.3s, all plan phases ~0.00s, " +
       "execution 2.3s in ONE fused stage (grid cache scan -> broadcast " +

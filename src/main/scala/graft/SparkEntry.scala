@@ -726,11 +726,14 @@ object SparkEntry {
     Q("e14_markov_transitions", Events.markovTransitions, Some(Events.markovTransitionsSql)),
     Q("e15_conversion_latency", Events.conversionLatency, Some(Events.conversionLatencySql)),
     Q("e16_interarrival", Events.interarrival, Some(Events.interarrivalSql)),
+    Q("e17_activity_gini", Events.activityGini, Some(Events.activityGiniSql)),
+    Q("e18_hourly_profile", Events.hourlyProfile, Some(Events.hourlyProfileSql)),
     Q("t19_ccnet_buckets", TextOps.ccnetBuckets, Some(TextOps.ccnetBucketsSql)),
     Q("t20_encoding_scan", TextOps.encodingScan, Some(TextOps.encodingScanSql)),
     Q("t21_readability", TextOps.readability, Some(TextOps.readabilitySql)),
     Q("t22_langid_confusion", TextOps.langidConfusion, Some(TextOps.langidConfusionSql)),
     Q("t23_bm25_topk", TextOps.bm25Topk, Some(TextOps.bm25TopkSql)),
+    Q("t24_fertility", TextOps.fertility, Some(TextOps.fertilitySql)),
     Q("w1_source_mix", Mix.sourceMix, Some(Mix.sourceMixSql)),
     Q("w2_seq_pack", Mix.seqPack, Some(Mix.seqPackSql)),
     Q("w3_pii_scan", Pii.piiScan, Some(Pii.piiScanSql)),
@@ -806,7 +809,12 @@ object SparkEntry {
     * rounds) MAY leave those persists cached after the query returns —
     * callers running many queries in one long-lived session (as
     * Verify/Bench do) should `spark.catalog.clearCache()` between
-    * queries to reclaim executor storage.
+    * queries to reclaim executor storage. Session-lifetime memoized
+    * relations (`Dedup.ccMemo` labels, `Dedup.shingleMemo` shingle
+    * bases) additionally RE-ARM their persist on every call, so a
+    * clearCache costs their consumers one lineage replay, not a
+    * rebuild. The set of queries allowed to leave persists behind is
+    * machine-checked by `tools/PersistAudit` against `Bench.extraIters`.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> { (s: SparkSession, dir: String) =>

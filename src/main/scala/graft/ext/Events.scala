@@ -899,4 +899,129 @@ object Events {
       ROUND(CAST(SUM(CAST(med AS DECIMAL(20,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6, 6) AS mean_median_sec,
       ROUND(CAST(SUM(CAST(q3 AS DECIMAL(20,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6, 6) AS mean_q3_sec
     FROM quart GROUP BY 1, 2 ORDER BY gap_digits, lead_digit"""
+
+  // --------------------------------------------- E17 activity Gini
+
+  /** Value-range bucket count for the E17 two-phase exact rank. */
+  val GiniBuckets = 64L
+
+  /** E17: per-event-type activity concentration (Gini coefficient) —
+    * how unevenly a type's event volume concentrates across users, the
+    * standard inequality metric every usage dashboard reports (a Gini
+    * near 0 = uniform engagement, near 1 = a few power users dominate).
+    * Uses the exact rank-based formulation over ascending per-user
+    * counts: G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n.
+    *
+    * Determinism: per-user counts and ranks are exact integers; Σ(i·xᵢ)
+    * accumulates in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — the same
+    * exact integer — and the Gini is formed from exact-integer double
+    * casts in the identical expression shape, rounded at the boundary.
+    *
+    * Scale shape: the W1/T15 two-phase exact rank, keyed per type —
+    * counts bucket by the monotone integer transform
+    * (cnt·[[GiniBuckets]]) div max_cnt (per-type max from a ≤|types|-row
+    * broadcast), ranks are computed inside (type, bucket) partitions,
+    * and the global ascending rank is the ≤[[GiniBuckets]]-row exclusive
+    * bucket-offset window + within-bucket rank — a type with a billion
+    * users never sorts in one partition. The oracle states the naive
+    * single-window rank; identical (cnt, user_id) total order makes
+    * them agree.
+    */
+  def activityGini(s: SparkSession, dir: String): DataFrame =
+    activityGiniFrom(t(s, dir))
+
+  /** [[activityGini]] over an explicit event relation — the spec pins
+    * the Gini arithmetic on crafted distributions.
+    */
+  def activityGiniFrom(events: DataFrame): DataFrame = {
+    val cnts = events.groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+    val mx = cnts.groupBy("event_type").agg(max("cnt").as("mxc"))
+    val bucketed = cnts.join(broadcast(mx), "event_type")
+      .withColumn("bucket", least(expr(s"(cnt * $GiniBuckets) div mxc"),
+        lit(GiniBuckets - 1L)))
+    val lrk = row_number().over(
+      Window.partitionBy("event_type", "bucket").orderBy("cnt", "user_id"))
+    val local = bucketed.withColumn("lrk", lrk)
+    val sizes = local.groupBy("event_type", "bucket").agg(count(lit(1)).as("bn"))
+    val off = sizes.withColumn("boff",
+      coalesce(sum("bn").over(Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val ranked = local.join(off.select("event_type", "bucket", "boff"),
+        Seq("event_type", "bucket"))
+      .select(col("event_type"), col("cnt"), (col("boff") + col("lrk")).as("i"))
+    ranked.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum("cnt").as("total_events"),
+        sum(col("i").cast(DecimalType(38, 0)) * col("cnt")).as("s"))
+      .select(col("event_type"), col("n_users"), col("total_events"),
+        round((lit(2.0) * col("s").cast("double")) /
+            (col("n_users").cast("double") * col("total_events").cast("double")) -
+          ((col("n_users") + 1).cast("double") / col("n_users").cast("double")), 6)
+          .as("gini"))
+      .orderBy("event_type")
+  }
+
+  val activityGiniSql: String = s"""WITH cnts AS (
+      SELECT event_type, user_id, COUNT(*) AS cnt FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT event_type, cnt,
+        row_number() OVER (PARTITION BY event_type ORDER BY cnt, user_id) AS i
+      FROM cnts),
+    g AS (
+      SELECT event_type, COUNT(*) AS n_users,
+        CAST(SUM(cnt) AS BIGINT) AS total_events,
+        SUM(CAST(i AS HUGEINT) * CAST(cnt AS HUGEINT)) AS s
+      FROM ranked GROUP BY 1)
+    SELECT event_type, n_users, total_events,
+      ROUND((2.0 * CAST(s AS DOUBLE)) /
+          (CAST(n_users AS DOUBLE) * CAST(total_events AS DOUBLE)) -
+        (CAST(n_users + 1 AS DOUBLE) / CAST(n_users AS DOUBLE)), 6) AS gini
+    FROM g ORDER BY event_type"""
+
+  // --------------------------------------------- E18 hourly profile
+
+  /** E18: UTC hour-of-day load profile per event type — event counts,
+    * within-type share, and peak-hour rank for each (type, hour) cell:
+    * the seasonality view behind capacity planning and anomaly
+    * baselines (an hourly profile is the denominator every "traffic is
+    * unusual right now" alert divides by).
+    *
+    * Determinism: the hour is pure integer arithmetic on epoch
+    * microseconds ((us div 3600·10⁶) mod 24 — no calendar/timezone
+    * functions involved); shares are one exact-integer division rounded
+    * at the boundary; the peak rank tie-breaks on the hour.
+    *
+    * Scale shape: one map-side-combinable aggregate onto a ≤|types|·24
+    * key space; every window downstream runs over ≤24-row per-type
+    * partitions (provably bounded).
+    */
+  def hourlyProfile(s: SparkSession, dir: String): DataFrame =
+    hourlyProfileFrom(t(s, dir))
+
+  /** [[hourlyProfile]] over an explicit event relation. */
+  def hourlyProfileFrom(events: DataFrame): DataFrame = {
+    val cells = events
+      .withColumn("hour_utc", expr("(us div 3600000000) % 24"))
+      .groupBy("event_type", "hour_utc").agg(count(lit(1)).as("n_events"))
+    val tot = cells.groupBy("event_type").agg(sum("n_events").as("tn"))
+    cells.join(tot, "event_type")
+      .select(col("event_type"), col("hour_utc"), col("n_events"),
+        round(col("n_events").cast("double") / col("tn").cast("double"), 6).as("share"),
+        row_number().over(Window.partitionBy("event_type")
+          .orderBy(col("n_events").desc, col("hour_utc"))).as("peak_rank"))
+      .orderBy("event_type", "hour_utc")
+  }
+
+  val hourlyProfileSql: String = s"""WITH cells AS (
+      SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hour_utc,
+        COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS tn
+      FROM cells GROUP BY 1)
+    SELECT cells.event_type, hour_utc, n_events,
+      ROUND(CAST(n_events AS DOUBLE) / CAST(tn AS DOUBLE), 6) AS share,
+      CAST(row_number() OVER (PARTITION BY cells.event_type
+        ORDER BY n_events DESC, hour_utc) AS INTEGER) AS peak_rank
+    FROM cells JOIN tot ON cells.event_type = tot.event_type
+    ORDER BY cells.event_type, hour_utc"""
 }

@@ -1655,6 +1655,72 @@ object TextOps {
     FROM banded GROUP BY source, band ORDER BY source, band"""
   }
 
+  // ------------------------------------------- T24 tokenizer fertility
+
+  /** T24: tokenizer fertility per language — BPE symbols emitted per
+    * word, rolled up by declared language, plus the fraction of words
+    * that survive as a single symbol. THE published tokenizer-parity
+    * metric (XLM-R/NLLB report exactly this table): a language whose
+    * fertility runs high pays proportionally more sequence length per
+    * word, which skews both token budgets (W2/W5) and per-language
+    * compute. Built on the SAME [[bpeWordTokens]] merge chain as T16,
+    * so "token" cannot drift between the per-doc and per-language
+    * views.
+    *
+    * Determinism: all counts are exact integers from the static replace
+    * chain; the two ratios are single exact-integer divisions rounded
+    * at the boundary.
+    *
+    * Scale shape: one explode over words, the codegen'd replace-chain
+    * projection, one map-side-combinable aggregate onto a ≤|langs| key
+    * space — no window, no join.
+    */
+  def fertility(s: SparkSession, dir: String): DataFrame =
+    fertilityFrom(t(s, dir))
+
+  /** [[fertility]] over an explicit `(lang, text)` relation. */
+  def fertilityFrom(d: DataFrame): DataFrame = {
+    val words = d
+      .select(col("lang"), explode(tokens(col("text"))).as("w0"))
+      .select(col("lang"), lower(col("w0")).as("w"))
+      .select(col("lang"),
+        when(col("w").rlike("^[a-z]+$"), bpeWordTokens(col("w")).cast("long"))
+          .otherwise(lit(1L)).as("ntok"))
+    words.groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum("ntok").as("n_bpe"),
+        sum(when(col("ntok") === 1L, 1L).otherwise(0L)).as("n_single"))
+      .select(col("lang"), col("n_words"), col("n_bpe"),
+        round(col("n_bpe").cast("double") / col("n_words").cast("double"), 6)
+          .as("fertility"),
+        round(col("n_single").cast("double") / col("n_words").cast("double"), 6)
+          .as("single_frac"))
+      .orderBy("lang")
+  }
+
+  val fertilitySql: String = {
+    // the T16 merge chain, stated inline over the lowercased word
+    val init = "concat('|', regexp_replace(lower(w), '(.)', '\\1|', 'g'))"
+    val merged = BpeMerges.foldLeft(init) { case (acc, (l, r)) =>
+      (1 to BpePasses).foldLeft(acc)((a, _) => s"replace($a, '|$l|$r|', '|$l$r|')")
+    }
+    s"""WITH words AS (
+      SELECT lang,
+        CASE WHEN regexp_matches(lower(w), '^[a-z]+$$')
+          THEN len($merged) - len(replace($merged, '|', '')) - 1
+          ELSE 1 END AS ntok
+      FROM (SELECT lang, unnest($tokensSql) AS w FROM documents)),
+    g AS (
+      SELECT lang, COUNT(*) AS n_words,
+        CAST(SUM(ntok) AS BIGINT) AS n_bpe,
+        CAST(SUM(CASE WHEN ntok = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single
+      FROM words GROUP BY 1)
+    SELECT lang, n_words, n_bpe,
+      ROUND(CAST(n_bpe AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS fertility,
+      ROUND(CAST(n_single AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS single_frac
+    FROM g ORDER BY lang"""
+  }
+
   // ------------------------------------------------- T23 BM25 retrieval
 
   /** BM25 parameters — the standard Robertson/Lucene defaults. */

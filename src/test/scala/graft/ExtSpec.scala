@@ -1783,6 +1783,51 @@ class ExtSpec extends SparkSpec {
     assert(nDup(1L) == 1L && kept(1L) == 1)
   }
 
+  test("T24 fertility: merge-chain singles vs unmergeable words, per-lang rollup") {
+    import graft.ext.TextOps
+    // "the"/"and" collapse to single symbols via the T16 merge chain;
+    // "xq" stays 2 symbols; "zz9" is non-alpha → atomic 1
+    val d = Seq(("en", "the and"), ("xx", "xq zz9"))
+      .toDF("lang", "text")
+    val r = TextOps.fertilityFrom(d).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("en").getLong(1) == 2L && r("en").getLong(2) == 2L)
+    assert(r("en").getDouble(3) == 1.0 && r("en").getDouble(4) == 1.0)
+    assert(r("xx").getLong(1) == 2L && r("xx").getLong(2) == 3L)
+    assert(r("xx").getDouble(3) == 1.5 && r("xx").getDouble(4) == 0.5)
+  }
+
+  test("E17 Gini: uniform corpus scores 0, power-user corpus pinned exactly") {
+    import graft.ext.Events
+    // type a: 3 users x 1 event → G = 2·(1+2+3)/(3·3) − 4/3 = 0
+    // type b: counts (1,1,1,97) asc → G = 2·(1+2+3+4·97)/(4·100) − 5/4
+    //       = 788/400 − 1.25 = 0.72
+    val rows = Seq.tabulate(3)(i => (s"a", i.toLong + 1)) ++
+      Seq(("b", 1L), ("b", 2L), ("b", 3L)) ++
+      Seq.fill(97)(("b", 4L))
+    val d = rows.toDF("event_type", "user_id")
+    val r = Events.activityGiniFrom(d).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("a").getDouble(3) == 0.0)
+    assert(r("b").getDouble(3) == 0.72)
+    assert(r("b").getLong(1) == 4L && r("b").getLong(2) == 100L)
+  }
+
+  test("E18 hourly profile: exact shares and peak rank on a crafted clock") {
+    import graft.ext.Events
+    val h = 3600L * 1000000L
+    // type a: hour 0 ×3, hour 1 ×1; type b: hour 23 ×2 (day wrap: 25h = 1h)
+    val d = (Seq((1L, "a", 0L), (2L, "a", h - 1L), (3L, "a", 24L * h + 5L),
+      (4L, "a", h), (5L, "b", 23L * h), (6L, "b", 47L * h)))
+      .toDF("event_id", "event_type", "us")
+    val r = Events.hourlyProfileFrom(d).collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> x).toMap
+    assert(r(("a", 0L)).getLong(2) == 3L && r(("a", 0L)).getDouble(3) == 0.75)
+    assert(r(("a", 0L)).getInt(4) == 1)
+    assert(r(("a", 1L)).getLong(2) == 1L && r(("a", 1L)).getDouble(3) == 0.25)
+    assert(r(("b", 23L)).getLong(2) == 2L && r(("b", 23L)).getDouble(3) == 1.0)
+  }
+
   test("E16 inter-arrival: exact lower medians on a crafted cadence, decade bins") {
     // user 1: events at 0, 10, 30, 60 s → gaps 10e6, 20e6, 30e6 µs →
     // lower median = 20e6 (8 digits); user 2: one event → no gap row
