@@ -97,7 +97,9 @@ object Bench {
     // source vocab) but were missing from this set — their min-of-2 was
     // timing two cold runs
     "d4_simhash", "d6_paragraph_dedup", "e12_event_lift",
-    "e13_active_users", "t14_source_drift")
+    "e13_active_users", "t14_source_drift",
+    // r12b: d16 persists its regex canon projection (winner agg + join-back)
+    "d16_url_canonical")
 
   // The iterative connected-components queries (d7/c1/d8/c3) execute
   // their full label-propagation loop (per-round count() actions) just

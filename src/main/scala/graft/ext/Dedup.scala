@@ -1357,12 +1357,12 @@ object Dedup {
     * lambda chain both sides; integer arithmetic for every branch.
     *
     * Scale shape: one codegen'd projection pass builds the canonical
-    * key; the dedup is two map-side-combinable aggregates over the key
-    * (group size + max quality, then min doc_id among the quality
-    * maxima) joined back — NO window over the dup group, so a
-    * pathological hot URL (a boilerplate page duplicated millions of
-    * times) costs a skewed-but-mergeable agg, never a single-partition
-    * sort.
+    * key (persisted — it feeds the winner agg and the join-back); the
+    * dedup is ONE map-side-combinable aggregate over the key (count +
+    * lexicographic struct-max picking max-quality/min-doc_id) joined
+    * back — NO window over the dup group, so a pathological hot URL (a
+    * boilerplate page duplicated millions of times) costs a
+    * skewed-but-mergeable agg, never a single-partition sort.
     */
   def urlCanonical(s: SparkSession, dir: String): DataFrame =
     urlCanonicalFrom(t(s, dir).select(col("doc_id"), col("n_chars")))
@@ -1398,14 +1398,17 @@ object Dedup {
       base.substr(length(schemeHostRaw) + 1, length(base)), "/$", "")
     val canon = withUrl.withColumn("canon_url", concat(schemeHost, path, canonQ))
       .select(col("doc_id"), col("n_chars"), col("url"), col("canon_url"))
-    val g1 = canon.groupBy("canon_url")
-      .agg(count(lit(1)).as("n_dup"), max("n_chars").as("mx"))
-    val g2 = canon.join(g1, "canon_url")
-      .filter(col("n_chars") === col("mx"))
-      .groupBy("canon_url").agg(min("doc_id").as("kept_doc"))
+      .persist() // the regex canon projection feeds the winner agg AND the join-back
+    // ONE map-side-combinable aggregate picks group size and winner:
+    // lexicographic struct-max over (n_chars, -doc_id) = max quality,
+    // tie min doc_id — the same struct-extremum encoding the S11 PQ
+    // assignment uses, stated identically in the oracle.
+    val win = canon.groupBy("canon_url")
+      .agg(count(lit(1)).as("n_dup"),
+        max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("negid"))).as("best"))
+      .select(col("canon_url"), col("n_dup"), (-col("best.negid")).as("kept_doc"))
     canon
-      .join(g1.select("canon_url", "n_dup"), "canon_url")
-      .join(g2, "canon_url")
+      .join(win, "canon_url")
       .select(col("doc_id"), col("url"), col("canon_url"), col("n_dup"),
         (col("doc_id") === col("kept_doc")).cast("int").as("kept"))
       .orderBy("doc_id")
@@ -1446,14 +1449,11 @@ object Dedup {
           CASE WHEN len(kp) > 0 THEN concat('?', array_to_string(kp, '&')) ELSE '' END
         ) AS canon_url
       FROM canon0),
-    g1 AS (SELECT canon_url, COUNT(*) AS n_dup, MAX(n_chars) AS mx
-      FROM canon GROUP BY 1),
-    g2 AS (SELECT c.canon_url, MIN(c.doc_id) AS kept_doc
-      FROM canon c JOIN g1 ON c.canon_url = g1.canon_url AND c.n_chars = g1.mx
-      GROUP BY 1)
-    SELECT c.doc_id, c.url, c.canon_url, g1.n_dup,
-      CASE WHEN c.doc_id = g2.kept_doc THEN 1 ELSE 0 END AS kept
-    FROM canon c JOIN g1 ON c.canon_url = g1.canon_url
-                 JOIN g2 ON c.canon_url = g2.canon_url
+    g AS (SELECT canon_url, COUNT(*) AS n_dup,
+        MAX({'nc': n_chars, 'negid': -doc_id}) AS best
+      FROM canon GROUP BY 1)
+    SELECT c.doc_id, c.url, c.canon_url, g.n_dup,
+      CASE WHEN c.doc_id = -(g.best.negid) THEN 1 ELSE 0 END AS kept
+    FROM canon c JOIN g ON c.canon_url = g.canon_url
     ORDER BY c.doc_id"""
 }
