@@ -98,8 +98,9 @@ object Bench {
     // timing two cold runs
     "d4_simhash", "d6_paragraph_dedup", "e12_event_lift",
     "e13_active_users", "t14_source_drift",
-    // r12b: d16 persists its regex canon projection (winner agg + join-back)
-    "d16_url_canonical")
+    // r12b: d16 persists its regex canon projection (winner agg + join-back);
+    // t25 persists its unigram/bigram pre-aggs (totals + join legs)
+    "d16_url_canonical", "t25_collocations")
 
   // The iterative connected-components queries (d7/c1/d8/c3) execute
   // their full label-propagation loop (per-round count() actions) just

@@ -734,6 +734,7 @@ object SparkEntry {
     Q("t22_langid_confusion", TextOps.langidConfusion, Some(TextOps.langidConfusionSql)),
     Q("t23_bm25_topk", TextOps.bm25Topk, Some(TextOps.bm25TopkSql)),
     Q("t24_fertility", TextOps.fertility, Some(TextOps.fertilitySql)),
+    Q("t25_collocations", TextOps.collocations, Some(TextOps.collocationsSql)),
     Q("w1_source_mix", Mix.sourceMix, Some(Mix.sourceMixSql)),
     Q("w2_seq_pack", Mix.seqPack, Some(Mix.seqPackSql)),
     Q("w3_pii_scan", Pii.piiScan, Some(Pii.piiScanSql)),

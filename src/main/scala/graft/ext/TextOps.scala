@@ -1655,6 +1655,91 @@ object TextOps {
     FROM banded GROUP BY source, band ORDER BY source, band"""
   }
 
+  // ------------------------------------------- T25 PMI collocations
+
+  /** Minimum pair count for a collocation candidate — the standard
+    * guard against PMI's low-frequency bias (a pair seen once always
+    * scores high).
+    */
+  val PmiMinCount = 5
+  /** Collocations kept. */
+  val PmiTopK = 50
+
+  /** T25: top-[[PmiTopK]] bigram collocations by pointwise mutual
+    * information — PMI(x,y) = ln(p(xy)/(p(x)p(y))) over corpus unigram/
+    * bigram frequencies, the classic collocation statistic (Church &
+    * Hanks 1990). A data pipeline uses exactly this table to find
+    * multi-word expressions worth protecting from tokenization splits
+    * and boilerplate phrases worth filtering. Emits the integer count
+    * evidence (pair, both unigrams) next to the score.
+    *
+    * Determinism: counts are exact integers; the PMI is the identical
+    * left-assoc libm chain in both engines (ln(cg) − ln(B) − ln(c1) −
+    * ln(c2) + 2·ln(U)) rounded at 9 immediately (T10/T11 pattern — the
+    * chain runs once per candidate on the vocab-sized relation);
+    * ordering tie-breaks on the bigram string.
+    *
+    * Scale shape: two explode+groupBy scans pre-aggregate to vocab
+    * grain (both persisted — each feeds its total AND join legs); the
+    * candidate relation joins vocab-sized tables on token keys (the
+    * [[PmiMinCount]] filter prunes the long tail first); totals are
+    * 1-row broadcasts; the top-k is TakeOrdered then a ≤[[PmiTopK]]-row
+    * rank window — never a corpus- or vocab-sized single partition.
+    */
+  def collocations(s: SparkSession, dir: String): DataFrame =
+    collocationsFrom(t(s, dir))
+
+  /** [[collocations]] over an explicit `(text)` relation. */
+  def collocationsFrom(d: DataFrame): DataFrame = {
+    val uni = d.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+      .persist() // feeds the U total and both unigram join sides
+    val bi = d.select(explode(ngrams(tokens(col("text")), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("cg"))
+      .persist() // feeds the B total and the candidate leg
+    val totals = uni.agg(sum("cw").as("u")).crossJoin(bi.agg(sum("cg").as("b")))
+    val cand = bi.filter(col("cg") >= PmiMinCount)
+      .withColumn("w1", split(col("g"), " ").getItem(0))
+      .withColumn("w2", split(col("g"), " ").getItem(1))
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "c1"), "w1")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "c2"), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("g"), col("cg"), col("c1"), col("c2"),
+        round(log(col("cg").cast("double")) - log(col("b").cast("double")) -
+          log(col("c1").cast("double")) - log(col("c2").cast("double")) +
+          lit(2.0) * log(col("u").cast("double")), 9).as("pmi"))
+    cand.orderBy(col("pmi").desc, col("g")).limit(PmiTopK)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("pmi").desc, col("g"))))
+      .select(col("rk"), col("g").as("bigram"), col("cg").as("n_pair"),
+        col("c1").as("n_w1"), col("c2").as("n_w2"), col("pmi"))
+      .orderBy("rk")
+  }
+
+  val collocationsSql: String = s"""WITH toks AS (
+      SELECT unnest($tokensSql) AS w FROM documents),
+    uni AS (SELECT w, COUNT(*) AS cw FROM toks GROUP BY 1),
+    big AS (SELECT g, COUNT(*) AS cg
+      FROM (SELECT unnest(${ngramsSql("tk", 2)}) AS g
+            FROM (SELECT $tokensSql AS tk FROM documents))
+      GROUP BY 1),
+    tot AS (SELECT
+      (SELECT CAST(SUM(cw) AS BIGINT) FROM uni) AS u,
+      (SELECT CAST(SUM(cg) AS BIGINT) FROM big) AS b),
+    cand AS (
+      SELECT g, cg, c1.cw AS c1, c2.cw AS c2,
+        ROUND(ln(CAST(cg AS DOUBLE)) - ln(CAST(b AS DOUBLE)) -
+          ln(CAST(c1.cw AS DOUBLE)) - ln(CAST(c2.cw AS DOUBLE)) +
+          2.0 * ln(CAST(u AS DOUBLE)), 9) AS pmi
+      FROM big
+      JOIN uni c1 ON split_part(g, ' ', 1) = c1.w
+      JOIN uni c2 ON split_part(g, ' ', 2) = c2.w
+      CROSS JOIN tot
+      WHERE cg >= $PmiMinCount)
+    SELECT rk, g AS bigram, cg AS n_pair, c1 AS n_w1, c2 AS n_w2, pmi FROM (
+      SELECT *, row_number() OVER (ORDER BY pmi DESC, g) AS rk FROM cand)
+    WHERE rk <= $PmiTopK ORDER BY rk"""
+
   // ------------------------------------------- T24 tokenizer fertility
 
   /** T24: tokenizer fertility per language — BPE symbols emitted per

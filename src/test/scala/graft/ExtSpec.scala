@@ -1783,6 +1783,27 @@ class ExtSpec extends SparkSpec {
     assert(nDup(1L) == 1L && kept(1L) == 1)
   }
 
+  test("T25 collocations: perfect pair outranks diluted; min-count excludes; exact PMI") {
+    import graft.ext.TextOps
+    // "p q" ×5 (perfect collocation), "r s r t" ×5 (r diluted across s/t),
+    // "u v" ×1 (below PmiMinCount → excluded)
+    val d = (Seq.fill(5)("p q") ++ Seq.fill(5)("r s r t") :+ "u v")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val r = TextOps.collocationsFrom(d.select(col("text"))).collect()
+    assert(!r.exists(_.getString(1) == "u v"))
+    assert(r.head.getString(1) == "p q")
+    // U=32 unigrams, B=21 bigrams; PMI(p q) via the identical chain
+    val exp = BigDecimal(math.log(5.0) - math.log(21.0) - math.log(5.0) -
+        math.log(5.0) + 2.0 * math.log(32.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.head.getDouble(5) == exp)
+    assert(r.head.getLong(2) == 5L && r.head.getLong(3) == 5L && r.head.getLong(4) == 5L)
+    // diluted "r s": same pair count, bigger unigram denominator → lower PMI
+    val rs = r.find(_.getString(1) == "r s").get
+    assert(rs.getDouble(5) < r.head.getDouble(5))
+  }
+
   test("T24 fertility: merge-chain singles vs unmergeable words, per-lang rollup") {
     import graft.ext.TextOps
     // "the"/"and" collapse to single symbols via the T16 merge chain;
