@@ -1367,6 +1367,28 @@ object Dedup {
   def urlCanonical(s: SparkSession, dir: String): DataFrame =
     urlCanonicalFrom(t(s, dir).select(col("doc_id"), col("n_chars")))
 
+  /** The D16 canonicalization as a pure column expression — THE one
+    * definition of "same page", shared by the batch dedup and the
+    * streaming `StreamOps.urlDedupStream` dual: strip fragment, drop
+    * tracking query params (keep meaningful ones), lowercase
+    * scheme+host, strip `www.` and the trailing slash.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val base = regexp_extract(noFrag, "^([^?]*)", 1)
+    val qs = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val kept = filter(split(qs, "&"), p =>
+      p =!= lit("") && !p.startsWith("utm_") &&
+        !p.startsWith("fbclid") && !p.startsWith("gclid"))
+    val canonQ = when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+      .otherwise(lit(""))
+    val schemeHostRaw = regexp_extract(base, "^([^/]*//[^/]*)", 1)
+    val schemeHost = regexp_replace(lower(schemeHostRaw), "^(https?://)www\\.", "$1")
+    val path = regexp_replace(
+      base.substr(length(schemeHostRaw) + 1, length(base)), "/$", "")
+    concat(schemeHost, path, canonQ)
+  }
+
   /** [[urlCanonical]] over an explicit `(doc_id, n_chars)` relation. */
   def urlCanonicalFrom(d: DataFrame): DataFrame = {
     val g = floor(col("doc_id") / 3).cast("long")
@@ -1384,19 +1406,7 @@ object Dedup {
         .otherwise(lit("")),
       when(pmod(col("doc_id"), lit(7)) === 0, lit("#sec")).otherwise(lit("")))
     val withUrl = d.withColumn("url", url)
-    val noFrag = regexp_replace(col("url"), "#.*$", "")
-    val base = regexp_extract(noFrag, "^([^?]*)", 1)
-    val qs = regexp_extract(noFrag, "\\?(.*)$", 1)
-    val kept = filter(split(qs, "&"), p =>
-      p =!= lit("") && !p.startsWith("utm_") &&
-        !p.startsWith("fbclid") && !p.startsWith("gclid"))
-    val canonQ = when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
-      .otherwise(lit(""))
-    val schemeHostRaw = regexp_extract(base, "^([^/]*//[^/]*)", 1)
-    val schemeHost = regexp_replace(lower(schemeHostRaw), "^(https?://)www\\.", "$1")
-    val path = regexp_replace(
-      base.substr(length(schemeHostRaw) + 1, length(base)), "/$", "")
-    val canon = withUrl.withColumn("canon_url", concat(schemeHost, path, canonQ))
+    val canon = withUrl.withColumn("canon_url", canonicalUrl(col("url")))
       .select(col("doc_id"), col("n_chars"), col("url"), col("canon_url"))
       .persist() // the regex canon projection feeds the winner agg AND the join-back
     // ONE map-side-combinable aggregate picks group size and winner:

@@ -93,6 +93,21 @@ object StreamOps {
         col("user_id"), col("n_events"),
         (col("n_events") > maxPerWindow).cast("int").as("over_limit"))
 
+  /** Streaming URL-canonicalization dedup (dual of batch D16): each doc
+    * keyed by `graft.ext.Dedup.canonicalUrl` — the SAME expression the
+    * batch dedup groups on, so "same page" cannot drift between tiers —
+    * then first-winner-kept within the watermark horizon. This is the
+    * per-snapshot dedup CCNet runs at ingest; the batch pass remains the
+    * cross-snapshot authority (streaming state cannot hold the full
+    * corpus, the watermark bounds it).
+    */
+  def urlDedupStream(docs: DataFrame,
+                     watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("canon_url", graft.ext.Dedup.canonicalUrl(col("url")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("canon_url")
+
   /** Custom-state sessionization via `flatMapGroupsWithState` — the
     * hand-rolled counterpart of [[sessionAgg]] for session logic
     * `session_window` can't express (per-user state machine with

@@ -91,6 +91,29 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("urlDedupStream keys on the shared batch canonicalization") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "url")
+    val q = StreamOps.urlDedupStream(df, "10 minutes")
+      .writeStream.format("memory").queryName("url_dedup_test").outputMode("append").start()
+    try {
+      // all three canonicalize to https://site.example.com/a → first kept;
+      // ?page=2 is a DIFFERENT page and survives
+      mem.addData(
+        (ts(0), 1L, "HTTPS://www.site.example.com/a/"),
+        (ts(1), 2L, "https://site.example.com/a?utm_source=x#frag"),
+        (ts(2), 3L, "https://site.example.com/a"),
+        (ts(3), 4L, "https://site.example.com/a?page=2&utm_source=x"))
+      q.processAllAvailable()
+      val rows = spark.table("url_dedup_test").collect()
+      assert(rows.map(_.getLong(1)).sorted.toSeq == Seq(1L, 4L),
+        s"expected first-winner per canon key, got ${rows.mkString(";")}")
+      assert(rows.find(_.getLong(1) == 4L).get.getString(3) ==
+        "https://site.example.com/a?page=2")
+    } finally q.stop()
+  }
+
   test("sourceMixMonitor reports per-window per-source doc/token counts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Long)]
