@@ -100,7 +100,10 @@ object Bench {
     "e13_active_users", "t14_source_drift",
     // r12b: d16 persists its regex canon projection (winner agg + join-back);
     // t25 persists its unigram/bigram pre-aggs (totals + join legs)
-    "d16_url_canonical", "t25_collocations")
+    "d16_url_canonical", "t25_collocations",
+    // r12b: s14 persists its ≤40-row bin relation (total + spine join
+    // legs would otherwise each replay the corpus cross pass)
+    "s14_cosine_hist")
 
   // The iterative connected-components queries (d7/c1/d8/c3) execute
   // their full label-propagation loop (per-round count() actions) just

@@ -775,6 +775,7 @@ object SparkEntry {
     Q("s11_pq_encode", Similarity.pqEncode, Some(Similarity.pqEncodeSql)),
     Q("s12_pq_adc_recall", Similarity.pqAdcRecall, Some(Similarity.pqAdcRecallSql)),
     Q("s13_matryoshka_recall", Similarity.matryoshkaRecall, Some(Similarity.matryoshkaRecallSql)),
+    Q("s14_cosine_hist", Similarity.cosineHist, Some(Similarity.cosineHistSql)),
     Q("m1_multimodal_meta", Multimodal.meta, Some(Multimodal.metaSql)),
     // mapPartitions feature extraction — the byte-nibble histogram IS
     // SQL-expressible (hex trick, see Multimodal.featuresSql), so the

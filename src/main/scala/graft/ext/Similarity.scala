@@ -821,6 +821,80 @@ object Similarity {
       .orderBy("qid")
   }
 
+  // -------------------------------------------------- S14 cosine histogram
+
+  /** Histogram bins over cosine ∈ [−1, 1] for the S14 space audit. */
+  val CosHistBins = 40
+
+  /** S14: embedding-space health histogram — the distribution of
+    * query-to-corpus cosines in [[CosHistBins]] equal bins over [−1,1],
+    * with per-bin share. THE first-look anisotropy audit of an
+    * embedding table (Ethayarajh 2019: contextual embedding spaces
+    * collapse into a narrow cone — a histogram massed near one value
+    * means cosine carries little signal and downstream ANN/SemDeDup
+    * thresholds need recalibrating). Bins with zero pairs stay visible
+    * through the spine join, so the shape is read directly.
+    *
+    * Determinism: cosines are bit-equal across engines (`graft_dot` vs
+    * the unrolled chain), the bin index is floor of the identical
+    * double expression (exact-1 clamped to the top bin), bounds are
+    * exact two-decimal literals, and the share is one exact-integer
+    * division rounded at 6.
+    *
+    * Scale shape: identical to S1 — the bounded query side broadcasts
+    * into one corpus pass, then a map-side-combinable aggregate onto a
+    * ≤[[CosHistBins]]-key space; the spine join and ordering touch ≤40
+    * rows. No window, no pair materialization beyond the scan.
+    */
+  def cosineHist(s: SparkSession, dir: String): DataFrame =
+    cosineHistFrom(t(s, dir))
+
+  /** [[cosineHist]] over an explicit `(vec_id, embedding)` relation. */
+  def cosineHistFrom(emb0: DataFrame): DataFrame = {
+    val en = emb0.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val q = en.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val den = col("qn") * col("nrm")
+    val cos = when(den === 0, lit(0.0))
+      .otherwise(dot(col("qe"), col("embedding")) / den)
+    val binned = en.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(least(floor((cos + lit(1.0)) / lit(2.0) * lit(CosHistBins.toDouble)),
+        lit(CosHistBins - 1L)).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+      .persist() // ≤40 rows, but its subtree is the corpus pass — feeds total + join
+    val total = binned.agg(sum("n_pairs").as("tp")) // 1 row
+    val spine = emb0.sparkSession.range(CosHistBins).select(col("id").as("bin"))
+    spine.join(binned, Seq("bin"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("bin"),
+        round(lit(-1.0) + col("bin").cast("double") * lit(2.0 / CosHistBins), 2).as("cos_lo"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        round(coalesce(col("n_pairs"), lit(0L)).cast("double") /
+          col("tp").cast("double"), 6).as("share"))
+      .orderBy("bin")
+  }
+
+  val cosineHistSql: String = s"""WITH $normCte,
+    q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM en WHERE vec_id < $NumQueries),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR((cos + 1.0) / 2.0 * ${CosHistBins.toDouble}) AS BIGINT),
+          ${CosHistBins - 1}) AS bin
+      FROM (
+        SELECT CASE WHEN qn * nrm = 0 THEN 0.0
+          ELSE (${dotSql("qe", "en.embedding")}) / (qn * nrm) END AS cos
+        FROM en CROSS JOIN q WHERE en.vec_id != qid)),
+    cnt AS (SELECT bin, COUNT(*) AS n_pairs FROM binned GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS tp FROM cnt),
+    spine AS (SELECT unnest(range(0, $CosHistBins)) AS bin)
+    SELECT spine.bin,
+      ROUND(-1.0 + CAST(spine.bin AS DOUBLE) * ${2.0 / CosHistBins}, 2) AS cos_lo,
+      COALESCE(n_pairs, 0) AS n_pairs,
+      ROUND(CAST(COALESCE(n_pairs, 0) AS DOUBLE) / CAST(tp AS DOUBLE), 6) AS share
+    FROM spine LEFT JOIN cnt ON spine.bin = cnt.bin CROSS JOIN tot
+    ORDER BY spine.bin"""
+
   // -------------------------------------------------- S13 Matryoshka recall
 
   /** Truncated prefix dimensions measured by [[matryoshkaRecall]]. */

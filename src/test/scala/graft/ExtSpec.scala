@@ -1783,6 +1783,22 @@ class ExtSpec extends SparkSpec {
     assert(nDup(1L) == 1L && kept(1L) == 1)
   }
 
+  test("S14 cosine hist: orthogonal/opposite vectors land in pinned bins, zero bins visible") {
+    import graft.ext.Similarity
+    // ids < NumQueries are all queries: 6 ordered pairs — cos 0 ×4
+    // (bin 20), cos −1 ×2 (bin 0); 38 empty bins stay visible
+    val d = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)), (2L, Array(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.cosineHistFrom(d).collect()
+    assert(r.length == Similarity.CosHistBins)
+    val byBin = r.map(x => x.getLong(0) -> x).toMap
+    assert(byBin(0L).getLong(2) == 2L && byBin(0L).getDouble(3) == 0.333333)
+    assert(byBin(20L).getLong(2) == 4L && byBin(20L).getDouble(3) == 0.666667)
+    assert(byBin(0L).getDouble(1) == -1.0 && byBin(20L).getDouble(1) == 0.0)
+    assert(r.map(_.getLong(2)).sum == 6L)
+  }
+
   test("T25 collocations: perfect pair outranks diluted; min-count excludes; exact PMI") {
     import graft.ext.TextOps
     // "p q" ×5 (perfect collocation), "r s r t" ×5 (r diluted across s/t),
