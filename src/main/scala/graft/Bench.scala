@@ -102,8 +102,9 @@ object Bench {
     // t25 persists its unigram/bigram pre-aggs (totals + join legs)
     "d16_url_canonical", "t25_collocations",
     // r12b: s14 persists its ≤40-row bin relation (total + spine join
-    // legs would otherwise each replay the corpus cross pass)
-    "s14_cosine_hist")
+    // legs would otherwise each replay the corpus cross pass); c4 rides
+    // the memoized D7 labels like c1/c3
+    "s14_cosine_hist", "c4_dedup_quality")
 
   // The iterative connected-components queries (d7/c1/d8/c3) execute
   // their full label-propagation loop (per-round count() actions) just
@@ -111,7 +112,7 @@ object Bench {
   // essentially to completion twice per bench. Recorded as (-2, -2) =
   // "skipped: construction runs jobs".
   private[graft] val auditSkip = Set("d7_dup_clusters", "c1_curation_funnel",
-    "d8_para_clusters", "c3_dedup_impact")
+    "d8_para_clusters", "c3_dedup_impact", "c4_dedup_quality")
 
   /** Raster-pipeline E2E cases — the direct comparables to the
     * reference's published numbers (BASELINE.md: single-product

@@ -719,6 +719,7 @@ object SparkEntry {
     Q("c1_curation_funnel", Curation.funnel, Some(Curation.funnelSql)),
     Q("c2_data_card", Curation.dataCard, Some(Curation.dataCardSql)),
     Q("c3_dedup_impact", Curation.dedupImpact, Some(Curation.dedupImpactSql)),
+    Q("c4_dedup_quality", Curation.dedupQuality, Some(Curation.dedupQualitySql)),
     Q("t15_quality_winsor", TextOps.qualityWinsor, Some(TextOps.qualityWinsorSql)),
     Q("t16_bpe_exact", TextOps.bpeExact, Some(TextOps.bpeExactSql)),
     Q("t17_gopher_filter", TextOps.gopherFilter, Some(TextOps.gopherFilterSql)),

@@ -235,4 +235,66 @@ object Curation {
       CAST(COALESCE(SUM(ntok), 0) AS BIGINT) FROM kept GROUP BY source
     UNION ALL SELECT stage, source, n_docs, n_tokens FROM splits
     ORDER BY stage, source"""
+
+  // ----------------------------------------------- C4 dedup-quality audit
+
+  /** C4: dedup-quality interaction — "are we deleting good data?": for
+    * each (dedup status × quality band) cell, document count, mean T2
+    * quality, and the share within the status. Near-dup pruning is only
+    * safe if the dropped mass skews low-quality; a dedup pass whose
+    * 'dropped' rows concentrate in the high band is destroying signal
+    * (the check CCNet/RefinedWeb run before committing a threshold).
+    * Composes the SAME [[TextOps.qualityCol]] and memoized
+    * [[Dedup.clusterIds]] the funnel/c3 use, so the bands and the
+    * keep/drop decision cannot drift from the operators they audit.
+    *
+    * Determinism: q is pre-rounded at 6 and banded on two-decimal
+    * literals; the mean accumulates the rounded values in exact
+    * DECIMAL(20,6); counts and shares are exact-integer divisions
+    * rounded at the boundary.
+    *
+    * Scale shape: one corpus scan joined to the memoized label
+    * relation on doc_id (one shuffle), then a map-side-combinable
+    * aggregate onto a ≤6-key space; the status-total join touches ≤2
+    * rows.
+    */
+  def dedupQuality(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = t(s, dir).select(col("doc_id"), TextOps.qualityCol.as("q"))
+    val marked = base.join(Dedup.clusterIds(s, dir), col("doc_id") === col("id"))
+      .select(col("q"),
+        when(col("doc_id") === col("lbl"), "kept").otherwise("dropped").as("status"),
+        when(col("q") >= 0.66, "high").when(col("q") >= 0.33, "mid")
+          .otherwise("low").as("band"))
+    val g = marked.groupBy("status", "band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("q").cast(DecimalType(20, 6))).as("sq"))
+    val st = g.groupBy("status").agg(sum("n_docs").as("tn")) // <=2 rows
+    g.join(st, "status")
+      .select(col("status"), col("band"), col("n_docs"),
+        round(col("sq").cast("double") / col("n_docs").cast("double"), 6).as("mean_q"),
+        round(col("n_docs").cast("double") / col("tn").cast("double"), 6)
+          .as("frac_of_status"))
+      .orderBy("status", "band")
+  }
+
+  val dedupQualitySql: String =
+    s"""WITH RECURSIVE ${Dedup.clusterLabCtes},
+    base AS (SELECT doc_id, ${TextOps.qualityColSql} AS q FROM documents),
+    marked AS (
+      SELECT q,
+        CASE WHEN base.doc_id = lab.cluster_id THEN 'kept' ELSE 'dropped' END AS status,
+        CASE WHEN q >= 0.66 THEN 'high' WHEN q >= 0.33 THEN 'mid'
+          ELSE 'low' END AS band
+      FROM base JOIN lab ON base.doc_id = lab.doc_id),
+    g AS (
+      SELECT status, band, COUNT(*) AS n_docs,
+        SUM(CAST(q AS DECIMAL(20,6))) AS sq
+      FROM marked GROUP BY 1, 2),
+    st AS (SELECT status, CAST(SUM(n_docs) AS BIGINT) AS tn FROM g GROUP BY 1)
+    SELECT g.status, band, n_docs,
+      ROUND(CAST(sq AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mean_q,
+      ROUND(CAST(n_docs AS DOUBLE) / CAST(tn AS DOUBLE), 6) AS frac_of_status
+    FROM g JOIN st ON g.status = st.status
+    ORDER BY g.status, band"""
 }

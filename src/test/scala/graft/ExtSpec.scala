@@ -1783,6 +1783,18 @@ class ExtSpec extends SparkSpec {
     assert(nDup(1L) == 1L && kept(1L) == 1)
   }
 
+  test("C4 dedup-quality: statuses/bands valid, per-status shares sum to 1") {
+    val r = graft.ext.Curation.dedupQuality(spark, Sf0001).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(x => Set("kept", "dropped")(x.getString(0))))
+    assert(r.forall(x => Set("high", "mid", "low")(x.getString(1))))
+    r.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val tot = rows.map(_.getDouble(4)).sum
+      assert(math.abs(tot - 1.0) < 1e-5, s"shares must sum to 1, got $tot")
+    }
+    assert(r.exists(_.getString(0) == "kept"))
+  }
+
   test("S14 cosine hist: orthogonal/opposite vectors land in pinned bins, zero bins visible") {
     import graft.ext.Similarity
     // ids < NumQueries are all queries: 6 ordered pairs — cos 0 ×4
