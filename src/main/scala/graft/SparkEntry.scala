@@ -685,7 +685,8 @@ object SparkEntry {
     Q("x9_order_distribution", Relational.orderDistribution, Some(Relational.orderDistributionSql)),
     Q("x10_returned_items", Relational.returnedItems, Some(Relational.returnedItemsSql)),
     Q("x11_rfm_segments", Relational.rfmSegments, Some(Relational.rfmSegmentsSql)),
-    Q("x12_promo_revenue", Relational.promoRevenue, Some(Relational.promoRevenueSql)))
+    Q("x12_promo_revenue", Relational.promoRevenue, Some(Relational.promoRevenueSql)),
+    Q("x13_fulfillment", Relational.fulfillment, Some(Relational.fulfillmentSql)))
 
   private val extQueries: Seq[Q] = Seq(
     Q("e1_sessionize", Events.sessionize, Some(Events.sessionizeSql)),

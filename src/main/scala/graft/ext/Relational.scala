@@ -634,4 +634,55 @@ object Relational {
       ROUND(100.0 * promo_revenue / total_revenue, 6) AS promo_share_pct,
       n_items
     FROM agg ORDER BY ym"""
+
+  // ------------------------------------------- X13 fulfillment latency
+
+  /** X13: order-to-ship fulfillment latency per order priority — item
+    * count, exact min/mean/max latency days, and the late fraction
+    * (>90 days): the operations view of whether priority classes
+    * actually ship faster (the TPC-H-shaped analogue of an SLA
+    * dashboard).
+    *
+    * Determinism: latency is pure integer epoch arithmetic
+    * ((ship_us − order_us) div day_us — no calendar functions; NTZ
+    * timestamps cast under the UTC session, matching DuckDB epoch_us); the mean accumulates exact
+    * integer days in DECIMAL with one division rounded at 6; the late
+    * fraction is an exact-integer division.
+    *
+    * Scale shape: the lineitem→orders equi-join is the only exchange
+    * (the same shuffle every x-tier join pays; AQE can broadcast the
+    * orders side when stats allow); the rollup is map-side-combinable
+    * onto a ≤|priorities| key space.
+    */
+  def fulfillment(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dayUs = 86400L * 1000000L
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+      expr("unix_micros(cast(l_shipdate as timestamp))").as("ship_us"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+      expr("unix_micros(cast(o_orderdate as timestamp))").as("ord_us"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        expr(s"(ship_us - ord_us) div $dayUs").as("days"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        min("days").as("min_days"),
+        max("days").as("max_days"),
+        sum(col("days").cast(DecimalType(20, 0))).as("sd"),
+        sum(when(col("days") > 90, 1L).otherwise(0L)).as("n_late"))
+      .select(col("o_orderpriority"), col("n_items"), col("min_days"), col("max_days"),
+        round(col("sd").cast("double") / col("n_items").cast("double"), 6).as("mean_days"),
+        round(col("n_late").cast("double") / col("n_items").cast("double"), 6).as("late_frac"))
+      .orderBy("o_orderpriority")
+  }
+
+  val fulfillmentSql: String = s"""WITH j AS (
+      SELECT o_orderpriority,
+        (epoch_us(l_shipdate) - epoch_us(o_orderdate)) // ${86400L * 1000000L} AS days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+      MIN(days) AS min_days, MAX(days) AS max_days,
+      ROUND(CAST(SUM(CAST(days AS DECIMAL(20,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_days,
+      ROUND(CAST(SUM(CASE WHEN days > 90 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS late_frac
+    FROM j GROUP BY 1 ORDER BY 1"""
 }
