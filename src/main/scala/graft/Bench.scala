@@ -104,7 +104,10 @@ object Bench {
     // r12b: s14 persists its ≤40-row bin relation (total + spine join
     // legs would otherwise each replay the corpus cross pass); c4 rides
     // the memoized D7 labels like c1/c3
-    "s14_cosine_hist", "c4_dedup_quality")
+    "s14_cosine_hist", "c4_dedup_quality",
+    // r12b: d17 persists the minhash signature relation (band self-join
+    // sides) and rides d4's sim persist
+    "d17_method_agreement")
 
   // The iterative connected-components queries (d7/c1/d8/c3) execute
   // their full label-propagation loop (per-round count() actions) just

@@ -758,6 +758,7 @@ object SparkEntry {
     Q("d14_dedup_sweep", Dedup.dedupSweep, Some(Dedup.dedupSweepSql)),
     Q("d15_bloom_prefilter", Dedup.bloomPrefilter, Some(Dedup.bloomPrefilterSql)),
     Q("d16_url_canonical", Dedup.urlCanonical, Some(Dedup.urlCanonicalSql)),
+    Q("d17_method_agreement", Dedup.methodAgreement, Some(Dedup.methodAgreementSql)),
     Q("w6_split_leakage", Mix.splitLeakage, Some(Mix.splitLeakageSql)),
     Q("w7_mixture_temperature", Mix.mixtureTemperature, Some(Mix.mixtureTemperatureSql)),
     Q("w8_quality_upsample", Mix.qualityUpsample, Some(Mix.qualityUpsampleSql)),

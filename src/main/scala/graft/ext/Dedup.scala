@@ -1466,4 +1466,90 @@ object Dedup {
       CASE WHEN c.doc_id = -(g.best.negid) THEN 1 ELSE 0 END AS kept
     FROM canon c JOIN g ON c.canon_url = g.canon_url
     ORDER BY c.doc_id"""
+
+  // ------------------------------------------- D17 method agreement
+
+  /** D17: dedup-method agreement audit — the candidate-pair sets of the
+    * two sketch tiers (D3 MinHash-LSH banding vs D4 SimHash pigeonhole,
+    * hamming ≤ 20) full-outer-joined into a 3-row agreement matrix
+    * (`both` / `minhash_only` / `simhash_only`), each cell carrying how
+    * many of its pairs are byte-exact duplicates (md5 equality — the
+    * ground truth the sketches approximate). The methodological check a
+    * pipeline runs before trusting one sketch family alone: a large
+    * `*_only` cell with high exact_frac means the OTHER method is
+    * missing real duplicates at the current parameters. Reuses the
+    * production candidate generators verbatim, so the audit measures
+    * exactly what D3/D4 ship.
+    *
+    * Determinism: pure set algebra over integer doc-id pairs + exact
+    * counts; the one ratio is an exact-integer division rounded at 6.
+    *
+    * Scale shape: both candidate sets are individually bounded (band
+    * equi-join / 12-bit block pigeonhole, df-capped upstream); the
+    * full-outer join runs on (doc_a, doc_b) keys; the exact flag joins
+    * the 1-row-per-doc md5 relation twice; the final aggregate is
+    * map-side-combinable onto ≤3 keys. No new quadratic surface.
+    */
+  def methodAgreement(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(s, dir).persist() // band self-join's two sides
+    val mcand = bandCandidates(sig).withColumn("in_m", lit(1))
+    val scand = simhash(s, dir).select(col("doc_a"), col("doc_b"))
+      .withColumn("in_s", lit(1))
+    val h = t(s, dir).select(col("doc_id"), md5(col("text")).as("h"))
+    val u = mcand.join(scand, Seq("doc_a", "doc_b"), "full_outer")
+    u.join(h.select(col("doc_id").as("doc_a"), col("h").as("hx")), "doc_a")
+      .join(h.select(col("doc_id").as("doc_b"), col("h").as("hy")), "doc_b")
+      .select(
+        when(col("in_m").isNotNull && col("in_s").isNotNull, "both")
+          .when(col("in_m").isNotNull, "minhash_only")
+          .otherwise("simhash_only").as("method"),
+        (col("hx") === col("hy")).cast("long").as("exact"))
+      .groupBy("method")
+      .agg(count(lit(1)).as("n_pairs"), sum("exact").as("n_exact"))
+      .select(col("method"), col("n_pairs"), col("n_exact"),
+        round(col("n_exact").cast("double") / col("n_pairs").cast("double"), 6)
+          .as("exact_frac"))
+      .orderBy("method")
+  }
+
+  val methodAgreementSql: String = {
+    val sums = (0 until SimhashBits).map(j =>
+      s"SUM((h48 >> $j) & 1) AS s$j").mkString(", ") + ", COUNT(*) AS ntok"
+    val bits = (0 until SimhashBits).map(j =>
+      s"(CASE WHEN s$j * 2 > ntok THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << $j)").mkString(" + ")
+    val blockRows = (0 until SimhashBlocks).map(b =>
+      s"SELECT doc_id, simhash, $b AS blk, (simhash >> ${b * BlockBits}) & ${(1L << BlockBits) - 1} AS bval FROM sim")
+      .mkString(" UNION ALL ")
+    s"""WITH $minhashCandCtes,
+    toks AS (
+      SELECT DISTINCT doc_id, ${TextOps.tokenHash48Sql("tok")} AS h48 FROM (
+        SELECT doc_id, unnest(${TextOps.tokensSql}) AS tok FROM documents)),
+    bitsums AS (SELECT doc_id, $sums FROM toks GROUP BY doc_id),
+    sim AS (SELECT doc_id, $bits AS simhash FROM bitsums),
+    blocks AS ($blockRows),
+    scand AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          bit_count(xor(x.simhash, y.simhash)) AS hamming
+        FROM blocks x JOIN blocks y
+          ON x.blk = y.blk AND x.bval = y.bval AND x.doc_id < y.doc_id)
+      WHERE hamming <= 20),
+    m AS (SELECT doc_a, doc_b, 1 AS in_m FROM cand),
+    sc AS (SELECT doc_a, doc_b, 1 AS in_s FROM scand),
+    u AS (
+      SELECT COALESCE(m.doc_a, sc.doc_a) AS doc_a,
+        COALESCE(m.doc_b, sc.doc_b) AS doc_b, in_m, in_s
+      FROM m FULL OUTER JOIN sc ON m.doc_a = sc.doc_a AND m.doc_b = sc.doc_b),
+    hs AS (SELECT doc_id, md5(text) AS h FROM documents),
+    marked AS (
+      SELECT CASE WHEN in_m IS NOT NULL AND in_s IS NOT NULL THEN 'both'
+          WHEN in_m IS NOT NULL THEN 'minhash_only'
+          ELSE 'simhash_only' END AS method,
+        CASE WHEN hx.h = hy.h THEN 1 ELSE 0 END AS exact
+      FROM u JOIN hs hx ON u.doc_a = hx.doc_id
+             JOIN hs hy ON u.doc_b = hy.doc_id)
+    SELECT method, COUNT(*) AS n_pairs, CAST(SUM(exact) AS BIGINT) AS n_exact,
+      ROUND(CAST(SUM(exact) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS exact_frac
+    FROM marked GROUP BY 1 ORDER BY 1"""
+  }
 }

@@ -1783,6 +1783,20 @@ class ExtSpec extends SparkSpec {
     assert(nDup(1L) == 1L && kept(1L) == 1)
   }
 
+  test("D17 method agreement: matrix cells valid, exact counts bounded") {
+    val r = graft.ext.Dedup.methodAgreement(spark, Sf0001).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(x => Set("both", "minhash_only", "simhash_only")(x.getString(0))))
+    r.foreach { x =>
+      assert(x.getLong(2) <= x.getLong(1)) // n_exact <= n_pairs
+      assert(x.getDouble(3) >= 0.0 && x.getDouble(3) <= 1.0)
+    }
+    // an exact duplicate has identical shingles AND identical token set:
+    // both sketches must catch it, so exact dups concentrate in 'both'
+    val both = r.find(_.getString(0) == "both")
+    assert(both.isDefined && both.get.getLong(1) > 0L)
+  }
+
   test("C4 dedup-quality: statuses/bands valid, per-status shares sum to 1") {
     val r = graft.ext.Curation.dedupQuality(spark, Sf0001).collect()
     assert(r.nonEmpty)
