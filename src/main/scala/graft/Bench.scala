@@ -107,7 +107,10 @@ object Bench {
     "s14_cosine_hist", "c4_dedup_quality",
     // r12b: d17 persists the minhash signature relation (band self-join
     // sides) and rides d4's sim persist
-    "d17_method_agreement")
+    "d17_method_agreement",
+    // r12c: t27 persists its vocab pre-agg (max/total leg + rank leg);
+    // w9 rides the memoized D7 labels like c1/c3/c4
+    "t27_vocab_coverage", "w9_dedup_source_mix")
 
   // The iterative connected-components queries (d7/c1/d8/c3) execute
   // their full label-propagation loop (per-round count() actions) just

@@ -737,6 +737,9 @@ object SparkEntry {
     Q("t23_bm25_topk", TextOps.bm25Topk, Some(TextOps.bm25TopkSql)),
     Q("t24_fertility", TextOps.fertility, Some(TextOps.fertilitySql)),
     Q("t25_collocations", TextOps.collocations, Some(TextOps.collocationsSql)),
+    Q("t26_markup_density", TextOps.markupDensity, Some(TextOps.markupDensitySql)),
+    Q("t27_vocab_coverage", TextOps.vocabCoverage, Some(TextOps.vocabCoverageSql)),
+    Q("e19_pareto_share", Events.paretoShare, Some(Events.paretoShareSql)),
     Q("w1_source_mix", Mix.sourceMix, Some(Mix.sourceMixSql)),
     Q("w2_seq_pack", Mix.seqPack, Some(Mix.seqPackSql)),
     Q("w3_pii_scan", Pii.piiScan, Some(Pii.piiScanSql)),
@@ -759,7 +762,9 @@ object SparkEntry {
     Q("d15_bloom_prefilter", Dedup.bloomPrefilter, Some(Dedup.bloomPrefilterSql)),
     Q("d16_url_canonical", Dedup.urlCanonical, Some(Dedup.urlCanonicalSql)),
     Q("d17_method_agreement", Dedup.methodAgreement, Some(Dedup.methodAgreementSql)),
+    Q("d18_line_dedup", Dedup.lineDedup, Some(Dedup.lineDedupSql)),
     Q("w6_split_leakage", Mix.splitLeakage, Some(Mix.splitLeakageSql)),
+    Q("w9_dedup_source_mix", Mix.dedupSourceMix, Some(Mix.dedupSourceMixSql)),
     Q("w7_mixture_temperature", Mix.mixtureTemperature, Some(Mix.mixtureTemperatureSql)),
     Q("w8_quality_upsample", Mix.qualityUpsample, Some(Mix.qualityUpsampleSql)),
     Q("s1_cosine_topk", Similarity.cosineTopk, Some(Similarity.cosineTopkSql)),
@@ -779,6 +784,7 @@ object SparkEntry {
     Q("s12_pq_adc_recall", Similarity.pqAdcRecall, Some(Similarity.pqAdcRecallSql)),
     Q("s13_matryoshka_recall", Similarity.matryoshkaRecall, Some(Similarity.matryoshkaRecallSql)),
     Q("s14_cosine_hist", Similarity.cosineHist, Some(Similarity.cosineHistSql)),
+    Q("s15_hubness", Similarity.hubness, Some(Similarity.hubnessSql)),
     Q("m1_multimodal_meta", Multimodal.meta, Some(Multimodal.metaSql)),
     // mapPartitions feature extraction — the byte-nibble histogram IS
     // SQL-expressible (hex trick, see Multimodal.featuresSql), so the

@@ -1552,4 +1552,98 @@ object Dedup {
       ROUND(CAST(SUM(exact) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS exact_frac
     FROM marked GROUP BY 1 ORDER BY 1"""
   }
+
+  // ------------------------------------------- D18 line-level dedup
+
+  /** A document is "mostly boilerplate" when at least this fraction of
+    * its non-empty lines also occur in other documents (the CCNet §2.1
+    * drop rule operates on exactly this per-doc ratio).
+    */
+  val LineDupDocFrac = 0.5
+
+  /** D18: line-level exact dedup audit — the first dedup stage of
+    * RefinedWeb (§G: exact line dedup before document MinHash) and the
+    * paragraph-hash stage of CCNet §2.1, at line grain: a trimmed
+    * non-empty line is a duplicate when it appears in ≥ 2 distinct
+    * documents. Emits, per source, the line-duplication profile a
+    * cleaning run reports: line volume, inter-document duplicate-line
+    * count and fraction, the characters those lines would reclaim, and
+    * how many documents are mostly boilerplate
+    * ([[LineDupDocFrac]]-majority duplicated lines — CCNet's drop
+    * candidates).
+    *
+    * Determinism: lines are keyed by full md5 hex of the trimmed line
+    * (identical bytes both engines, no truncated-hash collisions);
+    * every count is an exact integer; the two fractions are single IEEE
+    * divisions rounded at the boundary; the per-doc majority test is
+    * pure integer arithmetic (2·dup ≥ n), no float threshold.
+    *
+    * Scale shape: explode lines once; line df is a viral-key-safe
+    * groupBy(hash) count (a boilerplate line in a billion docs is ONE
+    * key with map-side partials, never a window); the join-back streams
+    * exploded lines against the 1-row-per-key df side (AQE handles the
+    * hot-key stream skew — no pair join exists anywhere); the doc
+    * rollup and source rollup are map-side-combinable aggregates.
+    */
+  def lineDedup(s: SparkSession, dir: String): DataFrame =
+    lineDedupFrom(t(s, dir))
+
+  /** [[lineDedup]] over an explicit `(doc_id, source, text)` relation —
+    * the spec pins the df/majority arithmetic on crafted line overlaps.
+    */
+  def lineDedupFrom(d: DataFrame): DataFrame = {
+    val lines = d.select(col("doc_id"), col("source"),
+        explode(filter(transform(split(col("text"), "\n"), x => trim(x)),
+          x => x =!= lit(""))).as("line"))
+      .select(col("doc_id"), col("source"), md5(col("line")).as("lh"),
+        length(col("line")).cast("long").as("lc"))
+    val df = lines.groupBy("lh")
+      .agg(countDistinct("doc_id").as("df_docs"))
+    val perDoc = lines.join(df, "lh")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("nl"),
+        sum(when(col("df_docs") >= 2, 1L).otherwise(0L)).as("dl"),
+        sum(when(col("df_docs") >= 2, col("lc")).otherwise(0L)).as("dc"))
+    perDoc.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("nl").as("total_lines"),
+        sum("dl").as("dup_lines"),
+        sum("dc").as("dup_chars"),
+        sum(when(col("dl") * 2 >= col("nl"), 1L).otherwise(0L))
+          .as("docs_mostly_dup"))
+      .select(col("source"), col("n_docs"), col("total_lines"),
+        col("dup_lines"), col("dup_chars"),
+        round(col("dup_lines").cast("double") /
+          greatest(col("total_lines"), lit(1L)).cast("double"), 6)
+          .as("dup_line_frac"),
+        round(col("docs_mostly_dup").cast("double") /
+          col("n_docs").cast("double"), 6).as("mostly_dup_frac"))
+      .orderBy("source")
+  }
+
+  val lineDedupSql: String = s"""WITH lines AS (
+      SELECT doc_id, source, md5(line) AS lh,
+        CAST(length(line) AS BIGINT) AS lc
+      FROM (
+        SELECT doc_id, source,
+          unnest(list_filter(list_transform(string_split(text, chr(10)),
+            x -> trim(x)), x -> x != '')) AS line
+        FROM documents)),
+    df AS (
+      SELECT lh, COUNT(DISTINCT doc_id) AS df_docs FROM lines GROUP BY 1),
+    per_doc AS (
+      SELECT doc_id, source, COUNT(*) AS nl,
+        CAST(SUM(CASE WHEN df_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dl,
+        CAST(SUM(CASE WHEN df_docs >= 2 THEN lc ELSE 0 END) AS BIGINT) AS dc
+      FROM lines JOIN df USING (lh) GROUP BY 1, 2)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(nl) AS BIGINT) AS total_lines,
+      CAST(SUM(dl) AS BIGINT) AS dup_lines,
+      CAST(SUM(dc) AS BIGINT) AS dup_chars,
+      ROUND(CAST(SUM(dl) AS DOUBLE) /
+        CAST(GREATEST(SUM(nl), 1) AS DOUBLE), 6) AS dup_line_frac,
+      ROUND(CAST(SUM(CASE WHEN dl * 2 >= nl THEN 1 ELSE 0 END) AS DOUBLE) /
+        CAST(COUNT(*) AS DOUBLE), 6) AS mostly_dup_frac
+    FROM per_doc GROUP BY source ORDER BY source"""
 }

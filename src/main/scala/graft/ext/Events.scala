@@ -1024,4 +1024,92 @@ object Events {
         ORDER BY n_events DESC, hour_utc) AS INTEGER) AS peak_rank
     FROM cells JOIN tot ON cells.event_type = tot.event_type
     ORDER BY cells.event_type, hour_utc"""
+
+  // --------------------------------------------- E19 Pareto share
+
+  /** Value-range bucket count for the E19 two-phase exact rank. */
+  val ParetoBuckets = 64L
+
+  /** E19: event-volume concentration by user decile — the Lorenz-curve
+    * table behind E17's Gini scalar: users ranked ascending by event
+    * count, cut into 10 exact-rank deciles, each reporting its user and
+    * event counts, count range, volume share, and cumulative share (the
+    * "top 10% of users generate X% of traffic" row every capacity and
+    * abuse review quotes).
+    *
+    * Determinism: per-user counts and ranks are exact integers; the
+    * decile is pure integer arithmetic ((rank−1)·10 div n — no ntile,
+    * whose remainder placement engines disagree on); shares are single
+    * IEEE divisions of exact integer sums rounded at the boundary, and
+    * the cumulative share re-divides the cumulated exact integer (never
+    * cumulates rounded doubles).
+    *
+    * Scale shape: the E17/W1 two-phase exact global rank — counts
+    * bucket by the monotone transform (cnt·[[ParetoBuckets]]) div max
+    * (1-row broadcast), ranks run inside bucket partitions, the global
+    * rank is the ≤64-row exclusive bucket-offset window + local rank; a
+    * billion users never sort in one partition. Downstream windows run
+    * over the 10-row decile relation. The oracle states the naive
+    * single-window rank; the identical (cnt, user_id) total order makes
+    * them agree row-for-row.
+    */
+  def paretoShare(s: SparkSession, dir: String): DataFrame =
+    paretoShareFrom(t(s, dir))
+
+  /** [[paretoShare]] over an explicit event relation — the spec pins
+    * decile edges and share arithmetic on crafted distributions.
+    */
+  def paretoShareFrom(events: DataFrame): DataFrame = {
+    val cnts = events.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val mx = cnts.agg(max("cnt").as("mxc"), count(lit(1)).as("n"))
+    val bucketed = cnts.crossJoin(broadcast(mx))
+      .withColumn("bucket", least(expr(s"(cnt * $ParetoBuckets) div mxc"),
+        lit(ParetoBuckets - 1L)))
+    val local = bucketed.withColumn("lrk", row_number().over(
+      Window.partitionBy("bucket").orderBy("cnt", "user_id")))
+    val off = local.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("boff",
+        coalesce(sum("bn").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val ranked = local.join(off.select("bucket", "boff"), "bucket")
+      .select(col("cnt"), col("n"),
+        expr(s"((boff + lrk - 1) * 10) div n").as("decile"))
+    val deciles = ranked.groupBy("decile")
+      .agg(count(lit(1)).as("n_users"),
+        sum("cnt").as("n_events"),
+        min("cnt").as("min_events"),
+        max("cnt").as("max_events"))
+    val tot = deciles.agg(sum("n_events").as("te"))
+    deciles.crossJoin(broadcast(tot))
+      .withColumn("cum", sum("n_events").over(Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("decile"), col("n_users"), col("n_events"),
+        col("min_events"), col("max_events"),
+        round(col("n_events").cast("double") / col("te").cast("double"), 6)
+          .as("share"),
+        round(col("cum").cast("double") / col("te").cast("double"), 6)
+          .as("cum_share"))
+      .orderBy("decile")
+  }
+
+  val paretoShareSql: String = """WITH cnts AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+    ranked AS (
+      SELECT cnt,
+        ((row_number() OVER (ORDER BY cnt, user_id) - 1) * 10)
+          // (SELECT COUNT(*) FROM cnts) AS decile
+      FROM cnts),
+    deciles AS (
+      SELECT decile, COUNT(*) AS n_users,
+        CAST(SUM(cnt) AS BIGINT) AS n_events,
+        CAST(MIN(cnt) AS BIGINT) AS min_events,
+        CAST(MAX(cnt) AS BIGINT) AS max_events
+      FROM ranked GROUP BY 1)
+    SELECT decile, n_users, n_events, min_events, max_events,
+      ROUND(CAST(n_events AS DOUBLE) /
+        CAST((SELECT SUM(n_events) FROM deciles) AS DOUBLE), 6) AS share,
+      ROUND(CAST(SUM(n_events) OVER (ORDER BY decile
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        CAST((SELECT SUM(n_events) FROM deciles) AS DOUBLE), 6) AS cum_share
+    FROM deciles ORDER BY decile"""
 }

@@ -636,4 +636,91 @@ object Mix {
       CAST(CASE WHEN available_tokens > 0
         THEN target_tokens // available_tokens ELSE 0 END AS BIGINT) AS full_epochs
     FROM alloc ORDER BY source, phase"""
+
+  // ----------------------------------------- W9 post-dedup source mix
+
+  /** W9: dedup-aware mixture reweighting — W1's per-source mixture
+    * weights re-applied to the corpus that SURVIVES near-dup
+    * deduplication (D7's MinHash transitive-closure canonicals), the
+    * composition every real pipeline runs: dedup shrinks sources
+    * unevenly (boilerplate-heavy sources lose more), so the effective
+    * token share each source contributes to the training mix shifts
+    * from what the data card's weights imply. Emits, per source, the
+    * doc/token survival counts, the W1 weight, and the weighted token
+    * share before vs after dedup with the shift — the table a data-mix
+    * review reads to decide whether to re-tune weights post-dedup.
+    *
+    * Determinism: canonical membership is D7's exact label relation;
+    * all counts and the k·tokens weighted numerators are exact
+    * integers; each share is one IEEE division of exact integers
+    * rounded at the boundary, and the shift subtracts the two
+    * identically-rounded shares (identical doubles both engines).
+    *
+    * Scale shape: one corpus scan projects (doc, source, ntok); the
+    * D7 label join reuses the session-memoized cluster relation (the
+    * c1/c3 path — bounded label-prop, re-armed persist); both rollups
+    * are map-side-combinable aggregates onto a ≤|sources| key space,
+    * and the share denominators come from a 1-row broadcast over the
+    * bounded per-source relation.
+    */
+  def dedupSourceMix(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("source"),
+      size(TextOps.tokens(col("text"))).cast("long").as("ntok"))
+    val labels = Dedup.clusterIds(s, dir) // (id, lbl)
+    val marked = base.join(labels, col("doc_id") === col("id"))
+      .withColumn("canon", (col("doc_id") === col("lbl")).cast("long"))
+    val per = marked.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("canon").as("n_canonical"),
+        sum("ntok").as("tokens_all"),
+        sum(col("canon") * col("ntok")).as("tokens_canonical"))
+      .withColumn("k", weightK(col("source")))
+      .withColumn("wpre", col("k") * col("tokens_all"))
+      .withColumn("wpost", col("k") * col("tokens_canonical"))
+    val tot = per.agg(sum("wpre").as("tpre"), sum("wpost").as("tpost"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"),
+        (col("k").cast("double") / lit(4.0)).as("weight"),
+        col("n_docs"), col("n_canonical"),
+        col("tokens_all"), col("tokens_canonical"),
+        round(col("n_canonical").cast("double") / col("n_docs").cast("double"), 6)
+          .as("survival_frac"),
+        round(col("wpre").cast("double") / col("tpre").cast("double"), 6)
+          .as("share_pre"),
+        round(col("wpost").cast("double") / col("tpost").cast("double"), 6)
+          .as("share_post"),
+        round(round(col("wpost").cast("double") / col("tpost").cast("double"), 6) -
+          round(col("wpre").cast("double") / col("tpre").cast("double"), 6), 6)
+          .as("share_shift"))
+      .orderBy("source")
+  }
+
+  val dedupSourceMixSql: String = s"""WITH RECURSIVE ${Dedup.clusterLabCtes},
+    base AS (
+      SELECT doc_id, source, CAST(len(${TextOps.tokensSql}) AS BIGINT) AS ntok
+      FROM documents),
+    marked AS (
+      SELECT source, ntok,
+        CASE WHEN base.doc_id = lab.cluster_id THEN 1 ELSE 0 END AS canon
+      FROM base JOIN lab ON base.doc_id = lab.doc_id),
+    per AS (
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(canon) AS BIGINT) AS n_canonical,
+        CAST(SUM(ntok) AS BIGINT) AS tokens_all,
+        CAST(SUM(canon * ntok) AS BIGINT) AS tokens_canonical,
+        ${weightKSql("source")} AS k
+      FROM marked GROUP BY source),
+    tot AS (
+      SELECT CAST(SUM(k * tokens_all) AS BIGINT) AS tpre,
+        CAST(SUM(k * tokens_canonical) AS BIGINT) AS tpost
+      FROM per)
+    SELECT source,
+      CAST(k AS DOUBLE) / 4.0 AS weight,
+      n_docs, n_canonical, tokens_all, tokens_canonical,
+      ROUND(CAST(n_canonical AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS survival_frac,
+      ROUND(CAST(k * tokens_all AS DOUBLE) / CAST(tpre AS DOUBLE), 6) AS share_pre,
+      ROUND(CAST(k * tokens_canonical AS DOUBLE) / CAST(tpost AS DOUBLE), 6) AS share_post,
+      ROUND(ROUND(CAST(k * tokens_canonical AS DOUBLE) / CAST(tpost AS DOUBLE), 6) -
+        ROUND(CAST(k * tokens_all AS DOUBLE) / CAST(tpre AS DOUBLE), 6), 6) AS share_shift
+    FROM per CROSS JOIN tot ORDER BY source"""
 }

@@ -1066,4 +1066,55 @@ object Similarity {
     FROM q LEFT JOIN ov ON q.qid = ov.qid
     ORDER BY q.qid"""
   }
+
+  // ------------------------------------------------- S15 hubness
+
+  /** S15: hubness audit — the in-degree of each corpus vector in the
+    * S1 query workload's exact top-[[TopK]] lists. High-dimensional
+    * embedding spaces grow "hub" points that appear in a
+    * disproportionate share of nearest-neighbor lists (Radovanović et
+    * al., JMLR 2010); hubs distort both retrieval quality and
+    * SemDeDup-style pruning, so a curation run audits this table before
+    * trusting k-NN-derived signals. Emits one row per vector that
+    * appears in ≥ 1 top-k list: its in-degree, best (max) cosine, and
+    * best (min) rank across the lists it enters.
+    *
+    * Determinism: the top-k lists are S1's exact ranking (fully keyed
+    * (cos DESC, oid) order over engine-identical `graft_dot` cosines);
+    * in-degree/best-rank are exact integers; best_cos is a max over
+    * identical doubles (order-independent) — no double is ever summed.
+    *
+    * Scale shape: S1's one brute-force pass — the corpus never
+    * shuffles, queries are a bounded broadcast, ranking is a per-query
+    * window; the in-degree rollup then aggregates a
+    * ≤[[NumQueries]]·[[TopK]]-row relation (provably bounded), and its
+    * final sort is over ≤ that many rows.
+    */
+  def hubness(s: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(t(s, dir))
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    exactTopk(emb, q, TopK)
+      .groupBy("oid")
+      .agg(count(lit(1)).as("in_degree"),
+        max("cos").as("best_cos"),
+        min("rk").as("best_rank"))
+      .select(col("oid"), col("in_degree"), col("best_cos"), col("best_rank"))
+      .orderBy(col("in_degree").desc, col("oid"))
+  }
+
+  val hubnessSql: String = s"""WITH $normCte,
+    q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM en WHERE vec_id < $NumQueries),
+    cos AS (
+      SELECT qid, en.vec_id AS oid,
+        (${dotSql("qe", "en.embedding")}) / (qn * nrm) AS cos
+      FROM en CROSS JOIN q WHERE en.vec_id != qid),
+    topk AS (
+      SELECT qid, oid, cos, rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, oid) AS rk
+        FROM cos)
+      WHERE rk <= $TopK)
+    SELECT oid, COUNT(*) AS in_degree, MAX(cos) AS best_cos,
+      CAST(MIN(rk) AS INTEGER) AS best_rank
+    FROM topk GROUP BY oid ORDER BY in_degree DESC, oid"""
 }

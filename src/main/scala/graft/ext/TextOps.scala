@@ -1932,4 +1932,205 @@ object TextOps {
     WHERE rk <= $Bm25TopK
     ORDER BY term, rk"""
   }
+
+  // ------------------------------------------- T26 markup density
+
+  /** Markup/structural characters counted by the T26 scan — the
+    * HTML/template residue set every extraction-QA pass looks for
+    * (tags, entity refs, template braces, wiki brackets).
+    */
+  val MarkupRe = "[<>{}\\[\\]&]"
+  /** URL-ish starts (scheme or bare www.) — counted as whole links. */
+  val UrlRe = "https?://|www\\."
+  val DigitRe = "[0-9]"
+  val UpperRe = "[A-Z]"
+  val AlphaRe = "[A-Za-z]"
+
+  /** T26: markup / URL density scan — per (source, markup-percent
+    * band), the structural-noise profile of the corpus: markup
+    * character fraction, URL incidence, digit fraction, and
+    * uppercase-per-letter ratio. These are the boilerplate-residue
+    * signals web-corpus extractors audit after HTML stripping
+    * (RefinedWeb §3.1 filters on exactly this family; C4 drops
+    * brace-bearing pages — T18's page flag — while T26 gives the
+    * corpus-level distribution those thresholds are read off).
+    *
+    * Determinism: every signal is an exact integer `regexp_count` over
+    * a shared Java∩RE2 pattern (the T20 protocol); the band is pure
+    * integer arithmetic ((markup·100) div chars clamped to 9 — no
+    * float ever reaches a bucket edge); each reported fraction is one
+    * IEEE division of exact integer sums rounded at the boundary.
+    *
+    * Scale shape: one codegen'd projection over one corpus scan, then
+    * a map-side-combinable aggregate onto a ≤|sources|·10 key space —
+    * no joins, no windows, nothing grows with the corpus.
+    */
+  def markupDensity(s: SparkSession, dir: String): DataFrame =
+    markupDensityFrom(t(s, dir))
+
+  /** [[markupDensity]] over an explicit `(source, text)` relation — the
+    * driver corpus is mostly markup-free, so the spec drives crafted
+    * HTML/template residue through this.
+    */
+  def markupDensityFrom(d: DataFrame): DataFrame = {
+    val per = d.select(
+      col("source"),
+      length(col("text")).cast("long").as("n_chars"),
+      regexp_count(col("text"), lit(MarkupRe)).cast("long").as("n_markup"),
+      regexp_count(col("text"), lit(UrlRe)).cast("long").as("n_url"),
+      regexp_count(col("text"), lit(DigitRe)).cast("long").as("n_digit"),
+      regexp_count(col("text"), lit(UpperRe)).cast("long").as("n_upper"),
+      regexp_count(col("text"), lit(AlphaRe)).cast("long").as("n_alpha"))
+      .withColumn("band",
+        least(expr("(n_markup * 100) div greatest(n_chars, 1)"), lit(9L)))
+    per.groupBy("source", "band")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_url") > 0, 1L).otherwise(0L)).as("docs_with_url"),
+        sum("n_url").as("total_urls"),
+        sum("n_chars").as("c"),
+        sum("n_markup").as("m"),
+        sum("n_digit").as("dg"),
+        sum("n_upper").as("up"),
+        sum("n_alpha").as("al"))
+      .select(col("source"), col("band"), col("n_docs"),
+        col("docs_with_url"), col("total_urls"),
+        round(col("m").cast("double") / greatest(col("c"), lit(1L)).cast("double"), 6)
+          .as("markup_frac"),
+        round(col("dg").cast("double") / greatest(col("c"), lit(1L)).cast("double"), 6)
+          .as("digit_frac"),
+        round(col("up").cast("double") / greatest(col("al"), lit(1L)).cast("double"), 6)
+          .as("upper_frac"),
+        round(col("total_urls").cast("double") / col("n_docs").cast("double"), 6)
+          .as("urls_per_doc"))
+      .orderBy("source", "band")
+  }
+
+  val markupDensitySql: String = s"""WITH per AS (
+      SELECT source,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        ${reCount("text", MarkupRe)} AS n_markup,
+        ${reCount("text", UrlRe)} AS n_url,
+        ${reCount("text", DigitRe)} AS n_digit,
+        ${reCount("text", UpperRe)} AS n_upper,
+        ${reCount("text", AlphaRe)} AS n_alpha
+      FROM documents),
+    banded AS (
+      SELECT *, LEAST((n_markup * 100) // GREATEST(n_chars, 1), 9) AS band
+      FROM per),
+    agg AS (
+      SELECT source, band, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN n_url > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_url,
+        CAST(SUM(n_url) AS BIGINT) AS total_urls,
+        CAST(SUM(n_chars) AS BIGINT) AS c,
+        CAST(SUM(n_markup) AS BIGINT) AS m,
+        CAST(SUM(n_digit) AS BIGINT) AS dg,
+        CAST(SUM(n_upper) AS BIGINT) AS up,
+        CAST(SUM(n_alpha) AS BIGINT) AS al
+      FROM banded GROUP BY 1, 2)
+    SELECT source, band, n_docs, docs_with_url, total_urls,
+      ROUND(CAST(m AS DOUBLE) / CAST(GREATEST(c, 1) AS DOUBLE), 6) AS markup_frac,
+      ROUND(CAST(dg AS DOUBLE) / CAST(GREATEST(c, 1) AS DOUBLE), 6) AS digit_frac,
+      ROUND(CAST(up AS DOUBLE) / CAST(GREATEST(al, 1) AS DOUBLE), 6) AS upper_frac,
+      ROUND(CAST(total_urls AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS urls_per_doc
+    FROM agg ORDER BY source, band"""
+
+  // ------------------------------------------- T27 vocab coverage
+
+  /** Vocabulary head sizes the T27 coverage curve is evaluated at. */
+  val CoverageRanks: Seq[Long] = Seq(10L, 100L, 1000L, 10000L)
+  /** Value-range bucket count for the T27 two-phase exact rank. */
+  val CoverageBuckets = 64L
+
+  /** T27: vocabulary coverage curve — for each head size R in
+    * [[CoverageRanks]], the share of all corpus token OCCURRENCES
+    * covered by the R most frequent token types (and the share of the
+    * type inventory those R types are). THE tokenizer-sizing table:
+    * vocab-size choices read exactly this curve (a heavy Zipf head —
+    * T12 fits its slope — means 10k types can cover >90 % of a corpus),
+    * and a too-flat curve flags tokenization or encoding damage.
+    *
+    * Determinism: ranks order by exact integer (count DESC, token);
+    * every numerator/denominator is an exact integer sum; each coverage
+    * value is one IEEE division rounded at the boundary; cumulation
+    * happens on exact integers BEFORE the division, never on rounded
+    * doubles.
+    *
+    * Scale shape: the E17/W1 two-phase exact global rank, descending —
+    * vocab rows bucket by the monotone transform (cw·[[CoverageBuckets]])
+    * div max (1-row broadcast), rank inside bucket partitions, global
+    * rank = descending ≤64-row exclusive bucket-offset window + local
+    * rank — a billion-type vocabulary never sorts in one partition
+    * (contrast T8, whose bucket-top-K trick only works because its K
+    * is small; the coverage head is 10⁴). Rows past the largest R are
+    * filtered before the final ≤4-row cumulative window. The oracle
+    * states the naive single-window rank; the identical (cw, w) total
+    * order makes them agree.
+    */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame =
+    vocabCoverageFrom(t(s, dir))
+
+  /** [[vocabCoverage]] over an explicit `(text)` relation. */
+  def vocabCoverageFrom(d: DataFrame): DataFrame = {
+    val maxR = CoverageRanks.max
+    val cnts = d.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+      .persist() // feeds the max/total legs AND the rank leg
+    val mx = cnts.agg(max("cw").as("mxc"), sum("cw").as("u"),
+      count(lit(1)).as("n_all"))
+    val bucketed = cnts.crossJoin(broadcast(mx))
+      .withColumn("bucket", least(expr(s"(cw * $CoverageBuckets) div mxc"),
+        lit(CoverageBuckets - 1L)))
+    val local = bucketed.withColumn("lrk", row_number().over(
+      Window.partitionBy("bucket").orderBy(col("cw").desc, col("w"))))
+    val off = local.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("boff",
+        coalesce(sum("bn").over(Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val ranked = local.join(off.select("bucket", "boff"), "bucket")
+      .select(col("cw"), col("u"), col("n_all"),
+        (col("boff") + col("lrk")).as("rk"))
+      .filter(col("rk") <= maxR)
+    val band = CoverageRanks.sorted.foldRight(lit(null).cast("long")) {
+      (r, acc) => when(col("rk") <= r, lit(r)).otherwise(acc)
+    }
+    val per = ranked.withColumn("band", band)
+      .groupBy("band")
+      .agg(max("u").as("u"), max("n_all").as("n_all"),
+        count(lit(1)).as("bt"), sum("cw").as("bc"))
+    val wCum = Window.orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    per.select(col("band").as("threshold"),
+        sum("bt").over(wCum).as("n_types"),
+        sum("bc").over(wCum).as("covered_tokens"),
+        col("u"), col("n_all"))
+      .select(col("threshold"), col("n_types"), col("covered_tokens"),
+        round(col("covered_tokens").cast("double") / col("u").cast("double"), 6)
+          .as("coverage"),
+        round(col("n_types").cast("double") / col("n_all").cast("double"), 6)
+          .as("type_frac"))
+      .orderBy("threshold")
+  }
+
+  val vocabCoverageSql: String = {
+    val bandCase = CoverageRanks.sorted
+      .map(r => s"WHEN rk <= $r THEN $r").mkString(" ")
+    s"""WITH toks AS (SELECT unnest($tokensSql) AS w FROM documents),
+    cnts AS (SELECT w, COUNT(*) AS cw FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS u, COUNT(*) AS n_all FROM cnts),
+    ranked AS (
+      SELECT cw, row_number() OVER (ORDER BY cw DESC, w) AS rk FROM cnts),
+    per AS (
+      SELECT CASE $bandCase END AS band, COUNT(*) AS bt,
+        CAST(SUM(cw) AS BIGINT) AS bc
+      FROM ranked WHERE rk <= ${CoverageRanks.max} GROUP BY 1)
+    SELECT CAST(band AS BIGINT) AS threshold,
+      CAST(SUM(bt) OVER wc AS BIGINT) AS n_types,
+      CAST(SUM(bc) OVER wc AS BIGINT) AS covered_tokens,
+      ROUND(CAST(SUM(bc) OVER wc AS DOUBLE) / CAST(u AS DOUBLE), 6) AS coverage,
+      ROUND(CAST(SUM(bt) OVER wc AS DOUBLE) / CAST(n_all AS DOUBLE), 6) AS type_frac
+    FROM per CROSS JOIN tot
+    WINDOW wc AS (ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY threshold"""
+  }
 }

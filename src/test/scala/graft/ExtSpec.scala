@@ -1982,4 +1982,142 @@ class ExtSpec extends SparkSpec {
       assert(row.getLong(4) > 0L)
     }
   }
+
+  test("T26 markup density: crafted residue pins bands and fractions") {
+    import graft.ext.TextOps
+    // textA: 6 markup chars of 10 → band clamped to 9, markup_frac 0.6
+    // textB: clean prose with one URL, 3 digits, 1 uppercase of 15 letters
+    val d = Seq(("web", "<<<>>>aaaa"), ("web", "Go to http://x.com now 123"))
+      .toDF("source", "text")
+    val r = TextOps.markupDensityFrom(d).collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> x).toMap
+    val a = r(("web", 9L))
+    assert(a.getLong(2) == 1L && a.getDouble(5) == 0.6)
+    assert(a.getLong(3) == 0L && a.getLong(4) == 0L)
+    val b = r(("web", 0L))
+    assert(b.getLong(3) == 1L && b.getLong(4) == 1L)          // one doc with one URL
+    assert(b.getDouble(6) == BigDecimal(3.0 / 26.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)  // digit_frac
+    assert(b.getDouble(7) == BigDecimal(1.0 / 15.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)  // upper_frac
+    assert(b.getDouble(8) == 1.0)                              // urls_per_doc
+    // real corpus: bands in range, fractions bounded
+    val c = TextOps.markupDensity(spark, Sf0001).collect()
+    assert(c.nonEmpty)
+    c.foreach { row =>
+      assert(row.getLong(1) >= 0L && row.getLong(1) <= 9L)
+      assert(row.getDouble(5) >= 0.0 && row.getDouble(5) <= 1.0)
+    }
+  }
+
+  test("T27 vocab coverage: 12-type Zipf fixture pins both curve points") {
+    import graft.ext.TextOps
+    // type wi repeats (12-i) times → ranks are w0..w11, total 78 tokens;
+    // head-10 covers 75 → 0.961538, head-100 covers everything
+    val text = (0 until 12).flatMap(i => Seq.fill(12 - i)(s"w$i")).mkString(" ")
+    val r = TextOps.vocabCoverageFrom(Seq(text).toDF("text")).collect()
+    assert(r.length == 2)
+    assert(r(0).getLong(0) == 10L && r(0).getLong(1) == 10L &&
+      r(0).getLong(2) == 75L)
+    assert(r(0).getDouble(3) == BigDecimal(75.0 / 78.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r(1).getLong(0) == 100L && r(1).getLong(1) == 12L &&
+      r(1).getLong(2) == 78L && r(1).getDouble(3) == 1.0 &&
+      r(1).getDouble(4) == 1.0)
+    // real corpus: coverage monotone non-decreasing along the curve
+    val c = TextOps.vocabCoverage(spark, Sf0001).collect()
+    assert(c.nonEmpty)
+    c.sliding(2).foreach {
+      case Array(x, y) =>
+        assert(x.getLong(0) < y.getLong(0))
+        assert(x.getDouble(3) <= y.getDouble(3))
+        assert(x.getLong(1) <= y.getLong(1))
+      case _ =>
+    }
+  }
+
+  test("D18 line dedup: trim/blank rules, df threshold, majority flag") {
+    // "dup" appears in two docs (one copy needs trimming); blank lines drop
+    val d = Seq(
+      (1L, "s1", "dup\nunique1"),
+      (2L, "s1", " dup \nunique2\n  \n"),
+      (3L, "s2", "solo"))
+      .toDF("doc_id", "source", "text")
+    val r = Dedup.lineDedupFrom(d).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val s1 = r("s1")
+    assert(s1.getLong(1) == 2L && s1.getLong(2) == 4L)   // docs, lines
+    assert(s1.getLong(3) == 2L && s1.getLong(4) == 6L)   // dup lines, chars
+    assert(s1.getDouble(5) == 0.5)
+    assert(s1.getDouble(6) == 1.0)                        // 1/2 lines dup → majority
+    val s2 = r("s2")
+    assert(s2.getLong(2) == 1L && s2.getLong(3) == 0L && s2.getDouble(6) == 0.0)
+    // real corpus: fractions bounded, dup_lines ≤ total_lines
+    val c = Dedup.lineDedup(spark, Sf0001).collect()
+    assert(c.nonEmpty)
+    c.foreach { row => assert(row.getLong(3) <= row.getLong(2)) }
+  }
+
+  test("E19 Pareto share: 1..10 staircase yields one user per decile") {
+    import graft.ext.Events
+    // user i fires i events → ascending rank i, decile i-1, total 55
+    val d = (1 to 10).flatMap(i => Seq.fill(i)(i.toLong)).toDF("user_id")
+    val r = Events.paretoShareFrom(d).collect()
+    assert(r.length == 10)
+    r.zipWithIndex.foreach { case (row, i) =>
+      assert(row.getLong(0) == i.toLong)
+      assert(row.getLong(1) == 1L)
+      assert(row.getLong(2) == (i + 1).toLong)
+      assert(row.getLong(3) == (i + 1).toLong && row.getLong(4) == (i + 1).toLong)
+      assert(row.getDouble(5) == BigDecimal((i + 1).toDouble / 55.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(r.last.getDouble(6) == 1.0) // cumulative share closes at 1
+    // real corpus: 10 deciles, volumes ascending with decile
+    val c = Events.paretoShare(spark, Sf0001).collect()
+    assert(c.nonEmpty && c.length <= 10)
+    c.sliding(2).foreach {
+      case Array(x, y) => assert(x.getLong(4) <= y.getLong(3) + 1)
+      case _ =>
+    }
+  }
+
+  test("S15 hubness: an all-queries centroid vector tops every top-k list") {
+    // queries are orthogonal basis vectors e_0..e_19; vec 40 is their sum
+    // (cos 1/√20 to every query); vectors 20..39 are orthogonal to all
+    def v(i: Int): Array[Float] =
+      if (i < 40) Array.tabulate(Similarity.Dim)(d => if (d == i) 1f else 0f)
+      else Array.tabulate(Similarity.Dim)(d => if (d < 20) 1f else 0f)
+    val d = (0 until 41).map(i => (i.toLong, v(i))).toDF("vec_id", "embedding")
+    // drive through the registry-shaped path via a temp parquet dir
+    val tmp = java.nio.file.Files.createTempDirectory("s15").toString
+    d.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val r = Similarity.hubness(spark, tmp).collect()
+    val hub = r.head
+    assert(hub.getLong(0) == 40L)
+    assert(hub.getLong(1) == 20L)               // in every query's list
+    assert(hub.getInt(3) == 1)                  // always at rank 1
+    assert(math.abs(hub.getDouble(2) - 1.0 / math.sqrt(20.0)) < 1e-9)
+    // real corpus: in-degrees positive, ranks within 1..TopK
+    val c = Similarity.hubness(spark, Sf0001).collect()
+    assert(c.nonEmpty)
+    c.foreach { row =>
+      assert(row.getLong(1) >= 1L)
+      assert(row.getInt(3) >= 1 && row.getInt(3) <= Similarity.TopK)
+    }
+  }
+
+  test("W9 dedup source mix: survival bounds and share normalization on sf0.001") {
+    val r = graft.ext.Mix.dedupSourceMix(spark, Sf0001).collect()
+    assert(r.nonEmpty)
+    var pre = 0.0; var post = 0.0
+    r.foreach { row =>
+      assert(row.getLong(3) <= row.getLong(2))  // canonical ≤ docs
+      assert(row.getLong(5) <= row.getLong(4))  // canonical tokens ≤ all
+      assert(row.getDouble(6) >= 0.0 && row.getDouble(6) <= 1.0)
+      pre += row.getDouble(7); post += row.getDouble(8)
+      assert(math.abs(row.getDouble(9) - (row.getDouble(8) - row.getDouble(7))) < 2e-6)
+    }
+    assert(math.abs(pre - 1.0) < 1e-4 && math.abs(post - 1.0) < 1e-4)
+  }
 }
