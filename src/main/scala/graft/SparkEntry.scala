@@ -686,7 +686,8 @@ object SparkEntry {
     Q("x10_returned_items", Relational.returnedItems, Some(Relational.returnedItemsSql)),
     Q("x11_rfm_segments", Relational.rfmSegments, Some(Relational.rfmSegmentsSql)),
     Q("x12_promo_revenue", Relational.promoRevenue, Some(Relational.promoRevenueSql)),
-    Q("x13_fulfillment", Relational.fulfillment, Some(Relational.fulfillmentSql)))
+    Q("x13_fulfillment", Relational.fulfillment, Some(Relational.fulfillmentSql)),
+    Q("x14_trade_balance", Relational.tradeBalance, Some(Relational.tradeBalanceSql)))
 
   private val extQueries: Seq[Q] = Seq(
     Q("e1_sessionize", Events.sessionize, Some(Events.sessionizeSql)),
@@ -740,6 +741,7 @@ object SparkEntry {
     Q("t26_markup_density", TextOps.markupDensity, Some(TextOps.markupDensitySql)),
     Q("t27_vocab_coverage", TextOps.vocabCoverage, Some(TextOps.vocabCoverageSql)),
     Q("e19_pareto_share", Events.paretoShare, Some(Events.paretoShareSql)),
+    Q("e20_transition_entropy", Events.transitionEntropy, Some(Events.transitionEntropySql)),
     Q("w1_source_mix", Mix.sourceMix, Some(Mix.sourceMixSql)),
     Q("w2_seq_pack", Mix.seqPack, Some(Mix.seqPackSql)),
     Q("w3_pii_scan", Pii.piiScan, Some(Pii.piiScanSql)),
@@ -795,7 +797,8 @@ object SparkEntry {
     Q("m5_payload_entropy", Multimodal.payloadEntropy, Some(Multimodal.payloadEntropySql)),
     Q("m6_frame_overlap", Multimodal.frameOverlap, Some(Multimodal.frameOverlapSql)),
     Q("m7_ahash_neardup", Multimodal.ahashNeardup, Some(Multimodal.ahashNeardupSql)),
-    Q("m8_block_dedup", Multimodal.blockDedup, Some(Multimodal.blockDedupSql)))
+    Q("m8_block_dedup", Multimodal.blockDedup, Some(Multimodal.blockDedupSql)),
+    Q("m9_bitrate_audit", Multimodal.bitrateAudit, Some(Multimodal.bitrateAuditSql)))
 
   // --------------------------------------------------------------- registry
 

@@ -1112,4 +1112,87 @@ object Events {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
         CAST((SELECT SUM(n_events) FROM deciles) AS DOUBLE), 6) AS cum_share
     FROM deciles ORDER BY decile"""
+
+  // ------------------------------------- E20 transition entropy
+
+  /** E20: per-state Markov transition entropy — for each from-state of
+    * the E14 within-session transition matrix, the Shannon entropy (in
+    * nats) of its next-event distribution, plus the modal next event
+    * and its share. The predictability lens on E14's raw matrix: a
+    * near-zero-entropy state is a deterministic funnel step, a
+    * high-entropy state is a branching hub — the table journey-mining
+    * and prefetch-policy reviews read.
+    *
+    * Determinism: the transcendental tier follows T10/T11 — each
+    * transition row computes ln(tot)−ln(n) ONCE on the ≤|types|²-row
+    * matrix relation and rounds at 9 (1-ulp libm divergence dies at
+    * that quantum), then H = Σ n·lnpart/tot accumulates the exact
+    * DECIMAL(10,0)×DECIMAL(20,10) products and performs one rounded
+    * IEEE division; the modal pick tie-breaks on to_type.
+    *
+    * Scale shape: the session lead is E1's user-partitioned window;
+    * pair counts are map-side partial onto the ≤|types|·(|types|+1) key
+    * space; every downstream window partitions by from_type over
+    * provably bounded (≤|types|+1-row) partitions.
+    */
+  def transitionEntropy(s: SparkSession, dir: String): DataFrame =
+    transitionEntropyFrom(t(s, dir))
+
+  /** [[transitionEntropy]] over an explicit event relation — the spec
+    * pins the entropy arithmetic on crafted funnels.
+    */
+  def transitionEntropyFrom(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "session_seq").orderBy("us", "event_id")
+    val counts = sessionNumbered(events)
+      .withColumn("to_type", coalesce(lead(col("event_type"), 1).over(w), lit("END")))
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val withTot = counts
+      .withColumn("tot", sum("n").over(Window.partitionBy("from_type")))
+      .withColumn("lnpart",
+        round(log(col("tot").cast("double")) - log(col("n").cast("double")), 9))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("from_type").orderBy(col("n").desc, col("to_type"))))
+    withTot.groupBy("from_type")
+      .agg(max("tot").as("n_transitions"),
+        count(lit(1)).as("n_next_types"),
+        sum(col("n").cast(DecimalType(10, 0)) *
+          col("lnpart").cast(DecimalType(20, 10))).as("hsum"),
+        max(when(col("rk") === 1, col("to_type"))).as("top_next"),
+        max(when(col("rk") === 1, col("n"))).as("top_n"))
+      .select(col("from_type"), col("n_transitions"), col("n_next_types"),
+        round(col("hsum").cast("double") / col("n_transitions").cast("double"), 6)
+          .as("entropy"),
+        col("top_next"),
+        round(col("top_n").cast("double") / col("n_transitions").cast("double"), 6)
+          .as("top_share"))
+      .orderBy("from_type")
+  }
+
+  val transitionEntropySql: String = s"""WITH $sessionNumberedCtes,
+    led AS (
+      SELECT event_type AS from_type,
+        COALESCE(lead(event_type) OVER (PARTITION BY user_id, session_seq
+          ORDER BY us, event_id), 'END') AS to_type
+      FROM numbered),
+    counts AS (
+      SELECT from_type, to_type, COUNT(*) AS n FROM led GROUP BY 1, 2),
+    wt AS (
+      SELECT from_type, to_type, n,
+        CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS tot,
+        row_number() OVER (PARTITION BY from_type ORDER BY n DESC, to_type) AS rk
+      FROM counts),
+    terms AS (
+      SELECT from_type, to_type, n, tot, rk,
+        ROUND(ln(CAST(tot AS DOUBLE)) - ln(CAST(n AS DOUBLE)), 9) AS lnpart
+      FROM wt)
+    SELECT from_type,
+      MAX(tot) AS n_transitions,
+      COUNT(*) AS n_next_types,
+      ROUND(CAST(SUM(CAST(n AS DECIMAL(10,0)) * CAST(lnpart AS DECIMAL(20,10)))
+          AS DOUBLE) / CAST(MAX(tot) AS DOUBLE), 6) AS entropy,
+      MAX(CASE WHEN rk = 1 THEN to_type END) AS top_next,
+      ROUND(CAST(MAX(CASE WHEN rk = 1 THEN n END) AS DOUBLE) /
+        CAST(MAX(tot) AS DOUBLE), 6) AS top_share
+    FROM terms GROUP BY from_type ORDER BY from_type"""
 }

@@ -685,4 +685,83 @@ object Relational {
       ROUND(CAST(SUM(CAST(days AS DECIMAL(20,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_days,
       ROUND(CAST(SUM(CASE WHEN days > 90 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS late_frac
     FROM j GROUP BY 1 ORDER BY 1"""
+
+  /** X14: nation trade balance — each nation's supplier-side revenue
+    * (lineitems its suppliers shipped) vs customer-side spend
+    * (lineitems its customers ordered), on the bounded nation spine.
+    * The cross-fact comparison the star schema exists for: two
+    * independently-aggregated fact legs joined on a dimension — a shape
+    * none of X1–X13 exercises (each aggregates ONE fact path).
+    *
+    * Determinism: both money legs accumulate the shared exact
+    * DECIMAL revenue expression; the balance subtracts the two exact
+    * decimals BEFORE the one double cast (both engines cast the same
+    * exact value); item counts are exact integers.
+    *
+    * Scale shape: each leg shuffles the fact once on its join key and
+    * pre-aggregates to the ≤|nations| key space before the spine join
+    * (map-side partials); nation is a provably bounded broadcast (25
+    * rows); supplier/customer joins are left to size-based planning
+    * (they grow with the corpus). The two legs meet only at
+    * nation-grain — never a fact-fact shuffle on the same key.
+    */
+  def tradeBalance(s: SparkSession, dir: String): DataFrame = {
+    val nat = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+      col("l_extendedprice"), col("l_discount"))
+    val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val suppLeg = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(revenueDec.as("srev"), count(lit(1)).as("supp_items"))
+    val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val custLeg = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(revenueDec.as("crev"), count(lit(1)).as("cust_items"))
+    val zero = lit(0).cast(DecimalType(18, 2))
+    nat.select("n_name").distinct()
+      .join(suppLeg, Seq("n_name"), "left")
+      .join(custLeg, Seq("n_name"), "left")
+      .select(col("n_name"),
+        coalesce(col("supp_items"), lit(0L)).as("supp_items"),
+        coalesce(col("cust_items"), lit(0L)).as("cust_items"),
+        coalesce(col("srev"), zero).cast("double").as("supp_revenue"),
+        coalesce(col("crev"), zero).cast("double").as("cust_spend"),
+        (coalesce(col("srev"), zero) - coalesce(col("crev"), zero))
+          .cast("double").as("balance"))
+      .orderBy("n_name")
+  }
+
+  val tradeBalanceSql: String = """WITH srev AS (
+      SELECT n_name,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS srev,
+        COUNT(*) AS supp_items
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1),
+    crev AS (
+      SELECT n_name,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS crev,
+        COUNT(*) AS cust_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1)
+    SELECT n.n_name,
+      CAST(COALESCE(supp_items, 0) AS BIGINT) AS supp_items,
+      CAST(COALESCE(cust_items, 0) AS BIGINT) AS cust_items,
+      CAST(COALESCE(srev, 0) AS DOUBLE) AS supp_revenue,
+      CAST(COALESCE(crev, 0) AS DOUBLE) AS cust_spend,
+      CAST(COALESCE(srev, 0) - COALESCE(crev, 0) AS DOUBLE) AS balance
+    FROM (SELECT DISTINCT n_name FROM nation) n
+    LEFT JOIN srev USING (n_name)
+    LEFT JOIN crev USING (n_name)
+    ORDER BY n_name"""
 }

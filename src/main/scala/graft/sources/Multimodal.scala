@@ -595,6 +595,68 @@ object Multimodal {
       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(COUNT(DISTINCT h) AS DOUBLE), 6) AS mean_reuse
     FROM blocks GROUP BY modality ORDER BY modality"""
 
+  /** M9: modality bitrate audit — per modality, the capacity-planning
+    * table a blob store and a dataloader budget from: payload count,
+    * byte totals, bytes-per-frame and bytes-per-pixel rates (over the
+    * M1 typed metadata: declared frame count and raster dims), and the
+    * payload-size range. This is the "how expensive is a sample of
+    * each modality" denominator that multimodal token-budget planning
+    * (the W5 analogue for images/video) divides by.
+    *
+    * Determinism: byte/frame/pixel totals are exact integer sums
+    * (pixels per payload ≤ 640·480 — the per-row product is exact in
+    * LONG and the corpus total accumulates in DECIMAL(38,0)); each
+    * rate is one IEEE division of exact integers rounded at the
+    * boundary.
+    *
+    * Scale shape: one codegen'd projection over one scan of the
+    * payload table (no payload bytes leave the executors — only their
+    * lengths), then a map-side-combinable aggregate onto the
+    * ≤|modalities| key space; no joins, no windows.
+    */
+  def bitrateAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val per = table(s, dir).select(
+      col("modality"),
+      length(col("payload")).cast("long").as("bytes"),
+      (length(col("payload")) % 640 + 1).cast("long").as("w"),
+      (expr("length(payload) div 7") % 480 + 1).cast("long").as("h"),
+      (length(col("payload")) % 16 + 1).cast("long").as("frames"))
+    per.groupBy("modality")
+      .agg(count(lit(1)).as("n_payloads"),
+        sum("bytes").as("total_bytes"),
+        sum("frames").as("total_frames"),
+        sum((col("w") * col("h")).cast(DecimalType(38, 0))).as("px"),
+        min("bytes").as("min_bytes"),
+        max("bytes").as("max_bytes"))
+      .select(col("modality"), col("n_payloads"), col("total_bytes"),
+        col("total_frames"),
+        col("px").cast("long").as("total_pixels"),
+        col("min_bytes"), col("max_bytes"),
+        round(col("total_bytes").cast("double") / col("total_frames").cast("double"), 6)
+          .as("bytes_per_frame"),
+        round(col("total_bytes").cast("double") / col("px").cast("double"), 6)
+          .as("bytes_per_pixel"))
+      .orderBy("modality")
+  }
+
+  val bitrateAuditSql: String = """WITH per AS (
+      SELECT concat('modality_', source) AS modality,
+        CAST(strlen(text) AS BIGINT) AS bytes,
+        CAST(strlen(text) % 640 + 1 AS BIGINT) AS w,
+        CAST((strlen(text) // 7) % 480 + 1 AS BIGINT) AS h,
+        CAST(strlen(text) % 16 + 1 AS BIGINT) AS frames
+      FROM documents)
+    SELECT modality, COUNT(*) AS n_payloads,
+      CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+      CAST(SUM(frames) AS BIGINT) AS total_frames,
+      CAST(SUM(w * h) AS BIGINT) AS total_pixels,
+      CAST(MIN(bytes) AS BIGINT) AS min_bytes,
+      CAST(MAX(bytes) AS BIGINT) AS max_bytes,
+      ROUND(CAST(SUM(bytes) AS DOUBLE) / CAST(SUM(frames) AS DOUBLE), 6) AS bytes_per_frame,
+      ROUND(CAST(SUM(bytes) AS DOUBLE) / CAST(SUM(w * h) AS DOUBLE), 6) AS bytes_per_pixel
+    FROM per GROUP BY modality ORDER BY modality"""
+
   /** STUB decoder: 16-bin byte histogram normalized by length — a
     * deterministic placeholder for codec + feature model output.
     */

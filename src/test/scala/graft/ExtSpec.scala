@@ -2120,4 +2120,63 @@ class ExtSpec extends SparkSpec {
     }
     assert(math.abs(pre - 1.0) < 1e-4 && math.abs(post - 1.0) < 1e-4)
   }
+
+  test("E20 transition entropy: deterministic funnel scores 0, branch pinned") {
+    import graft.ext.Events
+    // u1: a,b,a,b; u2: a,b (one session each) →
+    // from a: b×3 (H=0); from b: a×1, END×2 (H = (ln3 + 2(ln3−ln2))/3)
+    val base = 1700000000000000L
+    val rows = Seq(
+      (1L, 1L, "a", base), (2L, 1L, "b", base + 1000000L),
+      (3L, 1L, "a", base + 2000000L), (4L, 1L, "b", base + 3000000L),
+      (5L, 2L, "a", base), (6L, 2L, "b", base + 1000000L))
+    val d = rows.toDF("event_id", "user_id", "event_type", "us")
+    val r = Events.transitionEntropyFrom(d).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val a = r("a")
+    assert(a.getLong(1) == 3L && a.getLong(2) == 1L)
+    assert(a.getDouble(3) == 0.0)
+    assert(a.getString(4) == "b" && a.getDouble(5) == 1.0)
+    val b = r("b")
+    assert(b.getLong(1) == 3L && b.getLong(2) == 2L)
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val exp = ((r9(math.log(3.0)) * 1 + r9(math.log(3.0) - math.log(2.0)) * 2) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(b.getDouble(3) - exp) < 2e-6)
+    assert(b.getString(4) == "END")
+    assert(b.getDouble(5) == BigDecimal(2.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // real corpus: entropies non-negative, top_share in (0,1]
+    val c = Events.transitionEntropy(spark, Sf0001).collect()
+    assert(c.nonEmpty)
+    c.foreach { row =>
+      assert(row.getDouble(3) >= 0.0)
+      assert(row.getDouble(5) > 0.0 && row.getDouble(5) <= 1.0)
+    }
+  }
+
+  test("X14 trade balance: full nation spine, balance = revenue − spend") {
+    val r = graft.ext.Relational.tradeBalance(spark, "/root/testdata/sf0.01").collect()
+    assert(r.length == 25) // every nation appears even with zero-activity legs
+    r.foreach { row =>
+      assert(row.getLong(1) >= 0L && row.getLong(2) >= 0L)
+      assert(math.abs(row.getDouble(5) - (row.getDouble(3) - row.getDouble(4))) < 1e-6)
+    }
+    assert(r.exists(row => row.getLong(1) > 0L))
+    assert(r.exists(row => row.getLong(2) > 0L))
+  }
+
+  test("M9 bitrate audit: rate identities hold per modality on sf0.001") {
+    val r = Multimodal.bitrateAudit(spark, Sf0001).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (n, bytes, frames, px) =
+        (row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+      assert(n > 0L && bytes > 0L)
+      assert(frames >= n && frames <= 16L * n)   // 1..16 frames per payload
+      assert(px >= n)
+      assert(row.getLong(5) <= row.getLong(6))   // min ≤ max
+      assert(row.getDouble(7) > 0.0 && row.getDouble(8) > 0.0)
+    }
+  }
 }
