@@ -742,6 +742,7 @@ object SparkEntry {
     Q("t27_vocab_coverage", TextOps.vocabCoverage, Some(TextOps.vocabCoverageSql)),
     Q("e19_pareto_share", Events.paretoShare, Some(Events.paretoShareSql)),
     Q("e20_transition_entropy", Events.transitionEntropy, Some(Events.transitionEntropySql)),
+    Q("e21_first_touch", Events.firstTouch, Some(Events.firstTouchSql)),
     Q("w1_source_mix", Mix.sourceMix, Some(Mix.sourceMixSql)),
     Q("w2_seq_pack", Mix.seqPack, Some(Mix.seqPackSql)),
     Q("w3_pii_scan", Pii.piiScan, Some(Pii.piiScanSql)),
@@ -765,6 +766,7 @@ object SparkEntry {
     Q("d16_url_canonical", Dedup.urlCanonical, Some(Dedup.urlCanonicalSql)),
     Q("d17_method_agreement", Dedup.methodAgreement, Some(Dedup.methodAgreementSql)),
     Q("d18_line_dedup", Dedup.lineDedup, Some(Dedup.lineDedupSql)),
+    Q("d19_template_prefix", Dedup.templatePrefix, Some(Dedup.templatePrefixSql)),
     Q("w6_split_leakage", Mix.splitLeakage, Some(Mix.splitLeakageSql)),
     Q("w9_dedup_source_mix", Mix.dedupSourceMix, Some(Mix.dedupSourceMixSql)),
     Q("w7_mixture_temperature", Mix.mixtureTemperature, Some(Mix.mixtureTemperatureSql)),
@@ -787,6 +789,7 @@ object SparkEntry {
     Q("s13_matryoshka_recall", Similarity.matryoshkaRecall, Some(Similarity.matryoshkaRecallSql)),
     Q("s14_cosine_hist", Similarity.cosineHist, Some(Similarity.cosineHistSql)),
     Q("s15_hubness", Similarity.hubness, Some(Similarity.hubnessSql)),
+    Q("s16_cell_occupancy", Similarity.cellOccupancy, Some(Similarity.cellOccupancySql)),
     Q("m1_multimodal_meta", Multimodal.meta, Some(Multimodal.metaSql)),
     // mapPartitions feature extraction — the byte-nibble histogram IS
     // SQL-expressible (hex trick, see Multimodal.featuresSql), so the

@@ -1646,4 +1646,87 @@ object Dedup {
       ROUND(CAST(SUM(CASE WHEN dl * 2 >= nl THEN 1 ELSE 0 END) AS DOUBLE) /
         CAST(COUNT(*) AS DOUBLE), 6) AS mostly_dup_frac
     FROM per_doc GROUP BY source ORDER BY source"""
+
+  // ------------------------------------------- D19 template prefixes
+
+  /** Tokens of the document head that define its "template": docs
+    * opening with the same [[TemplatePrefixTokens]]-token prefix are
+    * treated as instances of one boilerplate template (generated pages,
+    * scraped mirrors, letterhead).
+    */
+  val TemplatePrefixTokens = 8
+
+  /** D19: templated-document detection by shared prefix — the
+    * complement of D18's line grain: docs whose OPENING
+    * [[TemplatePrefixTokens]] tokens coincide corpus-wide are template
+    * instances (RefinedWeb's "template removal" targets exactly these;
+    * D12 finds shared interior spans, D19 the shared heads that
+    * dominate generated/scraped content). Per source: doc volume,
+    * distinct prefix count, template-instance count and fraction, and
+    * the largest template family's size.
+    *
+    * Determinism: the prefix key is the full md5 hex of the
+    * space-joined first tokens (identical bytes both engines, no
+    * truncated-hash collisions); docs shorter than the prefix are
+    * excluded by an exact integer length test; every count is exact and
+    * the fraction is one rounded IEEE division.
+    *
+    * Scale shape: prefix df is the viral-key-safe groupBy(hash) count
+    * (a million-instance template is ONE key with map-side partials);
+    * the join-back streams (doc, hash) rows against the 1-row-per-key
+    * df side; the (source, prefix) pre-aggregate bounds the final
+    * rollup input by per-source distinct prefixes — no pair join, no
+    * window anywhere.
+    */
+  def templatePrefix(s: SparkSession, dir: String): DataFrame =
+    templatePrefixFrom(t(s, dir))
+
+  /** [[templatePrefix]] over an explicit `(doc_id, source, text)`
+    * relation — the spec pins the prefix-family arithmetic on crafted
+    * templates.
+    */
+  def templatePrefixFrom(d: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val pre = d.select(col("doc_id"), col("source"),
+        md5(concat_ws(" ", slice(toks, 1, TemplatePrefixTokens))).as("ph"),
+        size(toks).cast("long").as("ntok"))
+      .filter(col("ntok") >= TemplatePrefixTokens)
+      .select(col("doc_id"), col("source"), col("ph"))
+    val pdf = pre.groupBy("ph").agg(count(lit(1)).as("pdf"))
+    val perSrcPrefix = pre.join(pdf, "ph")
+      .groupBy("source", "ph")
+      .agg(count(lit(1)).as("n_in_src"), max("pdf").as("pdf"))
+    perSrcPrefix.groupBy("source")
+      .agg(sum("n_in_src").as("n_docs"),
+        count(lit(1)).as("n_prefixes"),
+        sum(when(col("pdf") >= 2, col("n_in_src")).otherwise(0L))
+          .as("n_templated"),
+        max("pdf").as("max_template_df"))
+      .select(col("source"), col("n_docs"), col("n_prefixes"),
+        col("n_templated"),
+        round(col("n_templated").cast("double") / col("n_docs").cast("double"), 6)
+          .as("template_frac"),
+        col("max_template_df"))
+      .orderBy("source")
+  }
+
+  val templatePrefixSql: String = {
+    val tk = graft.ext.TextOps.tokensSql
+    s"""WITH pre AS (
+      SELECT doc_id, source,
+        md5(array_to_string(list_slice($tk, 1, $TemplatePrefixTokens), ' ')) AS ph
+      FROM documents WHERE len($tk) >= $TemplatePrefixTokens),
+    pdfs AS (SELECT ph, COUNT(*) AS pdf FROM pre GROUP BY 1),
+    psp AS (
+      SELECT source, pre.ph, COUNT(*) AS n_in_src, MAX(pdfs.pdf) AS pdf
+      FROM pre JOIN pdfs ON pre.ph = pdfs.ph GROUP BY 1, 2)
+    SELECT source,
+      CAST(SUM(n_in_src) AS BIGINT) AS n_docs,
+      COUNT(*) AS n_prefixes,
+      CAST(SUM(CASE WHEN pdf >= 2 THEN n_in_src ELSE 0 END) AS BIGINT) AS n_templated,
+      ROUND(CAST(SUM(CASE WHEN pdf >= 2 THEN n_in_src ELSE 0 END) AS DOUBLE) /
+        CAST(SUM(n_in_src) AS DOUBLE), 6) AS template_frac,
+      CAST(MAX(pdf) AS BIGINT) AS max_template_df
+    FROM psp GROUP BY source ORDER BY source"""
+  }
 }

@@ -123,12 +123,16 @@ object Events {
   private def funnelMarks(events: DataFrame): DataFrame = {
     val sess = sessionNumbered(events)
     val ws = Window.partitionBy("user_id", "session_seq")
+    val wSeq = ws.orderBy("us", "event_id")
     sess
       .withColumn("fv", min(when(col("event_type") === "view", col("us"))).over(ws))
       .withColumn("fc", min(when(col("event_type") === "click" && col("us") > col("fv"),
         col("us"))).over(ws))
+      .withColumn("frk", row_number().over(wSeq))
       .groupBy(col("user_id"), col("session_seq"))
-      .agg(min("fv").as("fv"), min("fc").as("fc"))
+      .agg(min("fv").as("fv"), min("fc").as("fc"),
+        max(when(col("frk") === 1, col("event_type"))).as("first_type"),
+        count(lit(1)).as("n_events"))
   }
 
   def conversionFunnelFrom(events: DataFrame): DataFrame = {
@@ -153,10 +157,14 @@ object Events {
       FROM numbered),
     m2 AS (
       SELECT *, MIN(CASE WHEN event_type = 'click' AND us > fv THEN us END)
-        OVER (PARTITION BY user_id, session_seq) AS fc
+        OVER (PARTITION BY user_id, session_seq) AS fc,
+        row_number() OVER (PARTITION BY user_id, session_seq
+          ORDER BY us, event_id) AS frk
       FROM m1),
     per AS (
-      SELECT user_id, session_seq, MIN(fv) AS fv, MIN(fc) AS fc
+      SELECT user_id, session_seq, MIN(fv) AS fv, MIN(fc) AS fc,
+        MAX(CASE WHEN frk = 1 THEN event_type END) AS first_type,
+        COUNT(*) AS n_events
       FROM m2 GROUP BY 1, 2)"""
 
   val conversionFunnelSql: String = s"""WITH $sessionNumberedCtes,
@@ -1195,4 +1203,51 @@ object Events {
       ROUND(CAST(MAX(CASE WHEN rk = 1 THEN n END) AS DOUBLE) /
         CAST(MAX(tot) AS DOUBLE), 6) AS top_share
     FROM terms GROUP BY from_type ORDER BY from_type"""
+
+  // ------------------------------------- E21 first-touch attribution
+
+  /** E21: first-touch attribution — sessions grouped by their FIRST
+    * event type, reporting how many convert under the E7 ordered
+    * view→click chain and how long they run. The entry-point
+    * effectiveness table every acquisition review reads ("sessions
+    * that start with a view convert at X%, sessions that start with an
+    * error never do"), built on the SAME shared session numbering and
+    * funnel marks as E1/E7/E15 so the definitions cannot drift.
+    *
+    * Determinism: the first event is the row_number()=1 pick under the
+    * fully-keyed (us, event_id) session order; conversion is E7's
+    * strict-after mark; counts are exact integers; the two ratios are
+    * single IEEE divisions rounded at the boundary.
+    *
+    * Scale shape: one shuffle on user_id (the shared session
+    * numbering), session-partitioned windows over the same exchange,
+    * then a map-side-combinable rollup onto the ≤|types| key space.
+    */
+  def firstTouch(s: SparkSession, dir: String): DataFrame =
+    firstTouchFrom(t(s, dir))
+
+  /** [[firstTouch]] over an explicit event relation — the spec pins the
+    * entry-type pick and conversion split on crafted sessions.
+    */
+  def firstTouchFrom(events: DataFrame): DataFrame =
+    funnelMarks(events)
+      .groupBy("first_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("fc").isNotNull.cast("long")).as("n_converted"),
+        sum("n_events").as("ne"))
+      .select(col("first_type"), col("n_sessions"), col("n_converted"),
+        round(col("n_converted").cast("double") / col("n_sessions").cast("double"), 6)
+          .as("conversion"),
+        round(col("ne").cast("double") / col("n_sessions").cast("double"), 6)
+          .as("mean_events"))
+      .orderBy("first_type")
+
+  val firstTouchSql: String = s"""WITH $sessionNumberedCtes,
+    $funnelPerCtes
+    SELECT first_type, COUNT(*) AS n_sessions,
+      CAST(SUM(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+      ROUND(CAST(SUM(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+        CAST(COUNT(*) AS DOUBLE), 6) AS conversion,
+      ROUND(CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_events
+    FROM per GROUP BY 1 ORDER BY 1"""
 }

@@ -572,21 +572,35 @@ object Similarity {
     * `nrm`) with explicit seed count and threshold — the spec drives a
     * crafted fixture with known duplicates through it.
     */
-  def semanticDedupFrom(emb0: DataFrame, nSeeds: Int, thresh: Double): DataFrame = {
-    val emb = emb0.select(col("vec_id"), col("embedding"), col("nrm"))
-    val seeds = emb
-      .orderBy(TextOps.tokenHash(col("vec_id").cast("string")), col("vec_id"))
-      .limit(nSeeds)
-      .select(col("vec_id").as("sid"), col("embedding").as("se"), col("nrm").as("sn"))
-    val scored = emb.crossJoin(broadcast(seeds))
+  /** The [[SemSeeds]]-style deterministic seed relation: the first
+    * `nSeeds` vectors in (md5-hash, vec_id) order — shared by S10's
+    * quantizer and S16's occupancy spine so the cell definition cannot
+    * drift.
+    */
+  private def seedRel(emb: DataFrame, nSeeds: Int): DataFrame = emb
+    .orderBy(TextOps.tokenHash(col("vec_id").cast("string")), col("vec_id"))
+    .limit(nSeeds)
+    .select(col("vec_id").as("sid"), col("embedding").as("se"), col("nrm").as("sn"))
+
+  /** Voronoi cell assignment over [[seedRel]] — `(vec_id, cell, ccos)`,
+    * cell = argmax-cosine seed (tie → smaller seed id). The argmax runs
+    * as a struct-max aggregate, never a per-vector window.
+    */
+  private def cellAssign(emb: DataFrame, nSeeds: Int): DataFrame = {
+    val scored = emb.crossJoin(broadcast(seedRel(emb, nSeeds)))
       .select(col("vec_id"),
         (dot(col("embedding"), col("se")) / (col("nrm") * col("sn"))).as("ccos"),
         col("sid"))
     // argmax over the bounded seed set WITHOUT a per-vector window: the
     // lexicographic max of (ccos, -sid) picks max cosine, tie → min seed
-    val asg = scored.groupBy("vec_id")
+    scored.groupBy("vec_id")
       .agg(max(struct(col("ccos"), (-col("sid")).as("nsid"))).as("m"))
       .select(col("vec_id"), (-col("m.nsid")).as("cell"), col("m.ccos").as("ccos"))
+  }
+
+  def semanticDedupFrom(emb0: DataFrame, nSeeds: Int, thresh: Double): DataFrame = {
+    val emb = emb0.select(col("vec_id"), col("embedding"), col("nrm"))
+    val asg = cellAssign(emb, nSeeds)
     // cell-keyed membership feeds BOTH pairwise sides and the output base
     val mem = asg.join(emb, "vec_id").persist()
     val x = mem.select(col("vec_id"), col("cell"), col("ccos"),
@@ -609,11 +623,14 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  val semanticDedupSql: String = s"""WITH $normCte,
-    seeds AS (
+  /** Oracle CTE chain `seeds → scored → asg(vec_id, cell, ccos)` — the
+    * SQL dual of [[cellAssign]] (requires `en` before it), shared by
+    * the S10 and S16 oracles.
+    */
+  private def cellAsgCtes(nSeeds: Int): String = s"""seeds AS (
       SELECT vec_id AS sid, embedding AS se, nrm AS sn FROM en
       ORDER BY ${graft.ext.TextOps.tokenHashSql("CAST(vec_id AS VARCHAR)")}, vec_id
-      LIMIT $SemSeeds),
+      LIMIT $nSeeds),
     scored AS (
       SELECT vec_id, sid, (${dotSql("embedding", "se")}) / (nrm * sn) AS ccos
       FROM en CROSS JOIN seeds),
@@ -621,7 +638,10 @@ object Similarity {
       SELECT vec_id, sid AS cell, ccos FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id
           ORDER BY ccos DESC, sid) AS rk FROM scored)
-      WHERE rk = 1),
+      WHERE rk = 1)"""
+
+  val semanticDedupSql: String = s"""WITH $normCte,
+    ${cellAsgCtes(SemSeeds)},
     mem AS (
       SELECT a.vec_id, a.cell, a.ccos, e.embedding, e.nrm
       FROM asg a JOIN en e ON a.vec_id = e.vec_id),
@@ -1117,4 +1137,69 @@ object Similarity {
     SELECT oid, COUNT(*) AS in_degree, MAX(cos) AS best_cos,
       CAST(MIN(rk) AS INTEGER) AS best_rank
     FROM topk GROUP BY oid ORDER BY in_degree DESC, oid"""
+
+  // ------------------------------------------- S16 cell occupancy
+
+  /** S16: quantizer cell-occupancy audit — member count, corpus share,
+    * load factor (1.0 = perfectly balanced), and mean centroid cosine
+    * for every S10 Voronoi cell, on the full seed spine (empty cells
+    * surface as zero rows). THE health check run before trusting any
+    * cell-scoped operation: IVF probe costs (S4/S9) and SemDeDup prune
+    * quality (S10) both degrade when cells skew, and this table is
+    * where that skew shows. Built on the SAME [[cellAssign]] relation
+    * as S10, so the audited cells are exactly the operating ones.
+    *
+    * Determinism: assignment cosines are engine-identical `graft_dot`
+    * chains; the mean follows the T10 protocol (round each ccos at 9,
+    * accumulate DECIMAL(20,10), one rounded division); counts are
+    * exact; the occupancy rank window orders a ≤[[SemSeeds]]-row
+    * relation.
+    *
+    * Scale shape: one broadcast cross join (bounded seed side) + a
+    * struct-max agg for assignment, a map-side-combinable count onto
+    * the ≤[[SemSeeds]] key space, and a ≤[[SemSeeds]]-row spine join —
+    * nothing grows past the seed count.
+    */
+  def cellOccupancy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val emb = withNorm(t(s, dir)).select(col("vec_id"), col("embedding"), col("nrm"))
+    val asg = cellAssign(emb, SemSeeds)
+    val tot = asg.agg(count(lit(1)).as("n"))
+    val per = asg.groupBy("cell")
+      .agg(count(lit(1)).as("nm"),
+        sum(round(col("ccos"), 9).cast(DecimalType(20, 10))).as("csum"))
+    seedRel(emb, SemSeeds).select(col("sid").as("cell"))
+      .join(per, Seq("cell"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("cell"),
+        coalesce(col("nm"), lit(0L)).as("n_members"),
+        round(coalesce(col("nm"), lit(0L)).cast("double") /
+          col("n").cast("double"), 6).as("share"),
+        round((coalesce(col("nm"), lit(0L)) * lit(SemSeeds.toLong)).cast("double") /
+          col("n").cast("double"), 6).as("load_factor"),
+        when(col("nm") > 0,
+          round(col("csum").cast("double") / col("nm").cast("double"), 6))
+          .otherwise(lit(0.0)).as("mean_cent_cos"))
+      .withColumn("occ_rank", row_number().over(
+        Window.orderBy(col("n_members").desc, col("cell"))))
+      .orderBy("cell")
+  }
+
+  val cellOccupancySql: String = s"""WITH $normCte,
+    ${cellAsgCtes(SemSeeds)},
+    tot AS (SELECT COUNT(*) AS n FROM asg),
+    per AS (
+      SELECT cell, COUNT(*) AS nm,
+        SUM(CAST(ROUND(ccos, 9) AS DECIMAL(20,10))) AS csum
+      FROM asg GROUP BY 1),
+    sp AS (SELECT sid AS cell FROM seeds)
+    SELECT cell,
+      CAST(COALESCE(nm, 0) AS BIGINT) AS n_members,
+      ROUND(CAST(COALESCE(nm, 0) AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share,
+      ROUND(CAST(COALESCE(nm, 0) * $SemSeeds AS DOUBLE) / CAST(n AS DOUBLE), 6) AS load_factor,
+      CASE WHEN nm > 0 THEN ROUND(CAST(csum AS DOUBLE) / CAST(nm AS DOUBLE), 6)
+        ELSE 0.0 END AS mean_cent_cos,
+      CAST(row_number() OVER (ORDER BY COALESCE(nm, 0) DESC, cell) AS INTEGER) AS occ_rank
+    FROM sp LEFT JOIN per USING (cell) CROSS JOIN tot
+    ORDER BY cell"""
 }

@@ -2166,6 +2166,71 @@ class ExtSpec extends SparkSpec {
     assert(r.exists(row => row.getLong(2) > 0L))
   }
 
+  test("D19 template prefix: shared 8-token heads counted, short docs excluded") {
+    val head = "t1 t2 t3 t4 t5 t6 t7 t8"
+    val d = Seq(
+      (1L, "s1", s"$head tail one"),
+      (2L, "s1", s"$head entirely different continuation"),
+      (3L, "s2", s"$head third instance"),
+      (4L, "s2", "u1 u2 u3 u4 u5 u6 u7 u8 unique"),
+      (5L, "s1", "too short"))
+      .toDF("doc_id", "source", "text")
+    val r = Dedup.templatePrefixFrom(d).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val s1 = r("s1")
+    assert(s1.getLong(1) == 2L && s1.getLong(2) == 1L)  // short doc excluded
+    assert(s1.getLong(3) == 2L && s1.getDouble(4) == 1.0)
+    assert(s1.getLong(5) == 3L)                          // family spans sources
+    val s2 = r("s2")
+    assert(s2.getLong(1) == 2L && s2.getLong(2) == 2L)
+    assert(s2.getLong(3) == 1L && s2.getDouble(4) == 0.5)
+    assert(s2.getLong(5) == 3L)
+    // real corpus: templated ≤ docs, max family ≥ 1
+    val c = Dedup.templatePrefix(spark, Sf0001).collect()
+    assert(c.nonEmpty)
+    c.foreach { row =>
+      assert(row.getLong(3) <= row.getLong(1))
+      assert(row.getLong(5) >= 1L)
+    }
+  }
+
+  test("S16 cell occupancy: full spine, counts conserve, ranks permute") {
+    val r = Similarity.cellOccupancy(spark, Sf0001).collect()
+    assert(r.length == Similarity.SemSeeds)
+    val total = r.map(_.getLong(1)).sum
+    val nVec = spark.read.parquet(s"$Sf0001/embeddings.parquet").count()
+    assert(total == nVec) // every vector lands in exactly one cell
+    assert(math.abs(r.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+    assert(r.map(_.getInt(5)).sorted.toSeq == (1 to Similarity.SemSeeds))
+    r.foreach { row =>
+      assert(row.getDouble(3) >= 0.0)
+      assert(row.getDouble(4) >= -1.0 && row.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("E21 first touch: entry type picked by session order, E7 conversion split") {
+    import graft.ext.Events
+    val base = 1700000000000000L
+    val rows = Seq(
+      (1L, 1L, "view", base), (2L, 1L, "click", base + 1000000L),   // converts
+      (3L, 2L, "click", base), (4L, 2L, "view", base + 1000000L),   // click first: no
+      (5L, 3L, "error", base))
+    val d = rows.toDF("event_id", "user_id", "event_type", "us")
+    val r = Events.firstTouchFrom(d).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("view").getLong(1) == 1L && r("view").getLong(2) == 1L)
+    assert(r("view").getDouble(3) == 1.0 && r("view").getDouble(4) == 2.0)
+    assert(r("click").getLong(2) == 0L && r("click").getDouble(3) == 0.0)
+    assert(r("error").getLong(1) == 1L && r("error").getDouble(4) == 1.0)
+    // real corpus: rates bounded, mean session length ≥ 1
+    val c = Events.firstTouch(spark, Sf0001).collect()
+    assert(c.nonEmpty)
+    c.foreach { row =>
+      assert(row.getDouble(3) >= 0.0 && row.getDouble(3) <= 1.0)
+      assert(row.getDouble(4) >= 1.0)
+    }
+  }
+
   test("M9 bitrate audit: rate identities hold per modality on sf0.001") {
     val r = Multimodal.bitrateAudit(spark, Sf0001).collect()
     assert(r.nonEmpty)
