@@ -391,7 +391,11 @@ object Bench {
       "isolated TimeQ): d10 1.22/1.52, d13 1.06/0.84, t6 1.53/1.66, d14 " +
       "1.05/0.80, c1 0.33/0.38, a4 2.74/2.13 - all within ~1.3x (r11 " +
       "single-JVM sweep was up to 5x off: d10 7.20, d13 4.20, warp 2.44 " +
-      "-> now 1.22/1.06/1.02). a4 stage verdict (r12, isolated at sf0.1): TimeQ " +
+      "-> now 1.22/1.06/1.02). r12 final-sweep spot-check: a5 sweep 3.04 " +
+      "vs TimeQ 1.73 (1.76x, chunk-local state - plan unchanged, TimeQ " +
+      "number is authoritative); a4 1.92, pushdown 0.457 (1.31x " +
+      "baseline), warp 0.858 (beats ~1.5s baseline). " +
+      "a4 stage verdict (r12, isolated at sf0.1): TimeQ " +
       "warm min 2.13s (r10 target <=2.2s MET), cold ~9s; A4Warm breakdown " +
       "of the warm 2.4s: Grid construct 0.3s, all plan phases ~0.00s, " +
       "execution 2.3s in ONE fused stage (grid cache scan -> broadcast " +

@@ -740,6 +740,7 @@ object SparkEntry {
     Q("t25_collocations", TextOps.collocations, Some(TextOps.collocationsSql)),
     Q("t26_markup_density", TextOps.markupDensity, Some(TextOps.markupDensitySql)),
     Q("t27_vocab_coverage", TextOps.vocabCoverage, Some(TextOps.vocabCoverageSql)),
+    Q("t28_length_percentiles", TextOps.lengthPercentiles, Some(TextOps.lengthPercentilesSql)),
     Q("e19_pareto_share", Events.paretoShare, Some(Events.paretoShareSql)),
     Q("e20_transition_entropy", Events.transitionEntropy, Some(Events.transitionEntropySql)),
     Q("e21_first_touch", Events.firstTouch, Some(Events.firstTouchSql)),
@@ -790,6 +791,7 @@ object SparkEntry {
     Q("s14_cosine_hist", Similarity.cosineHist, Some(Similarity.cosineHistSql)),
     Q("s15_hubness", Similarity.hubness, Some(Similarity.hubnessSql)),
     Q("s16_cell_occupancy", Similarity.cellOccupancy, Some(Similarity.cellOccupancySql)),
+    Q("s17_seed_sweep", Similarity.seedSweep, Some(Similarity.seedSweepSql)),
     Q("m1_multimodal_meta", Multimodal.meta, Some(Multimodal.metaSql)),
     // mapPartitions feature extraction — the byte-nibble histogram IS
     // SQL-expressible (hex trick, see Multimodal.featuresSql), so the

@@ -1202,4 +1202,90 @@ object Similarity {
       CAST(row_number() OVER (ORDER BY COALESCE(nm, 0) DESC, cell) AS INTEGER) AS occ_rank
     FROM sp LEFT JOIN per USING (cell) CROSS JOIN tot
     ORDER BY cell"""
+
+  // ------------------------------------------- S17 seed-count sweep
+
+  /** Seed counts evaluated by the S17 quantizer-sizing sweep (each a
+    * prefix of the same deterministic hash-order seed list, so the
+    * sweep needs ONE scored pass — the S9 one-pass-grid trick).
+    */
+  val SweepSeedCounts: Seq[Int] = Seq(4, 8, 16)
+
+  /** S17: quantizer-sizing sweep — S16's occupancy balance as a
+    * function of seed count: for each k in [[SweepSeedCounts]], assign
+    * every vector to its nearest of the FIRST k seeds and report
+    * used/empty cell counts, the extreme cell sizes, and the top
+    * cell's load factor and share. The "how many cells do I need"
+    * curve read before fixing an IVF/SemDeDup cell count — the direct
+    * analogue of S9's recall-vs-nprobe sweep, on the oracle-checkable
+    * hash-seeded quantizer.
+    *
+    * Determinism: one `graft_dot` scored pass; per-k assignment is the
+    * same argmax-with-sid-tiebreak restricted to seed rank ≤ k; counts
+    * exact, single rounded divisions.
+    *
+    * Scale shape: ONE broadcast cross join against the ≤[[SemSeeds]]
+    * ranked seed side scores the corpus once; the 3-row k spine
+    * explodes only the bounded scored side (corpus×seeds×|ks| rows of
+    * narrow keys); assignment is a struct-max agg (map-side partials,
+    * no window); everything after lives on ≤|ks|·[[SemSeeds]] keys.
+    */
+  def seedSweep(s: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(t(s, dir)).select(col("vec_id"), col("embedding"), col("nrm"))
+    val ranked = seedRel(emb, SemSeeds).withColumn("srk",
+      row_number().over(Window.orderBy(
+        TextOps.tokenHash(col("sid").cast("string")), col("sid"))))
+    val scored = emb.crossJoin(broadcast(ranked))
+      .select(col("vec_id"), col("sid"), col("srk"),
+        (dot(col("embedding"), col("se")) / (col("nrm") * col("sn"))).as("ccos"))
+    import s.implicits._
+    val spine = SweepSeedCounts.toDF("k")
+    val asg = scored.join(broadcast(spine), col("srk") <= col("k"))
+      .groupBy("k", "vec_id")
+      .agg(max(struct(col("ccos"), (-col("sid")).as("nsid"))).as("m"))
+      .select(col("k"), col("vec_id"), (-col("m.nsid")).as("cell"))
+    val per = asg.groupBy("k", "cell").agg(count(lit(1)).as("nm"))
+    per.groupBy("k")
+      .agg(count(lit(1)).as("n_cells_used"),
+        max("nm").as("max_cell"),
+        min("nm").as("min_cell"),
+        sum("nm").as("n"))
+      .select(col("k"),
+        col("n_cells_used"),
+        (col("k").cast("long") - col("n_cells_used")).as("n_empty"),
+        col("max_cell"), col("min_cell"),
+        round((col("max_cell") * col("k")).cast("double") / col("n").cast("double"), 6)
+          .as("max_load_factor"),
+        round(col("max_cell").cast("double") / col("n").cast("double"), 6)
+          .as("top_cell_share"))
+      .orderBy("k")
+  }
+
+  val seedSweepSql: String = s"""WITH $normCte,
+    seeds AS (
+      SELECT vec_id AS sid, embedding AS se, nrm AS sn,
+        row_number() OVER (ORDER BY
+          ${graft.ext.TextOps.tokenHashSql("CAST(vec_id AS VARCHAR)")}, vec_id) AS srk
+      FROM en
+      ORDER BY ${graft.ext.TextOps.tokenHashSql("CAST(vec_id AS VARCHAR)")}, vec_id
+      LIMIT $SemSeeds),
+    scored AS (
+      SELECT vec_id, sid, srk, (${dotSql("embedding", "se")}) / (nrm * sn) AS ccos
+      FROM en CROSS JOIN seeds),
+    ks AS (SELECT unnest([${SweepSeedCounts.mkString(", ")}]) AS k),
+    asg AS (
+      SELECT k, vec_id, sid AS cell FROM (
+        SELECT k, vec_id, sid, row_number() OVER (PARTITION BY k, vec_id
+          ORDER BY ccos DESC, sid) AS rk
+        FROM scored JOIN ks ON srk <= k)
+      WHERE rk = 1),
+    per AS (SELECT k, cell, COUNT(*) AS nm FROM asg GROUP BY 1, 2)
+    SELECT k,
+      COUNT(*) AS n_cells_used,
+      CAST(k - COUNT(*) AS BIGINT) AS n_empty,
+      CAST(MAX(nm) AS BIGINT) AS max_cell,
+      CAST(MIN(nm) AS BIGINT) AS min_cell,
+      ROUND(CAST(MAX(nm) * k AS DOUBLE) / CAST(SUM(nm) AS DOUBLE), 6) AS max_load_factor,
+      ROUND(CAST(MAX(nm) AS DOUBLE) / CAST(SUM(nm) AS DOUBLE), 6) AS top_cell_share
+    FROM per GROUP BY k ORDER BY k"""
 }

@@ -2133,4 +2133,85 @@ object TextOps {
     WINDOW wc AS (ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ORDER BY threshold"""
   }
+
+  // ------------------------------------- T28 length percentiles
+
+  /** Value-range bucket count for the T28 per-source two-phase rank. */
+  val LenBuckets = 64L
+
+  /** T28: per-source document-length percentiles — exact p10/p50/p90
+    * token counts, range, and mean for every source: the length row of
+    * a data card (every corpus release reports it) and the input to
+    * sequence-packing (W2) and truncation-policy decisions. Percentile
+    * = the ⌈n·p/100⌉-th smallest under the fully-keyed (ntok, doc_id)
+    * order — the T15 order statistic, per source.
+    *
+    * Determinism: token counts and ranks are exact integers; the mean
+    * accumulates DECIMAL(20,0) and divides once, rounded at the
+    * boundary.
+    *
+    * Scale shape: the W1/T15 two-phase exact rank, keyed per source —
+    * lengths bucket by the monotone transform (ntok·[[LenBuckets]]) div
+    * max (per-source max from a bounded broadcast), ranks run inside
+    * (source, bucket) partitions, and the global per-source rank is the
+    * ≤[[LenBuckets]]-row exclusive bucket-offset window + local rank —
+    * a source with a billion docs never sorts in one partition. The
+    * oracle states the naive per-source single-window rank; the
+    * identical (ntok, doc_id) total order makes them agree.
+    */
+  def lengthPercentiles(s: SparkSession, dir: String): DataFrame =
+    lengthPercentilesFrom(t(s, dir).select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("ntok")))
+
+  /** [[lengthPercentiles]] over an explicit `(doc_id, source, ntok)`
+    * relation — the spec pins the order statistics on crafted ladders.
+    */
+  def lengthPercentilesFrom(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val mx = d.groupBy("source").agg(max("ntok").as("mxn"), count(lit(1)).as("n"))
+    val base = d.join(broadcast(mx), "source")
+      .withColumn("bucket",
+        least(expr(s"(ntok * $LenBuckets) div greatest(mxn, 1)"), lit(LenBuckets - 1L)))
+    val local = base.withColumn("lrk", row_number().over(
+      Window.partitionBy("source", "bucket").orderBy("ntok", "doc_id")))
+    val off = local.groupBy("source", "bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("boff",
+        coalesce(sum("bn").over(Window.partitionBy("source").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val ranked = local.join(off.select("source", "bucket", "boff"),
+        Seq("source", "bucket"))
+      .withColumn("rk", col("boff") + col("lrk"))
+    def kOf(p: Int) = expr(s"(n * $p + 99) div 100")
+    ranked.groupBy("source")
+      .agg(max("n").as("n_docs"),
+        min("ntok").as("min_tokens"),
+        max(when(col("rk") === kOf(10), col("ntok"))).as("p10"),
+        max(when(col("rk") === kOf(50), col("ntok"))).as("p50"),
+        max(when(col("rk") === kOf(90), col("ntok"))).as("p90"),
+        max("ntok").as("max_tokens"),
+        sum(col("ntok").cast(DecimalType(20, 0))).as("tsum"))
+      .select(col("source"), col("n_docs"), col("min_tokens"),
+        col("p10"), col("p50"), col("p90"), col("max_tokens"),
+        round(col("tsum").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_tokens"))
+      .orderBy("source")
+  }
+
+  val lengthPercentilesSql: String = s"""WITH d AS (
+      SELECT doc_id, source, CAST(len($tokensSql) AS BIGINT) AS ntok
+      FROM documents),
+    tot AS (SELECT source, COUNT(*) AS n FROM d GROUP BY 1),
+    r AS (
+      SELECT d.source, ntok, n,
+        row_number() OVER (PARTITION BY d.source ORDER BY ntok, doc_id) AS rk
+      FROM d JOIN tot ON d.source = tot.source)
+    SELECT source,
+      CAST(MAX(n) AS BIGINT) AS n_docs,
+      CAST(MIN(ntok) AS BIGINT) AS min_tokens,
+      CAST(MAX(CASE WHEN rk = (n * 10 + 99) // 100 THEN ntok END) AS BIGINT) AS p10,
+      CAST(MAX(CASE WHEN rk = (n * 50 + 99) // 100 THEN ntok END) AS BIGINT) AS p50,
+      CAST(MAX(CASE WHEN rk = (n * 90 + 99) // 100 THEN ntok END) AS BIGINT) AS p90,
+      CAST(MAX(ntok) AS BIGINT) AS max_tokens,
+      ROUND(CAST(SUM(CAST(ntok AS DECIMAL(20,0))) AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 6) AS mean_tokens
+    FROM r GROUP BY source ORDER BY source"""
 }

@@ -2231,6 +2231,46 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("T28 length percentiles: exact order statistics on a crafted ladder") {
+    import graft.ext.TextOps
+    val d = ((1 to 10).map(i => (i.toLong, "a", i.toLong)) :+ (11L, "b", 7L))
+      .toDF("doc_id", "source", "ntok")
+    val r = TextOps.lengthPercentilesFrom(d).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val a = r("a")
+    assert(a.getLong(1) == 10L)
+    assert(a.getLong(2) == 1L && a.getLong(6) == 10L)
+    assert(a.getLong(3) == 1L && a.getLong(4) == 5L && a.getLong(5) == 9L)
+    assert(a.getDouble(7) == 5.5)
+    val b = r("b")
+    assert(b.getLong(3) == 7L && b.getLong(4) == 7L && b.getLong(5) == 7L)
+    // real corpus: ordered percentiles within range
+    val c = TextOps.lengthPercentiles(spark, Sf0001).collect()
+    assert(c.nonEmpty)
+    c.foreach { row =>
+      assert(row.getLong(2) <= row.getLong(3) && row.getLong(3) <= row.getLong(4))
+      assert(row.getLong(4) <= row.getLong(5) && row.getLong(5) <= row.getLong(6))
+    }
+  }
+
+  test("S17 seed sweep: nested seeds only shrink cells as k grows") {
+    val r = Similarity.seedSweep(spark, Sf0001).collect()
+    assert(r.map(_.getInt(0)).toSeq == Similarity.SweepSeedCounts)
+    r.foreach { row =>
+      val k = row.getInt(0)
+      assert(row.getLong(1) >= 1L && row.getLong(1) <= k.toLong)
+      assert(row.getLong(2) == k.toLong - row.getLong(1))
+      assert(row.getLong(4) >= 1L && row.getLong(4) <= row.getLong(3))
+      assert(row.getDouble(5) >= 1.0 - 1e-9) // max cell ≥ mean cell
+      assert(row.getDouble(6) > 0.0 && row.getDouble(6) <= 1.0)
+    }
+    // refinement: a prefix-seed cell can only lose members as k grows
+    r.sliding(2).foreach {
+      case Array(x, y) => assert(y.getLong(3) <= x.getLong(3))
+      case _ =>
+    }
+  }
+
   test("M9 bitrate audit: rate identities hold per modality on sf0.001") {
     val r = Multimodal.bitrateAudit(spark, Sf0001).collect()
     assert(r.nonEmpty)
