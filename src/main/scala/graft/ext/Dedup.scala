@@ -1597,8 +1597,12 @@ object Dedup {
           x => x =!= lit(""))).as("line"))
       .select(col("doc_id"), col("source"), md5(col("line")).as("lh"),
         length(col("line")).cast("long").as("lc"))
-    val df = lines.groupBy("lh")
-      .agg(countDistinct("doc_id").as("df_docs"))
+    // distinct on (lh, doc_id) FIRST — the exchange hash-spreads a viral
+    // line's copies across partitions; the per-lh count after it is
+    // map-side combinable. A countDistinct per lh would instead funnel
+    // every distinct doc of the hottest line through one reducer.
+    val df = lines.select("lh", "doc_id").distinct()
+      .groupBy("lh").agg(count(lit(1)).as("df_docs"))
     val perDoc = lines.join(df, "lh")
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).as("nl"),
