@@ -110,7 +110,10 @@ object Bench {
     "d17_method_agreement",
     // r12c: t27 persists its vocab pre-agg (max/total leg + rank leg);
     // w9 rides the memoized D7 labels like c1/c3/c4
-    "t27_vocab_coverage", "w9_dedup_source_mix")
+    "t27_vocab_coverage", "w9_dedup_source_mix",
+    // r12c: e17/e19 persist their user-count pre-aggs (max + rank +
+    // offset legs shared one events pass after the t11-rule fix)
+    "e17_activity_gini", "e19_pareto_share")
 
   // The iterative connected-components queries (d7/c1/d8/c3) execute
   // their full label-propagation loop (per-round count() actions) just

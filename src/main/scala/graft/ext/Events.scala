@@ -942,7 +942,10 @@ object Events {
     * the Gini arithmetic on crafted distributions.
     */
   def activityGiniFrom(events: DataFrame): DataFrame = {
+    // same multi-leg shape as E19: persist the narrow pre-agg so the
+    // max leg, bucket-rank leg, and offset leg share one events pass
     val cnts = events.groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+      .persist()
     val mx = cnts.groupBy("event_type").agg(max("cnt").as("mxc"))
     val bucketed = cnts.join(broadcast(mx), "event_type")
       .withColumn("bucket", least(expr(s"(cnt * $GiniBuckets) div mxc"),
@@ -1068,7 +1071,11 @@ object Events {
     * decile edges and share arithmetic on crafted distributions.
     */
   def paretoShareFrom(events: DataFrame): DataFrame = {
+    // the user-sized pre-agg feeds the max/count leg, the bucket-rank
+    // leg, and the offset leg — unpersisted, each leg replays the full
+    // events scan + shuffle (t11 rule; registered in Bench.extraIters)
     val cnts = events.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .persist()
     val mx = cnts.agg(max("cnt").as("mxc"), count(lit(1)).as("n"))
     val bucketed = cnts.crossJoin(broadcast(mx))
       .withColumn("bucket", least(expr(s"(cnt * $ParetoBuckets) div mxc"),
