@@ -113,7 +113,10 @@ object Bench {
     "t27_vocab_coverage", "w9_dedup_source_mix",
     // r12c: e17/e19 persist their user-count pre-aggs (max + rank +
     // offset legs shared one events pass after the t11-rule fix)
-    "e17_activity_gini", "e19_pareto_share")
+    "e17_activity_gini", "e19_pareto_share",
+    // r12c: m8 persists its exploded block relation (total + two
+    // distinct-then-count legs after the viral-key fix)
+    "m8_block_dedup")
 
   // The iterative connected-components queries (d7/c1/d8/c3) execute
   // their full label-propagation loop (per-round count() actions) just

@@ -1117,7 +1117,10 @@ object Dedup {
       .select(col("doc_id"), posexplode(ghArr))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gh"))
       .persist() // feeds the dup agg, the join-back, and the per-doc counts
-    val dup = g.groupBy("gh").agg(countDistinct("doc_id").as("dfd"))
+    // distinct-then-count (the d18 viral-key rule): a boilerplate span
+    // hash-spreads across partitions before the combinable per-gh count
+    val dup = g.select("gh", "doc_id").distinct()
+      .groupBy("gh").agg(count(lit(1)).as("dfd"))
       .filter(col("dfd") >= 2).select("gh")
     val dupg = g.join(dup, "gh").persist() // feeds coverage + dup counts
     val cov = dupg
@@ -1284,7 +1287,8 @@ object Dedup {
       .filter(col("jaccard") >= col("thr_pct").cast("double") / 100.0)
     val nPairs = hit.groupBy("thr_pct").agg(count(lit(1)).as("n_pairs"))
     val nDocs = hit.select(col("thr_pct"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
-      .groupBy("thr_pct").agg(countDistinct(col("doc")).as("n_docs_affected"))
+      .distinct() // spread before the combinable per-threshold count
+      .groupBy("thr_pct").agg(count(lit(1)).as("n_docs_affected"))
     val total = t(s, dir).agg(count(lit(1)).as("n_corpus")) // 1 row
     spine
       .join(nPairs, Seq("thr_pct"), "left")

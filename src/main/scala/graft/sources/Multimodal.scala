@@ -563,10 +563,19 @@ object Multimodal {
       .select(col("doc_id"), col("modality"),
         md5(col("txt").substr((col("i") * BlockChars + 1).cast("int"),
           lit(BlockChars)).cast("binary")).as("h"))
-    blocks.groupBy("modality")
-      .agg(countDistinct(col("doc_id")).as("n_payloads"),
-        count(lit(1)).as("total_blocks"),
-        countDistinct(col("h")).as("distinct_blocks"))
+    // distinct-then-count (the d18 viral-key rule): per-modality
+    // countDistinct would funnel every distinct block/doc of a modality
+    // through one reducer; the distinct exchanges hash-spread on both
+    // columns and the per-modality counts after them are map-side
+    // combinable. The exploded block relation feeds all three legs →
+    // persisted (registered in Bench.extraIters).
+    val blk = blocks.persist()
+    val tot = blk.groupBy("modality").agg(count(lit(1)).as("total_blocks"))
+    val pay = blk.select("modality", "doc_id").distinct()
+      .groupBy("modality").agg(count(lit(1)).as("n_payloads"))
+    val dis = blk.select("modality", "h").distinct()
+      .groupBy("modality").agg(count(lit(1)).as("distinct_blocks"))
+    tot.join(pay, "modality").join(dis, "modality")
       .select(col("modality"), col("n_payloads"), col("total_blocks"),
         col("distinct_blocks"),
         round((col("total_blocks") - col("distinct_blocks")).cast("double") /
