@@ -116,7 +116,10 @@ object Bench {
     "e17_activity_gini", "e19_pareto_share",
     // r12c: m8 persists its exploded block relation (total + two
     // distinct-then-count legs after the viral-key fix)
-    "m8_block_dedup")
+    "m8_block_dedup",
+    // r12c: d20 persists the minhash signature relation (3 config
+    // bandings + 2 verification sides), same contract as d3
+    "d20_band_tuning")
 
   // The iterative connected-components queries (d7/c1/d8/c3) execute
   // their full label-propagation loop (per-round count() actions) just

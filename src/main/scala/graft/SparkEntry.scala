@@ -768,6 +768,7 @@ object SparkEntry {
     Q("d17_method_agreement", Dedup.methodAgreement, Some(Dedup.methodAgreementSql)),
     Q("d18_line_dedup", Dedup.lineDedup, Some(Dedup.lineDedupSql)),
     Q("d19_template_prefix", Dedup.templatePrefix, Some(Dedup.templatePrefixSql)),
+    Q("d20_band_tuning", Dedup.bandTuning, Some(Dedup.bandTuningSql)),
     Q("w6_split_leakage", Mix.splitLeakage, Some(Mix.splitLeakageSql)),
     Q("w9_dedup_source_mix", Mix.dedupSourceMix, Some(Mix.dedupSourceMixSql)),
     Q("w7_mixture_temperature", Mix.mixtureTemperature, Some(Mix.mixtureTemperatureSql)),
@@ -792,6 +793,7 @@ object SparkEntry {
     Q("s15_hubness", Similarity.hubness, Some(Similarity.hubnessSql)),
     Q("s16_cell_occupancy", Similarity.cellOccupancy, Some(Similarity.cellOccupancySql)),
     Q("s17_seed_sweep", Similarity.seedSweep, Some(Similarity.seedSweepSql)),
+    Q("s18_relative_contrast", Similarity.relativeContrast, Some(Similarity.relativeContrastSql)),
     Q("m1_multimodal_meta", Multimodal.meta, Some(Multimodal.metaSql)),
     // mapPartitions feature extraction — the byte-nibble histogram IS
     // SQL-expressible (hex trick, see Multimodal.featuresSql), so the

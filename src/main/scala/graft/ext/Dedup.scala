@@ -414,17 +414,24 @@ object Dedup {
   /** Shared oracle CTE chain ending in `cand(doc_a, doc_b)` — the
     * candidate generator both the D3 and D7 oracles build on.
     */
-  private[ext] def minhashCandCtes: String = {
+  /** Oracle CTE chain ending in `sig(doc_id, m0..m15)` — the signature
+    * build shared by the D3/D7 candidate chain and the D20 tuning sweep.
+    */
+  private def sigCtes: String = {
     val mins = (0 until NumHashes).map(i =>
       s"MIN((${hashA(i)} * h + ${hashB(i)}) % $MinhashPrime) AS m$i").mkString(", ")
+    s"""$shingleCte,
+    sh AS (SELECT doc_id, ${TextOps.tokenHashSql("shingle")} AS h FROM shing),
+    sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"""
+  }
+
+  private[ext] def minhashCandCtes: String = {
     val bandRows = (0 until NumBands).map { b =>
       val key = (0 until NumHashes / NumBands)
         .map(r => s"m${b * (NumHashes / NumBands) + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, concat_ws('_', $key) AS key FROM sig"
     }.mkString(" UNION ALL ")
-    s"""$shingleCte,
-    sh AS (SELECT doc_id, ${TextOps.tokenHashSql("shingle")} AS h FROM shing),
-    sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+    s"""$sigCtes,
     bands AS ($bandRows),
     cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -1736,5 +1743,98 @@ object Dedup {
         CAST(SUM(n_in_src) AS DOUBLE), 6) AS template_frac,
       CAST(MAX(pdf) AS BIGINT) AS max_template_df
     FROM psp GROUP BY source ORDER BY source"""
+  }
+
+  // ------------------------------------------- D20 LSH band tuning
+
+  /** Band shapes swept by D20 — (bands, rows) with bands·rows =
+    * [[NumHashes]]: the S-curve knob of Broder-style LSH (collision
+    * probability 1−(1−jʳ)ᵇ; more bands/fewer rows → looser).
+    */
+  val BandConfigs: Seq[(Int, Int)] = Seq((2, 8), (4, 4), (8, 2))
+
+  /** D20: LSH band-shape tuning sweep — for each (b bands × r rows)
+    * split of the SAME 16-hash signature, the candidate volume and
+    * quality the banding would produce: pair count, how many candidates
+    * have estimated Jaccard ≥ 1/2, the precision at that bar, and the
+    * full-signature-match count. The table an operator reads to pick
+    * D3's operating point (d9 calibrates est-vs-exact Jaccard, D14
+    * sweeps the verification threshold; D20 sweeps the candidate
+    * GENERATOR itself). One signature build serves all three shapes —
+    * the S9/D14 one-pass-spine trick applied to banding.
+    *
+    * Determinism: signatures, band keys, and match counts are exact
+    * integers on the shared [[minhashSig]] relation; the one ratio is a
+    * single rounded IEEE division; configs with zero candidates emit no
+    * row in either engine.
+    *
+    * Scale shape: banding is an equi-join on (cfg, band, key) — never a
+    * pairwise scan; the cfg tag rides inside the join key so the three
+    * sweeps share one exchange; verification joins the persisted
+    * signature relation (left cached per the registry persist contract;
+    * in Bench.extraIters); the final rollup is map-side partial onto a
+    * 3-row key space.
+    */
+  def bandTuning(s: SparkSession, dir: String): DataFrame = {
+    // sig feeds 3 config bandings (both self-join sides) + 2
+    // verification sides → persisted (same contract as d3)
+    val sig = minhashSig(s, dir).persist()
+    val bands = sig.select(col("doc_id"), explode(array(
+        BandConfigs.flatMap { case (b, r) =>
+          (0 until b).map(bi => struct(lit(b).as("cfg"), lit(bi).as("band"),
+            concat_ws("_", (0 until r).map(ri => col(s"m${bi * r + ri}")): _*)
+              .as("key")))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.cfg"), col("bk.band"), col("bk.key"))
+    val cand = bands.as("x").join(bands.as("y"), Seq("cfg", "band", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("cfg"), col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val matches = (0 until NumHashes).map(i =>
+      when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0)).reduce(_ + _)
+    cand.join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("cfg"), matches.as("m"))
+      .groupBy("cfg")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("m") * 2 >= NumHashes, 1L).otherwise(0L)).as("n_est_ge_half"),
+        sum(when(col("m") === NumHashes, 1L).otherwise(0L)).as("n_full_match"))
+      .select(col("cfg").as("n_bands"),
+        expr(s"$NumHashes div cfg").cast("int").as("rows_per_band"),
+        col("n_pairs"), col("n_est_ge_half"),
+        round(col("n_est_ge_half").cast("double") / col("n_pairs").cast("double"), 6)
+          .as("precision_half"),
+        col("n_full_match"))
+      .orderBy("n_bands")
+  }
+
+  val bandTuningSql: String = {
+    val bandRows = BandConfigs.flatMap { case (b, r) =>
+      (0 until b).map { bi =>
+        val key = (0 until r).map(ri => s"m${bi * r + ri}").mkString(", ")
+        s"SELECT doc_id, $b AS cfg, $bi AS band, concat_ws('_', $key) AS key FROM sig"
+      }
+    }.mkString(" UNION ALL ")
+    val matches = (0 until NumHashes).map(i =>
+      s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $sigCtes,
+    bands AS ($bandRows),
+    cand AS (
+      SELECT DISTINCT x.cfg AS cfg, x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.cfg = y.cfg AND x.band = y.band AND x.key = y.key
+        AND x.doc_id < y.doc_id),
+    scored AS (
+      SELECT cfg, ($matches) AS m
+      FROM cand JOIN sig a ON cand.doc_a = a.doc_id
+                JOIN sig b ON cand.doc_b = b.doc_id)
+    SELECT CAST(cfg AS INTEGER) AS n_bands,
+      CAST($NumHashes // cfg AS INTEGER) AS rows_per_band,
+      COUNT(*) AS n_pairs,
+      CAST(SUM(CASE WHEN m * 2 >= $NumHashes THEN 1 ELSE 0 END) AS BIGINT) AS n_est_ge_half,
+      ROUND(CAST(SUM(CASE WHEN m * 2 >= $NumHashes THEN 1 ELSE 0 END) AS DOUBLE) /
+        CAST(COUNT(*) AS DOUBLE), 6) AS precision_half,
+      CAST(SUM(CASE WHEN m = $NumHashes THEN 1 ELSE 0 END) AS BIGINT) AS n_full_match
+    FROM scored GROUP BY cfg ORDER BY n_bands"""
   }
 }

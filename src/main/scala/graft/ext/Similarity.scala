@@ -1288,4 +1288,70 @@ object Similarity {
       ROUND(CAST(MAX(nm) * k AS DOUBLE) / CAST(SUM(nm) AS DOUBLE), 6) AS max_load_factor,
       ROUND(CAST(MAX(nm) AS DOUBLE) / CAST(SUM(nm) AS DOUBLE), 6) AS top_cell_share
     FROM per GROUP BY k ORDER BY k"""
+
+  // --------------------------------------- S18 relative contrast
+
+  /** S18: distance-concentration audit — per S1 query, the relative
+    * contrast of its cosine distribution over the full corpus:
+    * (max − mean) / (max − min). Beyer et al. (1999) showed nearest
+    * neighbors stop being meaningful as this contrast collapses toward
+    * 0 — the go/no-go check on an embedding space BEFORE building
+    * retrieval (S1/S2/S4) or SemDeDup (S10) on it; pairs with S14's
+    * corpus-level histogram by giving the per-query view.
+    *
+    * Determinism: cosines are engine-identical `graft_dot` chains;
+    * max/min are order-free over identical doubles; the mean follows
+    * the T10 protocol (round each cosine at 9, accumulate
+    * DECIMAL(20,10), one division) and the contrast is formed from the
+    * identically-rounded pieces, rounded again at the boundary.
+    *
+    * Scale shape: ONE broadcast cross join (bounded query side) — the
+    * corpus never shuffles; the per-query aggregate is map-side partial
+    * onto a ≤[[NumQueries]] key space; no window, no pair join.
+    */
+  def relativeContrast(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val emb = withNorm(t(s, dir))
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val cos = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"),
+        (dot(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+    cos.groupBy("qid")
+      .agg(count(lit(1)).as("n_corpus"),
+        max("cos").as("max_cos"),
+        min("cos").as("min_cos"),
+        sum(round(col("cos"), 9).cast(DecimalType(20, 10))).as("csum"))
+      .select(col("qid"), col("n_corpus"),
+        round(col("max_cos"), 6).as("max_cos"),
+        round(col("min_cos"), 6).as("min_cos"),
+        round(col("csum").cast("double") / col("n_corpus").cast("double"), 6)
+          .as("mean_cos"),
+        when(col("max_cos") > col("min_cos"),
+          round((col("max_cos") - (col("csum").cast("double") / col("n_corpus").cast("double"))) /
+            (col("max_cos") - col("min_cos")), 6))
+          .otherwise(lit(0.0)).as("contrast"))
+      .orderBy("qid")
+  }
+
+  val relativeContrastSql: String = s"""WITH $normCte,
+    q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM en WHERE vec_id < $NumQueries),
+    cos AS (
+      SELECT qid, (${dotSql("qe", "en.embedding")}) / (qn * nrm) AS cos
+      FROM en CROSS JOIN q WHERE en.vec_id != qid),
+    agg AS (
+      SELECT qid, COUNT(*) AS n_corpus,
+        MAX(cos) AS mxc, MIN(cos) AS mnc,
+        SUM(CAST(ROUND(cos, 9) AS DECIMAL(20,10))) AS csum
+      FROM cos GROUP BY 1)
+    SELECT qid, n_corpus,
+      ROUND(mxc, 6) AS max_cos,
+      ROUND(mnc, 6) AS min_cos,
+      ROUND(CAST(csum AS DOUBLE) / CAST(n_corpus AS DOUBLE), 6) AS mean_cos,
+      CASE WHEN mxc > mnc
+        THEN ROUND((mxc - (CAST(csum AS DOUBLE) / CAST(n_corpus AS DOUBLE))) /
+          (mxc - mnc), 6)
+        ELSE 0.0 END AS contrast
+    FROM agg ORDER BY qid"""
 }

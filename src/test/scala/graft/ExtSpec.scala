@@ -2271,6 +2271,51 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("D20 band tuning: aligned band prefixes nest candidate sets") {
+    val r = Dedup.bandTuning(spark, Sf0001).collect()
+    assert(r.nonEmpty && r.length <= Dedup.BandConfigs.length)
+    r.foreach { row =>
+      assert(row.getInt(0) * row.getInt(1) == Dedup.NumHashes)
+      assert(row.getLong(3) <= row.getLong(2))             // est≥½ ⊆ candidates
+      assert(row.getDouble(4) >= 0.0 && row.getDouble(4) <= 1.0)
+      assert(row.getLong(5) <= row.getLong(3))             // full match ⊆ est≥½
+    }
+    // an 8-row band agreement implies agreement on its nested 4/2-row
+    // sub-bands, so candidate volume is monotone in the band count
+    r.sliding(2).foreach {
+      case Array(x, y) => assert(x.getLong(2) <= y.getLong(2))
+      case _ =>
+    }
+    // a full-signature match agrees on every band of every config
+    assert(r.map(_.getLong(5)).distinct.length == 1)
+  }
+
+  test("S18 relative contrast: orthogonal fixture pins the hub contrast") {
+    def v(i: Int): Array[Float] =
+      if (i < 40) Array.tabulate(Similarity.Dim)(d => if (d == i) 1f else 0f)
+      else Array.tabulate(Similarity.Dim)(d => if (d < 20) 1f else 0f)
+    val d = (0 until 41).map(i => (i.toLong, v(i))).toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("s18").toString
+    d.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val r = Similarity.relativeContrast(spark, tmp).collect()
+    assert(r.length == Similarity.NumQueries)
+    r.foreach { row =>
+      assert(row.getLong(1) == 40L)
+      // single nonzero cosine 1/√20 → contrast = 1 − mean/max = 39/40
+      assert(math.abs(row.getDouble(5) - 0.975) < 1e-5)
+      assert(row.getDouble(3) == 0.0)                      // min cos
+      assert(math.abs(row.getDouble(2) - 1.0 / math.sqrt(20.0)) < 1e-6)
+    }
+    // real corpus: mean within [min, max], contrast in [0, 1]
+    val c = Similarity.relativeContrast(spark, Sf0001).collect()
+    assert(c.length == Similarity.NumQueries)
+    c.foreach { row =>
+      assert(row.getDouble(4) >= row.getDouble(3) - 1e-6)
+      assert(row.getDouble(4) <= row.getDouble(2) + 1e-6)
+      assert(row.getDouble(5) >= 0.0 && row.getDouble(5) <= 1.0)
+    }
+  }
+
   test("M9 bitrate audit: rate identities hold per modality on sf0.001") {
     val r = Multimodal.bitrateAudit(spark, Sf0001).collect()
     assert(r.nonEmpty)
