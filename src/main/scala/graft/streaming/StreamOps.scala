@@ -113,7 +113,11 @@ object StreamOps {
     * `session_window` can't express (per-user state machine with
     * event-time timeout). Emits a [[SessionOut]] row when a session
     * closes: either a later event arrives past the gap, or the
-    * event-time watermark passes the open session's horizon.
+    * event-time watermark passes the open session's horizon. Each
+    * closed session carries its ENTRY event type — the streaming dual
+    * of the batch first-touch attribution (E21), so live acquisition
+    * dashboards slice conversion by the same entry key the batch
+    * report uses.
     */
   def sessionizeWithState(events: DataFrame,
                           gapMs: Long = 30L * 60 * 1000,
@@ -123,29 +127,30 @@ object StreamOps {
     import spark.implicits._
     val typed = events
       .withWatermark("ts", watermark)
-      .select(col("user_id"), col("ts"), col("value"))
-      .as[(Long, java.sql.Timestamp, Double)]
+      .select(col("user_id"), col("ts"), col("value"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Double, String)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double, String)],
          state: GroupState[SessionState]) => {
           val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
           if (state.hasTimedOut) {
             state.getOption.foreach(s =>
-              out += SessionOut(user, s.start, s.end, s.n, s.sum))
+              out += SessionOut(user, s.start, s.end, s.n, s.sum, s.firstType))
             state.remove()
           } else {
-            val sorted = rows.map { case (_, t, v) => (user, t.getTime, v) }.toSeq.sortBy(_._2)
+            val sorted = rows.map { case (_, t, v, e) => (t.getTime, v, e) }
+              .toSeq.sortBy(_._1)
             var cur = state.getOption
-            sorted.foreach { case (_, t, v) =>
+            sorted.foreach { case (t, v, e) =>
               cur match {
                 case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + v))
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + v, s.firstType))
                 case Some(s) =>
-                  out += SessionOut(user, s.start, s.end, s.n, s.sum)
-                  cur = Some(SessionState(t, t, 1, v))
+                  out += SessionOut(user, s.start, s.end, s.n, s.sum, s.firstType)
+                  cur = Some(SessionState(t, t, 1, v, e))
                 case None =>
-                  cur = Some(SessionState(t, t, 1, v))
+                  cur = Some(SessionState(t, t, 1, v, e))
               }
             }
             cur.foreach { s =>
@@ -160,8 +165,12 @@ object StreamOps {
 }
 
 /** Open-session state for [[StreamOps.sessionizeWithState]]. */
-final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+final case class SessionState(start: Long, end: Long, n: Long, sum: Double,
+                              firstType: String)
 
-/** Closed-session output row (epoch ms bounds). */
+/** Closed-session output row (epoch ms bounds) with the E21-style
+  * first-touch entry type.
+  */
 final case class SessionOut(user_id: Long, session_start_ms: Long,
-                            session_end_ms: Long, n_events: Long, sum_value: Double)
+                            session_end_ms: Long, n_events: Long, sum_value: Double,
+                            first_type: String)

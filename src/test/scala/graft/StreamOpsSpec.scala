@@ -52,27 +52,29 @@ class StreamOpsSpec extends SparkSpec {
 
   test("sessionizeWithState closes sessions by gap and by timeout") {
     implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[(Long, Timestamp, Double)]
-    val df = mem.toDF().toDF("user_id", "ts", "value")
+    val mem = MemoryStream[(Long, Timestamp, Double, String)]
+    val df = mem.toDF().toDF("user_id", "ts", "value", "event_type")
     val q = StreamOps.sessionizeWithState(df)
       .writeStream.format("memory").queryName("state_sess_test").outputMode("append").start()
     try {
       // session A: 2 events 5 min apart; then an event 40 min later
       // closes A by gap and opens session B
-      mem.addData((1L, ts(0), 1.0), (1L, ts(5), 2.0))
+      mem.addData((1L, ts(0), 1.0, "view"), (1L, ts(5), 2.0, "click"))
       q.processAllAvailable()
-      mem.addData((1L, ts(45), 7.0))
+      mem.addData((1L, ts(45), 7.0, "click"))
       q.processAllAvailable()
       // advance the watermark far enough to time out session B
-      mem.addData((2L, ts(600), 0.0))
+      mem.addData((2L, ts(600), 0.0, "view"))
       q.processAllAvailable()
-      mem.addData((2L, ts(1300), 0.0))
+      mem.addData((2L, ts(1300), 0.0, "view"))
       q.processAllAvailable()
       val rows = spark.table("state_sess_test").collect()
       val u1 = rows.filter(_.getLong(0) == 1L)
-      assert(u1.exists(r => r.getLong(3) == 2 && r.getDouble(4) == 3.0),
+      assert(u1.exists(r => r.getLong(3) == 2 && r.getDouble(4) == 3.0 &&
+          r.getString(5) == "view"),  // first-touch rides the closed row
         s"gap-closed session missing: ${rows.mkString(";")}")
-      assert(u1.exists(r => r.getLong(3) == 1 && r.getDouble(4) == 7.0),
+      assert(u1.exists(r => r.getLong(3) == 1 && r.getDouble(4) == 7.0 &&
+          r.getString(5) == "click"),
         s"timeout-closed session missing: ${rows.mkString(";")}")
     } finally q.stop()
   }
