@@ -1257,4 +1257,106 @@ object Events {
         CAST(COUNT(*) AS DOUBLE), 6) AS conversion,
       ROUND(CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_events
     FROM per GROUP BY 1 ORDER BY 1"""
+
+  // --------------------------------------- E22 profile similarity
+
+  /** Probe users (`user_id < ProfileProbes`) — the bounded, data-derived
+    * query workload of the E22 behavioral search (the S1 convention).
+    */
+  val ProfileProbes = 10L
+  /** Neighbors kept per probe. */
+  val ProfileTopK = 5
+  /** Hash-bucket count for the two-phase per-probe top-k. */
+  val ProfileBuckets = 64L
+
+  /** E22: behavioral-profile similarity search — each probe user's
+    * top-[[ProfileTopK]] most similar users by cosine over their
+    * 24-dimension hour-of-day activity vectors (E18's seasonality
+    * profile at user grain). The "users who behave like this one"
+    * primitive behind cohort expansion, bot-ring discovery, and
+    * look-alike audiences — a distributed top-k similarity search in
+    * the spirit of the trajectory/time-series search literature
+    * (REPOSE ICDE'21, Odyssey VLDB'23), on the one vector space the
+    * events table itself induces.
+    *
+    * Determinism: profile slots are exact integer counts cast
+    * long→float32 (identical IEEE rounding both engines — the S1
+    * embedding protocol); dots and norms go through the ONE `graft_dot`
+    * codegen node, whose left-assoc double fold the oracle's unrolled
+    * 24-term chain states verbatim (`Similarity.prefixDotSql`); ranking
+    * tie-breaks (cos DESC, other_id). A 24-term chained DECIMAL tree
+    * was the first cut — its precision-promotion nesting blew planner
+    * memory, the exact anti-pattern the graft_dot expression exists
+    * for.
+    *
+    * Scale shape: profiles pre-aggregate twice ((user, hour) cells →
+    * 24-slot conditional sums, both map-side combinable); probes are a
+    * provably bounded broadcast; the corpus side never shuffles for
+    * the similarity pass (one broadcast cross join); the top-k is the
+    * T8 two-phase bucket rank — per-(probe, hash-bucket) windows, then
+    * a final window over ≤[[ProfileBuckets]]·k rows per probe — never
+    * a corpus-sized per-probe sort. The oracle states the naive
+    * single-window form; both agree row-for-row.
+    */
+  def profileSimilarity(s: SparkSession, dir: String): DataFrame =
+    profileSimilarityFrom(t(s, dir))
+
+  /** [[profileSimilarity]] over an explicit event relation — the spec
+    * pins the cosine arithmetic on crafted clocks.
+    */
+  def profileSimilarityFrom(events: DataFrame): DataFrame = {
+    val cells = events
+      .withColumn("hour", expr("(us div 3600000000) % 24"))
+      .groupBy("user_id", "hour").agg(count(lit(1)).as("c"))
+    val slots = (0 until 24).map(h =>
+      sum(when(col("hour") === h, col("c")).otherwise(0L)).as(s"h$h"))
+    val prof = cells.groupBy("user_id").agg(slots.head, slots.tail: _*)
+      .select(col("user_id"),
+        array((0 until 24).map(h => col(s"h$h").cast("float")): _*).as("hv"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("hv"), col("hv"))))
+    val probes = prof.filter(col("user_id") < ProfileProbes)
+      .select(col("user_id").as("probe_id"), col("hv").as("pv"), col("nrm").as("pn"))
+    val cos = prof.crossJoin(broadcast(probes))
+      .filter(col("user_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("user_id").as("other_id"),
+        (Similarity.dot(col("pv"), col("hv")) / (col("pn") * col("nrm")))
+          .as("cos"))
+    val w1 = Window.partitionBy(col("probe_id"),
+        pmod(graft.ext.TextOps.tokenHash(col("other_id").cast("string")),
+          lit(ProfileBuckets)))
+      .orderBy(col("cos").desc, col("other_id"))
+    val w2 = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("other_id"))
+    cos.withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= ProfileTopK)
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= ProfileTopK)
+      .select(col("probe_id"), col("rk"), col("other_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("probe_id", "rk")
+  }
+
+  val profileSimilaritySql: String = {
+    val slots = (0 until 24).map(h =>
+      s"CAST(SUM(CASE WHEN hour = $h THEN c ELSE 0 END) AS BIGINT) AS h$h").mkString(", ")
+    val hv = (0 until 24).map(h => s"CAST(h$h AS REAL)").mkString("[", ", ", "]")
+    s"""WITH cells AS (
+      SELECT user_id, (epoch_us(ts) // 3600000000) % 24 AS hour, COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    prof AS (
+      SELECT user_id, $slots FROM cells GROUP BY user_id),
+    pv AS (SELECT user_id, $hv AS hv FROM prof),
+    np AS (SELECT user_id, hv,
+      sqrt(${Similarity.prefixDotSql("hv", "hv", 24)}) AS nrm FROM pv),
+    cos AS (
+      SELECT p.user_id AS probe_id, b.user_id AS other_id,
+        (${Similarity.prefixDotSql("p.hv", "b.hv", 24)}) / (p.nrm * b.nrm) AS cos
+      FROM np b CROSS JOIN (SELECT * FROM np WHERE user_id < $ProfileProbes) p
+      WHERE b.user_id != p.user_id)
+    SELECT probe_id, CAST(rk AS INTEGER) AS rk, other_id, ROUND(cos, 6) AS cos
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+        ORDER BY cos DESC, other_id) AS rk
+      FROM cos)
+    WHERE rk <= $ProfileTopK ORDER BY probe_id, rk"""
+  }
 }

@@ -2316,6 +2316,33 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("E22 profile similarity: proportional clocks cos 1, disjoint clocks cos 0") {
+    import graft.ext.Events
+    val h = 3600L * 1000000L
+    // u1 hours (0,0,1) → (2,1); u2 (0,0,0,0,1,1) → (4,2): same direction;
+    // u3 five events at hour 12: orthogonal to both
+    val rows =
+      Seq((1L, 0L), (2L, 10L), (3L, h)).map { case (e, t) => (e, 1L, t) } ++
+      (1 to 4).map(i => (10L + i, 2L, i.toLong)) ++ Seq((15L, 2L, h), (16L, 2L, h + 5L)) ++
+      (1 to 5).map(i => (20L + i, 3L, 12L * h + i))
+    val d = rows.toDF("event_id", "user_id", "us")
+    val r = Events.profileSimilarityFrom(d).collect()
+    val p1 = r.filter(_.getLong(0) == 1L)
+    assert(p1.head.getInt(1) == 1 && p1.head.getLong(2) == 2L &&
+      p1.head.getDouble(3) == 1.0)
+    assert(p1(1).getLong(2) == 3L && p1(1).getDouble(3) == 0.0)
+    val p3 = r.filter(_.getLong(0) == 3L)
+    assert(p3.forall(_.getDouble(3) == 0.0))
+    assert(p3.map(_.getLong(2)).toSeq == Seq(1L, 2L)) // cos tie → id order
+    // real corpus: 10 probes, ranks contiguous, cosine within [0, 1]
+    val c = Events.profileSimilarity(spark, Sf0001).collect()
+    assert(c.map(_.getLong(0)).distinct.length.toLong == Events.ProfileProbes)
+    c.foreach { row =>
+      assert(row.getInt(1) >= 1 && row.getInt(1) <= Events.ProfileTopK)
+      assert(row.getDouble(3) >= 0.0 && row.getDouble(3) <= 1.0 + 1e-9)
+    }
+  }
+
   test("M9 bitrate audit: rate identities hold per modality on sf0.001") {
     val r = Multimodal.bitrateAudit(spark, Sf0001).collect()
     assert(r.nonEmpty)
