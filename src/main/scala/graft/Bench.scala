@@ -212,7 +212,12 @@ object Bench {
     val coldTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val iterCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def timed(name: String, f: () => Unit): Double = {
-      val iters = if (extraIters(name)) 3 else BenchIters
+      // rasters are the BASELINE.md comparables and the chunk's min-of-2
+      // swung 0.46↔0.78s run-to-run (r12) — min-of-4 stabilizes them for
+      // ~12s of extra sweep time
+      val iters = if (extraIters(name)) 3
+        else if (name.startsWith("raster_")) 4
+        else BenchIters
       val keepBetween = extraIters(name)
       iterCounts(name) = iters
       val times = (1 to iters).flatMap { i =>
@@ -402,8 +407,10 @@ object Bench {
       "single-JVM sweep was up to 5x off: d10 7.20, d13 4.20, warp 2.44 " +
       "-> now 1.22/1.06/1.02). r12 final-sweep spot-check: a5 sweep 3.04 " +
       "vs TimeQ 1.73 (1.76x, chunk-local state - plan unchanged, TimeQ " +
-      "number is authoritative); a4 1.92, pushdown 0.457 (1.31x " +
-      "baseline), warp 0.858 (beats ~1.5s baseline). " +
+      "number is authoritative). Rasters run min-of-4 (min-of-2 swung " +
+      "0.46<->0.78 run-to-run): pushdown 0.388 (1.11x the 348ms " +
+      "baseline), warp 0.695 and synrgb 1.436 (both beat the ~1.5s " +
+      "baseline), a4 1.92. " +
       "a4 stage verdict (r12, isolated at sf0.1): TimeQ " +
       "warm min 2.13s (r10 target <=2.2s MET), cold ~9s; A4Warm breakdown " +
       "of the warm 2.4s: Grid construct 0.3s, all plan phases ~0.00s, " +
