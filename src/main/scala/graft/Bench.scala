@@ -119,7 +119,10 @@ object Bench {
     "m8_block_dedup",
     // r12c: d20 persists the minhash signature relation (3 config
     // bandings + 2 verification sides), same contract as d3
-    "d20_band_tuning")
+    "d20_band_tuning",
+    // r12c: x15 persists its per-customer revenue pre-agg (max + rank +
+    // offset legs, the e19 shape)
+    "x15_customer_concentration")
 
   // The iterative connected-components queries (d7/c1/d8/c3) execute
   // their full label-propagation loop (per-round count() actions) just

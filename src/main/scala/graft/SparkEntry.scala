@@ -687,7 +687,9 @@ object SparkEntry {
     Q("x11_rfm_segments", Relational.rfmSegments, Some(Relational.rfmSegmentsSql)),
     Q("x12_promo_revenue", Relational.promoRevenue, Some(Relational.promoRevenueSql)),
     Q("x13_fulfillment", Relational.fulfillment, Some(Relational.fulfillmentSql)),
-    Q("x14_trade_balance", Relational.tradeBalance, Some(Relational.tradeBalanceSql)))
+    Q("x14_trade_balance", Relational.tradeBalance, Some(Relational.tradeBalanceSql)),
+    Q("x15_customer_concentration", Relational.customerConcentration,
+      Some(Relational.customerConcentrationSql)))
 
   private val extQueries: Seq[Q] = Seq(
     Q("e1_sessionize", Events.sessionize, Some(Events.sessionizeSql)),
@@ -741,6 +743,7 @@ object SparkEntry {
     Q("t26_markup_density", TextOps.markupDensity, Some(TextOps.markupDensitySql)),
     Q("t27_vocab_coverage", TextOps.vocabCoverage, Some(TextOps.vocabCoverageSql)),
     Q("t28_length_percentiles", TextOps.lengthPercentiles, Some(TextOps.lengthPercentilesSql)),
+    Q("t29_blocklist_filter", TextOps.blocklistFilter, Some(TextOps.blocklistFilterSql)),
     Q("e19_pareto_share", Events.paretoShare, Some(Events.paretoShareSql)),
     Q("e20_transition_entropy", Events.transitionEntropy, Some(Events.transitionEntropySql)),
     Q("e21_first_touch", Events.firstTouch, Some(Events.firstTouchSql)),

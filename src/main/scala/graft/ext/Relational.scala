@@ -764,4 +764,84 @@ object Relational {
     LEFT JOIN srev USING (n_name)
     LEFT JOIN crev USING (n_name)
     ORDER BY n_name"""
+
+  /** Value-range bucket count for the X15 two-phase exact rank. */
+  val ConcBuckets = 64L
+
+  /** X15: customer revenue concentration — customers ranked ascending by
+    * lifetime order value, cut into 10 exact-rank deciles with revenue
+    * shares and cumulative shares: the "top 10% of customers are X% of
+    * revenue" table (the E19 Lorenz machinery applied to money), the
+    * concentration-risk row of every account review.
+    *
+    * Determinism: per-customer revenue sums in DECIMAL(18,2) and ranks
+    * on exact integer CENTS ((rev·100) — no decimal ever reaches a
+    * bucket edge or comparison); the decile is pure integer arithmetic;
+    * shares divide exact decimal totals once, rounded at the boundary.
+    *
+    * Scale shape: the two-phase exact global rank — cents bucket by the
+    * monotone transform (cents·[[ConcBuckets]]) div max (1-row
+    * broadcast), ranks inside bucket partitions, global rank = the
+    * ≤64-row exclusive offset window + local rank; a billion customers
+    * never sort in one partition; downstream windows run on the 10-row
+    * decile relation. The oracle states the naive single window.
+    */
+  def customerConcentration(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_custkey"), col("n_orders"),
+        (col("rev") * 100).cast("long").as("cents"))
+      .persist() // feeds the max leg and the bucket-rank/offset legs
+    val mx = cust.agg(max("cents").as("mxc"), count(lit(1)).as("n"))
+    val bucketed = cust.crossJoin(broadcast(mx))
+      .withColumn("bucket", least(expr(s"(cents * $ConcBuckets) div mxc"),
+        lit(ConcBuckets - 1L)))
+    val local = bucketed.withColumn("lrk", row_number().over(
+      Window.partitionBy("bucket").orderBy("cents", "o_custkey")))
+    val off = local.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("boff",
+        coalesce(sum("bn").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val deciles = local.join(off.select("bucket", "boff"), "bucket")
+      .select(col("cents"), col("n_orders"), col("n"),
+        expr(s"((boff + lrk - 1) * 10) div n").as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("n_orders").as("n_orders"),
+        sum(col("cents").cast(DecimalType(38, 0))).as("rc"))
+    val tot = deciles.agg(sum("rc").as("tc"))
+    deciles.crossJoin(broadcast(tot))
+      .withColumn("cum", sum("rc").over(Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("decile"), col("n_customers"), col("n_orders"),
+        (col("rc").cast("double") / 100.0).as("revenue"),
+        round(col("rc").cast("double") / col("tc").cast("double"), 6).as("share"),
+        round(col("cum").cast("double") / col("tc").cast("double"), 6).as("cum_share"))
+      .orderBy("decile")
+  }
+
+  val customerConcentrationSql: String = """WITH cust AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT cents, n_orders,
+        ((row_number() OVER (ORDER BY cents, o_custkey) - 1) * 10)
+          // (SELECT COUNT(*) FROM cust) AS decile
+      FROM cust),
+    deciles AS (
+      SELECT decile, COUNT(*) AS n_customers,
+        CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+        CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS rc
+      FROM ranked GROUP BY 1)
+    SELECT decile, n_customers, n_orders,
+      CAST(rc AS DOUBLE) / 100.0 AS revenue,
+      ROUND(CAST(rc AS DOUBLE) /
+        CAST((SELECT SUM(rc) FROM deciles) AS DOUBLE), 6) AS share,
+      ROUND(CAST(SUM(rc) OVER (ORDER BY decile
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        CAST((SELECT SUM(rc) FROM deciles) AS DOUBLE), 6) AS cum_share
+    FROM deciles ORDER BY decile"""
 }

@@ -2214,4 +2214,77 @@ object TextOps {
       CAST(MAX(ntok) AS BIGINT) AS max_tokens,
       ROUND(CAST(SUM(CAST(ntok AS DECIMAL(20,0))) AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 6) AS mean_tokens
     FROM r GROUP BY source ORDER BY source"""
+
+  // ------------------------------------------- T29 blocklist filter
+
+  /** Spam-marker blocklist for the T29 page filter — a neutral stand-in
+    * for the word list a production C4-style pipeline ships (Raffel et
+    * al. 2020 §2.2 drop pages containing any listed word); the filter
+    * machinery is list-agnostic.
+    */
+  val Blocklist: Seq[String] = Seq("casino", "viagra", "lottery", "jackpot")
+
+  /** T29: blocklist page filter — the C4 §2.2 "bad words" stage: a page
+    * is dropped when ANY token (case-folded, punctuation-stripped at
+    * the edges) matches the [[Blocklist]]. Emits, per source, the audit
+    * a cleaning run logs: doc volume, flagged docs and fraction, total
+    * hit occurrences, and the token mass the drop reclaims.
+    *
+    * Determinism: hits are exact integer counts of an exact
+    * set-membership test (lower + edge-trim are identical string ops in
+    * both engines); fractions are single rounded IEEE divisions.
+    *
+    * Scale shape: one codegen'd projection over one corpus scan (the
+    * membership test is a ≤|blocklist| literal IN over each token — no
+    * join, the list is a plan constant), then a map-side-combinable
+    * rollup onto the ≤|sources| key space.
+    */
+  def blocklistFilter(s: SparkSession, dir: String): DataFrame =
+    blocklistFilterFrom(t(s, dir))
+
+  /** [[blocklistFilter]] over an explicit `(source, text)` relation —
+    * the spec pins the case-fold/edge-trim matching on crafted spam.
+    */
+  def blocklistFilterFrom(d: DataFrame): DataFrame = {
+    val norm: Column => Column = x =>
+      regexp_replace(regexp_replace(lower(x), "^[^a-z0-9]+", ""), "[^a-z0-9]+$", "")
+    val hits = size(filter(tokens(col("text")),
+      x => norm(x).isInCollection(Blocklist)))
+    val per = d.select(col("source"),
+      size(tokens(col("text"))).cast("long").as("ntok"),
+      hits.cast("long").as("n_hits"))
+    per.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_hits") > 0, 1L).otherwise(0L)).as("docs_flagged"),
+        sum("n_hits").as("total_hits"),
+        sum(when(col("n_hits") > 0, col("ntok")).otherwise(0L)).as("tokens_dropped"),
+        sum("ntok").as("total_tokens"))
+      .select(col("source"), col("n_docs"), col("docs_flagged"),
+        round(col("docs_flagged").cast("double") / col("n_docs").cast("double"), 6)
+          .as("flag_frac"),
+        col("total_hits"), col("tokens_dropped"),
+        round(col("tokens_dropped").cast("double") /
+          greatest(col("total_tokens"), lit(1L)).cast("double"), 6)
+          .as("token_drop_frac"))
+      .orderBy("source")
+  }
+
+  val blocklistFilterSql: String = {
+    val list = Blocklist.map(w => s"'$w'").mkString(", ")
+    val norm = "regexp_replace(regexp_replace(lower(x), '^[^a-z0-9]+', ''), '[^a-z0-9]+$$', '')"
+    s"""WITH per AS (
+      SELECT source,
+        CAST(len($tokensSql) AS BIGINT) AS ntok,
+        CAST(len(list_filter($tokensSql, x -> $norm IN ($list))) AS BIGINT) AS n_hits
+      FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged,
+      ROUND(CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+        CAST(COUNT(*) AS DOUBLE), 6) AS flag_frac,
+      CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+      CAST(SUM(CASE WHEN n_hits > 0 THEN ntok ELSE 0 END) AS BIGINT) AS tokens_dropped,
+      ROUND(CAST(SUM(CASE WHEN n_hits > 0 THEN ntok ELSE 0 END) AS DOUBLE) /
+        CAST(GREATEST(SUM(ntok), 1) AS DOUBLE), 6) AS token_drop_frac
+    FROM per GROUP BY source ORDER BY source"""
+  }
 }

@@ -2343,6 +2343,52 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("T29 blocklist: case-fold and edge-trim matching, clean docs pass") {
+    import graft.ext.TextOps
+    val d = Seq(
+      ("web", "Win the CASINO, jackpot now!"),   // 2 hits via trim+fold
+      ("web", "a perfectly ordinary page here"),
+      ("book", "clean text"))
+      .toDF("source", "text")
+    val r = TextOps.blocklistFilterFrom(d).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val w = r("web")
+    assert(w.getLong(1) == 2L && w.getLong(2) == 1L)
+    assert(w.getDouble(3) == 0.5)
+    assert(w.getLong(4) == 2L && w.getLong(5) == 5L)
+    val b = r("book")
+    assert(b.getLong(2) == 0L && b.getDouble(3) == 0.0 && b.getLong(4) == 0L)
+    // real corpus: flags bounded, dropped tokens ≤ total
+    val c = TextOps.blocklistFilter(spark, Sf0001).collect()
+    assert(c.nonEmpty)
+    c.foreach { row => assert(row.getLong(2) <= row.getLong(1)) }
+  }
+
+  test("X15 customer concentration: revenue staircase fills exact deciles") {
+    val d = (1 to 10).map(i => (i.toLong, (i * 100).toDouble))
+      .toDF("o_custkey", "o_totalprice")
+    val tmp = java.nio.file.Files.createTempDirectory("x15").toString
+    d.write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val r = graft.ext.Relational.customerConcentration(spark, tmp).collect()
+    assert(r.length == 10)
+    r.zipWithIndex.foreach { case (row, i) =>
+      assert(row.getLong(0) == i.toLong && row.getLong(1) == 1L)
+      assert(row.getDouble(3) == (i + 1) * 100.0)
+      assert(row.getDouble(4) == BigDecimal((i + 1) / 55.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(r.last.getDouble(5) == 1.0)
+    // real corpus: shares sum to ~1, cum_share monotone
+    val c = graft.ext.Relational
+      .customerConcentration(spark, "/root/testdata/sf0.01").collect()
+    assert(c.nonEmpty)
+    assert(math.abs(c.map(_.getDouble(4)).sum - 1.0) < 1e-4)
+    c.sliding(2).foreach {
+      case Array(x, y) => assert(x.getDouble(5) <= y.getDouble(5) + 1e-9)
+      case _ =>
+    }
+  }
+
   test("M9 bitrate audit: rate identities hold per modality on sf0.001") {
     val r = Multimodal.bitrateAudit(spark, Sf0001).collect()
     assert(r.nonEmpty)
