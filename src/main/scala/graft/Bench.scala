@@ -122,7 +122,9 @@ object Bench {
     "d20_band_tuning",
     // r12c: x15 persists its per-customer revenue pre-agg (max + rank +
     // offset legs, the e19 shape)
-    "x15_customer_concentration")
+    "x15_customer_concentration",
+    // r12c: d21 rides the memoized D7 labels like c1/c3/c4/w9
+    "d21_cluster_sizes")
 
   // The iterative connected-components queries (d7/c1/d8/c3) execute
   // their full label-propagation loop (per-round count() actions) just

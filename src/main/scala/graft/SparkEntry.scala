@@ -773,8 +773,10 @@ object SparkEntry {
     Q("d18_line_dedup", Dedup.lineDedup, Some(Dedup.lineDedupSql)),
     Q("d19_template_prefix", Dedup.templatePrefix, Some(Dedup.templatePrefixSql)),
     Q("d20_band_tuning", Dedup.bandTuning, Some(Dedup.bandTuningSql)),
+    Q("d21_cluster_sizes", Dedup.clusterSizes, Some(Dedup.clusterSizesSql)),
     Q("w6_split_leakage", Mix.splitLeakage, Some(Mix.splitLeakageSql)),
     Q("w9_dedup_source_mix", Mix.dedupSourceMix, Some(Mix.dedupSourceMixSql)),
+    Q("w10_pack_sweep", Mix.packSweep, Some(Mix.packSweepSql)),
     Q("w7_mixture_temperature", Mix.mixtureTemperature, Some(Mix.mixtureTemperatureSql)),
     Q("w8_quality_upsample", Mix.qualityUpsample, Some(Mix.qualityUpsampleSql)),
     Q("s1_cosine_topk", Similarity.cosineTopk, Some(Similarity.cosineTopkSql)),

@@ -1745,6 +1745,47 @@ object Dedup {
     FROM psp GROUP BY source ORDER BY source"""
   }
 
+  // ------------------------------------------- D21 cluster sizes
+
+  /** D21: duplicate-cluster size distribution — D7's transitive-closure
+    * components rolled up into (decimal-digit-count, leading-digit)
+    * size bands with cluster/doc counts and exact extreme sizes: the
+    * "how big are our duplicate families" table that decides whether
+    * dedup keeps canonical-only (long tail of pairs) or needs
+    * family-level review (a few giant mirrors). Rides the SAME
+    * session-memoized label relation as D7/C1/C3/C4/W9.
+    *
+    * Determinism: sizes and counts are exact integers; the band axis is
+    * the E16 digit-count trick (pure integer string length — no
+    * float log ever reaches a bin edge).
+    *
+    * Scale shape: one groupBy over the label relation (map-side
+    * partials — a billion-doc component is ONE key), then a
+    * map-side-combinable rollup onto a ≤18·9-row key space.
+    */
+  def clusterSizes(s: SparkSession, dir: String): DataFrame = {
+    val sizes = clusterIds(s, dir)
+      .groupBy("lbl").agg(count(lit(1)).as("sz"))
+    sizes.groupBy(
+        length(col("sz").cast("string")).as("sz_digits"),
+        substring(col("sz").cast("string"), 1, 1).as("lead_digit"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum("sz").as("n_docs"),
+        min("sz").as("min_size"),
+        max("sz").as("max_size"))
+      .orderBy("sz_digits", "lead_digit")
+  }
+
+  val clusterSizesSql: String = s"""WITH RECURSIVE $clusterLabCtes,
+    sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM lab GROUP BY 1)
+    SELECT CAST(length(CAST(sz AS VARCHAR)) AS INTEGER) AS sz_digits,
+      substr(CAST(sz AS VARCHAR), 1, 1) AS lead_digit,
+      COUNT(*) AS n_clusters,
+      CAST(SUM(sz) AS BIGINT) AS n_docs,
+      CAST(MIN(sz) AS BIGINT) AS min_size,
+      CAST(MAX(sz) AS BIGINT) AS max_size
+    FROM sizes GROUP BY 1, 2 ORDER BY sz_digits, lead_digit"""
+
   // ------------------------------------------- D20 LSH band tuning
 
   /** Band shapes swept by D20 — (bands, rows) with bands·rows =

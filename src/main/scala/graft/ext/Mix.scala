@@ -637,6 +637,108 @@ object Mix {
         THEN target_tokens // available_tokens ELSE 0 END AS BIGINT) AS full_epochs
     FROM alloc ORDER BY source, phase"""
 
+  // ----------------------------------------- W10 pack-budget sweep
+
+  /** Sequence budgets swept by W10 (token context lengths a trainer
+    * might pack to).
+    */
+  val PackSweepBudgets: Seq[Long] = Seq(128L, 256L, 512L)
+
+  /** W10: packing-efficiency sweep — W2's greedy next-fit packing run
+    * at each candidate context length, reporting sequences produced,
+    * mean fill, and overfull-sequence counts per budget: the curve a
+    * trainer reads to pick its context length (longer contexts waste
+    * more tail capacity under the same greedy policy; single documents
+    * longer than the budget surface as overfull sequences that need
+    * splitting — W2's own doc covers why they're kept intact here).
+    *
+    * Determinism: the SAME hash-ordered per-stream fold as W2 (exact
+    * integers end-to-end), swept by a 3-row budget spine; ratios are
+    * single rounded IEEE divisions.
+    *
+    * Scale shape: one corpus projection; the spine multiplies only the
+    * per-stream fold inputs (bounded streams of ≤~[[PackStreamRows]]
+    * docs each — the fold is per-partition array work, no shuffle
+    * inside); the rollup lands on a 3-row key space.
+    */
+  def packSweep(s: SparkSession, dir: String): DataFrame =
+    packSweepFrom(docs(s, dir).select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("ntok")))
+
+  /** [[packSweep]] over an explicit `(doc_id, ntok)` relation. */
+  def packSweepFrom(d: DataFrame): DataFrame = {
+    val nTotal = d.agg(count(lit(1)).as("n_total"))
+    val base = d.select(col("doc_id"), col("ntok"), docHash.as("h"))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("bucket", pmod(col("h"),
+        greatest(lit(PackBucketsMin),
+          expr(s"(n_total + ${PackStreamRows - 1}) div $PackStreamRows"))))
+    val spine = d.sparkSession.createDataFrame(PackSweepBudgets.map(Tuple1(_)))
+      .toDF("budget") // 3 rows, provably bounded
+    val binsType = "array<struct<n_docs:bigint,n_tokens:bigint>>"
+    val packed = base.crossJoin(broadcast(spine))
+      .groupBy("budget", "bucket")
+      .agg(sort_array(collect_list(struct(col("h"), col("doc_id"), col("ntok"))))
+        .as("ds"))
+      .select(col("budget"), col("bucket"), aggregate(
+        col("ds"),
+        array().cast(binsType),
+        (acc, x) => {
+          val nt = x.getField("ntok")
+          val opened = array(struct(lit(1L).as("n_docs"), nt.as("n_tokens")))
+          when(size(acc) === 0, opened).otherwise {
+            val last = element_at(acc, -1)
+            when(last.getField("n_tokens") + nt <= col("budget"),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(struct((last.getField("n_docs") + lit(1L)).as("n_docs"),
+                  (last.getField("n_tokens") + nt).as("n_tokens")))))
+              .otherwise(concat(acc, opened))
+          }
+        }).as("bins"))
+    packed.select(col("budget"), explode(col("bins")).as("b"))
+      .select(col("budget"), col("b.n_docs").as("nd"), col("b.n_tokens").as("nt"))
+      .groupBy("budget")
+      .agg(count(lit(1)).as("n_seqs"),
+        sum("nd").as("n_docs"),
+        sum("nt").as("total_tokens"),
+        sum(when(col("nt") > col("budget"), 1L).otherwise(0L)).as("overfull_seqs"))
+      .select(col("budget"), col("n_seqs"), col("n_docs"), col("total_tokens"),
+        col("overfull_seqs"),
+        round(col("total_tokens").cast("double") /
+          (col("n_seqs") * col("budget")).cast("double"), 6).as("mean_fill"))
+      .orderBy("budget")
+  }
+
+  val packSweepSql: String = s"""WITH RECURSIVE nb AS (
+      SELECT ${packStreamsSql("COUNT(*)")} AS nbuckets FROM documents),
+    base AS (
+      SELECT doc_id, CAST(len(${TextOps.tokensSql}) AS BIGINT) AS ntok,
+        ${TextOps.tokenHashSql("CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents),
+    ks AS (SELECT CAST(unnest([${PackSweepBudgets.mkString(", ")}]) AS BIGINT) AS k),
+    ord AS (
+      SELECT k, h % nbuckets AS bucket, ntok,
+        row_number() OVER (PARTITION BY k, h % nbuckets ORDER BY h, doc_id) AS i
+      FROM base CROSS JOIN nb CROSS JOIN ks),
+    rec AS (
+      SELECT k, bucket, i, ntok, CAST(0 AS BIGINT) AS seq, ntok AS fill
+      FROM ord WHERE i = 1
+      UNION ALL
+      SELECT o.k, o.bucket, o.i, o.ntok,
+        CASE WHEN r.fill + o.ntok <= o.k THEN r.seq ELSE r.seq + 1 END,
+        CASE WHEN r.fill + o.ntok <= o.k THEN r.fill + o.ntok ELSE o.ntok END
+      FROM rec r JOIN ord o ON o.k = r.k AND o.bucket = r.bucket AND o.i = r.i + 1),
+    seqs AS (
+      SELECT k, bucket, seq, COUNT(*) AS nd, CAST(SUM(ntok) AS BIGINT) AS nt
+      FROM rec GROUP BY 1, 2, 3)
+    SELECT k AS budget,
+      COUNT(*) AS n_seqs,
+      CAST(SUM(nd) AS BIGINT) AS n_docs,
+      CAST(SUM(nt) AS BIGINT) AS total_tokens,
+      CAST(SUM(CASE WHEN nt > k THEN 1 ELSE 0 END) AS BIGINT) AS overfull_seqs,
+      ROUND(CAST(SUM(nt) AS DOUBLE) / CAST(COUNT(*) * k AS DOUBLE), 6) AS mean_fill
+    FROM seqs GROUP BY k ORDER BY budget"""
+
   // ----------------------------------------- W9 post-dedup source mix
 
   /** W9: dedup-aware mixture reweighting — W1's per-source mixture

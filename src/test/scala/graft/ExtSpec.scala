@@ -2389,6 +2389,52 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("D21 cluster sizes: bands conserve the corpus, singletons present") {
+    val r = Dedup.clusterSizes(spark, Sf0001).collect()
+    assert(r.nonEmpty)
+    val nDocs = spark.read.parquet(s"$Sf0001/documents.parquet").count()
+    assert(r.map(_.getLong(3)).sum == nDocs) // every doc in exactly one cluster
+    r.foreach { row =>
+      assert(row.getInt(0) >= 1 && row.getInt(0) <= 18)
+      assert(row.getLong(4) <= row.getLong(5))
+      assert(row.getLong(2) >= 1L)
+    }
+    assert(r.exists(row => row.getInt(0) == 1 && row.getString(1) == "1"))
+  }
+
+  test("W10 pack sweep: one stream, budget doubling halves the sequence count") {
+    import graft.ext.{Mix, TextOps}
+    // pick 4 doc ids that hash into the same of the 16 streams
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 16
+    }
+    val ids = Iterator.from(0).map(_.toLong).filter(bucket(_) == 0L).take(4).toSeq
+    val d = ids.map(i => (i, 100L)).toDF("doc_id", "ntok")
+    val r = Mix.packSweepFrom(d).collect()
+    assert(r.map(_.getLong(0)).toSeq == Mix.PackSweepBudgets)
+    val byB = r.map(x => x.getLong(0) -> x).toMap
+    assert(byB(128L).getLong(1) == 4L) // 100 each: one per sequence
+    assert(byB(256L).getLong(1) == 2L) // pairs fit
+    assert(byB(512L).getLong(1) == 1L) // all four fit
+    r.foreach { row =>
+      assert(row.getLong(2) == 4L && row.getLong(3) == 400L)
+      assert(row.getLong(4) == 0L)
+      assert(row.getDouble(5) == 0.78125) // 400/(n_seqs·budget) at every point
+    }
+    // real corpus: doc/token mass conserved across budgets
+    val c = Mix.packSweep(spark, Sf0001).collect()
+    assert(c.length == Mix.PackSweepBudgets.length)
+    assert(c.map(_.getLong(2)).distinct.length == 1)
+    assert(c.map(_.getLong(3)).distinct.length == 1)
+    c.sliding(2).foreach {
+      case Array(x, y) => assert(y.getLong(1) <= x.getLong(1))
+      case _ =>
+    }
+  }
+
   test("M9 bitrate audit: rate identities hold per modality on sf0.001") {
     val r = Multimodal.bitrateAudit(spark, Sf0001).collect()
     assert(r.nonEmpty)
