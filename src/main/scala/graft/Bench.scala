@@ -124,7 +124,10 @@ object Bench {
     // offset legs, the e19 shape)
     "x15_customer_concentration",
     // r12c: d21 rides the memoized D7 labels like c1/c3/c4/w9
-    "d21_cluster_sizes")
+    "d21_cluster_sizes",
+    // r12c: e23 persists its (type, day) pre-agg (stats + z legs);
+    // j3 persists its pair relation (cell rollup + distinct-user leg)
+    "e23_daily_anomaly", "j3_range_join")
 
   // The iterative connected-components queries (d7/c1/d8/c3) execute
   // their full label-propagation loop (per-round count() actions) just

@@ -748,6 +748,8 @@ object SparkEntry {
     Q("e20_transition_entropy", Events.transitionEntropy, Some(Events.transitionEntropySql)),
     Q("e21_first_touch", Events.firstTouch, Some(Events.firstTouchSql)),
     Q("e22_profile_similarity", Events.profileSimilarity, Some(Events.profileSimilaritySql)),
+    Q("e23_daily_anomaly", Events.dailyAnomaly, Some(Events.dailyAnomalySql)),
+    Q("j3_range_join", Events.rangeJoin, Some(Events.rangeJoinSql)),
     Q("w1_source_mix", Mix.sourceMix, Some(Mix.sourceMixSql)),
     Q("w2_seq_pack", Mix.seqPack, Some(Mix.seqPackSql)),
     Q("w3_pii_scan", Pii.piiScan, Some(Pii.piiScanSql)),

@@ -1258,6 +1258,177 @@ object Events {
       ROUND(CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_events
     FROM per GROUP BY 1 ORDER BY 1"""
 
+  // --------------------------------------- E23 daily volume anomaly
+
+  /** E23: daily-volume anomaly scan — per event type, each UTC day's
+    * event count z-scored against that type's own daily distribution,
+    * reporting the |z| > 1 tail with the ±[[AnomalyZ]] flag: the
+    * "traffic is unusual TODAY" alert baseline (E9 scores users within
+    * a type; E23 scores days — the two denominators every volume alert
+    * divides by). Days are exact integer epoch-day indices; only
+    * observed days enter the population (a silent day is an ingest
+    * outage — it surfaces as the NEXT day's negative z).
+    *
+    * Determinism: the E9 moment protocol verbatim — exact DECIMAL
+    * Σc/Σc², one double conversion in the identical expression shape,
+    * zero-variance populations explicitly z = 0 (the NaN-divergence
+    * guard), round at the boundary.
+    *
+    * Scale shape: one map-side-combinable aggregate onto the
+    * (type, day) key space, a bounded per-type stats relation, and a
+    * broadcast-sized join back — no windows, nothing user-grain.
+    */
+  def dailyAnomaly(s: SparkSession, dir: String): DataFrame =
+    dailyAnomalyFrom(t(s, dir))
+
+  /** [[dailyAnomaly]] over an explicit event relation — the spec pins
+    * z values on crafted day volumes.
+    */
+  def dailyAnomalyFrom(events: DataFrame): DataFrame = {
+    val per = events
+      .withColumn("day", expr("us div 86400000000"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n_events"))
+      .persist() // feeds the per-type stats AND the z-score join
+    val stats = per.groupBy("event_type").agg(
+      count(lit(1)).as("nd"),
+      sum(col("n_events").cast(DecimalType(14, 0))).as("s1"),
+      sum(col("n_events").cast(DecimalType(14, 0)) *
+        col("n_events").cast(DecimalType(14, 0))).as("s2"))
+    val mean = col("s1").cast("double") / col("nd").cast("double")
+    val variance = (col("nd").cast("double") * col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double")) /
+      (col("nd").cast("double") * col("nd").cast("double"))
+    val z = when(variance > 0,
+      (col("n_events").cast("double") - mean) / sqrt(variance))
+      .otherwise(lit(0.0))
+    per.join(stats, "event_type")
+      .select(col("event_type"), col("day"), col("n_events"),
+        round(mean, 6).as("type_mean"),
+        round(sqrt(variance), 6).as("type_std"),
+        round(z, 6).as("z"),
+        (abs(z) > AnomalyZ).cast("int").as("anomalous"))
+      .filter(abs(col("z")) > 1.0)
+      .orderBy("event_type", "day")
+  }
+
+  val dailyAnomalySql: String = s"""WITH per AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, COUNT(*) AS nd,
+        SUM(CAST(n_events AS DECIMAL(14,0))) AS s1,
+        SUM(CAST(n_events AS DECIMAL(14,0)) * CAST(n_events AS DECIMAL(14,0))) AS s2
+      FROM per GROUP BY 1),
+    scored AS (
+      SELECT per.event_type, day, n_events,
+        CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE) AS mean,
+        (CAST(nd AS DOUBLE) * CAST(s2 AS DOUBLE) -
+         CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+        (CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE)) AS variance
+      FROM per JOIN stats ON per.event_type = stats.event_type),
+    z AS (
+      SELECT event_type, day, n_events,
+        ROUND(mean, 6) AS type_mean,
+        ROUND(sqrt(variance), 6) AS type_std,
+        ROUND(CASE WHEN variance > 0
+          THEN (CAST(n_events AS DOUBLE) - mean) / sqrt(variance)
+          ELSE 0.0 END, 6) AS z,
+        CAST(ABS(CASE WHEN variance > 0
+          THEN (CAST(n_events AS DOUBLE) - mean) / sqrt(variance)
+          ELSE 0.0 END) > $AnomalyZ AS INT) AS anomalous
+      FROM scored)
+    SELECT * FROM z WHERE ABS(z) > 1.0 ORDER BY event_type, day"""
+
+  // --------------------------------------- J3 temporal range join
+
+  /** Half-width of the J3 pairing window in exact microseconds (30 min —
+    * the [[SessionGapUs]] horizon, so "in the same session neighborhood").
+    */
+  val RangeJoinWindowUs: Long = 1800000000L
+
+  /** J3: temporal range join — click↔error pairs of the SAME user
+    * within ±[[RangeJoinWindowUs]], the "what failed right after the
+    * user acted" correlation (the range-predicate join E4's as-of and
+    * E11's frames don't express: BOTH directions, ALL pairs in the
+    * window). Emits the gap histogram per whole-second offset and
+    * direction, with distinct-user evidence.
+    *
+    * Scale shape — the range join that never cross-joins: one side
+    * expands to its 3 adjacent [[RangeJoinWindowUs]]-wide time buckets,
+    * the join runs as a plain equi-join on (user, bucket), and the
+    * exact |Δt| predicate filters after — candidate volume is bounded
+    * by per-user event density inside ±2 windows, never by corpus
+    * size. Pair multiplicity is the operator's semantics (k clicks × m
+    * errors in-window = k·m rows — what a correlation count means).
+    * Distinct users per cell use the d18 distinct-then-count shape.
+    *
+    * Determinism: everything is exact integer µs arithmetic; each pair
+    * matches exactly once (the error's bucket is unique and the
+    * click's expansion covers it); the one ratio is a rounded IEEE
+    * division.
+    */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame =
+    rangeJoinFrom(t(s, dir))
+
+  /** [[rangeJoin]] over an explicit event relation — the spec pins the
+    * window edges and multiplicity on a crafted timeline.
+    */
+  def rangeJoinFrom(events: DataFrame): DataFrame = {
+    val w = RangeJoinWindowUs
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("cus"))
+      .withColumn("cb", expr(s"cus div $w"))
+      .withColumn("b", explode(array(col("cb") - 1, col("cb"), col("cb") + 1)))
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id"), col("us").as("eus"),
+        expr(s"us div $w").as("b"))
+    val pairs = clicks.join(errors, Seq("user_id", "b"))
+      .filter(abs(col("eus") - col("cus")) <= w)
+      .select(col("user_id"),
+        (col("eus") - col("cus")).as("gap_us"))
+      .select(col("user_id"), col("gap_us"),
+        when(col("gap_us") >= 0, lit("error_after")).otherwise(lit("error_before"))
+          .as("direction"),
+        expr("abs(gap_us) div 60000000").as("gap_min"))
+      .persist() // feeds the pair rollup and the distinct-user leg
+    val cells = pairs.groupBy("direction", "gap_min")
+      .agg(count(lit(1)).as("n_pairs"),
+        min("gap_us").as("min_gap_us"),
+        max("gap_us").as("max_gap_us"))
+    val users = pairs.select("direction", "gap_min", "user_id").distinct()
+      .groupBy("direction", "gap_min").agg(count(lit(1)).as("n_users"))
+    cells.join(users, Seq("direction", "gap_min"))
+      .select(col("direction"), col("gap_min"), col("n_pairs"), col("n_users"),
+        round(col("n_pairs").cast("double") / col("n_users").cast("double"), 6)
+          .as("pairs_per_user"),
+        col("min_gap_us"), col("max_gap_us"))
+      .orderBy("direction", "gap_min")
+  }
+
+  val rangeJoinSql: String = s"""WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    pairs AS (
+      SELECT c.user_id, e.us - c.us AS gap_us,
+        CASE WHEN e.us - c.us >= 0 THEN 'error_after' ELSE 'error_before' END AS direction,
+        ABS(e.us - c.us) // 60000000 AS gap_min
+      FROM ev c JOIN ev e ON c.user_id = e.user_id
+      WHERE c.event_type = 'click' AND e.event_type = 'error'
+        AND ABS(e.us - c.us) <= $RangeJoinWindowUs),
+    cells AS (
+      SELECT direction, gap_min, COUNT(*) AS n_pairs,
+        CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+        CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+      FROM pairs GROUP BY 1, 2),
+    us AS (
+      SELECT direction, gap_min, COUNT(*) AS n_users
+      FROM (SELECT DISTINCT direction, gap_min, user_id FROM pairs)
+      GROUP BY 1, 2)
+    SELECT direction, gap_min, n_pairs, n_users,
+      ROUND(CAST(n_pairs AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS pairs_per_user,
+      min_gap_us, max_gap_us
+    FROM cells JOIN us USING (direction, gap_min)
+    ORDER BY direction, gap_min"""
+
   // --------------------------------------- E22 profile similarity
 
   /** Probe users (`user_id < ProfileProbes`) — the bounded, data-derived

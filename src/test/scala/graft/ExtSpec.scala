@@ -2435,6 +2435,59 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("E23 daily anomaly: spike day scores the exact z, quiet days filtered") {
+    import graft.ext.Events
+    val day = 86400000000L
+    // type a: days 0-2 at 10 events, day 3 at 20 → mean 12.5, var 18.75,
+    // z(20) = 7.5/√18.75 = 1.732051; the 10-count days sit at |z| 0.577
+    val rows = (0 until 3).flatMap(dd =>
+      (1 to 10).map(i => ("a", dd * day + i.toLong))) ++
+      (1 to 20).map(i => ("a", 3 * day + i.toLong))
+    val r = Events.dailyAnomalyFrom(rows.toDF("event_type", "us")).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 3L && r.head.getLong(2) == 20L)
+    assert(r.head.getDouble(5) == BigDecimal(7.5 / math.sqrt(18.75))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.head.getInt(6) == 0) // 1.73 < AnomalyZ
+    // real corpus: flags consistent with the reported z
+    val c = Events.dailyAnomaly(spark, Sf0001).collect()
+    c.foreach { row =>
+      assert(math.abs(row.getDouble(5)) > 1.0)
+      assert((row.getInt(6) == 1) == (math.abs(row.getDouble(5)) > Events.AnomalyZ))
+    }
+  }
+
+  test("J3 range join: window edges, both directions, pair multiplicity") {
+    import graft.ext.Events
+    val s_ = 1000000L
+    val rows = Seq(
+      (1L, "click", 1000L * s_),
+      (1L, "error", 1030L * s_),          // +30s  → after, minute 0
+      (1L, "error", 1090L * s_),          // +90s  → after, minute 1
+      (1L, "error", 880L * s_),           // −120s → before, minute 2
+      (1L, "error", 1000L * s_ + 2400L * s_), // +40min → outside
+      (2L, "click", 5000L * s_),
+      (2L, "click", 5010L * s_),
+      (2L, "error", 5020L * s_))          // pairs with BOTH u2 clicks
+      .map { case (u, e, t) => (u, e, t) }
+    val d = rows.toDF("user_id", "event_type", "us")
+    val r = Events.rangeJoinFrom(d).collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> x).toMap
+    val a0 = r(("error_after", 0L))
+    assert(a0.getLong(2) == 3L && a0.getLong(3) == 2L)   // 1 + 2 pairs, 2 users
+    assert(a0.getDouble(4) == 1.5)
+    assert(r(("error_after", 1L)).getLong(2) == 1L)
+    val b2 = r(("error_before", 2L))
+    assert(b2.getLong(2) == 1L && b2.getLong(5) == -120L * s_)
+    assert(!r.contains(("error_after", 40L)))            // outside the window
+    // real corpus: gap bands within the 30-min half-width
+    val c = Events.rangeJoin(spark, Sf0001).collect()
+    c.foreach { row =>
+      assert(row.getLong(1) >= 0L && row.getLong(1) <= 30L)
+      assert(row.getLong(3) <= row.getLong(2))
+    }
+  }
+
   test("M9 bitrate audit: rate identities hold per modality on sf0.001") {
     val r = Multimodal.bitrateAudit(spark, Sf0001).collect()
     assert(r.nonEmpty)
