@@ -689,7 +689,9 @@ object SparkEntry {
     Q("x13_fulfillment", Relational.fulfillment, Some(Relational.fulfillmentSql)),
     Q("x14_trade_balance", Relational.tradeBalance, Some(Relational.tradeBalanceSql)),
     Q("x15_customer_concentration", Relational.customerConcentration,
-      Some(Relational.customerConcentrationSql)))
+      Some(Relational.customerConcentrationSql)),
+    Q("x16_copurchase_pairs", Relational.copurchasePairs,
+      Some(Relational.copurchasePairsSql)))
 
   private val extQueries: Seq[Q] = Seq(
     Q("e1_sessionize", Events.sessionize, Some(Events.sessionizeSql)),
@@ -744,6 +746,8 @@ object SparkEntry {
     Q("t27_vocab_coverage", TextOps.vocabCoverage, Some(TextOps.vocabCoverageSql)),
     Q("t28_length_percentiles", TextOps.lengthPercentiles, Some(TextOps.lengthPercentilesSql)),
     Q("t29_blocklist_filter", TextOps.blocklistFilter, Some(TextOps.blocklistFilterSql)),
+    Q("t30_heaps_law", TextOps.heapsLaw, Some(TextOps.heapsLawSql)),
+    Q("t31_tfidf_keywords", TextOps.tfidfKeywords, Some(TextOps.tfidfKeywordsSql)),
     Q("e19_pareto_share", Events.paretoShare, Some(Events.paretoShareSql)),
     Q("e20_transition_entropy", Events.transitionEntropy, Some(Events.transitionEntropySql)),
     Q("e21_first_touch", Events.firstTouch, Some(Events.firstTouchSql)),
@@ -802,6 +806,7 @@ object SparkEntry {
     Q("s16_cell_occupancy", Similarity.cellOccupancy, Some(Similarity.cellOccupancySql)),
     Q("s17_seed_sweep", Similarity.seedSweep, Some(Similarity.seedSweepSql)),
     Q("s18_relative_contrast", Similarity.relativeContrast, Some(Similarity.relativeContrastSql)),
+    Q("s19_norm_length_corr", Similarity.normLengthCorr, Some(Similarity.normLengthCorrSql)),
     Q("m1_multimodal_meta", Multimodal.meta, Some(Multimodal.metaSql)),
     // mapPartitions feature extraction — the byte-nibble histogram IS
     // SQL-expressible (hex trick, see Multimodal.featuresSql), so the

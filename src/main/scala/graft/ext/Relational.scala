@@ -844,4 +844,53 @@ object Relational {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
         CAST((SELECT SUM(rc) FROM deciles) AS DOUBLE), 6) AS cum_share
     FROM deciles ORDER BY decile"""
+
+  /** X16: co-purchase pair mining — the top-50 part pairs that appear
+    * together in the most orders (market-basket support counting, the
+    * first stage of association-rule mining; Agrawal & Srikant, VLDB
+    * 1994). Pairs are unordered (p1 < p2) over DISTINCT parts per order,
+    * so a part twice in one order never self-pairs.
+    *
+    * Determinism: pure integer counts; ties broken by (p1, p2) asc.
+    *
+    * Scale shape: the pair explode is the within-order self-join — a
+    * shuffle on l_orderkey where each order contributes C(lines,2)
+    * pairs, and TPC-H-family orders are ≤7 lines, so the blowup is a
+    * bounded constant (NOT an all-pairs over parts); the pair count is
+    * a map-side-partial aggregate; top-50 is TakeOrdered (sort-free),
+    * re-ranked by a 50-row window.
+    */
+  def copurchasePairs(s: SparkSession, dir: String): DataFrame =
+    copurchasePairsFrom(t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")))
+
+  /** [[copurchasePairs]] over an explicit `(l_orderkey, l_partkey)`
+    * relation — the spec pins exact pair supports on crafted baskets.
+    */
+  def copurchasePairsFrom(li: DataFrame): DataFrame = {
+    val op = li
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val a = op.select(col("ok"), col("pk").as("p1"))
+    val b = op.select(col("ok").as("ok2"), col("pk").as("p2"))
+    val pairs = a.join(b, col("ok") === col("ok2") && col("p1") < col("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      .limit(50)
+    pairs.withColumn("rk", row_number().over(
+      Window.orderBy(col("n_orders").desc, col("p1"), col("p2"))))
+      .select(col("rk"), col("p1"), col("p2"), col("n_orders"))
+  }
+
+  val copurchasePairsSql: String = """WITH op AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    pairs AS (
+      SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS n_orders
+      FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+      ORDER BY n_orders DESC, p1, p2 LIMIT 50)
+    SELECT row_number() OVER (ORDER BY n_orders DESC, p1, p2) AS rk,
+      p1, p2, n_orders
+    FROM pairs"""
 }

@@ -1354,4 +1354,78 @@ object Similarity {
           (mxc - mnc), 6)
         ELSE 0.0 END AS contrast
     FROM agg ORDER BY qid"""
+
+  // --------------------------------------- S19 norm vs doc-length corr
+
+  /** S19: cross-modal embedding audit — per document source, the Pearson
+    * correlation between a document's embedding L2 norm and ln(1+chars).
+    * The first cross-table query of the tier: `embeddings.vec_id` is
+    * 1:1 with `documents.doc_id`, and an embedding pipeline whose norms
+    * track raw document length (rather than content) is a red flag for
+    * retrieval/SemDeDup quality — unnormalized pooling leaks length into
+    * every cosine. A |corr| near 0 is healthy for normalized encoders.
+    *
+    * Determinism: norms are sqrt of engine-identical `graft_dot`
+    * self-dots (IEEE sqrt of identical doubles), rounded at 6; the
+    * length leg rounds ln at 9 (T10 transcendental rule); products and
+    * squares of the identically-rounded doubles accumulate in exact
+    * DECIMAL(25,12) (the T12 regression protocol) and the closed-form
+    * correlation is one arithmetic expression over identical doubles,
+    * rounded at 6, with the zero-variance denominator guarded to NULL
+    * (the CLAUDE.md NaN rule).
+    *
+    * Scale shape: one shuffle join on the 1:1 id (both sides fact-sized
+    * — left to the planner, sort-merge at scale, co-located with
+    * id-bucketed tables), then a map-side-partial aggregate onto the
+    * bounded source key space. No window, no pair join.
+    */
+  def normLengthCorr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val emb = withNorm(t(s, dir))
+      .select(col("vec_id"), round(col("nrm"), 6).as("x"))
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        round(log(lit(1.0) + col("n_chars").cast("double")), 9).as("y"))
+    val dec = DecimalType(25, 12)
+    val sums = emb.join(docs, col("vec_id") === col("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).cast("double").as("sx"),
+        sum(col("y").cast(dec)).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).cast("double").as("syy"))
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")) *
+      (col("n") * col("syy") - col("sy") * col("sy"))
+    sums.select(
+      col("source"), col("n").as("n_docs"),
+      round(col("sx") / col("n").cast("double"), 6).as("mean_norm"),
+      when(den > 0,
+        round((col("n") * col("sxy") - col("sx") * col("sy")) / sqrt(den), 6))
+        .as("corr_norm_len"))
+      .orderBy("source")
+  }
+
+  val normLengthCorrSql: String = {
+    val den = "(n * sxx - sx * sx) * (n * syy - sy * sy)"
+    s"""WITH xe AS (
+      SELECT vec_id, ROUND(${normSql("embedding")}, 6) AS x FROM embeddings),
+    yd AS (
+      SELECT doc_id, source,
+        ROUND(ln(1.0 + CAST(n_chars AS DOUBLE)), 9) AS y
+      FROM documents),
+    sums AS (
+      SELECT source, COUNT(*) AS n,
+        CAST(SUM(CAST(x AS DECIMAL(25,12))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(y AS DECIMAL(25,12))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(x * y AS DECIMAL(25,12))) AS DOUBLE) AS sxy,
+        CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(y * y AS DECIMAL(25,12))) AS DOUBLE) AS syy
+      FROM xe JOIN yd ON vec_id = doc_id GROUP BY 1)
+    SELECT source, n AS n_docs,
+      ROUND(sx / CAST(n AS DOUBLE), 6) AS mean_norm,
+      CASE WHEN $den > 0
+        THEN ROUND((n * sxy - sx * sy) / sqrt($den), 6) END AS corr_norm_len
+    FROM sums ORDER BY source"""
+  }
 }

@@ -2287,4 +2287,169 @@ object TextOps {
         CAST(GREATEST(SUM(ntok), 1) AS DOUBLE), 6) AS token_drop_frac
     FROM per GROUP BY source ORDER BY source"""
   }
+
+  // ------------------------------------------------------- T30 Heaps' law
+
+  val HeapsBuckets = 20L
+
+  /** T30: Heaps'-law vocabulary growth curve — docs are cut into
+    * [[HeapsBuckets]] equal doc-id ranges; per bucket: tokens scanned,
+    * NEW vocabulary types (tokens whose first appearance falls in the
+    * bucket), and the cumulative type/token totals with the pointwise
+    * Heaps exponent ln(V)/ln(N). Natural corpora grow V ≈ K·N^β with
+    * β ≈ 0.4–0.6 (Heaps 1978); a flattening curve means the crawl has
+    * stopped discovering language, a β near 1 means unbounded junk
+    * vocabulary (both standard corpus-growth health checks).
+    *
+    * Determinism: first appearance is an exact min over (token → doc_id)
+    * (the D13 first-touch shape on the raw token); bucket indexes are
+    * pure integer arithmetic off the 1-row max-id broadcast; counts are
+    * exact integers; the two lns divide once at the boundary, rounded
+    * at 6, with the N≤1 denominator guarded to NULL (CLAUDE.md NaN
+    * rule).
+    *
+    * Scale shape: one vocab-sized min-agg (map-side partial) + one
+    * per-doc token-count agg, each followed by a map-side-partial
+    * rollup onto the ≤[[HeapsBuckets]] key space; cumulative sums run
+    * on the bounded bucket relation only. No window over the corpus, no
+    * join between fact-sized relations.
+    */
+  def heapsLaw(s: SparkSession, dir: String): DataFrame =
+    heapsLawFrom(t(s, dir).select(col("doc_id"), col("text")))
+
+  /** [[heapsLaw]] over an explicit `(doc_id, text)` relation — the spec
+    * pins exact new-type counts on a crafted vocabulary ramp.
+    */
+  def heapsLawFrom(docs: DataFrame): DataFrame = {
+    val mx = docs.agg(max("doc_id").as("mxid"))
+    val bucketOf = expr(s"(doc_id * $HeapsBuckets) div (mxid + 1)")
+    // per-bucket scanned tokens and doc counts
+    val perDoc = docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("ntok"))
+      .crossJoin(broadcast(mx))
+      .select(bucketOf.as("bucket"), col("ntok"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("bucket_tokens"))
+    // per-bucket NEW types: token -> min doc_id, bucketed
+    val firstTouch = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(min("doc_id").as("doc_id"))
+      .crossJoin(broadcast(mx))
+      .select(bucketOf.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perDoc.join(firstTouch, Seq("bucket"), "left")
+      .na.fill(0L, Seq("new_types"))
+      .withColumn("cum_types", sum("new_types").over(w))
+      .withColumn("cum_tokens", sum("bucket_tokens").over(w))
+      .select(col("bucket"), col("n_docs"), col("bucket_tokens"),
+        col("new_types"), col("cum_types"), col("cum_tokens"),
+        when(col("cum_tokens") > 1 && col("cum_types") > 0,
+          round(log(col("cum_types").cast("double")) /
+            log(col("cum_tokens").cast("double")), 6)).as("beta_pointwise"))
+      .orderBy("bucket")
+  }
+
+  val heapsLawSql: String = s"""WITH mx AS (
+      SELECT MAX(doc_id) AS mxid FROM documents),
+    per_doc AS (
+      SELECT (doc_id * $HeapsBuckets) // (mxid + 1) AS bucket,
+        CAST(len($tokensSql) AS BIGINT) AS ntok
+      FROM documents CROSS JOIN mx),
+    buckets AS (
+      SELECT bucket, COUNT(*) AS n_docs,
+        CAST(SUM(ntok) AS BIGINT) AS bucket_tokens
+      FROM per_doc GROUP BY 1),
+    first_touch AS (
+      SELECT tok, MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id, unnest($tokensSql) AS tok FROM documents)
+      GROUP BY 1),
+    new_types AS (
+      SELECT (doc_id * $HeapsBuckets) // (mxid + 1) AS bucket,
+        COUNT(*) AS new_types
+      FROM first_touch CROSS JOIN mx GROUP BY 1),
+    cum AS (
+      SELECT b.bucket, n_docs, bucket_tokens,
+        COALESCE(new_types, 0) AS new_types,
+        SUM(COALESCE(new_types, 0)) OVER (ORDER BY b.bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_types,
+        SUM(bucket_tokens) OVER (ORDER BY b.bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM buckets b LEFT JOIN new_types n ON b.bucket = n.bucket)
+    SELECT bucket, n_docs, bucket_tokens,
+      CAST(new_types AS BIGINT) AS new_types,
+      CAST(cum_types AS BIGINT) AS cum_types,
+      CAST(cum_tokens AS BIGINT) AS cum_tokens,
+      CASE WHEN cum_tokens > 1 AND cum_types > 0
+        THEN ROUND(ln(CAST(cum_types AS DOUBLE)) /
+          ln(CAST(cum_tokens AS DOUBLE)), 6) END AS beta_pointwise
+    FROM cum ORDER BY bucket"""
+
+  // --------------------------------------------------- T31 tf-idf keywords
+
+  val KeywordsPerDoc = 3
+
+  /** T31: per-document keyword extraction — the top-[[KeywordsPerDoc]]
+    * tokens of every document by tf·idf (Spärck Jones 1972), the
+    * classic zero-training summarizer/tagger of a curation pipeline
+    * (distinct from T23's BM25, which ranks DOCUMENTS for a query —
+    * this ranks TERMS within a document). idf = ln((N+1)/(df+1))
+    * smoothed so corpus-universal terms score 0, never negative-∞.
+    *
+    * Determinism: tf and df are exact integers; idf follows the T10
+    * rule — computed ONCE per vocab row and rounded at 9 before any
+    * reuse; score = tf·idf multiplies an exact integer by the identical
+    * double (one IEEE op), and ranking compares those bit-identical
+    * doubles with (token asc) tie-breaks; the emitted score re-rounds
+    * at 6.
+    *
+    * Scale shape: tf is one (doc,tok) pre-agg; df is a map-side-partial
+    * count over that already-distinct relation (the d18 viral-key-safe
+    * shape — no countDistinct); the join back is vocab-keyed; the top-k
+    * window partitions by doc_id — per-key, never global. Output is
+    * k·docs rows.
+    */
+  def tfidfKeywords(s: SparkSession, dir: String): DataFrame =
+    tfidfKeywordsFrom(t(s, dir).select(col("doc_id"), col("text")))
+
+  /** [[tfidfKeywords]] over an explicit `(doc_id, text)` relation — the
+    * spec pins rank order on a corpus with known df structure.
+    */
+  def tfidfKeywordsFrom(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("tok"),
+        round(log((col("n").cast("double") + 1.0) / (col("df").cast("double") + 1.0)), 9)
+          .as("idf"))
+    val scored = tf.join(df, "tok")
+      .select(col("doc_id"), col("tok"), (col("tf") * col("idf")).as("score"))
+    scored.withColumn("rk", row_number().over(
+      Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))))
+      .filter(col("rk") <= KeywordsPerDoc)
+      .select(col("doc_id"), col("rk"), col("tok").as("keyword"),
+        round(col("score"), 6).as("score"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val tfidfKeywordsSql: String = s"""WITH tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest($tokensSql) AS tok FROM documents)
+      GROUP BY 1, 2),
+    idf AS (
+      SELECT tok, ROUND(ln((CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) + 1.0) /
+        (CAST(COUNT(*) AS DOUBLE) + 1.0)), 9) AS idf
+      FROM tf GROUP BY tok),
+    scored AS (
+      SELECT doc_id, tok, tf * idf AS score
+      FROM tf JOIN idf USING (tok))
+    SELECT doc_id, rk, keyword, ROUND(score, 6) AS score FROM (
+      SELECT doc_id, tok AS keyword, score,
+        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rk
+      FROM scored)
+    WHERE rk <= $KeywordsPerDoc ORDER BY doc_id, rk"""
 }

@@ -2501,4 +2501,71 @@ class ExtSpec extends SparkSpec {
       assert(row.getDouble(7) > 0.0 && row.getDouble(8) > 0.0)
     }
   }
+
+  test("T30 Heaps: one-new-type-per-doc ramp pins the growth curve") {
+    // doc i = "t0 t1 … ti": each doc lands in its own bucket
+    // ((i*20) div 5 = 4i) and introduces exactly one new type.
+    val docs = (0 to 4).map(i =>
+      (i.toLong, (0 to i).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = TextOps.heapsLawFrom(docs).collect()
+    assert(r.length == 5)
+    r.zipWithIndex.foreach { case (row, i) =>
+      assert(row.getLong(0) == 4L * i)              // bucket
+      assert(row.getLong(1) == 1L)                  // n_docs
+      assert(row.getLong(2) == i + 1L)              // bucket_tokens
+      assert(row.getLong(3) == 1L)                  // new_types
+      assert(row.getLong(4) == i + 1L)              // cum_types
+      assert(row.getLong(5) == (i + 1L) * (i + 2L) / 2L) // cum_tokens
+    }
+    // first bucket: cum_tokens = 1 → guarded NULL exponent
+    assert(r.head.isNullAt(6))
+    assert(r.last.getDouble(6) > 0.0 && r.last.getDouble(6) <= 1.0)
+  }
+
+  test("T31 tf-idf keywords: df structure orders terms, universal terms score 0") {
+    val docs = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana cherry common"),
+      (3L, "common date date date")).toDF("doc_id", "text")
+    val r = TextOps.tfidfKeywordsFrom(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1))).toMap
+    // doc1: apple (tf2·ln2) > banana (tf1·ln(4/3)) > common (0)
+    assert(r(1L).map(_.getString(2)).toSeq == Seq("apple", "banana", "common"))
+    assert(math.abs(r(1L)(0).getDouble(3) - 2 * 0.693147) < 1e-5)
+    assert(r(1L)(2).getDouble(3) == 0.0)            // df == N → idf 0
+    // doc3: date dominates; common scores 0
+    assert(r(3L).map(_.getString(2)).toSeq == Seq("date", "common"))
+    assert(math.abs(r(3L)(0).getDouble(3) - 3 * 0.693147) < 1e-5)
+  }
+
+  test("X16 co-purchase: supports count distinct baskets, duplicates collapse") {
+    import graft.ext.Relational
+    val li = Seq(
+      (10L, 1L), (10L, 1L), (10L, 2L), (10L, 3L),  // part 1 twice: no self-pair
+      (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 2L),
+      (40L, 3L), (40L, 4L)).toDF("l_orderkey", "l_partkey")
+    val r = Relational.copurchasePairsFrom(li).collect()
+    assert(r.length == 4)
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3)) == (1L, 2L, 3L))
+    // ties at support 1 break by (p1, p2) asc
+    assert(r.drop(1).map(x => (x.getLong(1), x.getLong(2))).toSeq ==
+      Seq((1L, 3L), (2L, 3L), (3L, 4L)))
+    assert(r.drop(1).forall(_.getLong(3) == 1L))
+    assert(r.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+  }
+
+  test("S19 norm-length corr: per-source audit is bounded and complete on sf0.001") {
+    val r = Similarity.normLengthCorr(spark, Sf0001).collect()
+    assert(r.nonEmpty)
+    val nDocs = r.map(_.getLong(1)).sum
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet").count()
+    assert(nDocs == emb)                            // 1:1 id join loses nothing
+    r.foreach { row =>
+      assert(row.getDouble(2) > 0.0)                // mean norm
+      if (!row.isNullAt(3))
+        assert(math.abs(row.getDouble(3)) <= 1.0)   // Pearson bound
+    }
+  }
 }
