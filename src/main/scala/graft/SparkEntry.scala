@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.enhance.{Clahe, LocalStats, SynRgbSuppressed}
-import graft.ext.{Curation, Dedup, Events, Ivf, Mix, Pii, Relational, Similarity, TextOps}
+import graft.ext.{Curation, Dedup, Events, Graph, Ivf, Mix, Pii, Relational, Similarity, TextOps}
 import graft.ops.PixelOps
 import graft.sources.Multimodal
 import graft.stats.HistStats
@@ -691,7 +691,9 @@ object SparkEntry {
     Q("x15_customer_concentration", Relational.customerConcentration,
       Some(Relational.customerConcentrationSql)),
     Q("x16_copurchase_pairs", Relational.copurchasePairs,
-      Some(Relational.copurchasePairsSql)))
+      Some(Relational.copurchasePairsSql)),
+    Q("g1_pagerank", Graph.pagerank, Some(Graph.pagerankSql)),
+    Q("g2_degree_hist", Graph.degreeHist, Some(Graph.degreeHistSql)))
 
   private val extQueries: Seq[Q] = Seq(
     Q("e1_sessionize", Events.sessionize, Some(Events.sessionizeSql)),

@@ -1,0 +1,179 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Graph analytics over the part co-purchase graph (nodes = parts,
+  * undirected edges = "appeared in the same order", the X16 basket
+  * relation) — the iterative-computation tier the rest of the registry
+  * doesn't exercise: synchronous power iteration expressed as a bounded
+  * chain of join+aggregate rounds, the Pregel-without-Pregel shape that
+  * scales as k fact-shuffles on a 1000-executor cluster (PageRank:
+  * Brin & Page 1998; the reference engine has no graph surface at all —
+  * pure extension).
+  *
+  * Determinism (the CLAUDE.md iterative-float protocol): every rank is
+  * rounded at 9 the moment it is formed; per-edge contributions divide
+  * two identical doubles (one IEEE op), round at 12, and accumulate in
+  * exact DECIMAL(25,15) — partition-order free; the damping blend is
+  * arithmetic over identical doubles re-rounded at 9. Both engines
+  * state the same unrolled iteration chain, so ranks are cell-identical
+  * without any tolerance.
+  */
+object Graph {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val Damping = 0.85
+  val PrIters = 3
+  val PrTopK = 20
+
+  /** Undirected co-purchase edge list (`u`,`v`; both directions, no
+    * self-loops) from a `(l_orderkey, l_partkey)` relation. Orders are
+    * ≤7-line baskets, so the within-order self-join is a bounded-
+    * constant blowup — never an all-pairs over parts.
+    */
+  def copurchaseEdges(li: DataFrame): DataFrame = {
+    val op = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val a = op.select(col("ok"), col("pk").as("u"))
+    val b = op.select(col("ok").as("ok2"), col("pk").as("v"))
+    a.join(b, col("ok") === col("ok2") && col("u") =!= col("v"))
+      .select(col("u"), col("v")).distinct()
+  }
+
+  private val edgesCte = """op AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM op a JOIN op b ON a.ok = b.ok AND a.pk != b.pk)"""
+
+  /** G1: PageRank over the co-purchase graph — [[PrIters]] synchronous
+    * power-iteration rounds at damping [[Damping]], uniform teleport,
+    * top-[[PrTopK]] parts by final rank. Every node has degree ≥ 1 (it
+    * exists because of an edge), so there is no dangling mass and each
+    * round's incoming-contribution join reaches every node.
+    *
+    * Scale shape: degree is one map-side-partial count; each round is
+    * ONE shuffle (join ranks to the edge list on the source endpoint,
+    * re-aggregate on the destination) — k rounds = k fact shuffles,
+    * exactly the distributed PageRank plan; the top-k is TakeOrdered
+    * re-ranked by a bounded window. Nothing global-sorts the node set.
+    */
+  def pagerank(s: SparkSession, dir: String): DataFrame =
+    pagerankFrom(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")))
+
+  /** [[pagerank]] over an explicit `(l_orderkey, l_partkey)` relation —
+    * the spec pins exact ranks on a crafted star graph.
+    */
+  def pagerankFrom(li: DataFrame): DataFrame = {
+    val edges = copurchaseEdges(li)
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+    val nRel = deg.agg(count(lit(1)).as("n_nodes"))
+    // r0 = round(1/N, 9) — one division of exact integers
+    var ranks = deg.crossJoin(broadcast(nRel))
+      .select(col("u").as("node"), col("deg"), col("n_nodes"),
+        round(lit(1.0) / col("n_nodes").cast("double"), 9).as("r"))
+    for (_ <- 1 to PrIters) {
+      val contrib = ranks
+        .join(edges, col("node") === col("u"))
+        .select(col("v"),
+          round(col("r") / col("deg").cast("double"), 12).as("c"))
+        .groupBy("v")
+        .agg(sum(col("c").cast(DecimalType(25, 15))).cast("double").as("inflow"))
+      ranks = ranks.join(contrib, col("node") === col("v"))
+        .select(col("node"), col("deg"), col("n_nodes"),
+          // 0.15 as ONE parsed literal on both sides — `1.0 - 0.85`
+          // computed in Scala is 0.150000…02, a different double than
+          // the SQL text `0.15`
+          round(lit(0.15) / col("n_nodes").cast("double") +
+            lit(0.85) * col("inflow"), 9).as("r"))
+    }
+    val top = ranks
+      .orderBy(col("r").desc, col("node"))
+      .limit(PrTopK)
+    top.withColumn("rk", row_number().over(
+      Window.orderBy(col("r").desc, col("node"))))
+      .select(col("rk"), col("node"), col("deg").as("degree"),
+        col("n_nodes"), col("r").as("pagerank"))
+  }
+
+  val pagerankSql: String = {
+    def iter(prev: String, cur: String) =
+      s"""$cur AS (
+      SELECT e.v AS node,
+        ROUND(0.15 / CAST(n.n_nodes AS DOUBLE) + 0.85 *
+          CAST(SUM(CAST(ROUND(p.r / CAST(d.deg AS DOUBLE), 12)
+            AS DECIMAL(25,15))) AS DOUBLE), 9) AS r
+      FROM $prev p
+      JOIN deg d ON p.node = d.u
+      JOIN edges e ON p.node = e.u
+      CROSS JOIN nrel n
+      GROUP BY e.v, n.n_nodes)"""
+    s"""WITH $edgesCte,
+    deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY 1),
+    nrel AS (SELECT COUNT(*) AS n_nodes FROM deg),
+    r0 AS (
+      SELECT u AS node, ROUND(1.0 / CAST(n_nodes AS DOUBLE), 9) AS r
+      FROM deg CROSS JOIN nrel),
+    ${iter("r0", "r1")},
+    ${iter("r1", "r2")},
+    ${iter("r2", "r3")},
+    top AS (
+      SELECT node, r FROM r3 ORDER BY r DESC, node LIMIT $PrTopK)
+    SELECT row_number() OVER (ORDER BY r DESC, node) AS rk,
+      node, d.deg AS degree, n.n_nodes, r AS pagerank
+    FROM top JOIN deg d ON node = d.u CROSS JOIN nrel n"""
+  }
+
+  /** G2: degree-distribution audit of the co-purchase graph — nodes per
+    * log2 degree bin with min/max degree and the edge mass per bin: the
+    * skew check run before any graph computation (a heavy-tailed bin
+    * table says which keys need salting; a bounded one certifies the G1
+    * iteration's per-key fan-in). Counts are exact integers; the bin is
+    * floor(log2(deg)) computed by BIGINT bit-length, not floating log.
+    *
+    * Scale shape: degree count + a map-side-partial rollup onto ≤64
+    * bins; no window over the node set.
+    */
+  def degreeHist(s: SparkSession, dir: String): DataFrame =
+    degreeHistFrom(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")))
+
+  /** [[degreeHist]] over an explicit `(l_orderkey, l_partkey)` relation. */
+  def degreeHistFrom(li: DataFrame): DataFrame = {
+    val deg = copurchaseEdges(li).groupBy("u").agg(count(lit(1)).as("deg"))
+    val tot = deg.agg(count(lit(1)).as("n"), sum("deg").as("m"))
+    deg.select(col("deg"),
+      // floor(log2(deg)) via bit length — exact integer, no libm
+      (length(conv(col("deg"), 10, 2)) - 1).cast("long").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_nodes"),
+        min("deg").as("min_deg"), max("deg").as("max_deg"),
+        sum("deg").as("endpoint_mass"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_nodes"), col("min_deg"), col("max_deg"),
+        col("endpoint_mass"),
+        round(col("n_nodes").cast("double") / col("n").cast("double"), 6)
+          .as("node_frac"),
+        round(col("endpoint_mass").cast("double") / col("m").cast("double"), 6)
+          .as("mass_frac"))
+      .orderBy("bin")
+  }
+
+  val degreeHistSql: String = s"""WITH $edgesCte,
+    deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n, SUM(deg) AS m FROM deg),
+    bins AS (
+      SELECT CAST(length(ltrim(bin(deg), '0')) - 1 AS BIGINT) AS bin,
+        COUNT(*) AS n_nodes,
+        MIN(deg) AS min_deg, MAX(deg) AS max_deg,
+        CAST(SUM(deg) AS BIGINT) AS endpoint_mass
+      FROM deg GROUP BY 1)
+    SELECT bin, n_nodes, min_deg, max_deg, endpoint_mass,
+      ROUND(CAST(n_nodes AS DOUBLE) / CAST(n AS DOUBLE), 6) AS node_frac,
+      ROUND(CAST(endpoint_mass AS DOUBLE) / CAST(m AS DOUBLE), 6) AS mass_frac
+    FROM bins CROSS JOIN tot ORDER BY bin"""
+}

@@ -2556,6 +2556,48 @@ class ExtSpec extends SparkSpec {
     assert(r.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
   }
 
+  test("G1 PageRank: star graph ranks hub first, mass conserves") {
+    import graft.ext.Graph
+    // orders (1,h)(1,l1) … (4,h)(4,l4): star with hub 0, leaves 1..4
+    val li = (1 to 4).flatMap(i => Seq((i.toLong, 0L), (i.toLong, i.toLong)))
+      .toDF("l_orderkey", "l_partkey")
+    val r = Graph.pagerankFrom(li).collect()
+    assert(r.length == 5)
+    val hub = r.head
+    assert(hub.getInt(0) == 1 && hub.getLong(1) == 0L && hub.getLong(2) == 4L)
+    val leaves = r.tail
+    assert(leaves.forall(_.getLong(2) == 1L))
+    // all leaves symmetric → identical rank values
+    assert(leaves.map(_.getDouble(4)).distinct.length == 1)
+    assert(hub.getDouble(4) > leaves.head.getDouble(4))
+    // undirected, no dangling: total mass stays 1 (mod rounding)
+    assert(math.abs(r.map(_.getDouble(4)).sum - 1.0) < 1e-6)
+    // exact recurrence replay: hub gets all 4 leaf contributions
+    var (rh, rl) = (0.2, 0.2)
+    for (_ <- 1 to Graph.PrIters) {
+      val nh = math.rint((0.15 / 5 + 0.85 * 4 * (rl / 1)) * 1e9) / 1e9
+      val nl = math.rint((0.15 / 5 + 0.85 * (rh / 4)) * 1e9) / 1e9
+      rh = nh; rl = nl
+    }
+    assert(math.abs(hub.getDouble(4) - rh) < 2e-9)
+    assert(math.abs(leaves.head.getDouble(4) - rl) < 2e-9)
+  }
+
+  test("G2 degree hist: star graph fills exact log2 bins") {
+    import graft.ext.Graph
+    val li = (1 to 4).flatMap(i => Seq((i.toLong, 0L), (i.toLong, i.toLong)))
+      .toDF("l_orderkey", "l_partkey")
+    val r = Graph.degreeHistFrom(li).collect()
+    assert(r.length == 2)
+    val b0 = r(0); val b2 = r(1)
+    assert(b0.getLong(0) == 0L && b0.getLong(1) == 4L &&
+      b0.getLong(2) == 1L && b0.getLong(3) == 1L && b0.getLong(4) == 4L)
+    assert(b2.getLong(0) == 2L && b2.getLong(1) == 1L &&
+      b2.getLong(2) == 4L && b2.getLong(3) == 4L && b2.getLong(4) == 4L)
+    assert(b0.getDouble(5) == 0.8 && b2.getDouble(5) == 0.2)
+    assert(b0.getDouble(6) == 0.5 && b2.getDouble(6) == 0.5)
+  }
+
   test("S19 norm-length corr: per-source audit is bounded and complete on sf0.001") {
     val r = Similarity.normLengthCorr(spark, Sf0001).collect()
     assert(r.nonEmpty)
