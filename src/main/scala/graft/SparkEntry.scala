@@ -693,7 +693,8 @@ object SparkEntry {
     Q("x16_copurchase_pairs", Relational.copurchasePairs,
       Some(Relational.copurchasePairsSql)),
     Q("g1_pagerank", Graph.pagerank, Some(Graph.pagerankSql)),
-    Q("g2_degree_hist", Graph.degreeHist, Some(Graph.degreeHistSql)))
+    Q("g2_degree_hist", Graph.degreeHist, Some(Graph.degreeHistSql)),
+    Q("g3_triangles", Graph.triangles, Some(Graph.trianglesSql)))
 
   private val extQueries: Seq[Q] = Seq(
     Q("e1_sessionize", Events.sessionize, Some(Events.sessionizeSql)),

@@ -2598,6 +2598,22 @@ class ExtSpec extends SparkSpec {
     assert(b0.getDouble(6) == 0.5 && b2.getDouble(6) == 0.5)
   }
 
+  test("G3 triangles: shared-edge pair and K4 count exactly") {
+    import graft.ext.Graph
+    // o1={1,2,3}, o2={2,3,4}: triangles {123},{234}, wedges ΣC(d,2)=8
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 2L), (2L, 3L), (2L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    val r = Graph.trianglesFrom(li).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (4L, 5L, 8L, 2L))
+    assert(r.getDouble(4) == 0.75)
+    // K4 in one basket: 4 triangles, transitivity exactly 1
+    val k4 = (1 to 4).map(p => (1L, p.toLong)).toDF("l_orderkey", "l_partkey")
+    val r2 = Graph.trianglesFrom(k4).collect().head
+    assert((r2.getLong(1), r2.getLong(2), r2.getLong(3)) == (6L, 12L, 4L))
+    assert(r2.getDouble(4) == 1.0)
+  }
+
   test("S19 norm-length corr: per-source audit is bounded and complete on sf0.001") {
     val r = Similarity.normLengthCorr(spark, Sf0001).collect()
     assert(r.nonEmpty)
