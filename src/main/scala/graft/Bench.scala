@@ -101,6 +101,9 @@ object Bench {
     // r12b: d16 persists its regex canon projection (winner agg + join-back);
     // t25 persists its unigram/bigram pre-aggs (totals + join legs)
     "d16_url_canonical", "t25_collocations",
+    // r12c: the graph family shares the memoized co-purchase (edges,
+    // deg) pair (Graph.edgeMemo — session-lifetime re-armed persist)
+    "g1_pagerank", "g2_degree_hist", "g3_triangles",
     // r12b: s14 persists its ≤40-row bin relation (total + spine join
     // legs would otherwise each replay the corpus cross pass); c4 rides
     // the memoized D7 labels like c1/c3

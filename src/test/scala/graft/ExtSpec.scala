@@ -2558,8 +2558,11 @@ class ExtSpec extends SparkSpec {
 
   test("G1 PageRank: star graph ranks hub first, mass conserves") {
     import graft.ext.Graph
-    // orders (1,h)(1,l1) … (4,h)(4,l4): star with hub 0, leaves 1..4
-    val li = (1 to 4).flatMap(i => Seq((i.toLong, 0L), (i.toLong, i.toLong)))
+    // baskets {hub 0, leaf i} twice each (support ≥ MinSupport):
+    // star with hub 0, leaves 1..4
+    val li = (1 to 4).flatMap(i => Seq(
+      (i.toLong, 0L), (i.toLong, i.toLong),
+      (i + 10L, 0L), (i + 10L, i.toLong)))
       .toDF("l_orderkey", "l_partkey")
     val r = Graph.pagerankFrom(li).collect()
     assert(r.length == 5)
@@ -2585,7 +2588,9 @@ class ExtSpec extends SparkSpec {
 
   test("G2 degree hist: star graph fills exact log2 bins") {
     import graft.ext.Graph
-    val li = (1 to 4).flatMap(i => Seq((i.toLong, 0L), (i.toLong, i.toLong)))
+    val li = (1 to 4).flatMap(i => Seq(
+      (i.toLong, 0L), (i.toLong, i.toLong),
+      (i + 10L, 0L), (i + 10L, i.toLong)))
       .toDF("l_orderkey", "l_partkey")
     val r = Graph.degreeHistFrom(li).collect()
     assert(r.length == 2)
@@ -2600,15 +2605,19 @@ class ExtSpec extends SparkSpec {
 
   test("G3 triangles: shared-edge pair and K4 count exactly") {
     import graft.ext.Graph
-    // o1={1,2,3}, o2={2,3,4}: triangles {123},{234}, wedges ΣC(d,2)=8
-    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 2L), (2L, 3L), (2L, 4L))
+    // baskets {1,2,3} and {2,3,4}, each twice (support ≥ MinSupport):
+    // triangles {123},{234}, wedges ΣC(d,2)=8
+    val li = Seq(1L -> Seq(1L, 2L, 3L), 2L -> Seq(2L, 3L, 4L),
+      11L -> Seq(1L, 2L, 3L), 12L -> Seq(2L, 3L, 4L))
+      .flatMap { case (o, ps) => ps.map(o -> _) }
       .toDF("l_orderkey", "l_partkey")
     val r = Graph.trianglesFrom(li).collect().head
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
       (4L, 5L, 8L, 2L))
     assert(r.getDouble(4) == 0.75)
-    // K4 in one basket: 4 triangles, transitivity exactly 1
-    val k4 = (1 to 4).map(p => (1L, p.toLong)).toDF("l_orderkey", "l_partkey")
+    // K4 in one basket (twice): 4 triangles, transitivity exactly 1
+    val k4 = (1 to 4).flatMap(p => Seq((1L, p.toLong), (2L, p.toLong)))
+      .toDF("l_orderkey", "l_partkey")
     val r2 = Graph.trianglesFrom(k4).collect().head
     assert((r2.getLong(1), r2.getLong(2), r2.getLong(3)) == (6L, 12L, 4L))
     assert(r2.getDouble(4) == 1.0)
