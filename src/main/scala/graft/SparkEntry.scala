@@ -757,6 +757,8 @@ object SparkEntry {
     Q("e22_profile_similarity", Events.profileSimilarity, Some(Events.profileSimilaritySql)),
     Q("e23_daily_anomaly", Events.dailyAnomaly, Some(Events.dailyAnomalySql)),
     Q("j3_range_join", Events.rangeJoin, Some(Events.rangeJoinSql)),
+    Q("e24_concurrency", Events.concurrency, Some(Events.concurrencySql)),
+    Q("e25_dup_events", Events.dupEvents, Some(Events.dupEventsSql)),
     Q("w1_source_mix", Mix.sourceMix, Some(Mix.sourceMixSql)),
     Q("w2_seq_pack", Mix.seqPack, Some(Mix.seqPackSql)),
     Q("w3_pii_scan", Pii.piiScan, Some(Pii.piiScanSql)),

@@ -1530,4 +1530,142 @@ object Events {
       FROM cos)
     WHERE rk <= $ProfileTopK ORDER BY probe_id, rk"""
   }
+
+  // ----------------------------------------------- E24 peak concurrency
+
+  /** E24: peak concurrent sessions per day — the interval-stabbing sweep
+    * (capacity planning: "how many live sessions must the serving tier
+    * hold?"). Sessions are the shared E1 numbering's [start, end]
+    * microsecond intervals, exploded to each UTC day they touch and
+    * clipped to the day; within a day the classic +1/−1 sweep runs as
+    * one day-partitioned window. Touching endpoints count as concurrent
+    * (arrive-before-depart at equal us — the inclusive convention,
+    * identical in both engines because the candidate is formed
+    * ALGEBRAICALLY: at each distinct us with p starts and m ends, the
+    * maximum during the instant is cum(p−m so far) + m, no tie-ordering
+    * inside the window is ever consulted).
+    *
+    * Determinism: all exact integer microseconds and counts.
+    *
+    * Scale shape: session intervals are one user-partitioned window
+    * (the shared E1 exchange); the day explode is bounded by days-
+    * touched (sessions are gap-bounded, and a day holds ≤86400e6 us);
+    * deltas pre-aggregate per (day, us) map-side; the sweep window
+    * partitions by day — key-partitioned, never global. The final
+    * per-day table is calendar-bounded.
+    */
+  def concurrency(s: SparkSession, dir: String): DataFrame =
+    concurrencyFrom(t(s, dir))
+
+  /** [[concurrency]] over an explicit event relation — the spec pins
+    * peaks on crafted overlapping intervals.
+    */
+  def concurrencyFrom(events: DataFrame): DataFrame = {
+    val sess = sessionNumbered(events)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min("us").as("s_us"), max("us").as("e_us"))
+    val days = sess.select(col("s_us"), col("e_us"),
+      explode(sequence(expr(s"s_us div $DayUs"), expr(s"e_us div $DayUs"))).as("day"))
+    val clipped = days.select(col("day"),
+      greatest(col("s_us"), expr(s"day * $DayUs")).as("cs"),
+      least(col("e_us"), expr(s"(day + 1) * $DayUs - 1")).as("ce"))
+    val deltas = clipped.select(col("day"), col("cs").as("at"), lit(1L).as("p"), lit(0L).as("m"))
+      .union(clipped.select(col("day"), col("ce").as("at"), lit(0L).as("p"), lit(1L).as("m")))
+      .groupBy("day", "at")
+      .agg(sum("p").as("p"), sum("m").as("m"))
+    val w = Window.partitionBy("day").orderBy("at")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    deltas
+      .withColumn("cand", sum(col("p") - col("m")).over(w) + col("m"))
+      .groupBy("day")
+      .agg(max("cand").as("peak_concurrent"), sum("p").as("n_intervals"))
+      .orderBy("day")
+  }
+
+  val concurrencySql: String = s"""WITH $sessionNumberedCtes,
+    sess2 AS (
+      SELECT user_id, session_seq, MIN(us) AS s_us, MAX(us) AS e_us
+      FROM numbered GROUP BY 1, 2),
+    days AS (
+      SELECT s_us, e_us, unnest(range(s_us // $DayUs, e_us // $DayUs + 1)) AS day
+      FROM sess2),
+    clipped AS (
+      SELECT day, GREATEST(s_us, day * $DayUs) AS cs,
+        LEAST(e_us, (day + 1) * $DayUs - 1) AS ce
+      FROM days),
+    deltas AS (
+      SELECT day, at, CAST(SUM(p) AS BIGINT) AS p, CAST(SUM(m) AS BIGINT) AS m
+      FROM (
+        SELECT day, cs AS at, 1 AS p, 0 AS m FROM clipped
+        UNION ALL
+        SELECT day, ce AS at, 0 AS p, 1 AS m FROM clipped)
+      GROUP BY 1, 2),
+    swept AS (
+      SELECT day,
+        CAST(SUM(p - m) OVER (PARTITION BY day ORDER BY at
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) + m AS cand,
+        p
+      FROM deltas)
+    SELECT day, MAX(cand) AS peak_concurrent,
+      CAST(SUM(p) AS BIGINT) AS n_intervals
+    FROM swept GROUP BY day ORDER BY day"""
+
+  // ------------------------------------------------ E25 duplicate events
+
+  val DupWindowUs: Long = 5L * 1000000L
+
+  /** E25: duplicate-ingestion audit — an event is a DUP when the same
+    * (user, type, value) payload arrived within [[DupWindowUs]] of its
+    * previous occurrence (at-least-once delivery double-fires, client
+    * retry storms: the first dedup every event pipeline runs). Chains
+    * count correctly: each repeat compares to its immediate
+    * predecessor, so a burst of k copies yields k−1 dups.
+    *
+    * Determinism: the payload key includes the raw double `value` —
+    * equality of identical parquet-decoded doubles, never arithmetic;
+    * gaps are exact integer microseconds; the rate divides two exact
+    * counts, rounded at 6.
+    *
+    * Scale shape: ONE window partitioned by the full payload key
+    * (user × type × value — finer than user alone, so hot users spread
+    * further), then a map-side-partial rollup onto event types. No
+    * join, no global order.
+    */
+  def dupEvents(s: SparkSession, dir: String): DataFrame =
+    dupEventsFrom(t(s, dir))
+
+  /** [[dupEvents]] over an explicit event relation — the spec pins
+    * chain counting and window edges.
+    */
+  def dupEventsFrom(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type", "value")
+      .orderBy("us", "event_id")
+    val flagged = events
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("dup",
+        when(col("prev").isNotNull && col("us") - col("prev") <= DupWindowUs, 1L)
+          .otherwise(0L))
+    flagged.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("dup").as("n_dups"))
+      .select(col("event_type"), col("n_events"), col("n_dups"),
+        round(col("n_dups").cast("double") / col("n_events").cast("double"), 6)
+          .as("dup_frac"))
+      .orderBy("event_type")
+  }
+
+  val dupEventsSql: String = s"""WITH ev AS (
+      SELECT *, epoch_us(ts) AS us FROM events),
+    flagged AS (
+      SELECT event_type,
+        CASE WHEN prev IS NOT NULL AND us - prev <= $DupWindowUs
+          THEN 1 ELSE 0 END AS dup
+      FROM (
+        SELECT event_type, us,
+          lag(us) OVER (PARTITION BY user_id, event_type, value
+            ORDER BY us, event_id) AS prev
+        FROM ev))
+    SELECT event_type, COUNT(*) AS n_events,
+      CAST(SUM(dup) AS BIGINT) AS n_dups,
+      ROUND(CAST(SUM(dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+    FROM flagged GROUP BY 1 ORDER BY 1"""
 }

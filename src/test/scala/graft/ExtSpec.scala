@@ -2603,6 +2603,54 @@ class ExtSpec extends SparkSpec {
     assert(b0.getDouble(6) == 0.5 && b2.getDouble(6) == 0.5)
   }
 
+  test("E24 concurrency: overlapping sessions sweep to the exact peak") {
+    val base = 1700006400L * 1000000L // midnight-aligned day D
+    val day = base / Events.DayUs
+    // 3 users: sessions [0,100s], [50s,150s], [200s,210s] (singleton at
+    // 200s has s=e), plus a touching pair: u4 ends at 300s, u5 starts 300s
+    def ev(id: Long, u: Long, offS: Long) =
+      (id, base + offS * 1000000L, u, "view", 1.0, "{}")
+    val rows = Seq(
+      ev(1, 1, 0), ev(2, 1, 100),
+      ev(3, 2, 50), ev(4, 2, 150),
+      ev(5, 3, 200),
+      ev(6, 4, 250), ev(7, 4, 300),
+      ev(8, 5, 300), ev(9, 5, 310))
+    val df = rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+    val r = Events.concurrencyFrom(df).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) == day)
+    // peak: [0,100]∩[50,150] = 2; singleton keeps 1; touching 300s pair = 2
+    assert(r.head.getLong(1) == 2L)
+    assert(r.head.getLong(2) == 5L)
+    // shifting u2 to start after u1 ends drops the peak to... still 2 via
+    // the touching pair; also check a fully disjoint layout peaks at 1
+    val disjoint = Seq(ev(1, 1, 0), ev(2, 1, 10), ev(3, 2, 50), ev(4, 2, 60))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+    assert(Events.concurrencyFrom(disjoint).collect().head.getLong(1) == 1L)
+  }
+
+  test("E25 dup events: k-burst yields k-1 dups, window edge is inclusive") {
+    val base = 1700000000000000L
+    def ev(id: Long, u: Long, offUs: Long, tp: String, v: Double) =
+      (id, base + offUs, u, tp, v, "{}")
+    val rows = Seq(
+      // burst of 3 identical payloads 1s apart → 2 dups
+      ev(1, 1, 0, "click", 5.0), ev(2, 1, 1000000, "click", 5.0),
+      ev(3, 1, 2000000, "click", 5.0),
+      // exactly at the 5s edge → dup (inclusive)
+      ev(4, 2, 0, "click", 7.0), ev(5, 2, Events.DupWindowUs, "click", 7.0),
+      // beyond the edge → not a dup
+      ev(6, 3, 0, "click", 9.0), ev(7, 3, Events.DupWindowUs + 1, "click", 9.0),
+      // same time, different value → not a dup
+      ev(8, 4, 0, "view", 1.0), ev(9, 4, 0, "view", 2.0))
+    val df = rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+    val r = Events.dupEventsFrom(df).collect().map(x => x.getString(0) -> x).toMap
+    assert(r("click").getLong(1) == 7L && r("click").getLong(2) == 3L)
+    assert(r("view").getLong(1) == 2L && r("view").getLong(2) == 0L)
+    assert(math.abs(r("click").getDouble(3) - 3.0 / 7.0) < 1e-6)
+  }
+
   test("G3 triangles: shared-edge pair and K4 count exactly") {
     import graft.ext.Graph
     // baskets {1,2,3} and {2,3,4}, each twice (support ≥ MinSupport):
