@@ -694,7 +694,8 @@ object SparkEntry {
       Some(Relational.copurchasePairsSql)),
     Q("g1_pagerank", Graph.pagerank, Some(Graph.pagerankSql)),
     Q("g2_degree_hist", Graph.degreeHist, Some(Graph.degreeHistSql)),
-    Q("g3_triangles", Graph.triangles, Some(Graph.trianglesSql)))
+    Q("g3_triangles", Graph.triangles, Some(Graph.trianglesSql)),
+    Q("g4_link_prediction", Graph.linkPrediction, Some(Graph.linkPredictionSql)))
 
   private val extQueries: Seq[Q] = Seq(
     Q("e1_sessionize", Events.sessionize, Some(Events.sessionizeSql)),

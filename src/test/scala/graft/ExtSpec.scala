@@ -2671,6 +2671,24 @@ class ExtSpec extends SparkSpec {
     assert(r2.getDouble(4) == 1.0)
   }
 
+  test("G4 link prediction: C4 diagonals score 2/ln2, adjacent pairs excluded") {
+    import graft.ext.Graph
+    // cycle 1-2-3-4-1: each edge its own basket, twice (support cut);
+    // diagonals (1,3),(2,4) share two deg-2 neighbors each
+    val baskets = Seq(Seq(1L, 2L), Seq(2L, 3L), Seq(3L, 4L), Seq(1L, 4L))
+    val li = baskets.zipWithIndex.flatMap { case (ps, i) =>
+      ps.flatMap(p => Seq((i * 2 + 1L, p), (i * 2 + 2L, p)))
+    }.toDF("l_orderkey", "l_partkey")
+    val r = Graph.linkPredictionFrom(li).collect()
+    assert(r.length == 2)
+    assert(r.map(x => (x.getLong(1), x.getLong(2))).toSeq == Seq((1L, 3L), (2L, 4L)))
+    r.foreach { row =>
+      assert(row.getLong(3) == 2L) // two shared neighbors
+      // 2 · round(1/ln 2, 9) rounded at 6
+      assert(row.getDouble(4) == 2.88539)
+    }
+  }
+
   test("S19 norm-length corr: per-source audit is bounded and complete on sf0.001") {
     val r = Similarity.normLengthCorr(spark, Sf0001).collect()
     assert(r.nonEmpty)
