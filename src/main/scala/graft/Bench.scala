@@ -26,10 +26,13 @@ object Bench {
   /** Queries per forked chunk. Small enough that per-JVM plan state
     * stays negligible (judge target: artifact within ~1.3× of an
     * isolated TimeQ run), large enough that the ~10 s JVM+session
-    * startup amortizes across the suite.
+    * startup amortizes across the suite. r12 calibration at the
+    * 170-query registry: chunks of 12 still inflated state-sensitive
+    * plans (a4 sweep 7.4 s vs 3.0 isolated); chunks of 6 track TimeQ
+    * (a4 1.9, a5 1.77, a1 1.30) for ~4 min more sweep time.
     */
   val ChunkSize: Int =
-    sys.env.get("SPARK_GRAFT_BENCH_CHUNK").map(_.toInt).getOrElse(12)
+    sys.env.get("SPARK_GRAFT_BENCH_CHUNK").map(_.toInt).getOrElse(6)
 
   def buildSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -103,7 +106,10 @@ object Bench {
     "d16_url_canonical", "t25_collocations",
     // r12c: the graph family shares the memoized co-purchase (edges,
     // deg) pair (Graph.edgeMemo — session-lifetime re-armed persist)
-    "g1_pagerank", "g2_degree_hist", "g3_triangles",
+    "g1_pagerank", "g2_degree_hist", "g3_triangles", "g4_link_prediction",
+    // r12d: d22 persists its signature relation (banding + both verify
+    // sides), the d3 shape
+    "d22_source_overlap",
     // r12b: s14 persists its ≤40-row bin relation (total + spine join
     // legs would otherwise each replay the corpus cross pass); c4 rides
     // the memoized D7 labels like c1/c3
@@ -416,9 +422,11 @@ object Bench {
       "isolated TimeQ): d10 1.22/1.52, d13 1.06/0.84, t6 1.53/1.66, d14 " +
       "1.05/0.80, c1 0.33/0.38, a4 2.74/2.13 - all within ~1.3x (r11 " +
       "single-JVM sweep was up to 5x off: d10 7.20, d13 4.20, warp 2.44 " +
-      "-> now 1.22/1.06/1.02). r12 final-sweep spot-check: a5 sweep 3.04 " +
-      "vs TimeQ 1.73 (1.76x, chunk-local state - plan unchanged, TimeQ " +
-      "number is authoritative). Rasters run min-of-4 (min-of-2 swung " +
+      "-> now 1.22/1.06/1.02). r12 chunk-size calibration at the " +
+      "170-query registry: chunks of 12 re-inflated state-sensitive " +
+      "plans (a4 sweep 7.4 vs 3.0 isolated, g4 2.2 vs 0.7); chunks of 6 " +
+      "track TimeQ (a4 1.9, a5 1.77, a1 1.30) - 6 is now the default. " +
+      "Rasters run min-of-4 (min-of-2 swung " +
       "0.46<->0.78 run-to-run): pushdown 0.388 (1.11x the 348ms " +
       "baseline), warp 0.695 and synrgb 1.436 (both beat the ~1.5s " +
       "baseline), a4 1.92. " +

@@ -786,6 +786,7 @@ object SparkEntry {
     Q("d19_template_prefix", Dedup.templatePrefix, Some(Dedup.templatePrefixSql)),
     Q("d20_band_tuning", Dedup.bandTuning, Some(Dedup.bandTuningSql)),
     Q("d21_cluster_sizes", Dedup.clusterSizes, Some(Dedup.clusterSizesSql)),
+    Q("d22_source_overlap", Dedup.sourceOverlap, Some(Dedup.sourceOverlapSql)),
     Q("w6_split_leakage", Mix.splitLeakage, Some(Mix.splitLeakageSql)),
     Q("w9_dedup_source_mix", Mix.dedupSourceMix, Some(Mix.dedupSourceMixSql)),
     Q("w10_pack_sweep", Mix.packSweep, Some(Mix.packSweepSql)),

@@ -1878,4 +1878,67 @@ object Dedup {
       CAST(SUM(CASE WHEN m = $NumHashes THEN 1 ELSE 0 END) AS BIGINT) AS n_full_match
     FROM scored GROUP BY cfg ORDER BY n_bands"""
   }
+
+  // --------------------------------------------- D22 cross-source overlap
+
+  /** D22: cross-source duplication matrix — MinHash-LSH candidate pairs
+    * rolled up to (source, source): which corpus sources are duplicating
+    * EACH OTHER (two crawl snapshots of the same sites, a curated set
+    * re-scraped by a crawl). CCNet §2.1 observes most web duplication is
+    * cross-snapshot; this is the table that decides which source to
+    * drop, where per-pair dedup (D3) only says "a pair exists". Source
+    * pairs are unordered (lexicographic least/greatest), diagonal =
+    * within-source duplication.
+    *
+    * Determinism: candidates and match counts are exact integers; the
+    * mean estimated Jaccard divides exact sums once, rounded at 6.
+    *
+    * Scale shape: the D3 banding equi-join generates candidates (never
+    * all-pairs); the two source-attach joins key on doc_id; the rollup
+    * is map-side partial onto the ≤|sources|² key space. The signature
+    * relation feeds banding plus both verification sides, so it
+    * persists per call (extraIters-documented).
+    */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(s, dir).persist() // banding + both verify sides
+    val cand = bandCandidates(sig)
+    val matches = (0 until NumHashes).map(i =>
+      when(col(s"a.m$i") === col(s"b.m$i"), 1L).otherwise(0L)).reduce(_ + _)
+    val src = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val scored = cand
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"), matches.as("mm"))
+    scored
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"), col("mm"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"), sum("mm").as("sm"))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        round(col("sm").cast("double") /
+          (col("n_pairs") * NumHashes).cast("double"), 6).as("mean_est_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceOverlapSql: String = {
+    val matches = (0 until NumHashes).map(i =>
+      s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $minhashCandCtes,
+    scored AS (
+      SELECT doc_a, doc_b, ($matches) AS mm
+      FROM cand JOIN sig a ON cand.doc_a = a.doc_id
+                JOIN sig b ON cand.doc_b = b.doc_id),
+    ws AS (
+      SELECT LEAST(da.source, db.source) AS source_a,
+        GREATEST(da.source, db.source) AS source_b, mm
+      FROM scored JOIN documents da ON scored.doc_a = da.doc_id
+                  JOIN documents db ON scored.doc_b = db.doc_id)
+    SELECT source_a, source_b, COUNT(*) AS n_pairs,
+      ROUND(CAST(SUM(mm) AS DOUBLE) /
+        CAST(COUNT(*) * $NumHashes AS DOUBLE), 6) AS mean_est_jaccard
+    FROM ws GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
 }
