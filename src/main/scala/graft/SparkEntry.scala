@@ -695,7 +695,8 @@ object SparkEntry {
     Q("g1_pagerank", Graph.pagerank, Some(Graph.pagerankSql)),
     Q("g2_degree_hist", Graph.degreeHist, Some(Graph.degreeHistSql)),
     Q("g3_triangles", Graph.triangles, Some(Graph.trianglesSql)),
-    Q("g4_link_prediction", Graph.linkPrediction, Some(Graph.linkPredictionSql)))
+    Q("g4_link_prediction", Graph.linkPrediction, Some(Graph.linkPredictionSql)),
+    Q("g5_communities", Graph.communities, Some(Graph.communitiesSql)))
 
   private val extQueries: Seq[Q] = Seq(
     Q("e1_sessionize", Events.sessionize, Some(Events.sessionizeSql)),
@@ -760,6 +761,7 @@ object SparkEntry {
     Q("j3_range_join", Events.rangeJoin, Some(Events.rangeJoinSql)),
     Q("e24_concurrency", Events.concurrency, Some(Events.concurrencySql)),
     Q("e25_dup_events", Events.dupEvents, Some(Events.dupEventsSql)),
+    Q("e26_retention_curve", Events.retentionCurve, Some(Events.retentionCurveSql)),
     Q("w1_source_mix", Mix.sourceMix, Some(Mix.sourceMixSql)),
     Q("w2_seq_pack", Mix.seqPack, Some(Mix.seqPackSql)),
     Q("w3_pii_scan", Pii.piiScan, Some(Pii.piiScanSql)),

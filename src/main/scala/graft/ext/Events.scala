@@ -1668,4 +1668,106 @@ object Events {
       CAST(SUM(dup) AS BIGINT) AS n_dups,
       ROUND(CAST(SUM(dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
     FROM flagged GROUP BY 1 ORDER BY 1"""
+
+  // ------------------------------------------- E26 survival/retention curve
+
+  /** E26: censor-corrected survival/retention curve — per
+    * (first-activity-week cohort, day offset t) the discrete survival
+    * ingredients every growth dashboard plots (the Kaplan-Meier
+    * life-table family at day grain, with right-censoring at the
+    * dataset horizon): `n_at_risk` = users whose observation window
+    * reaches offset t, `n_active` = users whose LAST activity is at or
+    * after t, `n_churned` = users whose last activity is exactly t and
+    * strictly before their horizon (an observed churn, not
+    * end-of-data censoring), and `retention = n_active / n_at_risk` —
+    * the at-risk denominator is what e8's raw matrix lacks: a young
+    * cohort's tail is not counted as churned merely because the data
+    * ends. Extends [[cohortRetention]] (E8).
+    *
+    * Determinism: day/cohort/offset arithmetic is exact integer
+    * (`us div DayUs`, `div 7`); every curve point is exact integer
+    * suffix-sums and ONE IEEE division rounded at 6 — no cumulative
+    * float product (the KM Π(1−dⱼ/nⱼ) estimator equals this ratio
+    * form when censoring only occurs at the dataset horizon, which is
+    * the only censoring a fixed extract has).
+    *
+    * Scale shape: the per-user (first, last) aggregate shuffles on
+    * user_id with map-side partials; the duration/horizon/churn counts
+    * collapse to the (cohort, offset) grain (calendar-bounded, not
+    * corpus-bounded); the suffix sums are windows PARTITIONED BY cohort
+    * over that bounded spine — never over users or events. The
+    * user-grain relation feeds four legs (duration counts, horizon
+    * counts, churn counts, spine max) and is persisted for the query's
+    * lifetime (registry persist contract; Bench.extraIters).
+    */
+  def retentionCurve(s: SparkSession, dir: String): DataFrame =
+    retentionCurveFrom(t(s, dir))
+
+  /** [[retentionCurve]] over an explicit event relation — the spec pins
+    * the curve on a crafted cohort with known churn/censor days.
+    */
+  def retentionCurveFrom(events: DataFrame): DataFrame = {
+    val perUser = events
+      .select(col("user_id"), expr(s"us div $DayUs").as("day"))
+      .groupBy("user_id").agg(min("day").as("f"), max("day").as("l"))
+    val horizon = perUser.agg(max("l").as("m"))
+    val u = perUser.crossJoin(broadcast(horizon))
+      .select(expr("f div 7").as("cohort_week"),
+        (col("l") - col("f")).as("dur"),
+        (col("m") - col("f")).as("hor"))
+      .persist() // 4 consumer legs, see Scaladoc
+    val act = u.groupBy(col("cohort_week"), col("dur").as("t"))
+      .agg(count(lit(1)).as("a"),
+        sum(when(col("dur") < col("hor"), 1L).otherwise(0L)).as("ch"))
+    val risk = u.groupBy(col("cohort_week"), col("hor").as("t"))
+      .agg(count(lit(1)).as("r"))
+    val spine = u.groupBy("cohort_week").agg(max("hor").as("mh"))
+      .select(col("cohort_week"), explode(sequence(lit(0L), col("mh"))).as("t"))
+    val wSuffix = Window.partitionBy("cohort_week").orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(act, Seq("cohort_week", "t"), "left")
+      .join(risk, Seq("cohort_week", "t"), "left")
+      .select(col("cohort_week"), col("t"),
+        coalesce(col("a"), lit(0L)).as("a"),
+        coalesce(col("ch"), lit(0L)).as("n_churned"),
+        coalesce(col("r"), lit(0L)).as("r"))
+      .withColumn("n_active", sum(col("a")).over(wSuffix))
+      .withColumn("n_at_risk", sum(col("r")).over(wSuffix))
+      .select(col("cohort_week"), col("t").as("day_offset"),
+        col("n_at_risk"), col("n_active"), col("n_churned"),
+        round(col("n_active").cast("double") / col("n_at_risk").cast("double"), 6)
+          .as("retention"))
+      .orderBy("cohort_week", "day_offset")
+  }
+
+  val retentionCurveSql: String = s"""WITH d AS (
+      SELECT user_id, epoch_us(ts) // $DayUs AS day FROM events),
+    pu AS (SELECT user_id, MIN(day) AS f, MAX(day) AS l FROM d GROUP BY 1),
+    mx AS (SELECT MAX(l) AS m FROM pu),
+    u AS (SELECT f // 7 AS cohort_week, l - f AS dur, m - f AS hor
+          FROM pu, mx),
+    act AS (SELECT cohort_week, dur AS t, COUNT(*) AS a,
+        CAST(SUM(CASE WHEN dur < hor THEN 1 ELSE 0 END) AS BIGINT) AS ch
+      FROM u GROUP BY 1, 2),
+    risk AS (SELECT cohort_week, hor AS t, COUNT(*) AS r FROM u GROUP BY 1, 2),
+    spine AS (SELECT cohort_week, unnest(range(0, mh + 1)) AS t
+      FROM (SELECT cohort_week, MAX(hor) AS mh FROM u GROUP BY 1)),
+    j AS (SELECT s.cohort_week, s.t,
+        COALESCE(a.a, 0) AS a, COALESCE(a.ch, 0) AS n_churned,
+        COALESCE(r.r, 0) AS r
+      FROM spine s
+      LEFT JOIN act a ON s.cohort_week = a.cohort_week AND s.t = a.t
+      LEFT JOIN risk r ON s.cohort_week = r.cohort_week AND s.t = r.t),
+    c AS (SELECT cohort_week, t, n_churned,
+        SUM(a) OVER (PARTITION BY cohort_week ORDER BY t DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_active,
+        SUM(r) OVER (PARTITION BY cohort_week ORDER BY t DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at_risk
+      FROM j)
+    SELECT cohort_week, t AS day_offset,
+      CAST(n_at_risk AS BIGINT) AS n_at_risk,
+      CAST(n_active AS BIGINT) AS n_active, n_churned,
+      ROUND(CAST(n_active AS DOUBLE) / CAST(n_at_risk AS DOUBLE), 6) AS retention
+    FROM c ORDER BY cohort_week, day_offset"""
 }

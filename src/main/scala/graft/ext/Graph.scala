@@ -129,13 +129,19 @@ object Graph {
           round(col("r") / col("deg").cast("double"), 12).as("c"))
         .groupBy("v")
         .agg(sum(col("c").cast(DecimalType(25, 15))).cast("double").as("inflow"))
-      ranks = ranks.join(contrib, col("node") === col("v"))
+      // LEFT join + coalesce(inflow, 0): on the symmetric co-purchase
+      // graph every node has in-edges so this equals the inner join the
+      // oracle states, but it makes the helper safe for directed/dangling
+      // reuse via pagerankFrom — an inner join would silently DROP
+      // zero-inflow nodes (and their rank mass) from all later rounds
+      // (r12 ADVICE).
+      ranks = ranks.join(contrib, col("node") === col("v"), "left")
         .select(col("node"), col("deg"), col("n_nodes"),
           // 0.15 as ONE parsed literal on both sides — `1.0 - 0.85`
           // computed in Scala is 0.150000…02, a different double than
           // the SQL text `0.15`
           round(lit(0.15) / col("n_nodes").cast("double") +
-            lit(0.85) * col("inflow"), 9).as("r"))
+            lit(0.85) * coalesce(col("inflow"), lit(0.0)), 9).as("r"))
     }
     val top = ranks
       .orderBy(col("r").desc, col("node"))
@@ -274,7 +280,9 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
     val stats = deg.agg(
       count(lit(1)).as("n_nodes"),
-      (sum("deg") / 2).cast("long").as("n_edges"),
+      // integer division (never double-then-truncate): exact by
+      // construction on both engines, not by sum-parity (r12 ADVICE)
+      expr("sum(deg) div 2").as("n_edges"),
       sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
     stats.crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
@@ -300,7 +308,7 @@ object Graph {
       FROM wedges w JOIN e ON w.b1 = e.a AND w.b2 = e.b),
     stats AS (
       SELECT COUNT(*) AS n_nodes,
-        CAST(SUM(deg) / 2 AS BIGINT) AS n_edges,
+        CAST(SUM(deg) // 2 AS BIGINT) AS n_edges,
         CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
       FROM deg)
     SELECT n_nodes, n_edges, n_wedges, n_triangles,
@@ -372,6 +380,91 @@ object Graph {
       Window.orderBy(col("aw").desc, col("common_neighbors").desc, col("b1"), col("b2"))))
       .select(col("rk"), col("b1").as("p1"), col("b2").as("p2"),
         col("common_neighbors"), round(col("aw"), 6).as("aa_score"))
+  }
+
+  /** Synchronous label-propagation rounds (bounded, like [[PrIters]]). */
+  val LpaIters = 3
+  val LpaTopK = 20
+
+  /** G5: label-propagation communities over the co-purchase graph —
+    * [[LpaIters]] SYNCHRONOUS rounds of "adopt the most frequent label
+    * among your neighbors" (Raghavan, Albert & Kumara 2007) from
+    * self-labels, with the smallest label winning count ties, then the
+    * top-[[LpaTopK]] communities by size: the standard near-linear-time
+    * community detector, made fully deterministic by the synchronous
+    * schedule + min-label tie-break (the paper's async random order is
+    * not reproducible across engines).
+    *
+    * Determinism: labels are node ids and counts are exact integers —
+    * no float ever enters the query; ties break (count desc, label asc)
+    * and the final ranking (size desc, community asc).
+    *
+    * Scale shape: each round is the G1 fact shuffle (labels joined to
+    * the edge list on the source endpoint) followed by two map-side-
+    * combinable aggregates: (node, label) counts, then per-node argmax
+    * as `max(struct(cnt, -lbl))` — never a per-node window over the
+    * fact. The oracle states the same argmax as a per-node row_number
+    * window; identical tie-break total order makes them agree
+    * row-for-row. Per-node distinct-label fan-in is bounded by degree,
+    * which the [[MinSupport]] prune keeps tame (the G1 argument).
+    */
+  def communities(s: SparkSession, dir: String): DataFrame = {
+    val (edges, deg) = edgeRelations(s, dir)
+    communitiesCore(edges, deg)
+  }
+
+  /** [[communities]] over an explicit `(l_orderkey, l_partkey)` relation
+    * — the spec pins labels on a crafted two-clique bridge graph.
+    */
+  def communitiesFrom(li: DataFrame): DataFrame = {
+    val edges = copurchaseEdges(li)
+    communitiesCore(edges, edges.groupBy("u").agg(count(lit(1)).as("deg")))
+  }
+
+  private def communitiesCore(edges: DataFrame, deg: DataFrame): DataFrame = {
+    // init: every node its own label; every graph node has >=1 edge, so
+    // the per-round inner join on edge sources reaches all nodes
+    var labels = deg.select(col("u").as("node"), col("u").as("lbl"))
+    for (_ <- 1 to LpaIters) {
+      labels = labels
+        .join(edges, col("node") === col("u"))
+        .groupBy(col("v"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("v")
+        // argmax with min-label tie-break as ONE orderable struct:
+        // max((cnt, -lbl)) = highest count, then smallest label
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("v").as("node"), (-col("m.neg")).as("lbl"))
+    }
+    val comm = labels.groupBy("lbl").agg(count(lit(1)).as("n_members"))
+    val top = comm.orderBy(col("n_members").desc, col("lbl")).limit(LpaTopK)
+    top.withColumn("rk", row_number().over(
+      Window.orderBy(col("n_members").desc, col("lbl"))))
+      .select(col("rk"), col("lbl").as("community"), col("n_members"))
+  }
+
+  val communitiesSql: String = {
+    def iter(prev: String, cur: String) =
+      s"""$cur AS (
+      SELECT node, lbl FROM (
+        SELECT e.v AS node, l.lbl AS lbl,
+          row_number() OVER (PARTITION BY e.v
+            ORDER BY COUNT(*) DESC, l.lbl) AS rn
+        FROM $prev l JOIN edges e ON l.node = e.u
+        GROUP BY e.v, l.lbl) WHERE rn = 1)"""
+    s"""WITH $edgesCte,
+    deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY 1),
+    l0 AS (SELECT u AS node, u AS lbl FROM deg),
+    ${iter("l0", "l1")},
+    ${iter("l1", "l2")},
+    ${iter("l2", "l3")},
+    comm AS (SELECT lbl AS community, COUNT(*) AS n_members
+             FROM l3 GROUP BY 1),
+    top AS (SELECT * FROM comm
+            ORDER BY n_members DESC, community LIMIT $LpaTopK)
+    SELECT row_number() OVER (ORDER BY n_members DESC, community) AS rk,
+      community, n_members
+    FROM top"""
   }
 
   val linkPredictionSql: String = s"""WITH $edgesCte,

@@ -1832,12 +1832,22 @@ object TextOps {
     * integer tf/dl evidence next to the score so the hash gate pins the
     * arithmetic, not just the ordering.
     *
-    * Determinism: tf, df, dl, N are exact integers; avgdl is one IEEE
-    * division of exact integers; idf is computed ONCE per query term on
-    * the [[Bm25Queries]]-row relation and rounded at 9 immediately
-    * (T10/T11 libm pattern); the per-candidate score is the identical
-    * double expression tree in both engines, rounded at 6 before
-    * ranking; ranks tie-break (score desc, doc_id).
+    * Determinism: tf, df, dl, N, T(=total tokens) are exact integers;
+    * idf is computed ONCE per query term on the [[Bm25Queries]]-row
+    * relation and immediately restated on a 1e9 INTEGER grid
+    * (`idf_e9 = round(ln(...)·1e9, 0)` cast to long — the only
+    * transcendental, T10/T11 libm pattern). The emitted score never
+    * touches a float round: with k1 = 1.2, b = 0.75 the tf/dl factor
+    * `(tf·2.2)/(tf + 0.3 + 0.9·dl·N/T)` multiplied through by `10·T`
+    * has EXACT integer numerator `22·tf·T` and denominator
+    * `10·tf·T + 3·T + 9·dl·N`, so
+    * `score_e9 = (idf_e9 · 22·tf·T) div (10·tf·T + 3·T + 9·dl·N)` is
+    * one integer floor-division (DECIMAL(38,0) / HUGEINT — no i64
+    * overflow at any corpus size below 1e13 tokens), bit-identical
+    * across engines by construction (r12 verdict: the former
+    * `round(double, 6)` emission hash-diverged between DuckDB builds
+    * at a round-half boundary). Ranks tie-break (score_e9 desc,
+    * doc_id).
     *
     * Scale shape: postings build is one explode+groupBy scan (persisted
     * — feeds the df spine, the doc-length relation, and the candidate
@@ -1865,73 +1875,73 @@ object TextOps {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .persist() // feeds df spine + doc lengths + candidate join
     val dl = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
-    // N counts ALL documents (empty ones included); avgdl = tokens/N.
+    // N counts ALL documents (empty ones included); T = total tokens.
     val stats = d.agg(count(lit(1)).as("n_docs"))
       .crossJoin(postings.agg(sum("tf").as("tot_tokens")))
-      .select(col("n_docs"),
-        (col("tot_tokens").cast("double") / col("n_docs").cast("double")).as("avgdl"))
     val qidf = postings.groupBy("term").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("term")).limit(Bm25Queries)
       .crossJoin(broadcast(stats))
-      .select(col("term"), col("df"), col("avgdl"),
+      .select(col("term"), col("df"), col("n_docs"), col("tot_tokens"),
         round(log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5)) + lit(1.0)), 9).as("idf"))
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)) * lit(1e9), 0)
+          .cast("long").as("idf_e9"))
     val cand = postings
       .join(broadcast(qidf), "term")
       .join(dl, "doc_id")
-    val num = col("tf").cast("double") * lit(Bm25K1 + 1.0)
-    val den = col("tf").cast("double") +
-      lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * (col("dl").cast("double") / col("avgdl")))
-    val scored = cand.select(col("term"), col("doc_id"), col("tf"), col("dl"),
-      round(col("idf") * (num / den), 6).as("score"))
+    // Exact integer grid (see Scaladoc): score_e9 =
+    //   (idf_e9 · 22·tf·T) div (10·tf·T + 3·T + 9·dl·N)
+    // in DECIMAL(38,0) — the constants encode k1=1.2, b=0.75 times 10.
+    val scored = cand
+      .withColumn("tfD", col("tf").cast("decimal(38,0)"))
+      .withColumn("tD", col("tot_tokens").cast("decimal(38,0)"))
+      .withColumn("dlD", col("dl").cast("decimal(38,0)"))
+      .withColumn("nD", col("n_docs").cast("decimal(38,0)"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        expr("cast((cast(idf_e9 as decimal(38,0)) * 22 * tfD * tD) div " +
+          "(10 * tfD * tD + 3 * tD + 9 * dlD * nD) as bigint)").as("score_e9"))
     val local = scored
       .withColumn("bkt", pmod(xxhash64(col("doc_id")), lit(Bm25Buckets.toLong)))
       .withColumn("lrk", row_number().over(
-        Window.partitionBy("term", "bkt").orderBy(col("score").desc, col("doc_id"))))
+        Window.partitionBy("term", "bkt").orderBy(col("score_e9").desc, col("doc_id"))))
       .filter(col("lrk") <= Bm25TopK)
     local
       .withColumn("rk", row_number().over(
-        Window.partitionBy("term").orderBy(col("score").desc, col("doc_id"))))
+        Window.partitionBy("term").orderBy(col("score_e9").desc, col("doc_id"))))
       .filter(col("rk") <= Bm25TopK)
-      .select(col("term"), col("rk"), col("doc_id"), col("tf"), col("dl"), col("score"))
+      .select(col("term"), col("rk"), col("doc_id"), col("tf"), col("dl"), col("score_e9"))
       .orderBy("term", "rk")
   }
 
-  val bm25TopkSql: String = {
-    val k1p1 = s"CAST(${Bm25K1 + 1.0} AS DOUBLE)"
-    val k1 = s"CAST($Bm25K1 AS DOUBLE)"
-    val oneMinusB = s"CAST(${1.0 - Bm25B} AS DOUBLE)"
-    val b = s"CAST($Bm25B AS DOUBLE)"
+  val bm25TopkSql: String =
     s"""WITH postings AS (
       SELECT doc_id, term, COUNT(*) AS tf
       FROM (SELECT doc_id, unnest($tokensSql) AS term FROM documents)
       GROUP BY 1, 2),
     dl AS (SELECT doc_id, SUM(tf) AS dl FROM postings GROUP BY 1),
     stats AS (
-      SELECT n_docs,
-        CAST(tot_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+      SELECT n_docs, tot_tokens
       FROM (SELECT COUNT(*) AS n_docs FROM documents),
            (SELECT SUM(tf) AS tot_tokens FROM postings)),
     qidf AS (
-      SELECT term, df, avgdl,
-        ROUND(ln((CAST(n_docs - df AS DOUBLE) + 0.5) /
-                 (CAST(df AS DOUBLE) + 0.5) + 1.0), 9) AS idf
+      SELECT term, df, n_docs, tot_tokens,
+        CAST(ROUND(ln((CAST(n_docs - df AS DOUBLE) + 0.5) /
+                 (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1e9, 0) AS BIGINT) AS idf_e9
       FROM (SELECT term, COUNT(*) AS df FROM postings GROUP BY 1
             ORDER BY df DESC, term LIMIT $Bm25Queries), stats),
     scored AS (
       SELECT p.term, p.doc_id, p.tf, dl.dl,
-        ROUND(idf * ((CAST(p.tf AS DOUBLE) * $k1p1) /
-          (CAST(p.tf AS DOUBLE) + $k1 * ($oneMinusB +
-            $b * (CAST(dl.dl AS DOUBLE) / avgdl)))), 6) AS score
+        CAST((CAST(idf_e9 AS HUGEINT) * 22 * p.tf * tot_tokens) //
+             (10 * CAST(p.tf AS HUGEINT) * tot_tokens
+              + 3 * CAST(tot_tokens AS HUGEINT)
+              + 9 * CAST(dl.dl AS HUGEINT) * n_docs) AS BIGINT) AS score_e9
       FROM postings p JOIN qidf ON p.term = qidf.term
                       JOIN dl ON p.doc_id = dl.doc_id)
-    SELECT term, rk, doc_id, tf, dl, score FROM (
+    SELECT term, rk, doc_id, tf, dl, score_e9 FROM (
       SELECT *, row_number() OVER (
-        PARTITION BY term ORDER BY score DESC, doc_id) AS rk
+        PARTITION BY term ORDER BY score_e9 DESC, doc_id) AS rk
       FROM scored)
     WHERE rk <= $Bm25TopK
     ORDER BY term, rk"""
-  }
 
   // ------------------------------------------- T26 markup density
 

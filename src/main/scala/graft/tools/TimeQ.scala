@@ -3,9 +3,12 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
 
-/** Times named registry queries (Bench's protocol: checksum-materialize
-  * every column, warm first iteration kept separate) without paying for
-  * the full bench sweep — the targeted-iteration loop for perf work.
+/** Times named registry queries AND raster bench cases (Bench's
+  * protocol: checksum-materialize every column for registry queries,
+  * the E2E thunk for raster_* names; warm first iteration kept
+  * separate) without paying for the full bench sweep — the
+  * targeted-iteration loop for perf work, and (r12 verdict #3) the
+  * isolated-validation path for the raster BASELINE comparables.
   * Usage: runMain graft.tools.TimeQ <name> [name ...]; env
   * SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS / SPARK_GRAFT_ITERS as usual.
   */
@@ -23,10 +26,20 @@ object TimeQ {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.register(spark)
-    def run(name: String): Unit = {
-      val d = graft.SparkEntry.queries(name)(spark, sfDir)
-      d.select(bit_xor(xxhash64(struct(d.columns.toIndexedSeq.map(col): _*)))).collect()
-      ()
+    val raster = graft.Bench.rasterCases(spark).toMap
+    val unknown = args.filterNot(n =>
+      graft.SparkEntry.queries.contains(n) || raster.contains(n))
+    if (unknown.nonEmpty) {
+      System.err.println(s"TIMEQ ERROR: unknown names (neither registry " +
+        s"query nor raster case): ${unknown.mkString(", ")}")
+      sys.exit(2)
+    }
+    def run(name: String): Unit = raster.get(name) match {
+      case Some(thunk) => thunk()
+      case None =>
+        val d = graft.SparkEntry.queries(name)(spark, sfDir)
+        d.select(bit_xor(xxhash64(struct(d.columns.toIndexedSeq.map(col): _*)))).collect()
+        ()
     }
     args.foreach { name =>
       try run(name) catch { case e: Throwable =>

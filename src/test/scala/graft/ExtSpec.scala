@@ -1741,11 +1741,17 @@ class ExtSpec extends SparkSpec {
     // b: tf=1 in both docs 1 (dl 3) and 3 (dl 4) — shorter doc wins
     assert(top("b") == 1L)
     // symmetric evidence: (tf=1, dl=2) occurs for a@doc2 and c@doc2 —
-    // identical idf ⇒ identical rounded score
+    // identical idf ⇒ identical integer-grid score
     def score(term: String, doc: Long) =
-      byTerm(term).find(_.getLong(2) == doc).get.getDouble(5)
+      byTerm(term).find(_.getLong(2) == doc).get.getLong(5)
     assert(score("a", 2L) == score("c", 2L))
-    assert(r.forall(_.getDouble(5) > 0.0))
+    // pinned cell: idf = ln 2 → idf_e9 = 693147181 (round at 1e9);
+    // a@doc1: tf=2, dl=3, N=4, T=9 → score_e9 =
+    //   (693147181·22·2·9) div (10·2·9 + 3·9 + 9·3·4)
+    //   = 274486283676 div 315 = 871385027
+    assert(score("a", 1L) == (BigInt(693147181L) * 22 * 2 * 9 /
+      (10 * 2 * 9 + 3 * 9 + 9 * 3 * 4)).toLong)
+    assert(r.forall(_.getLong(5) > 0L))
     // real corpus: bounded output, ranks contiguous from 1
     val c = TextOps.bm25Topk(spark, Sf0001).collect()
     assert(c.nonEmpty && c.length <= TextOps.Bm25Queries * TextOps.Bm25TopK)
@@ -2649,6 +2655,63 @@ class ExtSpec extends SparkSpec {
     assert(r("click").getLong(1) == 7L && r("click").getLong(2) == 3L)
     assert(r("view").getLong(1) == 2L && r("view").getLong(2) == 0L)
     assert(math.abs(r("click").getDouble(3) - 3.0 / 7.0) < 1e-6)
+  }
+
+  test("G5 communities: two bridged cliques split; labels replay exactly") {
+    import graft.ext.Graph
+    // triangle cliques {1,2,3} and {4,5,6} bridged by edge 3-4, every
+    // basket twice for support >= MinSupport. Hand-traced 3 synchronous
+    // min-tie-break rounds: r1 = (2,1,1,3,4,4), r2 = (1,1,1,4,3,3),
+    // r3 = (1,1,1,3,3,3) -> communities lbl 1 = {1,2,3}, lbl 3 = {4,5,6}
+    val li = Seq(100L -> Seq(1L, 2L, 3L), 101L -> Seq(1L, 2L, 3L),
+      200L -> Seq(4L, 5L, 6L), 201L -> Seq(4L, 5L, 6L),
+      300L -> Seq(3L, 4L), 301L -> Seq(3L, 4L))
+      .flatMap { case (o, ps) => ps.map(o -> _) }
+      .toDF("l_orderkey", "l_partkey")
+    val r = Graph.communitiesFrom(li).collect()
+    assert(r.map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSeq ==
+      Seq((1, 1L, 3L), (2, 3L, 3L)))
+    // real corpus: bounded output, contiguous ranks, positive sizes
+    val c = Graph.communities(spark, Sf0001).collect()
+    assert(c.nonEmpty && c.length <= Graph.LpaTopK)
+    assert(c.map(_.getInt(0)).toSeq == (1 to c.length))
+    assert(c.forall(_.getLong(2) >= 1L))
+  }
+
+  test("E26 retention curve: churn/censor split replays exactly") {
+    // day 21000 = week 3000 exactly; u1 f=21000 l=21002 (dur 2, hor 4:
+    // churned), u2 f=l=21000 (dur 0: churned), u3 f=21001 l=21004
+    // (dur 3 == hor 3: censored at the dataset horizon, NOT churned)
+    val d0 = 21000L
+    def ev(id: Long, u: Long, day: Long) =
+      (id, day * Events.DayUs + 123L, u, "view", 1.0, "{}")
+    val rows = Seq(
+      ev(1, 1, d0), ev(2, 1, d0 + 2),
+      ev(3, 2, d0),
+      ev(4, 3, d0 + 1), ev(5, 3, d0 + 4))
+    val df = rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+    val r = Events.retentionCurveFrom(df).collect()
+    assert(r.forall(_.getLong(0) == 3000L))
+    // suffix sums: a = {0:1, 2:1, 3:1}, r = {3:1, 4:2} →
+    // (t, at_risk, active, churned, retention)
+    assert(r.map(x => (x.getLong(1), x.getLong(2), x.getLong(3),
+      x.getLong(4), x.getDouble(5))).toSeq == Seq(
+      (0L, 3L, 3L, 1L, 1.0),
+      (1L, 3L, 2L, 0L, 0.666667),
+      (2L, 3L, 2L, 1L, 0.666667),
+      (3L, 3L, 1L, 0L, 0.333333),
+      (4L, 2L, 0L, 0L, 0.0)))
+    // real corpus: t=0 is always 1.0 and n_active is nonincreasing in t
+    val c = Events.retentionCurve(spark, Sf0001).collect()
+    assert(c.nonEmpty)
+    c.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byT = rs.sortBy(_.getLong(1))
+      assert(byT.head.getLong(1) == 0L && byT.head.getDouble(5) == 1.0)
+      byT.map(_.getLong(3)).toSeq.sliding(2).foreach {
+        case Seq(p, n) => assert(n <= p)
+        case _ => ()
+      }
+    }
   }
 
   test("G3 triangles: shared-edge pair and K4 count exactly") {
