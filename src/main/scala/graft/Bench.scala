@@ -109,8 +109,9 @@ object Bench {
     // r12c: the graph family shares the memoized co-purchase (edges,
     // deg) pair (Graph.edgeMemo — session-lifetime re-armed persist)
     "g1_pagerank", "g2_degree_hist", "g3_triangles", "g4_link_prediction",
-    // r13: g5 rides the same memoized co-purchase (edges, deg) pair
-    "g5_communities",
+    // r13: g5/g6 ride the same memoized co-purchase (edges, deg) pair;
+    // g6 additionally memoizes its CC labels (Graph.compMemo)
+    "g5_communities", "g6_components",
     // r12d: d22 persists its signature relation (banding + both verify
     // sides), the d3 shape
     "d22_source_overlap",
@@ -150,7 +151,8 @@ object Bench {
   // essentially to completion twice per bench. Recorded as (-2, -2) =
   // "skipped: construction runs jobs".
   private[graft] val auditSkip = Set("d7_dup_clusters", "c1_curation_funnel",
-    "d8_para_clusters", "c3_dedup_impact", "c4_dedup_quality")
+    "d8_para_clusters", "c3_dedup_impact", "c4_dedup_quality",
+    "g6_components")
 
   /** Raster-pipeline E2E cases — the direct comparables to the
     * reference's published numbers (BASELINE.md: single-product
@@ -531,7 +533,11 @@ object Bench {
       s"single-query JVM ($nReval this run) and the ISOLATED number is " +
       "authoritative in 'queries'; both numbers are in 'revalidated' " +
       "(sweep/isolated). tools/TimeQ remains the manual cross-check and " +
-      "now also accepts raster_* case names. " +
+      "now also accepts raster_* case names. r13 adjudication via that " +
+      "path: raster_batch_4prod isolated min 1.43s at sf0.1 - the r12 " +
+      "artifact's 3.86 was chunk state, not a regression (r11's 1.68 " +
+      "stands; the >=2s always-revalidate rule now catches this class " +
+      "automatically). " +
       "Rasters run min-of-4 (min-of-2 swung " +
       "0.46<->0.78 run-to-run): pushdown 0.388 (1.11x the 348ms " +
       "baseline), warp 0.695 and synrgb 1.436 (both beat the ~1.5s " +

@@ -696,7 +696,8 @@ object SparkEntry {
     Q("g2_degree_hist", Graph.degreeHist, Some(Graph.degreeHistSql)),
     Q("g3_triangles", Graph.triangles, Some(Graph.trianglesSql)),
     Q("g4_link_prediction", Graph.linkPrediction, Some(Graph.linkPredictionSql)),
-    Q("g5_communities", Graph.communities, Some(Graph.communitiesSql)))
+    Q("g5_communities", Graph.communities, Some(Graph.communitiesSql)),
+    Q("g6_components", Graph.components, Some(Graph.componentsSql)))
 
   private val extQueries: Seq[Q] = Seq(
     Q("e1_sessionize", Events.sessionize, Some(Events.sessionizeSql)),

@@ -467,6 +467,101 @@ object Graph {
     FROM top"""
   }
 
+  /** Session-lifetime memo for the component labels — the
+    * [[Dedup.clusterLabels]] loop re-roots each round at an RDD scan,
+    * so two constructions are never plan-equal (see Dedup.ccMemo); one
+    * build per (session, dir), persist re-armed per call.
+    */
+  private val compMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+
+  /** G6: connected components of the co-purchase graph — every node
+    * labeled with its component's min part id (EXACT, iterated to
+    * fixpoint — a diameter-capped approximation would be a WRONG
+    * component map, the [[Dedup.MaxClusterIters]] argument), then the
+    * bounded component-size audit: per log2(size) bin the component and
+    * node counts — the fragmentation report (one giant component vs
+    * many islands) read before any per-component computation is
+    * scheduled. Reuses the D7 min-label machinery
+    * ([[Dedup.clusterLabels]]: per-round join+agg with truncated
+    * lineage, driver holds one scalar per round) over the
+    * [[MinSupport]]-pruned edge list.
+    *
+    * Determinism: labels, sizes, and bin bounds are exact integers (the
+    * G2 bit-length log2); the two fractions are one IEEE division each,
+    * rounded at 6. The oracle states the same closure as a DuckDB
+    * recursive CTE — reachability-min and label propagation agree
+    * exactly on any graph.
+    *
+    * Scale shape: the per-round cost is one edge join + one min
+    * aggregate (map-side partials); the histogram collapses the
+    * node-sized label relation onto ≤64 bins. Labels memoize per
+    * session like [[edgeRelations]] (registry persist contract).
+    */
+  def components(s: SparkSession, dir: String): DataFrame = {
+    val labels = {
+      val l = compMemo.computeIfAbsent((s, dir), _ => {
+        val (edges, deg) = edgeRelations(s, dir)
+        graft.ext.Dedup.clusterLabels(
+          deg.select(col("u").as("id")),
+          edges.filter(col("u") < col("v"))
+            .select(col("u").as("doc_a"), col("v").as("doc_b")))
+      })
+      rearmed(l)
+    }
+    componentsHist(labels)
+  }
+
+  /** [[components]] over an explicit `(l_orderkey, l_partkey)` relation
+    * — the spec pins bins on crafted multi-component graphs.
+    */
+  def componentsFrom(li: DataFrame): DataFrame = {
+    val edges = copurchaseEdges(li)
+    componentsHist(graft.ext.Dedup.clusterLabels(
+      edges.select(col("u").as("id")).distinct(),
+      edges.filter(col("u") < col("v"))
+        .select(col("u").as("doc_a"), col("v").as("doc_b"))))
+  }
+
+  private def componentsHist(labels: DataFrame): DataFrame = {
+    val comp = labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
+    val tot = comp.agg(count(lit(1)).as("nc"), sum("sz").as("nn"))
+    comp.select(col("sz"),
+      (length(conv(col("sz"), 10, 2)) - 1).cast("long").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_components"),
+        sum("sz").as("n_nodes"),
+        min("sz").as("min_size"), max("sz").as("max_size"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_components"), col("n_nodes"),
+        col("min_size"), col("max_size"),
+        round(col("n_components").cast("double") / col("nc").cast("double"), 6)
+          .as("comp_frac"),
+        round(col("n_nodes").cast("double") / col("nn").cast("double"), 6)
+          .as("node_frac"))
+      .orderBy("bin")
+  }
+
+  val componentsSql: String = s"""WITH RECURSIVE $edgesCte,
+    nodes AS (SELECT DISTINCT u FROM edges),
+    reach AS (
+      SELECT u AS id, u AS lbl FROM nodes
+      UNION
+      SELECT e.v, r.lbl FROM reach r JOIN edges e ON r.id = e.u),
+    lab AS (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY 1),
+    comp AS (SELECT lbl, COUNT(*) AS sz FROM lab GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS nc, CAST(SUM(sz) AS BIGINT) AS nn FROM comp),
+    bins AS (
+      SELECT CAST(length(ltrim(bin(sz), '0')) - 1 AS BIGINT) AS bin,
+        COUNT(*) AS n_components,
+        CAST(SUM(sz) AS BIGINT) AS n_nodes,
+        MIN(sz) AS min_size, MAX(sz) AS max_size
+      FROM comp GROUP BY 1)
+    SELECT bin, n_components, n_nodes, min_size, max_size,
+      ROUND(CAST(n_components AS DOUBLE) / CAST(nc AS DOUBLE), 6) AS comp_frac,
+      ROUND(CAST(n_nodes AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS node_frac
+    FROM bins CROSS JOIN tot ORDER BY bin"""
+
   val linkPredictionSql: String = s"""WITH $edgesCte,
     deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY 1),
     adj AS (

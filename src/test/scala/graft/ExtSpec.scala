@@ -2714,6 +2714,32 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("G6 components: clique + pair + path land in exact log2 size bins") {
+    import graft.ext.Graph
+    // components: triangle {1,2,3} (size 3, bin 1), pair {7,8} (size 2,
+    // bin 1), path 10-11-12-13-14 (size 5, bin 2); every basket twice
+    // for support >= MinSupport
+    val baskets = Seq(
+      100L -> Seq(1L, 2L, 3L), 101L -> Seq(1L, 2L, 3L),
+      110L -> Seq(7L, 8L), 111L -> Seq(7L, 8L),
+      120L -> Seq(10L, 11L), 121L -> Seq(10L, 11L),
+      130L -> Seq(11L, 12L), 131L -> Seq(11L, 12L),
+      140L -> Seq(12L, 13L), 141L -> Seq(12L, 13L),
+      150L -> Seq(13L, 14L), 151L -> Seq(13L, 14L))
+    val li = baskets.flatMap { case (o, ps) => ps.map(o -> _) }
+      .toDF("l_orderkey", "l_partkey")
+    val r = Graph.componentsFrom(li).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+      x.getLong(3), x.getLong(4), x.getDouble(5), x.getDouble(6))).toSeq ==
+      Seq((1L, 2L, 5L, 2L, 3L, 0.666667, 0.5),
+          (2L, 1L, 5L, 5L, 5L, 0.333333, 0.5)))
+    // real corpus: bins partition all nodes (fracs sum to 1)
+    val c = Graph.components(spark, Sf0001).collect()
+    assert(c.nonEmpty)
+    assert(math.abs(c.map(_.getDouble(6)).sum - 1.0) < 1e-5)
+    assert(math.abs(c.map(_.getDouble(5)).sum - 1.0) < 1e-5)
+  }
+
   test("G3 triangles: shared-edge pair and K4 count exactly") {
     import graft.ext.Graph
     // baskets {1,2,3} and {2,3,4}, each twice (support ≥ MinSupport):

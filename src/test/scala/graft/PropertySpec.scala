@@ -186,4 +186,92 @@ class PropertySpec extends AnyFunSuite {
     assert(!Epsg.isGeographic2D(3999) && Epsg.isGeographic2D(4000) &&
       Epsg.isGeographic2D(4999) && !Epsg.isGeographic2D(5000))
   }
+
+  // ------------------------------------------ float-boundary protocol
+
+  // Cross-engine ROUND models (the r12 t23 lesson as a regression gate):
+  // Spark's Round is BigDecimal HALF_UP over the double's EXACT binary
+  // value; a scaled C-library implementation (DuckDB-style) multiplies
+  // by 10^k first — both half-away (std::round) and half-even
+  // (nearbyint) variants exist across builds.
+  private def sparkRound(x: Double, k: Int): Double =
+    BigDecimal(x).setScale(k, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def scaledAway(x: Double, k: Int): Double = {
+    val s = math.pow(10, k); math.floor(x * s + 0.5) / s // positive x
+  }
+  private def scaledEven(x: Double, k: Int): Double = {
+    val s = math.pow(10, k); math.rint(x * s) / s
+  }
+
+  test("t23 integer-grid emission is engine-round invariant under ±1 ulp on ln") {
+    // model of TextOps.bm25TopkFrom's emission chain: the ONLY float op
+    // is the idf transcendental, restated once on the 1e9 integer grid;
+    // everything downstream is exact integer arithmetic, so the emitted
+    // cell cannot depend on the engine's round implementation
+    val gN = Gen.chooseNum(100L, 10000000L)
+    val gDf = Gen.chooseNum(1L, 100L)
+    val gTf = Gen.chooseNum(1L, 1000L)
+    val gDl = Gen.chooseNum(1L, 100000L)
+    val gT = Gen.chooseNum(100000L, 1000000000000L)
+    forAll(Gen.zip(gN, gDf, gTf, gDl, gT)) { case (n, df, tf, dl, tt) =>
+      val ln = math.log(((n - df).toDouble + 0.5) / (df.toDouble + 0.5) + 1.0)
+      Seq(ln, Math.nextUp(ln), Math.nextDown(ln)).foreach { l =>
+        // positive grid value: HALF_UP == half-away, and the scaled
+        // form sees the same product — idf_e9 is engine-independent
+        val e9 = sparkRound(l * 1e9, 0).toLong
+        assert(e9 == scaledAway(l * 1e9, 0).toLong)
+        // downstream: one integer floor-division, bit-identical by
+        // construction on any engine with exact integer division
+        val num = BigInt(e9) * 22 * tf * tt
+        val den = BigInt(10) * tf * tt + BigInt(3) * tt + BigInt(9) * dl * n
+        assert(num / den == num / den)
+        assert((num / den).isValidLong)
+      }
+      // a 1-ulp libm difference moves idf_e9 by at most one grid step
+      val base = sparkRound(ln * 1e9, 0).toLong
+      assert(math.abs(sparkRound(Math.nextUp(ln) * 1e9, 0).toLong - base) <= 1)
+    }
+  }
+
+  test("raw round(double, 6) emissions DO diverge across round models — why the grid rule exists") {
+    // the pre-r13 t23 emission class: round a computed double at 6 and
+    // emit. On the X.xxxxxx5 boundary family the exact-decimal HALF_UP
+    // and the scaled half-even models disagree — this is the documented
+    // cross-engine fragility (CLAUDE.md gate-of-record rule), not a bug
+    // in either engine
+    val diverged = (0 until 1000).count { m =>
+      val x = (2 * m + 1) * 0.5e-6
+      sparkRound(x, 6) != scaledEven(x, 6)
+    }
+    assert(diverged > 0, "boundary family failed to exhibit divergence")
+    // off-boundary, all three models agree (sanity for ratio emissions)
+    forAll(Gen.zip(Gen.chooseNum(1L, 1000000L), Gen.chooseNum(1L, 1000000L))) {
+      case (a, b) =>
+        val x = a.toDouble / (a + b).toDouble
+        val s = sparkRound(x, 6)
+        whenever(math.abs(x * 1e6 - math.floor(x * 1e6) - 0.5) > 1e-9) {
+          assert(s == scaledAway(x, 6) && s == scaledEven(x, 6))
+        }
+    }
+  }
+
+  test("g4 aa_score chain: 1e-9-grid weights survive DECIMAL accumulation round-model free") {
+    // model of Graph.linkPredictionCore: w = round(1/ln(deg), 9) per
+    // neighbor (positive → HALF_UP == half-away), summed EXACTLY in
+    // DECIMAL; the final round(·, 6) sees an exact 1e-9-grid value, so
+    // both positive-half models agree unless the sum lands exactly on
+    // the half grid (measure ~1e-3 per cell; the integer-grid rule is
+    // the escape hatch if the driver gate ever flags it)
+    val gDegs = Gen.listOfN(8, Gen.chooseNum(2, 64))
+    forAll(gDegs) { degs =>
+      val ws = degs.map(d => sparkRound(1.0 / math.log(d.toDouble), 9))
+      val sum = ws.map(BigDecimal(_)).sum // exact: each w has ≤9 decimals
+      assert(sum.scale <= 9)
+      val d = sum.toDouble
+      val frac = d * 1e6 - math.floor(d * 1e6)
+      whenever(math.abs(frac - 0.5) > 1e-6) {
+        assert(sparkRound(d, 6) == scaledAway(d, 6))
+      }
+    }
+  }
 }
