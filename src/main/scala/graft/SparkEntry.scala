@@ -854,7 +854,7 @@ object SparkEntry {
     * callers running many queries in one long-lived session (as
     * Verify/Bench do) should `spark.catalog.clearCache()` between
     * queries to reclaim executor storage. Session-lifetime memoized
-    * relations (`Dedup.ccMemo` labels, `Dedup.shingleMemo` shingle
+    * relations (`ext.SessionMemo`-held CC labels, shingle
     * bases) additionally RE-ARM their persist on every call, so a
     * clearCache costs their consumers one lineage replay, not a
     * rebuild. The set of queries allowed to leave persists behind is

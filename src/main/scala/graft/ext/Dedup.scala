@@ -215,7 +215,7 @@ object Dedup {
     */
   /** Session-lifetime memo of the two shingle relations — the raw
     * distinct `(doc_id, sh)` hashed-shingle relation and its df-capped
-    * projection — in the same re-armed-persist pattern as [[ccMemo]]
+    * projection — in the same re-armed-persist pattern as [[memoLabels]]
     * (d7's labels). Before r12 every shingle-family query (d2, d9, d10,
     * d13, d14) re-built its own copy of the explode+distinct+cap
     * relation per call: cold d14 129 s, d13 75 s, d10 44 s, d9 42 s at
@@ -226,18 +226,16 @@ object Dedup {
     * shared plan instead of five structurally-equal ones. `capped`'s
     * plan contains `raw` as a subtree, so re-arming both lets the cache
     * manager serve the cap build and the join sides from the raw cache.
-    * Bounded: one entry per live (session, dir).
+    * Bounded: one entry per live (session, dir), held in the shared
+    * stopped-session-evicting [[SessionMemo]] (r13).
     */
-  private val shingleMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame)]
-
   private def rearmed(df: DataFrame): DataFrame = {
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
     df
   }
 
   private def shingleRelations(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val (raw, capped) = shingleMemo.computeIfAbsent((s, dir), _ => {
+    val (raw, capped) = SessionMemo.get[(DataFrame, DataFrame)](s, s"shingles:$dir") {
       val raw = shingleDf(s, dir)
         .select(col("doc_id"), TextOps.tokenHash(col("shingle")).as("sh"))
         .distinct()
@@ -245,7 +243,7 @@ object Dedup {
         .filter(col("df") <= MaxShingleDf)
         .select("sh")
       (raw, raw.join(keep, "sh"))
-    })
+    }
     (rearmed(raw), rearmed(capped))
   }
 
@@ -829,16 +827,9 @@ object Dedup {
     * per-round count() actions. Bounded: one entry per live
     * (session, dir, granularity).
     */
-  private val ccMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), DataFrame]
-
   private def memoLabels(key: String, s: SparkSession, dir: String)(
-      build: => DataFrame): DataFrame = {
-    val labels = ccMemo.computeIfAbsent((s, dir, key), _ => build)
-    if (labels.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      labels.persist()
-    labels
-  }
+      build: => DataFrame): DataFrame =
+    rearmed(SessionMemo.get[DataFrame](s, s"cc:$key:$dir")(build))
 
   def clusterIds(s: SparkSession, dir: String): DataFrame =
     memoLabels("doc", s, dir) {

@@ -32,27 +32,25 @@ object Graph {
   val PrTopK = 20
 
   /** Session-lifetime memo for the (edges, deg) pair per (session, dir)
-    * — the Dedup.shingleMemo re-armed-persist pattern: g1/g2/g3 all
-    * consume the same co-purchase adjacency, and g1 alone walks it 4+
-    * times (degree attach + one leg per iteration round), so the
-    * explode+distinct build runs once per session and later calls
-    * re-`persist()` if clearCache dropped it (re-execution then reuses
-    * the retained shuffle files). Documented in `Bench.extraIters`.
+    * — the Dedup shingle re-armed-persist pattern, held in the shared
+    * stopped-session-evicting [[SessionMemo]]: g1–g6 all consume the
+    * same co-purchase adjacency, and g1 alone walks it 4+ times (degree
+    * attach + one leg per iteration round), so the explode+distinct
+    * build runs once per session and later calls re-`persist()` if
+    * clearCache dropped it (re-execution then reuses the retained
+    * shuffle files). Documented in `Bench.extraIters`.
     */
-  private val edgeMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame)]
-
   private def rearmed(df: DataFrame): DataFrame = {
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
     df
   }
 
   private def edgeRelations(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val (edges, deg) = edgeMemo.computeIfAbsent((s, dir), _ => {
+    val (edges, deg) = SessionMemo.get[(DataFrame, DataFrame)](s, s"graph-edges:$dir") {
       val e = copurchaseEdges(
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")))
       (e, e.groupBy("u").agg(count(lit(1)).as("deg")))
-    })
+    }
     (rearmed(edges), rearmed(deg))
   }
 
@@ -467,14 +465,6 @@ object Graph {
     FROM top"""
   }
 
-  /** Session-lifetime memo for the component labels — the
-    * [[Dedup.clusterLabels]] loop re-roots each round at an RDD scan,
-    * so two constructions are never plan-equal (see Dedup.ccMemo); one
-    * build per (session, dir), persist re-armed per call.
-    */
-  private val compMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]
-
   /** G6: connected components of the co-purchase graph — every node
     * labeled with its component's min part id (EXACT, iterated to
     * fixpoint — a diameter-capped approximation would be a WRONG
@@ -499,16 +489,16 @@ object Graph {
     * session like [[edgeRelations]] (registry persist contract).
     */
   def components(s: SparkSession, dir: String): DataFrame = {
-    val labels = {
-      val l = compMemo.computeIfAbsent((s, dir), _ => {
-        val (edges, deg) = edgeRelations(s, dir)
-        graft.ext.Dedup.clusterLabels(
-          deg.select(col("u").as("id")),
-          edges.filter(col("u") < col("v"))
-            .select(col("u").as("doc_a"), col("v").as("doc_b")))
-      })
-      rearmed(l)
-    }
+    // the clusterLabels loop re-roots each round at an RDD scan, so two
+    // constructions are never plan-equal (see Dedup.memoLabels) — one
+    // build per (session, dir), persist re-armed per call
+    val labels = rearmed(SessionMemo.get[DataFrame](s, s"graph-cc:$dir") {
+      val (edges, deg) = edgeRelations(s, dir)
+      graft.ext.Dedup.clusterLabels(
+        deg.select(col("u").as("id")),
+        edges.filter(col("u") < col("v"))
+          .select(col("u").as("doc_a"), col("v").as("doc_b")))
+    })
     componentsHist(labels)
   }
 

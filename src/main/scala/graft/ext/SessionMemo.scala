@@ -1,0 +1,29 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped memo for expensive-to-build relations shared across
+  * registry queries — the shared registry behind the re-armed-persist
+  * pattern (shingle builds, CC labels, co-purchase adjacency; see
+  * CLAUDE.md "re-armed-persist memo"). Values are pure in
+  * (session, key). Entries whose SparkSession has STOPPED are evicted
+  * on every access, so a long-lived JVM cycling sessions (test suites,
+  * notebooks) does not pin dead DataFrames and persist references for
+  * its lifetime — r12 ADVICE: with a third per-object
+  * ConcurrentHashMap copy the leak had become structural; this is the
+  * one shared, self-cleaning home.
+  */
+private[graft] object SessionMemo {
+  private val entries = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), AnyRef]
+
+  /** Memoized build of a pure (session, key) value. The caller re-arms
+    * any persists on the returned relations (the storageLevel check) —
+    * the memo guarantees only one construction per live session.
+    */
+  def get[A <: AnyRef](s: SparkSession, key: String)(build: => A): A = {
+    val it = entries.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    entries.computeIfAbsent((s, key), _ => build).asInstanceOf[A]
+  }
+}

@@ -167,10 +167,16 @@ object TextOps {
     * the identical integer in both), and every output is an exact
     * integer or one guarded division rounded at 6.
     *
-    * Scale shape: one explode over words, a per-row codegen projection
-    * (36 nested string replaces on short words), one map-side-partial
-    * aggregate back to doc grain, and a left join to keep empty
-    * documents — no window, no extra shuffle beyond the doc-grain agg.
+    * Scale shape (r13): the merge chain's cost depends only on the
+    * WORD, and word occurrences are Zipf-repetitive, so the 36-replace
+    * projection runs once per DISTINCT lowercased word (vocab grain,
+    * orders of magnitude below occurrence grain) — the T10/T11
+    * vocab-leg rule applied to string algebra. Occurrences pre-agg to
+    * (doc, word) counts (map-side partials), join the vocab cost on the
+    * word key (planner-sized; AQE handles the stop-word skew), then one
+    * doc-grain aggregate and the empty-doc left join. The oracle states
+    * the equivalent per-occurrence form — `ntok` is a pure function of
+    * the word, so the two agree cell-for-cell.
     */
   def bpeExact(s: SparkSession, dir: String): DataFrame =
     bpeExactFrom(t(s, dir))
@@ -179,15 +185,17 @@ object TextOps {
     * drives crafted words through it against a plain-JVM reference fold.
     */
   def bpeExactFrom(d: DataFrame): DataFrame = {
-    val words = d
+    val wc = d
       .select(col("doc_id"), explode(tokens(col("text"))).as("w0"))
       .select(col("doc_id"), lower(col("w0")).as("w"))
-    val perDoc = words
-      .select(col("doc_id"),
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val vocabCost = wc.select(col("w")).distinct()
+      .select(col("w"),
         when(col("w").rlike("^[a-z]+$"), bpeWordTokens(col("w")).cast("long"))
           .otherwise(lit(1L)).as("ntok"))
+    val perDoc = wc.join(vocabCost, "w")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"), sum("ntok").as("n_bpe_exact"))
+      .agg(sum("c").as("n_words"), sum(col("c") * col("ntok")).as("n_bpe_exact"))
     d.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),
@@ -1765,16 +1773,22 @@ object TextOps {
 
   /** [[fertility]] over an explicit `(lang, text)` relation. */
   def fertilityFrom(d: DataFrame): DataFrame = {
-    val words = d
+    // T16's r13 vocab-grain restructuring: the merge chain runs once
+    // per distinct (lang, word is lang-free) word, occurrence counts
+    // join back — ntok is a pure function of the word
+    val wc = d
       .select(col("lang"), explode(tokens(col("text"))).as("w0"))
       .select(col("lang"), lower(col("w0")).as("w"))
-      .select(col("lang"),
+      .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+    val vocabCost = wc.select(col("w")).distinct()
+      .select(col("w"),
         when(col("w").rlike("^[a-z]+$"), bpeWordTokens(col("w")).cast("long"))
           .otherwise(lit(1L)).as("ntok"))
-    words.groupBy("lang")
-      .agg(count(lit(1)).as("n_words"),
-        sum("ntok").as("n_bpe"),
-        sum(when(col("ntok") === 1L, 1L).otherwise(0L)).as("n_single"))
+    wc.join(vocabCost, "w")
+      .groupBy("lang")
+      .agg(sum("c").as("n_words"),
+        sum(col("c") * col("ntok")).as("n_bpe"),
+        sum(when(col("ntok") === 1L, col("c")).otherwise(0L)).as("n_single"))
       .select(col("lang"), col("n_words"), col("n_bpe"),
         round(col("n_bpe").cast("double") / col("n_words").cast("double"), 6)
           .as("fertility"),
