@@ -1428,4 +1428,84 @@ object Similarity {
         THEN ROUND((n * sxy - sx * sy) / sqrt($den), 6) END AS corr_norm_len
     FROM sums ORDER BY source"""
   }
+
+  // -------------------------------------------------- S20 k-NN accuracy
+
+  /** Query-set bound for the S20 eval (larger than [[NumQueries]] so
+    * every label gets a meaningful per-label accuracy denominator; the
+    * eval set stays FIXED-size at any corpus scale).
+    */
+  val KnnQueries = 200
+
+  /** S20: leave-one-out k-NN label accuracy — each of the first
+    * [[KnnQueries]] vectors is classified by majority label of its
+    * [[TopK]] exact-cosine neighbors (self excluded; ties break count
+    * desc then label asc), scored against its true label, reported per
+    * label: the standard intrinsic embedding-quality eval (a space
+    * whose neighborhoods cross label boundaries degrades every
+    * downstream ANN/SemDeDup decision; Cover & Hart 1967 for the k-NN
+    * rule). Complements S7's centroid separation (global geometry) with
+    * neighborhood-level class purity.
+    *
+    * Determinism: cosines are the shared `graft_dot` chain (identical
+    * IEEE doubles both engines); votes and counts are exact integers;
+    * the majority argmax is the g5 `max(struct(cnt, -label))` with the
+    * oracle stating the equivalent row_number form; accuracy is one
+    * division rounded at 6.
+    *
+    * Scale shape: the bounded query side broadcasts into one corpus
+    * scan (the S1/exactTopk plan — corpus never shuffles, per-query
+    * rank prunes to top-k inside the window via group-limit); votes and
+    * the label rollup are map-side-partial aggregates on
+    * ≤[[KnnQueries]]·[[TopK]] rows.
+    */
+  def knnAccuracy(s: SparkSession, dir: String): DataFrame =
+    knnAccuracyFrom(t(s, dir))
+
+  /** [[knnAccuracy]] over an explicit `(vec_id, embedding, label)`
+    * relation — the spec pins perfect separation on crafted clusters.
+    */
+  def knnAccuracyFrom(d: DataFrame): DataFrame = {
+    val emb = withNorm(d)
+    val q = emb.filter(col("vec_id") < KnnQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+    val nbrs = exactTopk(emb, q, TopK)
+      .join(broadcast(q.select(col("qid"), col("qlabel"))), "qid")
+      .join(emb.select(col("vec_id").as("oid"), col("label").as("olabel")), "oid")
+    val votes = nbrs.groupBy("qid", "qlabel", "olabel")
+      .agg(count(lit(1)).as("cnt"))
+    val pred = votes.groupBy("qid", "qlabel")
+      .agg(max(struct(col("cnt"), (-col("olabel")).as("neg"))).as("m"))
+      .select(col("qid"), col("qlabel"), (-col("m.neg")).as("plabel"))
+    pred.groupBy("qlabel")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("plabel") === col("qlabel"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("qlabel").as("label"), col("n_queries"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_queries").cast("double"), 6)
+          .as("accuracy"))
+      .orderBy("label")
+  }
+
+  val knnAccuracySql: String = s"""WITH $normCte,
+    q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe, nrm AS qn
+          FROM en WHERE vec_id < $KnnQueries),
+    cos AS (
+      SELECT qid, qlabel, en.vec_id AS oid, en.label AS olabel,
+        (${dotSql("qe", "en.embedding")}) / (qn * nrm) AS cos
+      FROM en CROSS JOIN q WHERE en.vec_id != qid),
+    nb AS (SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, oid) AS rk
+        FROM cos) WHERE rk <= $TopK),
+    votes AS (SELECT qid, qlabel, olabel, COUNT(*) AS cnt
+              FROM nb GROUP BY 1, 2, 3),
+    pred AS (SELECT qid, qlabel, olabel AS plabel FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY cnt DESC, olabel) AS vr
+        FROM votes) WHERE vr = 1)
+    SELECT qlabel AS label, COUNT(*) AS n_queries,
+      CAST(SUM(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+      ROUND(CAST(SUM(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) AS DOUBLE) /
+        CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+    FROM pred GROUP BY 1 ORDER BY 1"""
 }

@@ -2740,6 +2740,27 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(c.map(_.getDouble(5)).sum - 1.0) < 1e-5)
   }
 
+  test("S20 kNN accuracy: two separated clusters classify perfectly") {
+    import graft.ext.Similarity
+    // 8 vectors per label on orthogonal axes with tiny in-cluster
+    // jitter: every query's top-5 neighbors are own-cluster, so the
+    // majority vote is exact on both labels
+    def v(axis: Int, jit: Int): Array[Float] =
+      Array.tabulate(64)(d =>
+        if (d == axis) 1.0f else if (d == 32 + axis) jit * 0.01f else 0.0f)
+    val rows = (0 until 8).map(i => (i.toLong, v(0, i), 0)) ++
+      (8 until 16).map(i => (i.toLong, v(1, i - 8), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val r = Similarity.knnAccuracyFrom(df).collect()
+    assert(r.map(x => (x.getInt(0), x.getLong(1), x.getLong(2),
+      x.getDouble(3))).toSeq == Seq((0, 8L, 8L, 1.0), (1, 8L, 8L, 1.0)))
+    // real corpus: bounded query set, accuracies in [0, 1]
+    val c = Similarity.knnAccuracy(spark, Sf0001).collect()
+    assert(c.nonEmpty)
+    assert(c.map(_.getLong(1)).sum <= Similarity.KnnQueries)
+    assert(c.forall(x => x.getDouble(3) >= 0.0 && x.getDouble(3) <= 1.0))
+  }
+
   test("G3 triangles: shared-edge pair and K4 count exactly") {
     import graft.ext.Graph
     // baskets {1,2,3} and {2,3,4}, each twice (support ≥ MinSupport):
