@@ -108,6 +108,39 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("canon_url")
 
+  /** Watermarked stream-stream INTERVAL join — the streaming dual of
+    * the batch as-of/conversion-latency pair (E4/E15): each purchase
+    * matches the clicks by the same user inside the trailing
+    * `maxDelay` window, emitting the attribution row with its exact
+    * click→purchase latency. This is the one core Structured Streaming
+    * capability aggregations can't express (both sides are unbounded):
+    * Spark buffers each side's state ONLY within watermark + the
+    * time-range predicate — the state bound that makes the join run
+    * forever at cluster scale — and joins per user_id partition, the
+    * same key both sides shuffle on.
+    */
+  def conversionJoin(clicks: DataFrame, purchases: DataFrame,
+                     maxDelay: String = "30 minutes",
+                     watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c,
+        col("p_user") === col("c_user") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $maxDelay"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("click_ts"), col("purchase_ts"),
+        (unix_millis(col("purchase_ts")) - unix_millis(col("click_ts")))
+          .as("latency_ms"),
+        col("value"))
+  }
+
   /** Custom-state sessionization via `flatMapGroupsWithState` — the
     * hand-rolled counterpart of [[sessionAgg]] for session logic
     * `session_window` can't express (per-user state machine with

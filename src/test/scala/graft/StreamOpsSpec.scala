@@ -50,6 +50,37 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("conversionJoin matches purchases to in-window clicks across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long, Double)]
+    val cdf = clicks.toDF().toDF("ts", "user_id", "event_id")
+    val pdf = purchases.toDF().toDF("ts", "user_id", "event_id", "value")
+    val q = StreamOps.conversionJoin(cdf, pdf, "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("conv_join_test")
+      .outputMode("append").start()
+    try {
+      // u1 clicks at t0, purchases at t10 (in window, across batches);
+      // u2 clicks at t0 but purchases at t50 (outside the 30-min window);
+      // u3 purchases with no click at all
+      clicks.addData((ts(0), 1L, 100L), (ts(0), 2L, 200L))
+      q.processAllAvailable()
+      purchases.addData((ts(10), 1L, 101L, 9.0), (ts(50), 2L, 201L, 5.0),
+        (ts(20), 3L, 301L, 7.0))
+      q.processAllAvailable()
+      // advance both watermarks so all joinable state resolves (distinct
+      // users so the advancement events cannot join each other)
+      clicks.addData((ts(600), 8L, 900L))
+      purchases.addData((ts(600), 9L, 901L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("conv_join_test").collect()
+      assert(rows.length == 1, s"expected one attribution, got ${rows.mkString(";")}")
+      val r = rows.head
+      assert(r.getLong(0) == 1L && r.getLong(1) == 101L && r.getLong(2) == 100L)
+      assert(r.getLong(5) == 10L * 60000 && r.getDouble(6) == 9.0)
+    } finally q.stop()
+  }
+
   test("sessionizeWithState closes sessions by gap and by timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double, String)]
