@@ -793,6 +793,7 @@ object SparkEntry {
     Q("w6_split_leakage", Mix.splitLeakage, Some(Mix.splitLeakageSql)),
     Q("w9_dedup_source_mix", Mix.dedupSourceMix, Some(Mix.dedupSourceMixSql)),
     Q("w10_pack_sweep", Mix.packSweep, Some(Mix.packSweepSql)),
+    Q("w11_balanced_sample", Mix.balancedSample, Some(Mix.balancedSampleSql)),
     Q("w7_mixture_temperature", Mix.mixtureTemperature, Some(Mix.mixtureTemperatureSql)),
     Q("w8_quality_upsample", Mix.qualityUpsample, Some(Mix.qualityUpsampleSql)),
     Q("s1_cosine_topk", Similarity.cosineTopk, Some(Similarity.cosineTopkSql)),

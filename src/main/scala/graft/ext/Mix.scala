@@ -825,4 +825,81 @@ object Mix {
       ROUND(ROUND(CAST(k * tokens_canonical AS DOUBLE) / CAST(tpost AS DOUBLE), 6) -
         ROUND(CAST(k * tokens_all AS DOUBLE) / CAST(tpre AS DOUBLE), 6), 6) AS share_shift
     FROM per CROSS JOIN tot ORDER BY source"""
+
+  // ------------------------------------- W11 balanced hash downsampling
+
+  /** Threshold grid for [[balancedSample]] — sampling rates are exact
+    * integer thresholds out of this grid, never a float fraction.
+    */
+  val SampleGrid = 1000000L
+
+  /** W11: deterministic balanced downsampling — every source stratum is
+    * Bernoulli-downsampled toward the SMALLEST source's doc count with
+    * a stable hash threshold: keep a doc iff
+    * `hash(doc_id) mod 1e6 < threshold_source`, threshold =
+    * `(min_count·1e6) div count_source` (exact integer floor). Unlike
+    * random sampling, a document's fate depends only on its id and its
+    * source's threshold, so the kept set is REPRODUCIBLE and
+    * growth-stable (new docs never flip old decisions — the W3/T7
+    * hash-stability argument applied to source balancing, the standard
+    * pre-training move against a dominant crawl source). Emits per
+    * source the threshold, achieved counts, and the exact doc_id-sum
+    * checksum of the kept set (pins the SELECTION like W1's quota
+    * take).
+    *
+    * Determinism: thresholds, counts, and the checksum are exact
+    * integers; the two rates are one IEEE division each rounded at 6.
+    *
+    * Scale shape: one count aggregate, a |sources|-row threshold
+    * relation joined back into ONE corpus scan (planner broadcasts by
+    * size), then a map-side-partial rollup. No windows, no sort, no
+    * per-doc state.
+    */
+  def balancedSample(s: SparkSession, dir: String): DataFrame =
+    balancedSampleFrom(docs(s, dir))
+
+  /** [[balancedSample]] over an explicit `(doc_id, source)` relation —
+    * the spec pins the threshold algebra on crafted strata.
+    */
+  def balancedSampleFrom(d: DataFrame): DataFrame = {
+    val counts = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val minRel = counts.agg(min("n_docs").as("min_docs"))
+    val thr = counts.crossJoin(broadcast(minRel))
+      .select(col("source"), col("n_docs"),
+        expr(s"(min_docs * $SampleGrid) div n_docs").as("threshold"))
+    d.select(col("source"), col("doc_id"),
+        pmod(docHash, lit(SampleGrid)).as("h"))
+      .join(thr, "source")
+      .groupBy(col("source"), col("n_docs"), col("threshold"))
+      .agg(
+        sum(when(col("h") < col("threshold"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("h") < col("threshold"), col("doc_id")).otherwise(lit(0L)))
+          .as("kept_id_sum"))
+      .select(col("source"), col("n_docs"), col("threshold"), col("n_kept"),
+        col("kept_id_sum"),
+        round(col("n_kept").cast("double") / col("n_docs").cast("double"), 6)
+          .as("achieved_rate"),
+        round(col("threshold").cast("double") / lit(SampleGrid.toDouble), 6)
+          .as("target_rate"))
+      .orderBy("source")
+  }
+
+  val balancedSampleSql: String = s"""WITH counts AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+    mn AS (SELECT MIN(n_docs) AS min_docs FROM counts),
+    thr AS (SELECT source, n_docs,
+        (min_docs * $SampleGrid) // n_docs AS threshold
+      FROM counts, mn),
+    marked AS (
+      SELECT d.source, d.doc_id, t.n_docs, t.threshold,
+        ${TextOps.tokenHashSql("CAST(doc_id AS VARCHAR)")} % $SampleGrid AS h
+      FROM documents d JOIN thr t ON d.source = t.source)
+    SELECT source, n_docs, threshold,
+      CAST(SUM(CASE WHEN h < threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(SUM(CASE WHEN h < threshold THEN doc_id ELSE 0 END) AS BIGINT)
+        AS kept_id_sum,
+      ROUND(CAST(SUM(CASE WHEN h < threshold THEN 1 ELSE 0 END) AS DOUBLE) /
+        CAST(n_docs AS DOUBLE), 6) AS achieved_rate,
+      ROUND(CAST(threshold AS DOUBLE) / ${SampleGrid}.0, 6) AS target_rate
+    FROM marked GROUP BY 1, 2, 3 ORDER BY source"""
 }

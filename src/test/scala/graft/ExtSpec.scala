@@ -2761,6 +2761,36 @@ class ExtSpec extends SparkSpec {
     assert(c.forall(x => x.getDouble(3) >= 0.0 && x.getDouble(3) <= 1.0))
   }
 
+  test("W11 balanced sample: equal strata keep all; threshold algebra exact") {
+    import graft.ext.Mix
+    // equal-size strata: every threshold is the full grid, all kept
+    val eq = (0L until 6L).map(i => (i, if (i < 3) "a" else "b"))
+      .toDF("doc_id", "source")
+    val r = Mix.balancedSampleFrom(eq).collect()
+    assert(r.length == 2)
+    r.foreach { x =>
+      assert(x.getLong(2) == Mix.SampleGrid)
+      assert(x.getLong(3) == 3L && x.getDouble(5) == 1.0 && x.getDouble(6) == 1.0)
+    }
+    assert(r.map(_.getLong(4)).sum == (0L until 6L).sum)
+    // skewed strata 4:2 — min stratum fully kept, big stratum targets 1/2
+    val sk = (0L until 6L).map(i => (i, if (i < 4) "big" else "small"))
+      .toDF("doc_id", "source")
+    val m = Mix.balancedSampleFrom(sk).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(m("small").getLong(3) == 2L && m("small").getDouble(6) == 1.0)
+    assert(m("big").getLong(2) == Mix.SampleGrid / 2 &&
+      m("big").getDouble(6) == 0.5 && m("big").getLong(3) <= 4L)
+    // real corpus: every threshold divides the grid exactly as floor
+    val c = graft.ext.Mix.balancedSample(spark, Sf0001).collect()
+    assert(c.nonEmpty)
+    val minDocs = c.map(_.getLong(1)).min
+    c.foreach { x =>
+      assert(x.getLong(2) == minDocs * Mix.SampleGrid / x.getLong(1))
+      assert(x.getLong(3) <= x.getLong(1))
+    }
+  }
+
   test("G3 triangles: shared-edge pair and K4 count exactly") {
     import graft.ext.Graph
     // baskets {1,2,3} and {2,3,4}, each twice (support ≥ MinSupport):
