@@ -1134,11 +1134,12 @@ object TextOps {
     * `round(…, 6)` at the comparison boundary (the CLAUDE.md float
     * contract). Empty documents report 0.0 everywhere explicitly.
     *
-    * Scale shape: the [[oovRate]] shape minus the vocab join — the
-    * explode pre-aggregates to doc-local (doc_id, tok, c) keys with
-    * map-side partials, then one further agg to doc_id. No corpus-wide
-    * key ever concentrates: both group keys carry doc_id, so skew is
-    * bounded by the longest single document, not the corpus.
+    * Scale shape (r13): a pure per-row projection — all four counts
+    * fall out of ONE fold over the document's sorted token array (the
+    * T6 rule), so the computation is embarrassingly parallel and no
+    * token is ever serialized through an exchange. The oracle states
+    * the equivalent per-(doc, token)-count form; exact integers agree
+    * cell-for-cell.
     */
   def lexicalDiversity(s: SparkSession, dir: String): DataFrame =
     lexicalDiversityFrom(t(s, dir).select(col("doc_id"), col("text")))
@@ -1147,20 +1148,41 @@ object TextOps {
     * the spec pins exact ratios on crafted repetition ladders.
     */
   def lexicalDiversityFrom(d: DataFrame): DataFrame = {
-    val per = d
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum("c").as("n_tok"),
-        count(lit(1)).as("n_types"),
-        sum(when(col("c") === 1, lit(1L)).otherwise(lit(0L))).as("n_hapax"),
-        max("c").as("max_c"))
-    d.select(col("doc_id"))
-      .join(per, Seq("doc_id"), "left")
+    // r13 (the T6 rule): every signal is a pure function of one doc's
+    // token array — a fold over the SORTED array closes each equal-run
+    // (type count, hapax runs, longest run), so no token ever crosses a
+    // row and the former corpus-sized (doc_id, tok) exchange disappears.
+    // Tokens are non-empty by construction (tokens() filters ""), so the
+    // "" fold seed can never match a real token.
+    val sorted = array_sort(tokens(col("text")))
+    val st = aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("types"),
+        lit(0L).as("hap"), lit(0L).as("maxc")),
+      (a, x) => {
+        val same = x === a.getField("prev")
+        val run = when(same, a.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          when(same, a.getField("types")).otherwise(a.getField("types") + 1L)
+            .as("types"),
+          when(same, a.getField("hap")).otherwise(a.getField("hap") +
+            when(a.getField("run") === 1L, 1L).otherwise(0L)).as("hap"),
+          greatest(a.getField("maxc"), run).as("maxc"))
+      },
+      a => struct(
+        a.getField("types").as("n_types"),
+        (a.getField("hap") +
+          when(a.getField("run") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        a.getField("maxc").as("max_c")))
+    d.select(col("doc_id"), size(sorted).cast("long").as("n_tok"), st.as("st"))
       .select(col("doc_id"),
-        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
-        coalesce(col("n_types"), lit(0L)).as("n_types"),
-        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
+        col("n_tok"),
+        col("st.n_types").as("n_types"),
+        col("st.n_hapax").as("n_hapax"),
+        col("st.max_c").as("max_c"))
+      .select(col("doc_id"),
+        col("n_tok"),
+        col("n_types"),
+        col("n_hapax"),
         when(col("n_tok") > 0,
           round(col("n_types").cast("double") / col("n_tok").cast("double"), 6))
           .otherwise(lit(0.0)).as("ttr"),
