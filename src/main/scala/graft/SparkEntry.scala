@@ -766,6 +766,7 @@ object SparkEntry {
     Q("w1_source_mix", Mix.sourceMix, Some(Mix.sourceMixSql)),
     Q("w2_seq_pack", Mix.seqPack, Some(Mix.seqPackSql)),
     Q("w3_pii_scan", Pii.piiScan, Some(Pii.piiScanSql)),
+    Q("w12_pii_redact", Pii.piiRedact, Some(Pii.piiRedactSql)),
     Q("w4_curriculum", Mix.curriculum, Some(Mix.curriculumSql)),
     Q("w5_epoch_plan", Mix.epochPlan, Some(Mix.epochPlanSql)),
     Q("d1_exact_dedup", Dedup.exact, Some(Dedup.exactSql)),

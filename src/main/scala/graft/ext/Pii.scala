@@ -103,6 +103,53 @@ object Pii {
       .orderBy("doc_id")
   }
 
+  /** W12: PII redaction as a TRANSFORM — the rewrite W3 only measures:
+    * each document's text with the full [[Redactions]] chain applied,
+    * emitted as the md5-prefix hash of the redacted bytes (the
+    * registry's cross-engine string checksum) next to the redaction
+    * count. The hash gate thereby pins the transform BYTE-FOR-BYTE —
+    * span boundaries, replacement tokens, chaining order — not just
+    * counts and lengths, which is the guarantee a pipeline shipping
+    * redacted text to training actually needs.
+    *
+    * Same scale shape as W3: one codegen'd projection over one corpus
+    * scan, zero shuffle; same Java∩RE2 regex contract.
+    */
+  def piiRedact(s: SparkSession, dir: String): DataFrame =
+    piiRedactFrom(s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), augmented(col("text"), col("doc_id")).as("t")))
+
+  /** [[piiRedact]] over an explicit `(doc_id, t)` relation. */
+  def piiRedactFrom(d: DataFrame): DataFrame = {
+    val redacted = Redactions.foldLeft(col("t")) { case (c, (re, tok)) =>
+      regexp_replace(c, re, tok)
+    }
+    val nPii = Seq(EmailRe, PhoneRe, Ipv4Re, IdRe)
+      .map(re => regexp_count(col("t"), lit(re)).cast("long"))
+      .reduce(_ + _)
+    d.select(col("doc_id"),
+        nPii.as("n_pii"),
+        length(redacted).cast("long").as("len_redacted"),
+        TextOps.tokenHash(redacted).as("redacted_hash"))
+      .orderBy("doc_id")
+  }
+
+  val piiRedactSql: String = {
+    def q(re: String): String = s"'${re.replace("'", "''")}'"
+    val redacted = Redactions.foldLeft("t") { case (c, (re, tok)) =>
+      s"regexp_replace($c, ${q(re)}, '$tok', 'g')"
+    }
+    val nPii = Seq(EmailRe, PhoneRe, Ipv4Re, IdRe)
+      .map(re => s"len(regexp_extract_all(t, ${q(re)}))").mkString(" + ")
+    s"""WITH aug AS (
+      SELECT doc_id, ${augmentedSql("text", "doc_id")} AS t FROM documents)
+    SELECT doc_id,
+      CAST($nPii AS BIGINT) AS n_pii,
+      CAST(length($redacted) AS BIGINT) AS len_redacted,
+      ${TextOps.tokenHashSql(s"($redacted)")} AS redacted_hash
+    FROM aug ORDER BY doc_id"""
+  }
+
   val piiScanSql: String = {
     // single-quote SQL literals: only ' needs doubling; the patterns
     // contain none, and backslashes pass through verbatim to RE2

@@ -179,6 +179,25 @@ class MixPiiSpec extends SparkSpec {
     assert(b.getAs[Long]("n_pii") == 0)
   }
 
+  test("w12: redaction transform is byte-pinned by its hash") {
+    val t = "mail a@b.co and +1-555-123-4567 then 10.0.0.1 plus 123456789 done"
+    val expected = "mail <EMAIL> and <PHONE> then <IP> plus <ID> done"
+    val d = Seq((1L, t)).toDF("doc_id", "t")
+    val r = Pii.piiRedactFrom(d).collect().head
+    assert(r.getLong(1) == 4L)
+    assert(r.getLong(2) == expected.length.toLong)
+    assert(r.getLong(3) == mdHash(expected))
+    // real corpus: every row hashes, counts match the W3 scan
+    val c = Pii.piiRedact(spark, Sf0001).collect()
+    val scan = Pii.piiScan(spark, Sf0001).collect()
+      .map(x => x.getLong(0) -> x.getAs[Long]("n_pii")).toMap
+    assert(c.length == scan.size)
+    c.foreach { x =>
+      assert(scan(x.getLong(0)) == x.getLong(1))
+      assert(!x.isNullAt(3))
+    }
+  }
+
   test("c1 funnel per-source rows stay consistent across stages on sf0.001") {
     val rows = graft.ext.Curation.funnel(spark, Sf0001).collect()
     val byStage = rows.groupBy(_.getAs[String]("stage"))
