@@ -110,8 +110,9 @@ object Bench {
     // deg) pair (Graph.edgeMemo — session-lifetime re-armed persist)
     "g1_pagerank", "g2_degree_hist", "g3_triangles", "g4_link_prediction",
     // r13: g5/g6 ride the same memoized co-purchase (edges, deg) pair;
-    // g6 additionally memoizes its CC labels (Graph.compMemo)
-    "g5_communities", "g6_components",
+    // g6 additionally memoizes its CC labels; x16 shares the memoized
+    // half-pair support build (Graph.halfPairs) with the graph family
+    "g5_communities", "g6_components", "x16_copurchase_pairs",
     // r12d: d22 persists its signature relation (banding + both verify
     // sides), the d3 shape
     "d22_source_overlap",

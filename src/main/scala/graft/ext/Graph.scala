@@ -45,10 +45,33 @@ object Graph {
     df
   }
 
+  /** The memoized HALF-pair support relation `(p1 < p2, support)` — the
+    * expensive within-order self-join, built once per (session, dir) and
+    * shared by the graph family (which filters to [[MinSupport]] and
+    * unions both directions) AND X16's top-pair mining
+    * (`Relational.copurchasePairs` — r13: the two tiers used to run the
+    * identical self-join independently).
+    */
+  private[ext] def halfPairs(s: SparkSession, dir: String): DataFrame =
+    rearmed(SessionMemo.get[DataFrame](s, s"copurchase-half:$dir") {
+      halfPairsFrom(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")))
+    })
+
+  /** [[halfPairs]] over an explicit `(l_orderkey, l_partkey)` relation. */
+  private[ext] def halfPairsFrom(li: DataFrame): DataFrame = {
+    val op = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val a = op.select(col("ok"), col("pk").as("p1"))
+    val b = op.select(col("ok").as("ok2"), col("pk").as("p2"))
+    a.join(b, col("ok") === col("ok2") && col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+  }
+
   private def edgeRelations(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val (edges, deg) = SessionMemo.get[(DataFrame, DataFrame)](s, s"graph-edges:$dir") {
-      val e = copurchaseEdges(
-        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")))
+      val kept = halfPairs(s, dir).filter(col("support") >= MinSupport)
+      val e = kept.select(col("p1").as("u"), col("p2").as("v"))
+        .unionAll(kept.select(col("p2").as("u"), col("p1").as("v")))
       (e, e.groupBy("u").agg(count(lit(1)).as("deg")))
     }
     (rearmed(edges), rearmed(deg))

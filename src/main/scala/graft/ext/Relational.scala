@@ -861,21 +861,18 @@ object Relational {
     * re-ranked by a 50-row window.
     */
   def copurchasePairs(s: SparkSession, dir: String): DataFrame =
-    copurchasePairsFrom(t(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")))
+    rankCopurchase(Graph.halfPairs(s, dir))
 
   /** [[copurchasePairs]] over an explicit `(l_orderkey, l_partkey)`
     * relation — the spec pins exact pair supports on crafted baskets.
     */
-  def copurchasePairsFrom(li: DataFrame): DataFrame = {
-    val op = li
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val a = op.select(col("ok"), col("pk").as("p1"))
-    val b = op.select(col("ok").as("ok2"), col("pk").as("p2"))
-    val pairs = a.join(b, col("ok") === col("ok2") && col("p1") < col("p2"))
-      .groupBy("p1", "p2")
-      .agg(count(lit(1)).as("n_orders"))
+  def copurchasePairsFrom(li: DataFrame): DataFrame =
+    rankCopurchase(Graph.halfPairsFrom(li))
+
+  // r13: the support build is Graph.halfPairs — ONE memoized self-join
+  // shared with the g1-g6 family instead of an identical private copy
+  private def rankCopurchase(half: DataFrame): DataFrame = {
+    val pairs = half.withColumnRenamed("support", "n_orders")
       .orderBy(col("n_orders").desc, col("p1"), col("p2"))
       .limit(50)
     pairs.withColumn("rk", row_number().over(
