@@ -362,13 +362,23 @@ object Dedup {
   def hashB(i: Int): Long = 11L * i + 7
 
   /** Per-doc MinHash signature relation `(doc_id, m0..m15)`. */
-  private def minhashSig(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleDf(s, dir)
-      .select(col("doc_id"), TextOps.tokenHash(col("shingle")).as("h"))
-    val minExprs = (0 until NumHashes).map(i =>
-      min((lit(hashA(i)) * col("h") + lit(hashB(i))) % MinhashPrime).as(s"m$i"))
-    sh.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
-  }
+  /** The per-doc MinHash signature relation, memoized per
+    * (session, dir) in [[SessionMemo]] (r13): SEVEN queries (d3, d7,
+    * d9, d11, d17, d20, d22) consume it and each persists it — on the
+    * shared instance those persists are the re-arm, so after a caller's
+    * clearCache the next query replays ONE retained shuffle lineage
+    * instead of re-running the shingle explode + 16-min aggregate per
+    * query (the shingleRelations argument applied to the signature
+    * tier).
+    */
+  private def minhashSig(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.get[DataFrame](s, s"minhash-sig:$dir") {
+      val sh = shingleDf(s, dir)
+        .select(col("doc_id"), TextOps.tokenHash(col("shingle")).as("h"))
+      val minExprs = (0 until NumHashes).map(i =>
+        min((lit(hashA(i)) * col("h") + lit(hashB(i))) % MinhashPrime).as(s"m$i"))
+      sh.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
+    }
 
   /** Per-doc LSH band keys `(doc_id, band, key)` from a signature
     * relation — shared by the pairwise candidate generator (D3/D7) and
