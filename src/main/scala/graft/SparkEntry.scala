@@ -754,6 +754,7 @@ object SparkEntry {
     Q("t29_blocklist_filter", TextOps.blocklistFilter, Some(TextOps.blocklistFilterSql)),
     Q("t30_heaps_law", TextOps.heapsLaw, Some(TextOps.heapsLawSql)),
     Q("t31_tfidf_keywords", TextOps.tfidfKeywords, Some(TextOps.tfidfKeywordsSql)),
+    Q("t33_sentence_stats", TextOps.sentenceStats, Some(TextOps.sentenceStatsSql)),
     Q("e19_pareto_share", Events.paretoShare, Some(Events.paretoShareSql)),
     Q("e20_transition_entropy", Events.transitionEntropy, Some(Events.transitionEntropySql)),
     Q("e21_first_touch", Events.firstTouch, Some(Events.firstTouchSql)),

@@ -2490,6 +2490,77 @@ object TextOps {
       .orderBy("doc_id", "rk")
   }
 
+  // ------------------------------------------- T33 sentence-length audit
+
+  /** T33: sentence-length distribution — per (source, log2 word-count
+    * band) the sentence counts, word mass, exact min/max lengths, mean
+    * length, and each band's share of the source's sentences: the
+    * segmentation-QA histogram read before any sentence-level
+    * processing (extraction that glues sentences together piles mass
+    * into the high bands; boilerplate/navigation debris piles into band
+    * 0-1 — C4's "at least 3 words per sentence" heuristic is a
+    * threshold on exactly this distribution). Sentences split on the
+    * same `[.!?]+` terminator class T21's readability counts, so the
+    * two views can't drift.
+    *
+    * Determinism: the split pattern is Java∩RE2-safe (T20 protocol);
+    * lengths and bands are exact integers (G2 bit-length log2); the two
+    * ratios are one IEEE division each rounded at 6. Zero-token
+    * fragments (terminator runs, trailing splits) drop identically in
+    * both engines.
+    *
+    * Scale shape: explode-to-sentences feeds a hash aggregate whose
+    * keys are (source, band) — partial aggregation collapses the
+    * sentence stream map-side BEFORE the exchange (unlike the t6 gram
+    * keys, these are low-cardinality), so the shuffle carries
+    * ≤ |sources|·64 rows; the per-source total is a second tiny agg
+    * joined at bin grain.
+    */
+  def sentenceStats(s: SparkSession, dir: String): DataFrame =
+    sentenceStatsFrom(t(s, dir))
+
+  /** [[sentenceStats]] over an explicit `(source, text)` relation — the
+    * spec pins exact bands on crafted sentence ladders.
+    */
+  def sentenceStatsFrom(d: DataFrame): DataFrame = {
+    val sent = d
+      .select(col("source"), explode(split(col("text"), "[.!?]+")).as("sen"))
+      .select(col("source"), size(tokens(col("sen"))).cast("long").as("ntok"))
+      .filter(col("ntok") > 0)
+      .withColumn("band", (length(conv(col("ntok"), 10, 2)) - 1).cast("long"))
+    val bins = sent.groupBy("source", "band")
+      .agg(count(lit(1)).as("n_sentences"), sum("ntok").as("n_words"),
+        min("ntok").as("min_len"), max("ntok").as("max_len"))
+    val tot = bins.groupBy("source").agg(sum("n_sentences").as("ts"))
+    bins.join(tot, "source")
+      .select(col("source"), col("band"), col("n_sentences"), col("n_words"),
+        col("min_len"), col("max_len"),
+        round(col("n_words").cast("double") / col("n_sentences").cast("double"), 6)
+          .as("mean_len"),
+        round(col("n_sentences").cast("double") / col("ts").cast("double"), 6)
+          .as("sent_frac"))
+      .orderBy("source", "band")
+  }
+
+  val sentenceStatsSql: String = s"""WITH sen AS (
+      SELECT source,
+        CAST(len(list_filter(string_split(s, ' '), x -> x != '')) AS BIGINT) AS ntok
+      FROM (SELECT source, unnest(string_split_regex(text, '[.!?]+')) AS s
+            FROM documents)),
+    nz AS (SELECT source, ntok,
+        CAST(length(ltrim(bin(ntok), '0')) - 1 AS BIGINT) AS band
+      FROM sen WHERE ntok > 0),
+    bins AS (SELECT source, band, COUNT(*) AS n_sentences,
+        CAST(SUM(ntok) AS BIGINT) AS n_words,
+        MIN(ntok) AS min_len, MAX(ntok) AS max_len
+      FROM nz GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(SUM(n_sentences) AS BIGINT) AS ts
+            FROM bins GROUP BY 1)
+    SELECT source, band, n_sentences, n_words, min_len, max_len,
+      ROUND(CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE), 6) AS mean_len,
+      ROUND(CAST(n_sentences AS DOUBLE) / CAST(ts AS DOUBLE), 6) AS sent_frac
+    FROM bins JOIN tot USING (source) ORDER BY source, band"""
+
   val tfidfKeywordsSql: String = s"""WITH tf AS (
       SELECT doc_id, tok, COUNT(*) AS tf
       FROM (SELECT doc_id, unnest($tokensSql) AS tok FROM documents)

@@ -2791,6 +2791,29 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("T33 sentence stats: crafted ladder lands in exact log2 bands") {
+    import graft.ext.TextOps
+    // src a: sentences of 1, 2, 4 words → bands 0, 1, 2 (one each);
+    // src b: no terminator → one 2-word sentence, band 1
+    val d = Seq(
+      ("a", "one. two three! four five six seven."),
+      ("b", "hello world"))
+      .toDF("source", "text")
+    val r = TextOps.sentenceStatsFrom(d).collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+      x.getLong(4), x.getLong(5), x.getDouble(6), x.getDouble(7))).toSeq == Seq(
+      ("a", 0L, 1L, 1L, 1L, 1L, 1.0, 0.333333),
+      ("a", 1L, 1L, 2L, 2L, 2L, 2.0, 0.333333),
+      ("a", 2L, 1L, 4L, 4L, 4L, 4.0, 0.333333),
+      ("b", 1L, 1L, 2L, 2L, 2L, 2.0, 1.0)))
+    // real corpus: per-source fracs sum to ~1
+    val c = TextOps.sentenceStats(spark, Sf0001).collect()
+    assert(c.nonEmpty)
+    c.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getDouble(7)).sum - 1.0) < 1e-4)
+    }
+  }
+
   test("G3 triangles: shared-edge pair and K4 count exactly") {
     import graft.ext.Graph
     // baskets {1,2,3} and {2,3,4}, each twice (support ≥ MinSupport):
