@@ -1669,6 +1669,76 @@ object Events {
       ROUND(CAST(SUM(dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
     FROM flagged GROUP BY 1 ORDER BY 1"""
 
+  // ------------------------------------------- E27 inter-session gaps
+
+  private val MinuteUs = 60L * 1000000L
+
+  /** E27: inter-session gap distribution — per log2(minutes) band, the
+    * counts, exact min/max, mean, and share of the gaps between a
+    * user's CONSECUTIVE 30-min sessions (the E1 definition — the two
+    * views share [[sessionNumbered]] so they cannot drift): the
+    * return-cadence histogram between E1's session grain and E8/E26's
+    * day/week retention grain — the distribution a churn model's
+    * "dormant after N hours" threshold is read off.
+    *
+    * Determinism: gaps are exact integer `div`-minutes (≥ 30 by the
+    * session definition, so the bit-length log2 band is always
+    * defined); the two ratios are one IEEE division each rounded at 6.
+    *
+    * Scale shape: the E1 user-keyed exchange, session spans
+    * (map-side-partial agg on (user, session)), ONE user-partitioned
+    * lag window, then a map-side-collapsing ≤64-band aggregate and a
+    * broadcast 1-row total. Nothing global-sorts users or sessions.
+    */
+  def sessionGaps(s: SparkSession, dir: String): DataFrame =
+    sessionGapsFrom(t(s, dir))
+
+  /** [[sessionGaps]] over an explicit event relation — the spec pins
+    * exact bands on crafted session timelines.
+    */
+  def sessionGapsFrom(events: DataFrame): DataFrame = {
+    val spans = sessionNumbered(events)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min("us").as("s_us"), max("us").as("e_us"))
+    val w = Window.partitionBy("user_id").orderBy("session_seq")
+    val gaps = spans
+      .withColumn("prev_e", lag(col("e_us"), 1).over(w))
+      .filter(col("prev_e").isNotNull)
+      .select(expr(s"(s_us - prev_e) div $MinuteUs").as("gap_min"))
+    val bins = gaps
+      .withColumn("band", (length(conv(col("gap_min"), 10, 2)) - 1).cast("long"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_gaps"), sum("gap_min").as("tot_min"),
+        min("gap_min").as("min_gap_min"), max("gap_min").as("max_gap_min"))
+    val tot = bins.agg(sum("n_gaps").as("tg"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("band"), col("n_gaps"), col("min_gap_min"), col("max_gap_min"),
+        round(col("tot_min").cast("double") / col("n_gaps").cast("double"), 6)
+          .as("mean_gap_min"),
+        round(col("n_gaps").cast("double") / col("tg").cast("double"), 6)
+          .as("gap_frac"))
+      .orderBy("band")
+  }
+
+  val sessionGapsSql: String = s"""WITH $sessionNumberedCtes,
+    spans AS (SELECT user_id, session_seq, MIN(us) AS s_us, MAX(us) AS e_us
+      FROM numbered GROUP BY 1, 2),
+    gaps AS (
+      SELECT (s_us - prev_e) // $MinuteUs AS gap_min FROM (
+        SELECT s_us,
+          lag(e_us) OVER (PARTITION BY user_id ORDER BY session_seq) AS prev_e
+        FROM spans)
+      WHERE prev_e IS NOT NULL),
+    bins AS (SELECT CAST(length(ltrim(bin(gap_min), '0')) - 1 AS BIGINT) AS band,
+        COUNT(*) AS n_gaps, CAST(SUM(gap_min) AS BIGINT) AS tot_min,
+        MIN(gap_min) AS min_gap_min, MAX(gap_min) AS max_gap_min
+      FROM gaps GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_gaps) AS BIGINT) AS tg FROM bins)
+    SELECT band, n_gaps, min_gap_min, max_gap_min,
+      ROUND(CAST(tot_min AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6) AS mean_gap_min,
+      ROUND(CAST(n_gaps AS DOUBLE) / CAST(tg AS DOUBLE), 6) AS gap_frac
+    FROM bins CROSS JOIN tot ORDER BY band"""
+
   // ------------------------------------------- E26 survival/retention curve
 
   /** E26: censor-corrected survival/retention curve — per

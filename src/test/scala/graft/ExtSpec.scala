@@ -2814,6 +2814,27 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("E27 session gaps: crafted timelines land in exact minute bands") {
+    val base = 1700000000000000L
+    def ev(id: Long, u: Long, offMin: Long) =
+      (id, base + offMin * 60000000L, u, "view", 1.0, "{}")
+    // u1: sessions [0,5] and [100,100] → gap 95 min (band 6);
+    // u2: sessions [0,0] and [2000,2000] → gap 2000 min (band 10)
+    val rows = Seq(ev(1, 1, 0), ev(2, 1, 5), ev(3, 1, 100),
+      ev(4, 2, 0), ev(5, 2, 2000))
+    val df = rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+    val r = graft.ext.Events.sessionGapsFrom(df).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+      x.getDouble(4), x.getDouble(5))).toSeq == Seq(
+      (6L, 1L, 95L, 95L, 95.0, 0.5),
+      (10L, 1L, 2000L, 2000L, 2000.0, 0.5)))
+    // real corpus: every gap at least the 30-min session definition
+    val c = graft.ext.Events.sessionGaps(spark, Sf0001).collect()
+    assert(c.nonEmpty)
+    assert(c.forall(_.getLong(2) >= 30L))
+    assert(math.abs(c.map(_.getDouble(5)).sum - 1.0) < 1e-4)
+  }
+
   test("G3 triangles: shared-edge pair and K4 count exactly") {
     import graft.ext.Graph
     // baskets {1,2,3} and {2,3,4}, each twice (support ≥ MinSupport):
