@@ -126,6 +126,8 @@ object Bench {
     // r12c: t27 persists its vocab pre-agg (max/total leg + rank leg);
     // w9 rides the memoized D7 labels like c1/c3/c4
     "t27_vocab_coverage", "w9_dedup_source_mix",
+    // r14: w13 rides the memoized D7 labels like w9/c1/c3/c4
+    "w13_dedup_weighted_mix",
     // r12c: e17/e19 persist their user-count pre-aggs (max + rank +
     // offset legs shared one events pass after the t11-rule fix)
     "e17_activity_gini", "e19_pareto_share",
@@ -222,6 +224,19 @@ object Bench {
       try run(spark, fn, warmDir) catch { case _: Throwable => }
       spark.catalog.clearCache()
     }
+    // TimeQ iteration discipline for revalidation children (r13 verdict
+    // #3: a4's isolated child published 4.46s vs TimeQ's 2.25 — the
+    // child's first "warm" iteration still paid at-target codegen/
+    // broadcast state that the sf0.001 warmup doesn't cover). When
+    // SPARK_GRAFT_BENCH_WARMTARGET is set (single-query reval forks
+    // only — one extra run there, prohibitive across a 185-entry
+    // sweep), each query gets one UNTIMED full run at the TARGET sfDir
+    // before its timed iterations, exactly TimeQ's warm protocol.
+    val warmAtTarget = sys.env.contains("SPARK_GRAFT_BENCH_WARMTARGET")
+    if (warmAtTarget) ordered.foreach { case (_, fn) =>
+      try run(spark, fn, sfDir) catch { case _: Throwable => }
+      spark.catalog.clearCache()
+    }
     // Contention sentinel: a fixed trivial job timed AFTER warmup. Its
     // wall time depends only on machine load, never on query code, so a
     // poisoned run (contended sandbox, as in round 3's invalid bench) is
@@ -243,6 +258,7 @@ object Bench {
       // ~12s of extra sweep time
       val iters = if (extraIters(name)) 3
         else if (name.startsWith("raster_")) 4
+        else if (warmAtTarget) 3 // TimeQ's min-of-3 in reval children
         else BenchIters
       val keepBetween = extraIters(name)
       iterCounts(name) = iters
@@ -384,7 +400,8 @@ object Bench {
     * protocol. Classpath and JVM flags are this process's own.
     */
   private def forkChunk(tmp: String, tag: String,
-                        chunk: Seq[String]): Option[SuiteResult] = {
+                        chunk: Seq[String],
+                        warmTarget: Boolean = false): Option[SuiteResult] = {
     import scala.jdk.CollectionConverters._
     val javaBin = java.nio.file.Paths.get(System.getProperty("java.home"), "bin", "java").toString
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -396,6 +413,7 @@ object Bench {
     val pb = new ProcessBuilder(cmd)
     pb.environment().put("SPARK_GRAFT_BENCH_ONLY", chunk.mkString(","))
     pb.environment().put("SPARK_GRAFT_BENCH_OUT", out)
+    if (warmTarget) pb.environment().put("SPARK_GRAFT_BENCH_WARMTARGET", "1")
     pb.redirectOutput(new java.io.File(log))
     pb.redirectErrorStream(true)
     val proc = pb.start()
@@ -443,14 +461,40 @@ object Bench {
   /** Upper bound on single-query re-runs per sweep (~40 s each). */
   private val RevalidateMax = 24
 
+  /** The `"sf"` field of the tracked bench_full.json, if present —
+    * lets both the revalidation ratio rule and the artifact overwrite
+    * refuse to compare/clobber across scale factors (r13 ADVICE: an
+    * sf0.01 sweep compared against the sf0.1 baseline either fires
+    * ~24 spurious ~40s re-runs or masks real inflation, then
+    * overwrites the sf0.1 baseline).
+    */
+  private def previousArtifactSf(): Option[String] = {
+    val p = java.nio.file.Paths.get("bench_full.json")
+    if (!java.nio.file.Files.exists(p)) return None
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(s).map(_.group(1))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Per-query minimums from the PREVIOUS round's git-tracked
     * bench_full.json (read before this run overwrites it). The file is
     * machine-written by [[emitArtifacts]], so a targeted scan of its
     * `"queries":{...}` object is reliable without a JSON library.
+    * Returns empty (sweep stands; the ≥2s always-revalidate rule still
+    * applies) when the artifact was recorded at a DIFFERENT sf than
+    * `sfDir` — cross-sf timing ratios are meaningless.
     */
-  private def previousArtifactQueries(): Map[String, Double] = {
+  private def previousArtifactQueries(sfDir: String): Map[String, Double] = {
     val p = java.nio.file.Paths.get("bench_full.json")
     if (!java.nio.file.Files.exists(p)) return Map.empty
+    previousArtifactSf() match {
+      case Some(prevSf) if prevSf != sfDir =>
+        System.err.println(s"BENCH WARN: bench_full.json is for sf '$prevSf' " +
+          s"but this sweep is at '$sfDir'; ratio-based revalidation skipped")
+        return Map.empty
+      case _ => ()
+    }
     try {
       val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
       // tolerate whitespace after the key/colon (hand-edited or
@@ -481,8 +525,8 @@ object Bench {
     * protocol). With no previous artifact (fresh clone) nothing
     * revalidates — the sweep stands.
     */
-  private def revalidate(r: SuiteResult): (SuiteResult, Seq[(String, (Double, Double))]) = {
-    val prev = previousArtifactQueries()
+  private def revalidate(r: SuiteResult, sfDir: String): (SuiteResult, Seq[(String, (Double, Double))]) = {
+    val prev = previousArtifactQueries(sfDir)
     val suspects0 = r.results.filter { case (n, v) =>
       v >= RevalidateAlwaysSec ||
         (v >= RevalidateFloorSec &&
@@ -495,9 +539,19 @@ object Bench {
         s"candidates capped at $RevalidateMax (worst-inflation first)")
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench-reval").toString
     val reruns = suspects.zipWithIndex.flatMap { case ((name, sweep), i) =>
-      forkChunk(tmp, s"reval$i", Seq(name)) match {
+      // warmTarget: the child follows TimeQ's iteration discipline (one
+      // untimed at-target run, then min-of-3 warm) — r13 verdict #3
+      forkChunk(tmp, s"reval$i", Seq(name), warmTarget = true) match {
+        // r13 ADVICE: only substitute a SUCCESSFUL isolated number. A
+        // child that runs but whose query fails inside it records -1.0;
+        // blindly substituting that turned a fine sweep measurement
+        // into a phantom failure value. Keep the sweep number, mark
+        // the entry flaky (it DID fail once), and still record the
+        // pair so the artifact shows what happened.
         case Some(cr) => cr.results.find(_._1 == name).map { case (_, iso) =>
           System.err.println(f"BENCH revalidate $name: sweep $sweep%.2f -> isolated $iso%.2f")
+          if (iso < 0) System.err.println(s"BENCH WARN: isolated rerun of $name " +
+            s"FAILED inside the child (log: $tmp/reval$i.log); sweep number kept")
           (name, (sweep, iso), cr)
         }
         case None =>
@@ -506,13 +560,15 @@ object Bench {
           None
       }
     }
-    val isoResults = reruns.map { case (n, (_, iso), _) => n -> iso }.toMap
+    val isoResults = reruns.collect { case (n, (_, iso), _) if iso >= 0 => n -> iso }.toMap
+    val isoFlaky = reruns.collect { case (n, (_, iso), _) if iso < 0 => n }
     val isoCold = reruns.flatMap(_._3.cold.filter(c => isoResults.contains(c._1))).toMap
     val isoIters = reruns.flatMap(_._3.iters.filter(c => isoResults.contains(c._1))).toMap
     val merged = r.copy(
       results = r.results.map { case (n, v) => n -> isoResults.getOrElse(n, v) },
       cold = r.cold.map { case (n, v) => n -> isoCold.getOrElse(n, v) },
       iters = r.iters.map { case (n, v) => n -> isoIters.getOrElse(n, v) },
+      flaky = (r.flaky ++ isoFlaky).distinct,
       sentinels = r.sentinels ++ reruns.flatMap(_._3.sentinels))
     (merged, reruns.map { case (n, sv, _) => n -> sv })
   }
@@ -589,7 +645,13 @@ object Bench {
     // Full-suite runs only: a manual SPARK_GRAFT_BENCH_ONLY subset must
     // not clobber the complete per-query baseline the next sweep's
     // revalidation pass compares against.
-    if (fullSuite)
+    val sfClash = fullSuite && previousArtifactSf().exists(_ != sfDir) &&
+      !sys.env.contains("SPARK_GRAFT_BENCH_FORCE_WRITE")
+    if (sfClash)
+      System.err.println("BENCH WARN: bench_full.json holds a different-sf " +
+        s"baseline; NOT overwritten by this '$sfDir' run " +
+        "(set SPARK_GRAFT_BENCH_FORCE_WRITE=1 to rebase)")
+    else if (fullSuite)
       try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
         (fullLine + "\n").getBytes("UTF-8"))
       catch { case scala.util.control.NonFatal(e) =>
@@ -676,7 +738,7 @@ object Bench {
         // SPARK_GRAFT_BENCH_FORK=1 forces the forked protocol for an
         // ONLY subset too (protocol smoke-testing / isolated re-measure).
         val r0 = runChunked(sfDir, selected)
-        val (r, reval) = revalidate(r0)
+        val (r, reval) = revalidate(r0, sfDir)
         emitArtifacts(r, sfDir, (selected.size + ChunkSize - 1) / ChunkSize, reval,
           fullSuite = only.isEmpty)
         // a fallback chunk may have started a session in this JVM

@@ -285,6 +285,93 @@ object Mix {
         ELSE 0.0 END AS epochs
     FROM alloc ORDER BY source"""
 
+  // -------------------------------------------- W13 dedup-weighted mixture
+
+  /** W13: dedup-weighted mixture temperatures — [[mixtureTemperature]]'s
+    * α = 1/2 weights recomputed over the POST-dedup corpus (one
+    * canonical document per D7 near-dup cluster: `doc_id == cluster
+    * label`, the keep rule C1's funnel uses), emitted NEXT TO the
+    * pre-dedup weights so a data card shows how dedup shifts source
+    * sampling. A source whose token share was inflated by boilerplate
+    * duplicates loses weight once only canonicals count (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better":
+    * dedup changes effective mixture proportions) — this ties the dedup
+    * tier's labels into the mixing tier. W9 answers the same question
+    * for the NATURAL k-weighted shares; W13 answers it for the
+    * temperature-scaled sampler actually used at training time.
+    *
+    * Determinism: both weight columns follow W7's exact protocol (p one
+    * IEEE division of exact longs, √p correctly rounded per IEEE-754 —
+    * no libm risk — w9 = round(√p, 9), Σw9 in DECIMAL, final w one
+    * division rounded at 6); `w_shift` is the difference of the two
+    * already-rounded 1e-6-grid doubles re-rounded on the same grid
+    * (identical inputs in both engines ⇒ identical difference; the
+    * re-round sits ≥~0.5e-6 − 1e-15 from every boundary).
+    *
+    * Scale shape: the memoized D7 labels (session-lifetime persist —
+    * this query must sit in Bench.extraIters per the persist contract)
+    * join ONE corpus scan; everything downstream is arithmetic on the
+    * sources-sized relation with two broadcast 1-row totals.
+    */
+  def dedupWeightedMix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = docs(s, dir).select(col("doc_id"), col("source"),
+      size(TextOps.tokens(col("text"))).cast("long").as("ntok"))
+    val labels = Dedup.clusterIds(s, dir) // (id, lbl), memoized
+    val per = base.join(labels, col("doc_id") === col("id"))
+      .withColumn("keep", (col("doc_id") === col("lbl")).cast("long"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("keep").as("n_kept"),
+        sum("ntok").as("tokens_pre"),
+        sum(col("keep") * col("ntok")).as("tokens_post"))
+    val tot = per.agg(sum("tokens_pre").as("tp"), sum("tokens_post").as("tq")) // 1 row
+    val scored = per.crossJoin(broadcast(tot))
+      .withColumn("w9_pre",
+        round(sqrt(col("tokens_pre").cast("double") / col("tp").cast("double")), 9))
+      .withColumn("w9_post",
+        round(sqrt(col("tokens_post").cast("double") / col("tq").cast("double")), 9))
+    val sw = scored.agg(
+      sum(col("w9_pre").cast(DecimalType(20, 9))).cast("double").as("swp"),
+      sum(col("w9_post").cast(DecimalType(20, 9))).cast("double").as("swq")) // 1 row
+    scored.crossJoin(broadcast(sw))
+      .withColumn("w_pre", round(col("w9_pre") / col("swp"), 6))
+      .withColumn("w_post", round(col("w9_post") / col("swq"), 6))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("tokens_pre"), col("tokens_post"),
+        col("w_pre"), col("w_post"),
+        round(col("w_post") - col("w_pre"), 6).as("w_shift"))
+      .orderBy("source")
+  }
+
+  val dedupWeightedMixSql: String = s"""WITH RECURSIVE ${Dedup.clusterLabCtes},
+    base AS (
+      SELECT doc_id, source, CAST(len($tokensSqlRef) AS BIGINT) AS ntok
+      FROM documents),
+    per AS (
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN base.doc_id = lab.cluster_id THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_kept,
+        CAST(SUM(ntok) AS BIGINT) AS tokens_pre,
+        CAST(SUM(CASE WHEN base.doc_id = lab.cluster_id THEN ntok ELSE 0 END)
+          AS BIGINT) AS tokens_post
+      FROM base JOIN lab ON base.doc_id = lab.doc_id
+      GROUP BY source),
+    tot AS (SELECT SUM(tokens_pre) AS tp, SUM(tokens_post) AS tq FROM per),
+    scored AS (
+      SELECT source, n_docs, n_kept, tokens_pre, tokens_post,
+        ROUND(sqrt(CAST(tokens_pre AS DOUBLE) / CAST(tp AS DOUBLE)), 9) AS w9_pre,
+        ROUND(sqrt(CAST(tokens_post AS DOUBLE) / CAST(tq AS DOUBLE)), 9) AS w9_post
+      FROM per CROSS JOIN tot),
+    sw AS (SELECT CAST(SUM(CAST(w9_pre AS DECIMAL(20,9))) AS DOUBLE) AS swp,
+                  CAST(SUM(CAST(w9_post AS DECIMAL(20,9))) AS DOUBLE) AS swq
+           FROM scored)
+    SELECT source, n_docs, n_kept, tokens_pre, tokens_post,
+      ROUND(w9_pre / swp, 6) AS w_pre,
+      ROUND(w9_post / swq, 6) AS w_post,
+      ROUND(ROUND(w9_post / swq, 6) - ROUND(w9_pre / swp, 6), 6) AS w_shift
+    FROM scored CROSS JOIN sw ORDER BY source"""
+
   // -------------------------------------------------------- W4 curriculum
 
   /** Value-range bucket count for the W4 two-phase quality rank. */

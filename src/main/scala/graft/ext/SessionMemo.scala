@@ -18,12 +18,28 @@ private[graft] object SessionMemo {
     (SparkSession, String), AnyRef]
 
   /** Memoized build of a pure (session, key) value. The caller re-arms
-    * any persists on the returned relations (the storageLevel check) —
-    * the memo guarantees only one construction per live session.
+    * any persists on the returned relations (the storageLevel check).
+    *
+    * Deliberately NOT `computeIfAbsent`: builds nest (Graph.components →
+    * edgeRelations → halfPairs; Dedup.clusterIds → minhashSig), and a
+    * nested `computeIfAbsent` on one ConcurrentHashMap throws
+    * "Recursive update" (or silently drops the inner entry) whenever the
+    * inner key hashes into the outer key's reserved bin — session-
+    * identity-hash dependent, so intermittent per JVM. get-then-build-
+    * then-putIfAbsent is race-safe here because values are pure in
+    * (session, key): a duplicate plan construction under a race is
+    * benign and the first published value wins.
     */
   def get[A <: AnyRef](s: SparkSession, key: String)(build: => A): A = {
     val it = entries.keySet.iterator()
     while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
-    entries.computeIfAbsent((s, key), _ => build).asInstanceOf[A]
+    val k = (s, key)
+    val existing = entries.get(k)
+    if (existing != null) existing.asInstanceOf[A]
+    else {
+      val built = build
+      val prior = entries.putIfAbsent(k, built)
+      (if (prior != null) prior else built).asInstanceOf[A]
+    }
   }
 }

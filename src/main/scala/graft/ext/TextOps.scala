@@ -18,9 +18,17 @@ object TextOps {
   private def t(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  /** Non-empty whitespace tokens of a text column. */
+  /** Non-empty whitespace tokens of a text column. NULL text yields an
+    * EMPTY array (r13 ADVICE): the per-row fold consumers (t6/t13
+    * lexical stats) would otherwise see `size(NULL) = -1` under Spark's
+    * default `legacy.sizeOfNull` and NULL fold results, while the
+    * oracle's `unnest(NULL)` + `COALESCE(…, 0)` path reports all-zeros
+    * — coalescing here keeps null and empty documents on the same
+    * all-zeros contract at every consumer (explode semantics are
+    * unchanged: both NULL and empty arrays produce no rows).
+    */
   def tokens(text: Column): Column =
-    filter(split(text, " "), x => x =!= lit(""))
+    coalesce(filter(split(text, " "), x => x =!= lit("")), array())
 
   val tokensSql: String = "list_filter(string_split(text, ' '), x -> x != '')"
 
@@ -1876,22 +1884,28 @@ object TextOps {
     * integer tf/dl evidence next to the score so the hash gate pins the
     * arithmetic, not just the ordering.
     *
-    * Determinism: tf, df, dl, N, T(=total tokens) are exact integers;
-    * idf is computed ONCE per query term on the [[Bm25Queries]]-row
-    * relation and immediately restated on a 1e9 INTEGER grid
-    * (`idf_e9 = round(ln(...)·1e9, 0)` cast to long — the only
-    * transcendental, T10/T11 libm pattern). The emitted score never
-    * touches a float round: with k1 = 1.2, b = 0.75 the tf/dl factor
-    * `(tf·2.2)/(tf + 0.3 + 0.9·dl·N/T)` multiplied through by `10·T`
-    * has EXACT integer numerator `22·tf·T` and denominator
-    * `10·tf·T + 3·T + 9·dl·N`, so
-    * `score_e9 = (idf_e9 · 22·tf·T) div (10·tf·T + 3·T + 9·dl·N)` is
-    * one integer floor-division (DECIMAL(38,0) / HUGEINT — no i64
-    * overflow at any corpus size below 1e13 tokens), bit-identical
-    * across engines by construction (r12 verdict: the former
-    * `round(double, 6)` emission hash-diverged between DuckDB builds
-    * at a round-half boundary). Ranks tie-break (score_e9 desc,
-    * doc_id).
+    * Determinism: ZERO transcendentals reach the emitted cells — every
+    * output column is exact integer arithmetic (r13 verdict: ANY fixed
+    * decimal grid on `ln` is per-value luck; at sf0.001 the former
+    * `idf_e9 = round(ln(·)·1e9)` sat 2.9e-2 from a rounding
+    * half-boundary, flippable by a ~1.4e-10 relative libm deviation).
+    * The BM25 idf argument is exactly rational —
+    * `(N−df+0.5)/(df+0.5)+1 = (2N+2)/(2df+1)` — so the query emits the
+    * rational evidence `idf_num = 2·N+2`, `idf_den = 2·df+1` (exact
+    * BIGINTs) instead of a rounded log. Within a term, idf is a
+    * constant positive factor, so the BM25 ranking equals the ranking
+    * by the ln-free tf/dl factor alone: with k1 = 1.2, b = 0.75 the
+    * factor `(tf·2.2)/(tf + 0.3 + 0.9·dl·N/T)` multiplied through by
+    * `10·T` has EXACT integer numerator `22·tf·T` and denominator
+    * `10·tf·T + 3·T + 9·dl·N`, and the emitted rank key
+    * `tfdl_e9 = (22·tf·T·1e9) div (10·tf·T + 3·T + 9·dl·N)` is one
+    * integer floor-division (DECIMAL(38,0) / HUGEINT — no overflow
+    * below 1e13 corpus tokens), bit-identical across engines by
+    * construction. A consumer wanting the real-valued BM25 score
+    * multiplies `tfdl_e9 · ln(idf_num/idf_den) / 1e9` downstream.
+    * Ranks tie-break (tfdl_e9 desc, doc_id); ties in `tfdl_e9` are
+    * ties in the true score, so the emitted order IS a BM25 total
+    * order.
     *
     * Scale shape: postings build is one explode+groupBy scan (persisted
     * — feeds the df spine, the doc-length relation, and the candidate
@@ -1926,14 +1940,13 @@ object TextOps {
       .orderBy(col("df").desc, col("term")).limit(Bm25Queries)
       .crossJoin(broadcast(stats))
       .select(col("term"), col("df"), col("n_docs"), col("tot_tokens"),
-        round(log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5)) + lit(1.0)) * lit(1e9), 0)
-          .cast("long").as("idf_e9"))
+        (col("n_docs") * lit(2L) + lit(2L)).as("idf_num"),
+        (col("df") * lit(2L) + lit(1L)).as("idf_den"))
     val cand = postings
       .join(broadcast(qidf), "term")
       .join(dl, "doc_id")
-    // Exact integer grid (see Scaladoc): score_e9 =
-    //   (idf_e9 · 22·tf·T) div (10·tf·T + 3·T + 9·dl·N)
+    // Ln-free exact rank key (see Scaladoc): tfdl_e9 =
+    //   (22·tf·T·1e9) div (10·tf·T + 3·T + 9·dl·N)
     // in DECIMAL(38,0) — the constants encode k1=1.2, b=0.75 times 10.
     val scored = cand
       .withColumn("tfD", col("tf").cast("decimal(38,0)"))
@@ -1941,18 +1954,20 @@ object TextOps {
       .withColumn("dlD", col("dl").cast("decimal(38,0)"))
       .withColumn("nD", col("n_docs").cast("decimal(38,0)"))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"),
-        expr("cast((cast(idf_e9 as decimal(38,0)) * 22 * tfD * tD) div " +
-          "(10 * tfD * tD + 3 * tD + 9 * dlD * nD) as bigint)").as("score_e9"))
+        col("idf_num"), col("idf_den"),
+        expr("cast((22 * tfD * tD * cast(1000000000 as decimal(38,0))) div " +
+          "(10 * tfD * tD + 3 * tD + 9 * dlD * nD) as bigint)").as("tfdl_e9"))
     val local = scored
       .withColumn("bkt", pmod(xxhash64(col("doc_id")), lit(Bm25Buckets.toLong)))
       .withColumn("lrk", row_number().over(
-        Window.partitionBy("term", "bkt").orderBy(col("score_e9").desc, col("doc_id"))))
+        Window.partitionBy("term", "bkt").orderBy(col("tfdl_e9").desc, col("doc_id"))))
       .filter(col("lrk") <= Bm25TopK)
     local
       .withColumn("rk", row_number().over(
-        Window.partitionBy("term").orderBy(col("score_e9").desc, col("doc_id"))))
+        Window.partitionBy("term").orderBy(col("tfdl_e9").desc, col("doc_id"))))
       .filter(col("rk") <= Bm25TopK)
-      .select(col("term"), col("rk"), col("doc_id"), col("tf"), col("dl"), col("score_e9"))
+      .select(col("term"), col("rk"), col("doc_id"), col("tf"), col("dl"),
+        col("idf_num"), col("idf_den"), col("tfdl_e9"))
       .orderBy("term", "rk")
   }
 
@@ -1968,21 +1983,21 @@ object TextOps {
            (SELECT SUM(tf) AS tot_tokens FROM postings)),
     qidf AS (
       SELECT term, df, n_docs, tot_tokens,
-        CAST(ROUND(ln((CAST(n_docs - df AS DOUBLE) + 0.5) /
-                 (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1e9, 0) AS BIGINT) AS idf_e9
+        CAST(n_docs * 2 + 2 AS BIGINT) AS idf_num,
+        CAST(df * 2 + 1 AS BIGINT) AS idf_den
       FROM (SELECT term, COUNT(*) AS df FROM postings GROUP BY 1
             ORDER BY df DESC, term LIMIT $Bm25Queries), stats),
     scored AS (
-      SELECT p.term, p.doc_id, p.tf, dl.dl,
-        CAST((CAST(idf_e9 AS HUGEINT) * 22 * p.tf * tot_tokens) //
+      SELECT p.term, p.doc_id, p.tf, dl.dl, idf_num, idf_den,
+        CAST((22 * CAST(p.tf AS HUGEINT) * tot_tokens * 1000000000) //
              (10 * CAST(p.tf AS HUGEINT) * tot_tokens
               + 3 * CAST(tot_tokens AS HUGEINT)
-              + 9 * CAST(dl.dl AS HUGEINT) * n_docs) AS BIGINT) AS score_e9
+              + 9 * CAST(dl.dl AS HUGEINT) * n_docs) AS BIGINT) AS tfdl_e9
       FROM postings p JOIN qidf ON p.term = qidf.term
                       JOIN dl ON p.doc_id = dl.doc_id)
-    SELECT term, rk, doc_id, tf, dl, score_e9 FROM (
+    SELECT term, rk, doc_id, tf, dl, idf_num, idf_den, tfdl_e9 FROM (
       SELECT *, row_number() OVER (
-        PARTITION BY term ORDER BY score_e9 DESC, doc_id) AS rk
+        PARTITION BY term ORDER BY tfdl_e9 DESC, doc_id) AS rk
       FROM scored)
     WHERE rk <= $Bm25TopK
     ORDER BY term, rk"""

@@ -1741,17 +1741,21 @@ class ExtSpec extends SparkSpec {
     // b: tf=1 in both docs 1 (dl 3) and 3 (dl 4) — shorter doc wins
     assert(top("b") == 1L)
     // symmetric evidence: (tf=1, dl=2) occurs for a@doc2 and c@doc2 —
-    // identical idf ⇒ identical integer-grid score
-    def score(term: String, doc: Long) =
-      byTerm(term).find(_.getLong(2) == doc).get.getLong(5)
-    assert(score("a", 2L) == score("c", 2L))
-    // pinned cell: idf = ln 2 → idf_e9 = 693147181 (round at 1e9);
-    // a@doc1: tf=2, dl=3, N=4, T=9 → score_e9 =
-    //   (693147181·22·2·9) div (10·2·9 + 3·9 + 9·3·4)
-    //   = 274486283676 div 315 = 871385027
-    assert(score("a", 1L) == (BigInt(693147181L) * 22 * 2 * 9 /
+    // the ln-free rank key depends only on (tf, dl) ⇒ identical cells
+    def key(term: String, doc: Long) =
+      byTerm(term).find(_.getLong(2) == doc).get.getLong(7)
+    assert(key("a", 2L) == key("c", 2L))
+    // exact rational idf evidence: N=4, df=2 for every term →
+    // idf_num = 2·4+2 = 10, idf_den = 2·2+1 = 5 (= ln 2 when logged)
+    assert(r.forall(row => row.getLong(5) == 10L && row.getLong(6) == 5L))
+    // pinned cell (zero transcendentals anywhere): a@doc1 has tf=2,
+    // dl=3, N=4, T=9 → tfdl_e9 =
+    //   (22·2·9·1e9) div (10·2·9 + 3·9 + 9·3·4)
+    //   = 396000000000 div 315 = 1257142857
+    assert(key("a", 1L) == (BigInt(22) * 2 * 9 * 1000000000L /
       (10 * 2 * 9 + 3 * 9 + 9 * 3 * 4)).toLong)
-    assert(r.forall(_.getLong(5) > 0L))
+    assert(key("a", 1L) == 1257142857L)
+    assert(r.forall(_.getLong(7) > 0L))
     // real corpus: bounded output, ranks contiguous from 1
     val c = TextOps.bm25Topk(spark, Sf0001).collect()
     assert(c.nonEmpty && c.length <= TextOps.Bm25Queries * TextOps.Bm25TopK)

@@ -203,33 +203,41 @@ class PropertySpec extends AnyFunSuite {
     val s = math.pow(10, k); math.rint(x * s) / s
   }
 
-  test("t23 integer-grid emission is engine-round invariant under ±1 ulp on ln") {
-    // model of TextOps.bm25TopkFrom's emission chain: the ONLY float op
-    // is the idf transcendental, restated once on the 1e9 integer grid;
-    // everything downstream is exact integer arithmetic, so the emitted
-    // cell cannot depend on the engine's round implementation
+  test("t23 ln-free emission: rational idf is exact and the rank key preserves BM25 order") {
+    // model of TextOps.bm25TopkFrom's r14 emission chain: ZERO
+    // transcendentals reach the cells. The idf argument is exactly
+    // rational — (N−df+0.5)/(df+0.5)+1 = (2N+2)/(2df+1) — and within a
+    // term idf is a constant positive factor, so ranking by the ln-free
+    // integer key tfdl_e9 is the BM25 ranking. This test pins BOTH: the
+    // rational identity (vs the double ln it replaced, r13 verdict: the
+    // 1e9 ln grid flips under a ~1.4e-10 relative libm error at
+    // sf0.001) and the order-preservation of the emitted key.
     val gN = Gen.chooseNum(100L, 10000000L)
     val gDf = Gen.chooseNum(1L, 100L)
     val gTf = Gen.chooseNum(1L, 1000L)
     val gDl = Gen.chooseNum(1L, 100000L)
     val gT = Gen.chooseNum(100000L, 1000000000000L)
+    def tfdlE9(tf: Long, dl: Long, n: Long, tt: Long): BigInt =
+      (BigInt(22) * tf * tt * 1000000000L) /
+        (BigInt(10) * tf * tt + BigInt(3) * tt + BigInt(9) * dl * n)
     forAll(Gen.zip(gN, gDf, gTf, gDl, gT)) { case (n, df, tf, dl, tt) =>
-      val ln = math.log(((n - df).toDouble + 0.5) / (df.toDouble + 0.5) + 1.0)
-      Seq(ln, Math.nextUp(ln), Math.nextDown(ln)).foreach { l =>
-        // positive grid value: HALF_UP == half-away, and the scaled
-        // form sees the same product — idf_e9 is engine-independent
-        val e9 = sparkRound(l * 1e9, 0).toLong
-        assert(e9 == scaledAway(l * 1e9, 0).toLong)
-        // downstream: one integer floor-division, bit-identical by
-        // construction on any engine with exact integer division
-        val num = BigInt(e9) * 22 * tf * tt
-        val den = BigInt(10) * tf * tt + BigInt(3) * tt + BigInt(9) * dl * n
-        assert(num / den == num / den)
-        assert((num / den).isValidLong)
+      whenever(df <= n) {
+        // rational identity: (N−df+0.5)/(df+0.5)+1 == (2N+2)/(2df+1)
+        val lhs = ((n - df).toDouble + 0.5) / (df.toDouble + 0.5) + 1.0
+        val rhs = (2.0 * n + 2.0) / (2.0 * df + 1.0)
+        assert(math.abs(lhs - rhs) <= 4 * Math.ulp(lhs))
+        // emitted cells are exact integers — no round model exists
+        assert(2 * n + 2 > 0 && 2 * df + 1 > 0)
+        val key = tfdlE9(tf, dl, n, tt)
+        assert(key.isValidLong && key >= 0)
+        // order preservation: for two docs under the same term, the
+        // true BM25 score idf·tfdl orders exactly as tfdl alone
+        val dl2 = dl + 7; val tf2 = math.max(1L, tf - 1)
+        val k1 = tfdlE9(tf, dl, n, tt); val k2 = tfdlE9(tf2, dl2, n, tt)
+        val idf = math.log((2.0 * n + 2.0) / (2.0 * df + 1.0))
+        val s1 = idf * k1.toDouble; val s2 = idf * k2.toDouble
+        assert((k1 compare k2).sign == (s1 compare s2).sign)
       }
-      // a 1-ulp libm difference moves idf_e9 by at most one grid step
-      val base = sparkRound(ln * 1e9, 0).toLong
-      assert(math.abs(sparkRound(Math.nextUp(ln) * 1e9, 0).toLong - base) <= 1)
     }
   }
 
@@ -273,5 +281,183 @@ class PropertySpec extends AnyFunSuite {
         assert(sparkRound(d, 6) == scaledAway(d, 6))
       }
     }
+  }
+
+  // ------------------------------- emission-site enumeration (r13 ask #4)
+
+  private val OracleEmissionSites: Map[String, Map[String, Int]] = Map(
+    "a1_stats" -> Map("log10" -> 1, "round" -> 4, "sqrt" -> 1),
+    "a1_stats_grouped" -> Map("log10" -> 2, "round" -> 4, "sqrt" -> 1),
+    "a2_percentiles" -> Map("log10" -> 1, "round" -> 11, "sqrt" -> 1),
+    "a3_legacy_params" -> Map("log10" -> 1, "round" -> 2, "sqrt" -> 1),
+    "a3_strategy_params" -> Map("log10" -> 1, "round" -> 2, "sqrt" -> 1),
+    "a4_clahe" -> Map("log10" -> 1, "round" -> 2, "sqrt" -> 1),
+    "a5_local_median_range" -> Map("log10" -> 1, "round" -> 3),
+    "a5b_local_enhanced_quantize" -> Map("log10" -> 1, "sqrt" -> 1),
+    "a6_hist_floor" -> Map("round" -> 1),
+    "c1_curation_funnel" -> Map("round" -> 1),
+    "c2_data_card" -> Map("round" -> 3),
+    "c3_dedup_impact" -> Map("round" -> 2),
+    "c4_dedup_quality" -> Map("round" -> 3),
+    "d12_substring_spans" -> Map("round" -> 1),
+    "d13_shingle_novelty" -> Map("round" -> 1),
+    "d14_dedup_sweep" -> Map("round" -> 1),
+    "d15_bloom_prefilter" -> Map("round" -> 1),
+    "d17_method_agreement" -> Map("round" -> 1),
+    "d18_line_dedup" -> Map("round" -> 2),
+    "d19_template_prefix" -> Map("round" -> 1),
+    "d20_band_tuning" -> Map("round" -> 1),
+    "d22_source_overlap" -> Map("round" -> 1),
+    "d5_contamination" -> Map("round" -> 1),
+    "d6_paragraph_dedup" -> Map("round" -> 1),
+    "d9_minhash_calibration" -> Map("round" -> 3),
+    "e12_event_lift" -> Map("round" -> 1),
+    "e13_active_users" -> Map("round" -> 1),
+    "e14_markov_transitions" -> Map("round" -> 1),
+    "e15_conversion_latency" -> Map("round" -> 1),
+    "e16_interarrival" -> Map("round" -> 3),
+    "e17_activity_gini" -> Map("round" -> 1),
+    "e18_hourly_profile" -> Map("round" -> 1),
+    "e19_pareto_share" -> Map("round" -> 2),
+    "e20_transition_entropy" -> Map("ln" -> 2, "round" -> 3),
+    "e21_first_touch" -> Map("round" -> 2),
+    "e22_profile_similarity" -> Map("round" -> 1, "sqrt" -> 1),
+    "e23_daily_anomaly" -> Map("round" -> 3, "sqrt" -> 3),
+    "e25_dup_events" -> Map("round" -> 1),
+    "e26_retention_curve" -> Map("round" -> 1),
+    "e27_session_gaps" -> Map("round" -> 2),
+    "e7_conversion_funnel" -> Map("round" -> 1),
+    "e8_cohort_retention" -> Map("round" -> 1),
+    "e9_user_anomaly" -> Map("round" -> 4, "sqrt" -> 4),
+    "g1_pagerank" -> Map("round" -> 7),
+    "g2_degree_hist" -> Map("round" -> 2),
+    "g3_triangles" -> Map("round" -> 1),
+    "g4_link_prediction" -> Map("ln" -> 1, "round" -> 2),
+    "g6_components" -> Map("round" -> 2),
+    "j3_range_join" -> Map("round" -> 1),
+    "m4_corruption_scan" -> Map("round" -> 1),
+    "m5_payload_entropy" -> Map("ln" -> 16, "round" -> 17),
+    "m6_frame_overlap" -> Map("round" -> 1),
+    "m8_block_dedup" -> Map("round" -> 2),
+    "m9_bitrate_audit" -> Map("round" -> 2),
+    "p10_blue_ratio" -> Map("round" -> 3),
+    "p11_rgb_compose" -> Map("round" -> 5),
+    "p12_synrgb_suppressed" -> Map("round" -> 6),
+    "p14_geotransform" -> Map("round" -> 2),
+    "p1_db_mask" -> Map("log10" -> 2, "round" -> 1),
+    "p6_band_log_ratio" -> Map("log10" -> 1, "round" -> 1),
+    "p7_quantize_default" -> Map("log10" -> 1, "sqrt" -> 1),
+    "p7_quantize_legacy" -> Map("log10" -> 1, "sqrt" -> 1),
+    "p8_u16_to_u8" -> Map("log10" -> 1, "round" -> 1, "sqrt" -> 1),
+    "p9_gamma_lut" -> Map("round" -> 2),
+    "r1_resize_dims" -> Map("round" -> 2),
+    "s10_semantic_dedup" -> Map("round" -> 1, "sqrt" -> 1),
+    "s11_pq_encode" -> Map("round" -> 2),
+    "s12_pq_adc_recall" -> Map("round" -> 1),
+    "s13_matryoshka_recall" -> Map("round" -> 1, "sqrt" -> 4),
+    "s14_cosine_hist" -> Map("round" -> 2, "sqrt" -> 1),
+    "s15_hubness" -> Map("sqrt" -> 1),
+    "s16_cell_occupancy" -> Map("round" -> 4, "sqrt" -> 1),
+    "s17_seed_sweep" -> Map("round" -> 2, "sqrt" -> 1),
+    "s18_relative_contrast" -> Map("round" -> 5, "sqrt" -> 1),
+    "s19_norm_length_corr" -> Map("ln" -> 1, "round" -> 4, "sqrt" -> 2),
+    "s1_cosine_topk" -> Map("sqrt" -> 1),
+    "s20_knn_accuracy" -> Map("round" -> 1, "sqrt" -> 1),
+    "s2_lsh_ann_topk" -> Map("sqrt" -> 1),
+    "s3_cosine_neardup" -> Map("sqrt" -> 1),
+    "s5_centroid_outliers" -> Map("sqrt" -> 2),
+    "s6_quant_error" -> Map("round" -> 2),
+    "s7_centroid_separation" -> Map("sqrt" -> 2),
+    "s8_native_warp" -> Map("exp" -> 30, "ln" -> 3, "round" -> 4, "sqrt" -> 3),
+    "t10_surprisal" -> Map("ln" -> 2, "round" -> 2),
+    "t11_bigram_surprisal" -> Map("ln" -> 2, "round" -> 2),
+    "t12_zipf_slope" -> Map("ln" -> 2, "round" -> 4),
+    "t13_lexical_diversity" -> Map("round" -> 3),
+    "t14_source_drift" -> Map("ln" -> 1, "round" -> 4),
+    "t15_quality_winsor" -> Map("round" -> 2),
+    "t16_bpe_exact" -> Map("round" -> 1),
+    "t17_gopher_filter" -> Map("round" -> 6),
+    "t18_c4_line_filter" -> Map("round" -> 1),
+    "t19_ccnet_buckets" -> Map("ln" -> 2, "round" -> 2),
+    "t20_encoding_scan" -> Map("round" -> 2),
+    "t21_readability" -> Map("round" -> 2),
+    "t22_langid_confusion" -> Map("round" -> 1),
+    "t24_fertility" -> Map("round" -> 2),
+    "t25_collocations" -> Map("ln" -> 5, "round" -> 1),
+    "t26_markup_density" -> Map("round" -> 4),
+    "t27_vocab_coverage" -> Map("round" -> 2),
+    "t28_length_percentiles" -> Map("round" -> 1),
+    "t29_blocklist_filter" -> Map("round" -> 2),
+    "t2_quality_score" -> Map("round" -> 10),
+    "t30_heaps_law" -> Map("ln" -> 2, "round" -> 1),
+    "t31_tfidf_keywords" -> Map("ln" -> 1, "round" -> 2),
+    "t33_sentence_stats" -> Map("round" -> 2),
+    "t5_bpe_token_count" -> Map("round" -> 1),
+    "t6_repetition" -> Map("round" -> 2),
+    "t9_oov_rate" -> Map("round" -> 1),
+    "w10_pack_sweep" -> Map("round" -> 1),
+    "w11_balanced_sample" -> Map("round" -> 2),
+    // r14: W7's audited pattern over pre/post-dedup token counts — √p is
+    // IEEE-correctly-rounded (no libm risk), w9 = round(√p, 9) per
+    // distinct source, Σ in DECIMAL, final single divisions at 6 (b)
+    "w13_dedup_weighted_mix" -> Map("round" -> 7, "sqrt" -> 2),
+    "w2_seq_pack" -> Map("round" -> 1),
+    "w4_curriculum" -> Map("round" -> 1),
+    "w5_epoch_plan" -> Map("round" -> 1),
+    "w6_split_leakage" -> Map("round" -> 1),
+    "w7_mixture_temperature" -> Map("round" -> 4, "sqrt" -> 1),
+    "w8_quality_upsample" -> Map("round" -> 2),
+    "w9_dedup_source_mix" -> Map("round" -> 6),
+    "x11_rfm_segments" -> Map("round" -> 1),
+    "x12_promo_revenue" -> Map("round" -> 1),
+    "x13_fulfillment" -> Map("round" -> 2),
+    "x15_customer_concentration" -> Map("round" -> 2),
+    "x6_monthly_revenue" -> Map("round" -> 1),
+    "x8_market_share" -> Map("round" -> 1)
+  )
+
+
+  test("oracle emission sites: every ROUND/ln/exp/log/sqrt site is enumerated and audited") {
+    // Mechanical gate for the t23 failure class: a transcendental or a
+    // float ROUND in an oracle's EMITTED cells is the one construct that
+    // can hash-diverge between engines (CLAUDE.md float contract). This
+    // test greps every registered oracle SQL string for the risky
+    // function family and asserts the per-(query, function) counts
+    // EXACTLY match the audited snapshot above — so a new emission site
+    // cannot land unnoticed. A site may be added to the snapshot only
+    // if it follows one of the audited patterns:
+    //   (a) round-once-per-distinct-key at vocab grain, accumulated in
+    //       DECIMAL (T10/T11 rule),
+    //   (b) an end-of-chain single IEEE division of exact integers with
+    //       round(x, 6) stated identically on both sides, or
+    //   (c) plan-resolution-only math whose result is NOT hash-compared
+    //       cell-by-cell at float precision (s8's projection chain
+    //       emits integer pixel grids; a-family round on 1e-6 grids of
+    //       exact histogram counts).
+    // ln-free restatements (t23's rational idf) are always preferred.
+    val re = "(?i)\\b(round|ln|exp|log|log2|log10|sqrt|power)\\s*\\(".r
+    val actual: Map[String, Map[String, Int]] = SparkEntry.oracleSql.toSeq
+      .flatMap { case (name, sql) =>
+        re.findAllMatchIn(sql).map(m => (name, m.group(1).toLowerCase))
+      }
+      .groupBy(_._1)
+      .map { case (n, hits) =>
+        n -> hits.groupBy(_._2).map { case (f, xs) => f -> xs.size }
+      }
+    val allQ = actual.keySet ++ OracleEmissionSites.keySet
+    val diffs = allQ.toSeq.sorted.flatMap { q =>
+      val a = actual.getOrElse(q, Map.empty)
+      val e = OracleEmissionSites.getOrElse(q, Map.empty)
+      if (a == e) None
+      else Some(s"$q: actual=$a snapshot=$e")
+    }
+    assert(diffs.isEmpty,
+      "un-audited oracle emission sites (update OracleEmissionSites ONLY " +
+        "after verifying pattern (a)/(b)/(c) — see comment):\n" +
+        diffs.mkString("\n"))
+    // the t23 lesson, held forever: its oracle emits ZERO transcendentals
+    assert(!OracleEmissionSites.contains("t23_bm25_topk"))
+    assert(!"(?i)\\b(ln|exp|log|log2|log10)\\s*\\(".r
+      .findFirstIn(SparkEntry.oracleSql("t23_bm25_topk")).isDefined)
   }
 }
