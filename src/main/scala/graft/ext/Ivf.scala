@@ -165,6 +165,177 @@ object Ivf {
       .orderBy("qid", "rk")
   }
 
+  /** ADC shortlist size per query for S21's refine stage — the top-R
+    * candidates by quantized distance that get exact re-ranking
+    * (FAISS's IVFPQR / "re-ranking with source codes", Jégou et al.
+    * 2011 §V). With the deliberately tiny deterministic S11 codebook
+    * (4×16 codes — coarse so it stays training-free and shareable with
+    * the s11/s12 oracles) the raw ADC top-3 recall is ~0.06 (s12
+    * measures exactly this), so a composed index MUST refine. R is
+    * sized to the QUANTIZER's coarseness, not the corpus: measured at
+    * sf0.1, ADC top-R recall of the exact top-3 is 0.23/0.48/0.70 at
+    * R=32/128/512 against a 0.70 routing ceiling — R=512 recovers the
+    * ceiling while keeping full-precision reads bounded at
+    * queries×512 rows. A production 8×256 codebook would need R≈2k
+    * for the same corpus-independence; either way R never grows with
+    * corpus size, only with codebook coarseness.
+    */
+  val PqShortlist = 512
+
+  /** Floor on S21's mean refined recall@k — set from measurement the
+    * same way as [[MinRecall]]: IVF-PQ-R pays the probe miss (true
+    * neighbor in an unprobed cell) plus the shortlist miss (ADC ranks
+    * a true neighbor below [[PqShortlist]]). With R=512 the measured
+    * composite recall@3 EQUALS the 0.70-0.75 routing ceiling at
+    * sf0.001/0.01/0.1 (the shortlist loss is fully recovered), so the
+    * bar matches s4's: 0.5 trips on any real quantizer/codebook/refine
+    * regression while leaving honest headroom.
+    */
+  val PqMinRecall = 0.5
+
+  /** S21: IVF-PQ composed ANN with exact refine (FAISS IVFPQR / Jégou
+    * et al. 2011 §V, the production index shape) — route each query
+    * with the S4 coarse quantizer ([[NProbe]] nearest of [[NList]]
+    * KMeans cells), score the probed candidates with S11/S12's
+    * product-quantizer ADC lookup (per-subspace query→codeword
+    * distance table, never the full-precision vectors), keep the ADC
+    * top-[[PqShortlist]] per query, and exact-re-rank ONLY that
+    * bounded shortlist. The PQ variant quantizes raw vectors, not cell
+    * residuals (FAISS `by_residual=false`), which lets the code space
+    * be the SAME deterministic S11 codebook across s11/s12/s21 so the
+    * three views can't drift.
+    *
+    * Composition of costs, visible in the embedded ground truth: a
+    * true neighbor is lost by routing (its cell unprobed — S4's
+    * failure mode) or by the shortlist (ADC ranks it below
+    * [[PqShortlist]] — S12's failure mode, which s12 shows is fatal
+    * WITHOUT refine: raw ADC top-3 recall ~0.06 on this codebook);
+    * `recall3` reports the composite against the exact squared-L2
+    * top-k computed in-plan. Like s4/s9, no DuckDB oracle (trained
+    * KMeans); the [[PqMinRecall]] guard empties the output on recall
+    * collapse so even a rows-only gate fails.
+    *
+    * Scale shape: the composed index is built ONCE — PQ codes via
+    * [[Similarity.pqEncodeFrom]] (one corpus pass against the
+    * broadcast 16-row codebook) joined to the cell assignment on
+    * vec_id (a co-partitionable keyed join; at rest this IS the IVFPQ
+    * index layout: cell-clustered code lists). Per query-batch work:
+    * the bounded query spine broadcasts into the probed cells
+    * (candidate set ≤ nprobe·cell-occupancy, never all-pairs), the
+    * ADC distance is 4 broadcast lookups against the
+    * [[Similarity.NumQueries]]×[[Similarity.PqCodes]] table, the
+    * shortlist prune is a per-query window over already-pruned
+    * candidates, and the refine reads full vectors for ONLY
+    * queries×[[PqShortlist]] rows (a broadcast semi-join back into the
+    * corpus scan). Nothing reshuffles per query — the full-precision
+    * corpus is touched once at index build and once per batch for the
+    * bounded shortlist, the point of PQ at 100 TB.
+    */
+  def ivfpqTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("features", toVec(col("embedding")))
+      .persist()
+    val train = emb
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(TrainSample)
+    val model = new KMeans().setK(NList).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(train)
+    val cells = model.transform(emb).select(col("vec_id"), col("cell"))
+    // The composed index: PQ codes + routing cell, built once.
+    val db = Similarity.pqEncodeFrom(emb.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id") +:
+        (0 until Similarity.PqSubSpaces).map(m => col(s"code$m")): _*)
+      .join(cells, "vec_id")
+      .persist()
+    // Query side: probe cells (identical distance logic to ivfTopk) +
+    // the bounded query→codeword ADC table.
+    val bc = s.sparkContext.broadcast(model.clusterCenters.map(_.toArray))
+    val probeCells = udf((a: Seq[Float]) => {
+      val q = a.map(_.toDouble).toArray
+      bc.value.zipWithIndex.map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < q.length) { val t = q(j) - c(j); d += t * t; j += 1 }
+        (i, d)
+      }.sortBy(_._2).take(NProbe).map(_._1)
+    })
+    val q = emb.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val probes = q.select(col("qid"),
+      explode(probeCells(col("qe"))).as("cell"))
+    val codes = Similarity.pqCodebook(emb.select(col("vec_id"), col("embedding")))
+    val qcd = q.crossJoin(broadcast(codes)).select(
+      Seq(col("qid"), col("cid")) ++ (0 until Similarity.PqSubSpaces).map { m =>
+        val qs = Similarity.sub(col("qe"), m); val cs = Similarity.sub(col("ce"), m)
+        (Similarity.dot(qs, qs) + Similarity.dot(cs, cs) -
+          lit(2.0) * Similarity.dot(qs, cs)).as(s"qd$m")
+      }: _*)
+    val cand = db.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+    val withD = (0 until Similarity.PqSubSpaces).foldLeft(cand) { (acc, m) =>
+      val qm = qcd.select(col("qid").as(s"q$m"), col("cid").as(s"k$m"), col(s"qd$m"))
+      acc.join(broadcast(qm),
+        acc("qid") === col(s"q$m") && acc(s"code$m") === col(s"k$m"))
+        .drop(s"q$m", s"k$m")
+    }
+    // ADC shortlist: top-R per query by quantized distance only.
+    val shortlist = withD
+      .withColumn("adc",
+        (0 until Similarity.PqSubSpaces).map(m => col(s"qd$m")).reduce(_ + _))
+      .withColumn("srk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id"))))
+      .filter(col("srk") <= PqShortlist)
+      .select(col("qid"), col("vec_id").as("oid"), col("adc"))
+    // Refine: exact squared L2 for ONLY the bounded shortlist — the
+    // shortlist (queries×R rows) broadcasts into one corpus scan.
+    val refined = emb.select(col("vec_id").as("oid"), col("embedding"))
+      .join(broadcast(shortlist), Seq("oid"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("oid"), col("adc"),
+        (Similarity.dot(col("embedding"), col("embedding")) +
+          Similarity.dot(col("qe"), col("qe")) -
+          lit(2.0) * Similarity.dot(col("qe"), col("embedding"))).as("d2"))
+    val ivfpq = refined
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2").asc, col("oid"))))
+      .filter(col("rk") <= TopK)
+      .select(col("qid"), col("rk"), col("oid"),
+        round(col("adc"), 6).as("adc"), round(col("d2"), 6).as("d2"))
+    // Embedded ground truth: exact squared-L2 top-k (ADC approximates
+    // squared L2, so the baseline metric matches — s12's choice).
+    val etop = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (Similarity.dot(col("embedding"), col("embedding")) +
+          Similarity.dot(col("qe"), col("qe")) -
+          lit(2.0) * Similarity.dot(col("qe"), col("embedding"))).as("d2"))
+      .withColumn("erk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2").asc, col("vec_id"))))
+      .filter(col("erk") <= TopK)
+      .select(col("qid"), col("vec_id").as("oid"), lit(true).as("exact_hit"))
+    val res = ivfpq.join(etop, Seq("qid", "oid"), "left")
+      .withColumn("exact_hit", coalesce(col("exact_hit"), lit(false)))
+      .withColumn("recall3",
+        sum(when(col("exact_hit"), 1L).otherwise(0L))
+          .over(Window.partitionBy("qid")).cast("double") / TopK)
+      .persist() // tiny (queries×k rows); feeds the output AND the guard
+    // s4's collapse guard, at the composed-index bar.
+    val nq = q.agg(count(lit(1)).as("nq"))
+    val guard = res
+      .agg(sum(when(col("exact_hit"), 1L).otherwise(0L)).as("n_hit"))
+      .crossJoin(broadcast(nq))
+      .select((col("n_hit").cast("double") /
+        (col("nq") * TopK).cast("double")).as("mean_recall"))
+      .filter(col("mean_recall") > PqMinRecall)
+      .select(lit(true).as("recall_ok"))
+    res.crossJoin(broadcast(guard))
+      .select(col("qid"), col("rk"), col("oid"), col("adc"), col("d2"),
+        col("exact_hit"), col("recall3"), col("recall_ok"))
+      .orderBy("qid", "rk")
+  }
+
   /** The nprobe values S9 sweeps (≤ [[NList]]). */
   val ProbeGrid: Seq[Int] = Seq(1, 2, 4, 8)
 

@@ -707,7 +707,7 @@ object Similarity {
     * (md5-hash, vec_id) order — shared by S11 encode and S12 ADC so the
     * code space can't drift between the two views.
     */
-  private def pqCodebook(emb: DataFrame): DataFrame = emb
+  private[ext] def pqCodebook(emb: DataFrame): DataFrame = emb
     .orderBy(TextOps.tokenHash(col("vec_id").cast("string")), col("vec_id"))
     .limit(PqCodes)
     .select(col("vec_id").as("cid"), col("embedding").as("ce"))
@@ -719,7 +719,7 @@ object Similarity {
       ORDER BY ${TextOps.tokenHashSql("CAST(vec_id AS VARCHAR)")}, vec_id
       LIMIT $PqCodes)"""
 
-  private def sub(c: Column, m: Int): Column = slice(c, m * PqSubDim + 1, PqSubDim)
+  private[ext] def sub(c: Column, m: Int): Column = slice(c, m * PqSubDim + 1, PqSubDim)
 
   def pqEncodeFrom(emb0: DataFrame): DataFrame = {
     val emb = emb0.select(col("vec_id"), col("embedding"))

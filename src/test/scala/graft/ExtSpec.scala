@@ -119,6 +119,60 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("S21 IVF-PQ: ADC-ordered ranks, composed recall above the PQ bar, guard consistency") {
+    val r = graft.ext.Ivf.ivfpqTopk(spark, Sf0001).collect()
+    assert(r.nonEmpty)
+    // ranks contiguous from 1; refined exact distance ascending within a
+    // query (the final order is the REFINE order, not ADC order); the
+    // quantized evidence column stays non-negative
+    r.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRk = rows.sortBy(_.getInt(1))
+      assert(byRk.map(_.getInt(1)).toSeq == (1 to rows.length))
+      val ds = byRk.map(_.getDouble(4)).toSeq
+      assert(ds == ds.sorted)
+      assert(byRk.forall(_.getDouble(3) >= 0.0))
+    }
+    // the guard column survived ⇒ mean recall over the FULL query count
+    // exceeded PqMinRecall; recompute it externally and cross-check
+    assert(r.forall(_.getAs[Boolean]("recall_ok")))
+    val nq = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") <
+        graft.ext.Similarity.NumQueries).count()
+    val hits = r.count(_.getAs[Boolean]("exact_hit"))
+    val mean = hits.toDouble / (nq * graft.ext.Ivf.TopK)
+    assert(mean > graft.ext.Ivf.PqMinRecall,
+      s"mean composed recall@3 too low: $mean")
+    // embedded recall3 = per-query mean of exact_hit
+    r.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val h = rows.count(_.getAs[Boolean]("exact_hit"))
+      assert(math.abs(rows.head.getAs[Double]("recall3") -
+        h.toDouble / graft.ext.Ivf.TopK) < 1e-12,
+        s"embedded recall3 mismatch for query $q")
+    }
+    // composed index can't beat its own router: every S21 candidate came
+    // from a probed cell, so recall ≤ the IVF-flat ceiling is NOT
+    // guaranteed per-query (ADC ties can reorder), but the exact_hit
+    // evidence must agree with an externally computed exact-L2 top-k
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .collect().map(x => x.getLong(0) -> x.getSeq[Float](1).toArray).toMap
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i).toDouble - b(i).toDouble; s += t * t; i += 1 }
+      s
+    }
+    val qids = r.map(_.getLong(0)).distinct
+    qids.foreach { q =>
+      val qe = emb(q)
+      val exact = emb.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (d2(qe, v), id) }
+        .sortBy(identity).take(graft.ext.Ivf.TopK).map(_._2).toSet
+      r.filter(_.getLong(0) == q).foreach { row =>
+        assert(row.getAs[Boolean]("exact_hit") == exact.contains(row.getLong(2)),
+          s"exact_hit disagrees with external exact-L2 top-k for query $q")
+      }
+    }
+  }
+
   test("IVF probe join: broadcast and cell-shuffle paths return identical rows") {
     // the registry picks broadcast for bounded batches; above
     // Ivf.MaxBroadcastQueries the probe becomes a cell-keyed shuffle

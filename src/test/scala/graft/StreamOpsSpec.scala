@@ -110,6 +110,67 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E28 streaming-batch parity: conversionJoin equals its batch dual up to the watermark contract") {
+    // The streaming tier's core contract: the SAME conversionJoin plan,
+    // driven (a) incrementally over MemoryStreams and (b) once over
+    // static frames of the identical timeline, must produce row-identical
+    // attributions for every event the watermark admits — and the ONLY
+    // divergence is the documented one: input later than the watermark is
+    // dropped by the stream but visible to batch. Timeline:
+    //   u1: click t0, purchase t10  → attributed (on-time) in BOTH
+    //   u2: click t0, purchase t50  → outside the 30-min window in BOTH
+    //   u3: purchase t20, no click  → no attribution in BOTH
+    //   u4: purchase t40 arrives FIRST, click t35 arrives a batch later
+    //       but within the watermark → attributed in BOTH (late-inside)
+    //   u5: purchase t110 buffered, then the watermark advances to ~t590,
+    //       THEN its click t100 arrives → dropped by the stream,
+    //       attributed by batch (late-beyond)
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long, Double)]
+    val cdf = clicks.toDF().toDF("ts", "user_id", "event_id")
+    val pdf = purchases.toDF().toDF("ts", "user_id", "event_id", "value")
+    val q = StreamOps.conversionJoin(cdf, pdf, "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("e28_parity_test")
+      .outputMode("append").start()
+    val clickRows = Seq((ts(0), 1L, 100L), (ts(0), 2L, 200L),
+      (ts(35), 4L, 400L), (ts(600), 8L, 900L), (ts(100), 5L, 500L))
+    val purchaseRows = Seq((ts(10), 1L, 101L, 9.0), (ts(50), 2L, 201L, 5.0),
+      (ts(20), 3L, 301L, 7.0), (ts(40), 4L, 401L, 4.0),
+      (ts(110), 5L, 501L, 6.0), (ts(600), 9L, 901L, 0.0))
+    try {
+      clicks.addData(clickRows(0), clickRows(1))
+      purchases.addData(purchaseRows(0), purchaseRows(1), purchaseRows(2),
+        purchaseRows(3))
+      q.processAllAvailable()
+      clicks.addData(clickRows(2)) // u4's late-inside click
+      q.processAllAvailable()
+      purchases.addData(purchaseRows(4)) // u5's purchase, buffered
+      q.processAllAvailable()
+      clicks.addData(clickRows(3)); purchases.addData(purchaseRows(5))
+      q.processAllAvailable() // watermark advances to ~t590
+      clicks.addData(clickRows(4)) // u5's click, now BEYOND the watermark
+      q.processAllAvailable()
+      def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5), r.getDouble(6))).toSet
+      val streamed = canon(spark.table("e28_parity_test").collect())
+      // batch dual: same function, static frames, same full timeline
+      // (withWatermark is a no-op outside streaming)
+      val batch = canon(StreamOps.conversionJoin(
+        clickRows.toDF("ts", "user_id", "event_id"),
+        purchaseRows.toDF("ts", "user_id", "event_id", "value"),
+        "30 minutes", "10 minutes").collect())
+      val u1 = (1L, 101L, 100L, 10L * 60000, 9.0)
+      val u4 = (4L, 401L, 400L, 5L * 60000, 4.0)
+      val u5 = (5L, 501L, 500L, 10L * 60000, 6.0)
+      assert(batch == Set(u1, u4, u5), s"batch dual off: $batch")
+      assert(streamed == Set(u1, u4),
+        s"stream must match batch minus the beyond-watermark row: $streamed")
+      assert(batch -- streamed == Set(u5),
+        "the ONLY divergence must be the beyond-watermark attribution")
+    } finally q.stop()
+  }
+
   test("dedupByKey drops duplicate keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
