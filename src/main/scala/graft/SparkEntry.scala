@@ -799,6 +799,7 @@ object SparkEntry {
     Q("w11_balanced_sample", Mix.balancedSample, Some(Mix.balancedSampleSql)),
     Q("w7_mixture_temperature", Mix.mixtureTemperature, Some(Mix.mixtureTemperatureSql)),
     Q("w13_dedup_weighted_mix", Mix.dedupWeightedMix, Some(Mix.dedupWeightedMixSql)),
+    Q("w14_interleave_schedule", Mix.interleaveSchedule, Some(Mix.interleaveScheduleSql)),
     Q("w8_quality_upsample", Mix.qualityUpsample, Some(Mix.qualityUpsampleSql)),
     Q("s1_cosine_topk", Similarity.cosineTopk, Some(Similarity.cosineTopkSql)),
     Q("s2_lsh_ann_topk", Similarity.lshAnnTopk, Some(Similarity.lshAnnTopkSql)),

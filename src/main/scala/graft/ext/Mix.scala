@@ -285,6 +285,89 @@ object Mix {
         ELSE 0.0 END AS epochs
     FROM alloc ORDER BY source"""
 
+  // -------------------------------------------- W14 interleave schedule
+
+  /** Schedule prefix length W14 emits. Bounded by construction — the
+    * operator's output never grows with the corpus.
+    */
+  val InterleaveLimit = 500
+  /** lcm(1..4): with W1's k ∈ {1..4}, the per-source stride 12/k is an
+    * exact integer, so virtual times never touch a float.
+    */
+  val InterleaveLcm = 12L
+
+  /** W14: deterministic weighted interleave — the first
+    * [[InterleaveLimit]] positions of the global training-data ORDER
+    * implied by W1's mixture weights, produced by stride scheduling
+    * (Waldspurger & Weihl 1995; the WFQ virtual-time discipline):
+    * source s's i-th document (in the W1 (doc-hash, doc_id) stream
+    * order) is scheduled at virtual time `v = i · 12/k_s`, and the
+    * global order is (v, source, doc_id). Any prefix of the schedule
+    * then carries each source within one stride of its k/Σk share —
+    * proportional mixing WITHOUT an RNG, so the exact data order every
+    * trainer consumes is reproducible across engines and re-runs (W1
+    * answers "which docs"; W14 answers "in what order", which is what
+    * a resumable data loader checkpoints).
+    *
+    * Determinism: strides are exact integers (12/k for k ∈ {1..4});
+    * ranks and the final position are integer window functions with
+    * total tie-breaks; no float appears anywhere.
+    *
+    * Scale shape: only within-source ranks ≤ [[InterleaveLimit]] can
+    * reach the global prefix (positions only interleave — a doc's
+    * global position is ≥ its within-source rank), so the per-source
+    * rank filter `i ≤ limit` lets Spark's InferWindowGroupLimit keep
+    * top-(limit) per source per partition BEFORE the rank exchange;
+    * the global (v, source, doc_id) sort+limit is a TakeOrdered over
+    * ≤ sources·limit survivors, and the position window runs over the
+    * ≤[[InterleaveLimit]]-row result. Nothing unbounded crosses an
+    * exchange after the rank.
+    */
+  def interleaveSchedule(s: SparkSession, dir: String): DataFrame =
+    interleaveScheduleFrom(docs(s, dir).select(col("doc_id"), col("source")))
+
+  /** [[interleaveSchedule]] over an explicit `(doc_id, source)` relation
+    * — the spec pins the stride-scheduling proportionality bound.
+    */
+  def interleaveScheduleFrom(d: DataFrame): DataFrame = {
+    val ks = d.groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("k", weightK(col("source")))
+      .select(col("source"), col("k"))
+    val ranked = d.select(col("doc_id"), col("source"), docHash.as("h"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy("source").orderBy(col("h"), col("doc_id"))))
+      .filter(col("i") <= InterleaveLimit)
+      .join(ks, Seq("source")) // sources-sized → planner broadcasts
+      .withColumn("v", col("i") * (lit(InterleaveLcm) / col("k")).cast("long"))
+    ranked
+      .orderBy(col("v"), col("source"), col("doc_id"))
+      .limit(InterleaveLimit)
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("v"), col("source"), col("doc_id"))))
+      .select(col("pos"), col("v"), col("source"), col("doc_id"),
+        col("i").as("src_seq"), col("k"))
+      .orderBy("pos")
+  }
+
+  val interleaveScheduleSql: String = s"""WITH ks AS (
+      SELECT source, ${weightKSql("source")} AS k
+      FROM documents GROUP BY source),
+    r AS (
+      SELECT doc_id, source,
+        row_number() OVER (PARTITION BY source
+          ORDER BY ${TextOps.tokenHashSql("CAST(doc_id AS VARCHAR)")}, doc_id) AS i
+      FROM documents),
+    v AS (
+      SELECT r.doc_id, r.source, r.i, ks.k,
+        r.i * ($InterleaveLcm // ks.k) AS v
+      FROM r JOIN ks ON r.source = ks.source
+      WHERE r.i <= $InterleaveLimit)
+    SELECT row_number() OVER (ORDER BY v, source, doc_id) AS pos,
+      v, source, doc_id, i AS src_seq, k
+    FROM v
+    ORDER BY v, source, doc_id
+    LIMIT $InterleaveLimit"""
+
   // -------------------------------------------- W13 dedup-weighted mixture
 
   /** W13: dedup-weighted mixture temperatures — [[mixtureTemperature]]'s

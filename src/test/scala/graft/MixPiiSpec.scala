@@ -299,4 +299,51 @@ class MixPiiSpec extends SparkSpec {
     assert(alloc <= graft.ext.Mix.EpochTokenBudget) // div truncation only loses
     assert(alloc > graft.ext.Mix.EpochTokenBudget * 9 / 10)
   }
+
+  test("w14: stride-scheduled interleave — exact strides, per-prefix proportionality within one stride") {
+    import org.apache.spark.sql.functions.col
+    import graft.ext.Mix
+    // crafted corpus: 3 sources, 600 docs each (enough that the 500-row
+    // prefix never exhausts a source — proportionality is then the pure
+    // stride-scheduling bound, no edge effects)
+    val d = (0 until 1800).map(i => (i.toLong, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val r = Mix.interleaveScheduleFrom(d).collect()
+    assert(r.length == Mix.InterleaveLimit)
+    // pos contiguous, v non-decreasing
+    assert(r.map(_.getInt(0)).toSeq == (1 to Mix.InterleaveLimit))
+    val vs = r.map(_.getLong(1)).toSeq
+    assert(vs == vs.sorted)
+    // exact stride law: v == src_seq · (12 / k) for every row
+    r.foreach { row =>
+      val k = row.getLong(5)
+      assert(Mix.InterleaveLcm % k == 0)
+      assert(row.getLong(1) == row.getInt(4) * (Mix.InterleaveLcm / k),
+        s"stride law broken at pos ${row.getInt(0)}")
+    }
+    // within a source, src_seq strictly increases with pos (stream order
+    // is preserved by the interleave)
+    r.groupBy(_.getString(2)).foreach { case (_, rows) =>
+      val seqs = rows.sortBy(_.getInt(0)).map(_.getInt(4)).toSeq
+      assert(seqs == seqs.sorted && seqs.distinct == seqs)
+    }
+    // stride-scheduling proportionality: in ANY prefix of length L,
+    // source s holds L·k_s/Σk documents within one stride's worth
+    val ks = r.map(row => row.getString(2) -> row.getLong(5)).toMap
+    val sumK = ks.values.sum
+    for (l <- Seq(60, 120, 250, 500)) {
+      val prefix = r.filter(_.getInt(0) <= l)
+      ks.foreach { case (src, k) =>
+        val got = prefix.count(_.getString(2) == src)
+        val want = l.toDouble * k / sumK
+        assert(math.abs(got - want) <= 2.0,
+          s"prefix $l source $src: got $got want ~$want")
+      }
+    }
+    // real corpus: bounded output, deterministic across invocations
+    val c1 = Mix.interleaveSchedule(spark, Sf0001).collect()
+    val c2 = Mix.interleaveSchedule(spark, Sf0001).collect()
+    assert(c1.nonEmpty && c1.length <= Mix.InterleaveLimit)
+    assert(c1.map(_.toString).toSeq == c2.map(_.toString).toSeq)
+  }
 }
