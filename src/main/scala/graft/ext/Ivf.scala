@@ -64,6 +64,50 @@ object Ivf {
   private def toVec = udf((a: Seq[Float]) =>
     Vectors.dense(a.map(_.toDouble).toArray))
 
+  private def rearmed(df: DataFrame): DataFrame = {
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+    df
+  }
+
+  /** Session-lifetime shared IVF index base — the featurized corpus
+    * scan, the trained coarse quantizer (a driver-side model object),
+    * and the cell assignment. s4, s9, and s21 build the IDENTICAL
+    * quantizer (same [[NList]]/seed/iterations over the same
+    * hash-ordered [[TrainSample]]), so the KMeans fit runs ONCE per
+    * (session, dir) on the shared [[SessionMemo]] and each caller
+    * re-arms the persists (the Dedup shingle / Graph co-purchase
+    * pattern; all three queries sit in Bench.extraIters per the
+    * persist-lifetime contract). At rest this IS the IVF index: fit
+    * once, assign once, serve every query batch from the assignment.
+    *
+    * The quantizer trains on a deterministic fixed-size SAMPLE — at
+    * corpus scale it never trains on all vectors; assignment does see
+    * every vector. Hash-ordered top-N is size-bounded however the
+    * planner renders the limit (TakeOrdered, or a global sort whose
+    * limit lets at most N rows per partition cross the exchange) and
+    * deterministic, where a fraction-based sample would need a
+    * separate COUNT pass to size the fraction.
+    */
+  private def indexBase(s: SparkSession, dir: String): (DataFrame, org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
+    val (emb, model, corpus) = SessionMemo.get[(DataFrame,
+        org.apache.spark.ml.clustering.KMeansModel, DataFrame)](s, s"ivf:$dir") {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("features", toVec(col("embedding")))
+        .withColumn("nrm", Similarity.norm(col("embedding")))
+        .persist()
+      val train = emb
+        .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(TrainSample)
+      val model = new KMeans().setK(NList).setSeed(42L).setMaxIter(5)
+        .setFeaturesCol("features").setPredictionCol("cell")
+        .fit(train)
+      val corpus = model.transform(emb)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+      (emb, model, corpus)
+    }
+    (rearmed(emb), model, rearmed(corpus))
+  }
+
   def ivfTopk(s: SparkSession, dir: String): DataFrame =
     ivfTopk(s, dir, broadcastQueries = Similarity.NumQueries <= MaxBroadcastQueries)
 
@@ -72,28 +116,8 @@ object Ivf {
     * parity.
     */
   def ivfTopk(s: SparkSession, dir: String, broadcastQueries: Boolean): DataFrame = {
-    val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      .withColumn("features", toVec(col("embedding")))
-      .withColumn("nrm", Similarity.norm(col("embedding")))
-      .persist()
-
-    // Fit the coarse quantizer on a deterministic fixed-size SAMPLE — at
-    // corpus scale the quantizer never trains on all vectors; assignment
-    // does see every vector below. Hash-ordered top-N is size-bounded
-    // however the planner renders the limit (TakeOrdered, or a global
-    // sort whose limit lets at most N rows per partition cross the
-    // exchange) and deterministic, where a fraction-based sample would
-    // need a separate COUNT pass to size the fraction.
-    val train = emb
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(TrainSample)
-    val model = new KMeans().setK(NList).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(train)
+    val (emb, model, corpus) = indexBase(s, dir)
     val centroids = model.clusterCenters
-
-    val corpus = model.transform(emb)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
 
     // Query side: nprobe nearest centroids per query vector, computed on
     // the (tiny) broadcast centroid set.
@@ -232,16 +256,8 @@ object Ivf {
     * bounded shortlist, the point of PQ at 100 TB.
     */
   def ivfpqTopk(s: SparkSession, dir: String): DataFrame = {
-    val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      .withColumn("features", toVec(col("embedding")))
-      .persist()
-    val train = emb
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(TrainSample)
-    val model = new KMeans().setK(NList).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(train)
-    val cells = model.transform(emb).select(col("vec_id"), col("cell"))
+    val (emb, model, corpusCells) = indexBase(s, dir)
+    val cells = corpusCells.select(col("vec_id"), col("cell"))
     // The composed index: PQ codes + routing cell, built once.
     val db = Similarity.pqEncodeFrom(emb.select(col("vec_id"), col("embedding")))
       .select(col("vec_id") +:
@@ -356,16 +372,7 @@ object Ivf {
     */
   def probeSweep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      .withColumn("features", toVec(col("embedding")))
-      .withColumn("nrm", Similarity.norm(col("embedding")))
-      .persist()
-    val train = emb
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(TrainSample)
-    val model = new KMeans().setK(NList).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(train)
+    val (emb, model, corpus) = indexBase(s, dir)
     val maxProbe = ProbeGrid.max
     val bc = s.sparkContext.broadcast(model.clusterCenters.map(_.toArray))
     // (cell, probe_rank) pairs for the widest width — identical distance
@@ -380,8 +387,6 @@ object Ivf {
       }.sortBy(_._2).take(maxProbe).zipWithIndex
         .map { case ((cell, _), r) => (cell, r + 1) }
     })
-    val corpus = model.transform(emb)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
     val queries = emb.filter(col("vec_id") < Similarity.NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"),
         explode(probeRanked(col("embedding"))).as("pc"))
