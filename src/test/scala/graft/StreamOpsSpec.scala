@@ -110,6 +110,71 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch parity: tumblingAgg and sessionAgg equal their batch runs for every closed window") {
+    // The aggregation duals' contract, same shape as the conversionJoin
+    // parity below: the SAME plan over (a) MemoryStream micro-batches
+    // and (b) a static frame of the identical timeline agrees on every
+    // window the watermark has CLOSED; the only batch-side extras are
+    // windows still open when the stream was sampled (here: only the
+    // sentinel's own window).
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      (ts(0), "click", 1.0), (ts(1), "click", 2.0), (ts(6), "view", 3.0),
+      (ts(7), "click", 4.0), (ts(12), "view", 5.0))
+    val sentinel = (ts(600), "sent", 0.0)
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.tumblingAgg(df, "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("tumb_parity_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      mem.addData(sentinel) // watermark → ~t590: closes every data window
+      q.processAllAvailable()
+      def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        (r.getTimestamp(0), r.getTimestamp(1), r.getString(2), r.getLong(3),
+          r.getDouble(4))).toSet
+      val streamed = canon(spark.table("tumb_parity_test").collect())
+      val batch = canon(StreamOps.tumblingAgg(
+        (events :+ sentinel).toDF("ts", "event_type", "value"),
+        "5 minutes", "10 minutes").collect())
+      assert(streamed.nonEmpty)
+      assert((batch -- streamed).forall(_._3 == "sent"),
+        s"batch-only windows must be the open sentinel window: ${batch -- streamed}")
+      assert(streamed.subsetOf(batch), s"stream emitted a window batch lacks")
+      assert(streamed == batch.filterNot(_._3 == "sent"))
+    } finally q.stop()
+    // sessionAgg, same protocol: 2 sessions for u1 (gap split), 1 for u2
+    val sEvents = Seq((ts(0), 1L, 1.0), (ts(5), 1L, 2.0), (ts(120), 1L, 5.0),
+      (ts(3), 2L, 7.0))
+    val sSentinel = (ts(900), 9L, 0.0)
+    val smem = MemoryStream[(Timestamp, Long, Double)]
+    val sdf = smem.toDF().toDF("ts", "user_id", "value")
+    val sq = StreamOps.sessionAgg(sdf, "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sess_parity_test")
+      .outputMode("append").start()
+    try {
+      smem.addData(sEvents: _*)
+      sq.processAllAvailable()
+      smem.addData(sSentinel)
+      sq.processAllAvailable()
+      def canonS(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSet
+      val streamed = canonS(spark.table("sess_parity_test").collect())
+      val batch = canonS(StreamOps.sessionAgg(
+        (sEvents :+ sSentinel).toDF("ts", "user_id", "value"),
+        "30 minutes", "10 minutes").collect())
+      assert(streamed.nonEmpty)
+      assert((batch -- streamed).forall(_._3 == 9L),
+        s"batch-only sessions must be the open sentinel session: ${batch -- streamed}")
+      assert(streamed == batch.filterNot(_._3 == 9L))
+      // the gap split is real: u1 has exactly 2 closed sessions
+      assert(streamed.count(_._3 == 1L) == 2)
+    } finally sq.stop()
+  }
+
   test("E28 streaming-batch parity: conversionJoin equals its batch dual up to the watermark contract") {
     // The streaming tier's core contract: the SAME conversionJoin plan,
     // driven (a) incrementally over MemoryStreams and (b) once over
