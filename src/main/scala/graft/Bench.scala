@@ -129,8 +129,9 @@ object Bench {
     // r14: w13 rides the memoized D7 labels like w9/c1/c3/c4
     "w13_dedup_weighted_mix",
     // r14: s21 persists its emb scan, composed PQ+cell index, and the
-    // queries×k result relation (output + recall-guard legs), like s4
-    "s21_ivfpq_ann",
+    // queries×k result relation (output + recall-guard legs), like s4;
+    // s22 rides the same memoized index base + its nSub-row comparison
+    "s21_ivfpq_ann", "s22_pq_train_gain",
     // r12c: e17/e19 persist their user-count pre-aggs (max + rank +
     // offset legs shared one events pass after the t11-rule fix)
     "e17_activity_gini", "e19_pareto_share",

@@ -811,6 +811,7 @@ object SparkEntry {
     // is the ground truth and ExtSpec gates curve monotonicity.
     Q("s9_ivf_probe_sweep", Ivf.probeSweep, None),
     Q("s21_ivfpq_ann", Ivf.ivfpqTopk, None),
+    Q("s22_pq_train_gain", Ivf.pqTrainGain, None),
     Q("s5_centroid_outliers", Similarity.centroidOutliers, Some(Similarity.centroidOutliersSql)),
     Q("s6_quant_error", Similarity.quantError, Some(Similarity.quantErrorSql)),
     Q("s7_centroid_separation", Similarity.centroidSeparation, Some(Similarity.centroidSeparationSql)),

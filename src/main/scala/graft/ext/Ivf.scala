@@ -445,4 +445,129 @@ object Ivf {
           col("nq").cast("double"), 2).as("mean_candidates"))
       .orderBy("nprobe")
   }
+
+  // ------------------------------------------------ S22 trained PQ gain
+
+  /** S22: Lloyd-trained PQ codebooks vs the S11 fixed codebook — per
+    * subspace, fit a KMeans subquantizer (k = [[Similarity.PqCodes]],
+    * the ACTUAL training step of Jégou et al. 2011 §III that S11's
+    * deterministic seed-vector codebook deliberately skips to stay
+    * SQL-expressible) and report the corpus mean squared reconstruction
+    * error under BOTH codebooks plus the relative gain. Quantifies
+    * exactly what the training-free determinism trade costs — the
+    * number a production deployment reads before deciding whether the
+    * s11/s12/s21 code space needs the trained upgrade.
+    *
+    * Self-checking (rows-only, like s4/s9/s21 — trained KMeans): Lloyd
+    * iterations can only decrease within-cluster SSE versus ANY fixed
+    * 16-point codebook over the SAME training sample, and on held-out
+    * corpus data the gain persists at these sample sizes — the output
+    * EMPTIES (guard) if the trained codebook fails to beat the fixed
+    * one on any subspace, so a rows-only gate catches a broken fit.
+    *
+    * Scale shape: the Lloyd fits run DRIVER-SIDE on the collected
+    * bounded [[TrainSample]] (≤2000×64 floats — the FAISS shape:
+    * subquantizers train on an in-process sample, never the corpus;
+    * distributing a 2000-point k=16 fit is pure scheduler overhead,
+    * measured ~2s of ML-fit fixed cost for microseconds of math);
+    * encoding is ONE corpus pass against both broadcast centroid
+    * tables (the Ivf vector-interop UDF class); the comparison
+    * relation is [[Similarity.PqSubSpaces]] rows. Nothing after the
+    * encode pass grows with the corpus.
+    */
+  /** Deterministic Lloyd iterations: init = the first `k` sample points
+    * in the (hash-ordered) input order, `iters` assign/update rounds,
+    * an emptied cluster keeps its previous centroid. Each round weakly
+    * decreases SSE on the sample (Lloyd's monotonicity) — the guard in
+    * [[pqTrainGain]] checks the corpus-level claim.
+    */
+  private def lloyd(pts: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val d = pts(0).length
+    var cents = pts.take(k).map(_.clone())
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Long](k)
+      pts.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dist = 0.0; var j = 0
+          while (j < d) { val t = p(j) - cents(c)(j); dist += t * t; j += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < d) { sums(best)(j) += p(j); j += 1 }
+        counts(best) += 1
+      }
+      cents = (0 until k).map { c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    cents
+  }
+
+  def pqTrainGain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (emb, _, _) = indexBase(s, dir) // reuse the featurized scan
+    val dim = Similarity.PqSubDim
+    val nSub = Similarity.PqSubSpaces
+    // trained codebooks: per-subspace Lloyd on the SHARED hash-ordered
+    // train sample, collected once (provably bounded — TrainSample rows)
+    val sample: Array[Array[Double]] = emb
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(TrainSample)
+      .select(col("embedding"))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val trained: Array[Array[Array[Double]]] = (0 until nSub).map { m =>
+      lloyd(sample.map(v => v.slice(m * dim, (m + 1) * dim)),
+        Similarity.PqCodes, 10)
+    }.toArray
+    // fixed codebook: S11's seed vectors, sliced per subspace
+    val fixed: Array[Array[Array[Double]]] = {
+      val seeds = Similarity.pqCodebook(emb.select(col("vec_id"), col("embedding")))
+        .select(col("ce")).collect() // ≤ PqCodes rows — provably bounded
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      (0 until nSub).map(m =>
+        seeds.map(v => v.slice(m * dim, (m + 1) * dim))).toArray
+    }
+    val bcT = s.sparkContext.broadcast(trained)
+    val bcF = s.sparkContext.broadcast(fixed)
+    // one corpus pass computes BOTH per-subspace min squared distances
+    // (vector-interop UDF, the probeCells class)
+    val errs = udf((a: Seq[Float]) => {
+      val v = a.map(_.toDouble).toArray
+      (0 until bcT.value.length).flatMap { m =>
+        def minD(books: Array[Array[Array[Double]]]): Double = {
+          var best = Double.MaxValue
+          books(m).foreach { c =>
+            var d = 0.0
+            var j = 0
+            while (j < c.length) { val t = v(m * c.length + j) - c(j); d += t * t; j += 1 }
+            if (d < best) best = d
+          }
+          best
+        }
+        Seq((m, minD(bcT.value), minD(bcF.value)))
+      }
+    })
+    val per = emb.select(explode(errs(col("embedding"))).as("e"))
+      .select(col("e._1").as("subspace"), col("e._2").as("te"), col("e._3").as("fe"))
+      .groupBy("subspace")
+      .agg(count(lit(1)).as("n_vectors"),
+        avg("te").as("trained_mse"), avg("fe").as("fixed_mse"))
+      .select(col("subspace"), col("n_vectors"),
+        round(col("trained_mse"), 6).as("trained_mse"),
+        round(col("fixed_mse"), 6).as("fixed_mse"),
+        round(lit(1.0) - col("trained_mse") / col("fixed_mse"), 6).as("gain"))
+      .persist() // nSub rows; feeds the output AND the guard
+    // guard: training must beat the fixed codebook on EVERY subspace
+    val guard = per.agg(min(col("fixed_mse") - col("trained_mse")).as("worst"))
+      .filter(col("worst") > 0.0)
+      .select(lit(true).as("trained_wins"))
+    per.crossJoin(broadcast(guard))
+      .orderBy("subspace")
+  }
 }

@@ -173,6 +173,29 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("S22 PQ training gain: Lloyd beats the fixed codebook on every subspace") {
+    import graft.ext.{Ivf, Similarity}
+    val r = Ivf.pqTrainGain(spark, Sf0001).collect()
+    // guard survived ⇒ trained < fixed everywhere; verify the evidence
+    assert(r.length == Similarity.PqSubSpaces)
+    assert(r.map(_.getInt(0)).sorted.toSeq == (0 until Similarity.PqSubSpaces))
+    r.foreach { row =>
+      val trained = row.getDouble(2); val fixed = row.getDouble(3)
+      assert(trained > 0.0 && fixed > 0.0)
+      assert(trained < fixed,
+        s"subspace ${row.getInt(0)}: trained $trained !< fixed $fixed")
+      // gain column is consistent with the two MSEs (both already
+      // rounded at 6; recompute within rounding slack)
+      val g = row.getDouble(4)
+      assert(math.abs(g - (1.0 - trained / fixed)) < 1e-4)
+      assert(row.getAs[Boolean]("trained_wins"))
+      // every corpus vector was scored under both codebooks
+      assert(row.getLong(1) > 0)
+    }
+    // all subspaces scored the same corpus
+    assert(r.map(_.getLong(1)).distinct.length == 1)
+  }
+
   test("IVF probe join: broadcast and cell-shuffle paths return identical rows") {
     // the registry picks broadcast for bounded batches; above
     // Ivf.MaxBroadcastQueries the probe becomes a cell-keyed shuffle
