@@ -481,10 +481,21 @@ object Bench {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Per-query minimums from the PREVIOUS round's git-tracked
+  /** Per-query SWEEP minimums from the PREVIOUS round's git-tracked
     * bench_full.json (read before this run overwrites it). The file is
     * machine-written by [[emitArtifacts]], so a targeted scan of its
-    * `"queries":{...}` object is reliable without a JSON library.
+    * JSON objects is reliable without a JSON library.
+    *
+    * For entries the previous run REVALIDATED, this returns the
+    * recorded `revalidated.<n>.sweep` value, NOT the isolated number
+    * that replaced it in `queries` — comparing this sweep's chunked
+    * number against last round's warm-target isolated minimum would
+    * re-flag the same hot set every round (chunked runs retain
+    * residual JVM state the isolated children don't pay), a structural
+    * loop of recurring ~40s re-runs. Sweep-vs-sweep is the
+    * like-for-like inflation signal; the isolated number remains what
+    * the artifact PUBLISHES.
+    *
     * Returns empty (sweep stands; the ≥2s always-revalidate rule still
     * applies) when the artifact was recorded at a DIFFERENT sf than
     * `sfDir` — cross-sf timing ratios are meaningless.
@@ -508,12 +519,18 @@ object Bench {
       val body = s.substring(m.end)
       val end = body.indexOf('}')
       if (end < 0) return Map.empty
-      body.substring(0, end).split(',').flatMap { kv =>
+      val published = body.substring(0, end).split(',').flatMap { kv =>
         kv.split(':') match {
           case Array(k, v) => Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.toDouble)
           case _ => None
         }
       }.toMap
+      // overlay the per-entry sweep numbers from the revalidated object
+      val revalSweeps =
+        "\"([^\"]+)\"\\s*:\\s*\\{\\s*\"sweep\"\\s*:\\s*([0-9.Ee+-]+)\\s*,\\s*\"isolated\""
+          .r.findAllMatchIn(s)
+          .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
+      published ++ revalSweeps
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
   }
 
@@ -566,11 +583,13 @@ object Bench {
     }
     val isoResults = reruns.collect { case (n, (_, iso), _) if iso >= 0 => n -> iso }.toMap
     val isoFlaky = reruns.collect { case (n, (_, iso), _) if iso < 0 => n }
-    val isoCold = reruns.flatMap(_._3.cold.filter(c => isoResults.contains(c._1))).toMap
+    // NOTE: the children's `cold` numbers are NOT merged — a warm-target
+    // child's first timed iteration replays retained lineage after the
+    // untimed at-target run, so its "cold" is not a first-at-target
+    // execution; the sweep chunks' cold numbers keep that meaning.
     val isoIters = reruns.flatMap(_._3.iters.filter(c => isoResults.contains(c._1))).toMap
     val merged = r.copy(
       results = r.results.map { case (n, v) => n -> isoResults.getOrElse(n, v) },
-      cold = r.cold.map { case (n, v) => n -> isoCold.getOrElse(n, v) },
       iters = r.iters.map { case (n, v) => n -> isoIters.getOrElse(n, v) },
       flaky = (r.flaky ++ isoFlaky).distinct,
       sentinels = r.sentinels ++ reruns.flatMap(_._3.sentinels))

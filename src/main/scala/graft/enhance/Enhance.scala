@@ -118,16 +118,14 @@ object Clahe {
     * recompute the whole tree uncached). Bounded: one entry per live
     * (session, dir) pair.
     */
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, Seq[DataFrame])]
-
   def query(s: SparkSession, dir: String): DataFrame = {
-    val (q, persisted) = memo.computeIfAbsent((s, dir), { _ =>
+    // r14: moved off a per-object ConcurrentHashMap onto the one shared,
+    // stopped-session-evicting SessionMemo (the r12 leak rule)
+    val (q, persisted) = graft.ext.SessionMemo.get[(DataFrame, Seq[DataFrame])](
+      s, s"enhance-grid:$dir") {
       build(s, dir)
-    })
-    persisted.foreach { p =>
-      if (p.storageLevel == org.apache.spark.storage.StorageLevel.NONE) p.persist()
     }
+    persisted.foreach(graft.ext.SessionMemo.rearm)
     q
   }
 

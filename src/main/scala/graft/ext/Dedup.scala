@@ -229,11 +229,6 @@ object Dedup {
     * Bounded: one entry per live (session, dir), held in the shared
     * stopped-session-evicting [[SessionMemo]] (r13).
     */
-  private def rearmed(df: DataFrame): DataFrame = {
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
-    df
-  }
-
   private def shingleRelations(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val (raw, capped) = SessionMemo.get[(DataFrame, DataFrame)](s, s"shingles:$dir") {
       val raw = shingleDf(s, dir)
@@ -244,7 +239,7 @@ object Dedup {
         .select("sh")
       (raw, raw.join(keep, "sh"))
     }
-    (rearmed(raw), rearmed(capped))
+    (SessionMemo.rearm(raw), SessionMemo.rearm(capped))
   }
 
   /** The memoized raw distinct `(doc_id, sh)` relation — D13's base
@@ -839,7 +834,7 @@ object Dedup {
     */
   private def memoLabels(key: String, s: SparkSession, dir: String)(
       build: => DataFrame): DataFrame =
-    rearmed(SessionMemo.get[DataFrame](s, s"cc:$key:$dir")(build))
+    SessionMemo.rearm(SessionMemo.get[DataFrame](s, s"cc:$key:$dir")(build))
 
   def clusterIds(s: SparkSession, dir: String): DataFrame =
     memoLabels("doc", s, dir) {

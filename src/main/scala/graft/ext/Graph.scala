@@ -40,11 +40,6 @@ object Graph {
     * clearCache dropped it (re-execution then reuses the retained
     * shuffle files). Documented in `Bench.extraIters`.
     */
-  private def rearmed(df: DataFrame): DataFrame = {
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
-    df
-  }
-
   /** The memoized HALF-pair support relation `(p1 < p2, support)` — the
     * expensive within-order self-join, built once per (session, dir) and
     * shared by the graph family (which filters to [[MinSupport]] and
@@ -53,7 +48,7 @@ object Graph {
     * identical self-join independently).
     */
   private[ext] def halfPairs(s: SparkSession, dir: String): DataFrame =
-    rearmed(SessionMemo.get[DataFrame](s, s"copurchase-half:$dir") {
+    SessionMemo.rearm(SessionMemo.get[DataFrame](s, s"copurchase-half:$dir") {
       halfPairsFrom(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")))
     })
 
@@ -74,7 +69,7 @@ object Graph {
         .unionAll(kept.select(col("p2").as("u"), col("p1").as("v")))
       (e, e.groupBy("u").agg(count(lit(1)).as("deg")))
     }
-    (rearmed(edges), rearmed(deg))
+    (SessionMemo.rearm(edges), SessionMemo.rearm(deg))
   }
 
   /** Minimum co-occurrence support for a graph edge — the Apriori cut
@@ -515,7 +510,7 @@ object Graph {
     // the clusterLabels loop re-roots each round at an RDD scan, so two
     // constructions are never plan-equal (see Dedup.memoLabels) — one
     // build per (session, dir), persist re-armed per call
-    val labels = rearmed(SessionMemo.get[DataFrame](s, s"graph-cc:$dir") {
+    val labels = SessionMemo.rearm(SessionMemo.get[DataFrame](s, s"graph-cc:$dir") {
       val (edges, deg) = edgeRelations(s, dir)
       graft.ext.Dedup.clusterLabels(
         deg.select(col("u").as("id")),

@@ -330,9 +330,8 @@ object Mix {
     * — the spec pins the stride-scheduling proportionality bound.
     */
   def interleaveScheduleFrom(d: DataFrame): DataFrame = {
-    val ks = d.groupBy("source").agg(count(lit(1)).as("n"))
+    val ks = d.select("source").distinct()
       .withColumn("k", weightK(col("source")))
-      .select(col("source"), col("k"))
     val ranked = d.select(col("doc_id"), col("source"), docHash.as("h"))
       .withColumn("i", row_number().over(
         Window.partitionBy("source").orderBy(col("h"), col("doc_id"))))

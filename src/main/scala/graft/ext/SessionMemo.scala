@@ -17,6 +17,17 @@ private[graft] object SessionMemo {
   private val entries = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), AnyRef]
 
+  /** Re-arm a memoized relation's persist if a caller's clearCache
+    * dropped it — the ONE shared copy of the idiom every memo holder
+    * (Dedup, Graph, Enhance, Ivf) applies to relations it hands out;
+    * re-execution then reuses the retained shuffle files of the same
+    * RDD lineage.
+    */
+  def rearm(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+    df
+  }
+
   /** Memoized build of a pure (session, key) value. The caller re-arms
     * any persists on the returned relations (the storageLevel check).
     *

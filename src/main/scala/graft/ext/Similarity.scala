@@ -721,9 +721,16 @@ object Similarity {
 
   private[ext] def sub(c: Column, m: Int): Column = slice(c, m * PqSubDim + 1, PqSubDim)
 
-  def pqEncodeFrom(emb0: DataFrame): DataFrame = {
+  def pqEncodeFrom(emb0: DataFrame): DataFrame =
+    pqEncodeWith(emb0, pqCodebook(emb0.select(col("vec_id"), col("embedding"))))
+
+  /** [[pqEncodeFrom]] against an EXPLICIT `(cid, ce)` codebook relation
+    * — s21 builds the codebook once and shares it between the corpus
+    * encode and its query→codeword ADC table (the codebook TakeOrdered
+    * is a corpus pass; two identical builds per batch is one too many).
+    */
+  def pqEncodeWith(emb0: DataFrame, codes: DataFrame): DataFrame = {
     val emb = emb0.select(col("vec_id"), col("embedding"))
-    val codes = pqCodebook(emb)
     val dCols = (0 until PqSubSpaces).map { m =>
       val xs = sub(col("embedding"), m); val cs = sub(col("ce"), m)
       (dot(xs, xs) + dot(cs, cs) - lit(2.0) * dot(xs, cs)).as(s"d$m")

@@ -30,7 +30,13 @@ object TextOps {
   def tokens(text: Column): Column =
     coalesce(filter(split(text, " "), x => x =!= lit("")), array())
 
-  val tokensSql: String = "list_filter(string_split(text, ' '), x -> x != '')"
+  /** Oracle dual of [[tokens]] — the COALESCE mirrors the Spark side's
+    * (r14 review: a one-sided null guard is a latent cross-engine
+    * divergence; `len(NULL)` is NULL in DuckDB vs `size([])` = 0 in
+    * Spark the moment a null text cell appears).
+    */
+  val tokensSql: String =
+    "COALESCE(list_filter(string_split(text, ' '), x -> x != ''), [])"
 
   /** Space-joined word n-grams of a token array — the ONE n-gram
     * builder, shared by the dedup shingle tier (n=3) and the repetition
@@ -1903,9 +1909,12 @@ object TextOps {
     * below 1e13 corpus tokens), bit-identical across engines by
     * construction. A consumer wanting the real-valued BM25 score
     * multiplies `tfdl_e9 · ln(idf_num/idf_den) / 1e9` downstream.
-    * Ranks tie-break (tfdl_e9 desc, doc_id); ties in `tfdl_e9` are
-    * ties in the true score, so the emitted order IS a BM25 total
-    * order.
+    * Ranks tie-break (tfdl_e9 desc, doc_id). The 1e9 floor can
+    * equalize distinct tf/dl rationals whose true scores differ below
+    * ~1e-9 relative — such pairs then order by doc_id, not by score
+    * (the same resolution limit the previous `score_e9` floor had);
+    * both engines apply the identical floor, so the emitted order is
+    * deterministic and gate-identical either way.
     *
     * Scale shape: postings build is one explode+groupBy scan (persisted
     * — feeds the df spine, the doc-length relation, and the candidate

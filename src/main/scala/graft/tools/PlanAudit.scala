@@ -68,7 +68,12 @@ object PlanAudit {
     "t27_vocab_coverage" -> "coverage-bucket spine, ≤64 rows",
     "t30_heaps_law" -> "≤64-checkpoint spine",
     "x6_monthly_revenue" -> "calendar-month spine (dataset spans ~7y)",
-    "s7_centroid_separation" -> "label×label relation (≤ labels² rows)")
+    "s7_centroid_separation" -> "label×label relation (≤ labels² rows)",
+    // surfaced by the r14 spine-dominance tightening: the seed spine is
+    // a ≤SemSeeds-row relation, but its bound lives in seedRel's LIMIT
+    // inside a JOIN leg — dominating for this left join (the spine is
+    // the preserved side), invisible to the unary-spine walk
+    "s16_cell_occupancy" -> "seed spine, ≤ SemSeeds rows (limit in the preserved join leg)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -97,14 +102,21 @@ object PlanAudit {
         var hasCartesian = false
         var unboundedGlobal = 0
         var postLimitGlobal = 0
+        // The limit must DOMINATE the window input: walk only the
+        // unary child spine (projections, filters, sorts, exchanges —
+        // none increase cardinality) and stop at anything that can
+        // (joins: 2 children; Generate/Expand: row-multiplying unary).
+        // A limit merely inside one leg of a join below the window
+        // does NOT bound the window input and must not count (it did
+        // in the first cut of this audit).
+        @scala.annotation.tailrec
         def boundedByLimit(p: SparkPlan): Boolean = {
-          var found = false
-          p.foreach { n =>
-            val c = n.getClass.getSimpleName
-            if (c == "TakeOrderedAndProjectExec" || c == "GlobalLimitExec" ||
-                c == "CollectLimitExec") found = true
-          }
-          found
+          val c = p.getClass.getSimpleName
+          if (c == "TakeOrderedAndProjectExec" || c == "GlobalLimitExec" ||
+              c == "CollectLimitExec") true
+          else if (p.children.length != 1 ||
+              c == "GenerateExec" || c == "ExpandExec") false
+          else boundedByLimit(p.children.head)
         }
         plan.foreach {
           case _: CartesianProductExec => hasCartesian = true
