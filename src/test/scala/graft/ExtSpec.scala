@@ -857,6 +857,22 @@ class ExtSpec extends SparkSpec {
     assert(Events.userAnomalyFrom(noEvents).collect().isEmpty)
     assert(Events.sessionPathsFrom(noEvents).collect().isEmpty)
     assert(TextOps.lexicalDiversityFrom(noDocs).collect().isEmpty)
+    // NULL text rides the same all-zeros contract as empty text (r14:
+    // tokens() coalesces NULL to [], mirrored in tokensSql — without it
+    // size(NULL) = -1 and NULL fold structs would leak into the cells)
+    val withNull = Seq((1L, null: String), (2L, ""), (3L, "a a"))
+      .toDF("doc_id", "text")
+    val nt = TextOps.lexicalDiversityFrom(withNull).collect()
+    assert(nt.length == 3)
+    Seq(0, 1).foreach { i =>
+      assert(nt(i).getLong(1) == 0L && nt(i).getLong(2) == 0L &&
+        nt(i).getLong(3) == 0L && nt(i).getDouble(4) == 0.0,
+        s"null/empty doc must report all zeros: ${nt(i)}")
+    }
+    assert(nt(2).getLong(1) == 2L && nt(2).getLong(2) == 1L)
+    // and a null-text doc never reaches BM25's postings (explode of [])
+    val bmNull = TextOps.bm25TopkFrom(withNull).collect()
+    assert(bmNull.forall(_.getLong(2) == 3L))
     assert(graft.ext.Mix.epochPlanFrom(
       Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "ntok"), 1000L)
       .collect().isEmpty)
