@@ -532,15 +532,8 @@ object TextOps {
     val g2 = array_sort(ngrams(col("t"), 2))
     val g3 = ngrams(col("t"), 3)
     // longest equal-run in the sorted bigram list = max occurrence count
-    val m2 = aggregate(g2,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
+    // (r14: the native codegen'd one-pass node — see t13)
+    val m2 = call_function("graft_runstats", g2).getField("max_run")
     val n2 = size(g2)
     val n3 = size(g3)
     val d3 = size(array_distinct(g3))
@@ -1163,36 +1156,20 @@ object TextOps {
     */
   def lexicalDiversityFrom(d: DataFrame): DataFrame = {
     // r13 (the T6 rule): every signal is a pure function of one doc's
-    // token array — a fold over the SORTED array closes each equal-run
+    // token array — one pass over the SORTED array closes each equal-run
     // (type count, hapax runs, longest run), so no token ever crosses a
     // row and the former corpus-sized (doc_id, tok) exchange disappears.
-    // Tokens are non-empty by construction (tokens() filters ""), so the
-    // "" fold seed can never match a real token.
+    // r14: the pass is the native codegen'd `graft_runstats` node
+    // (plans/RunStatsExpression.scala) — the previous `aggregate` fold
+    // evaluated its lambda INTERPRETED per array element.
     val sorted = array_sort(tokens(col("text")))
-    val st = aggregate(sorted,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("types"),
-        lit(0L).as("hap"), lit(0L).as("maxc")),
-      (a, x) => {
-        val same = x === a.getField("prev")
-        val run = when(same, a.getField("run") + 1L).otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          when(same, a.getField("types")).otherwise(a.getField("types") + 1L)
-            .as("types"),
-          when(same, a.getField("hap")).otherwise(a.getField("hap") +
-            when(a.getField("run") === 1L, 1L).otherwise(0L)).as("hap"),
-          greatest(a.getField("maxc"), run).as("maxc"))
-      },
-      a => struct(
-        a.getField("types").as("n_types"),
-        (a.getField("hap") +
-          when(a.getField("run") === 1L, 1L).otherwise(0L)).as("n_hapax"),
-        a.getField("maxc").as("max_c")))
+    val st = call_function("graft_runstats", sorted)
     d.select(col("doc_id"), size(sorted).cast("long").as("n_tok"), st.as("st"))
       .select(col("doc_id"),
         col("n_tok"),
         col("st.n_types").as("n_types"),
         col("st.n_hapax").as("n_hapax"),
-        col("st.max_c").as("max_c"))
+        col("st.max_run").as("max_c"))
       .select(col("doc_id"),
         col("n_tok"),
         col("n_types"),

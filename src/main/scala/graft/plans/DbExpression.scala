@@ -87,6 +87,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dbFunction)
     ext.injectFunction(DotProductExpr.function)
+    ext.injectFunction(RunStatsExpr.function)
     ext.injectOptimizerRule(_ => FuseDbRule)
   }
 }
@@ -105,6 +106,8 @@ object GraftExtensions {
       dbFunction._1, dbFunction._2, dbFunction._3)
     spark.sessionState.functionRegistry.registerFunction(
       DotProductExpr.function._1, DotProductExpr.function._2, DotProductExpr.function._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      RunStatsExpr.function._1, RunStatsExpr.function._2, RunStatsExpr.function._3)
     if (!spark.experimental.extraOptimizations.contains(FuseDbRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ FuseDbRule

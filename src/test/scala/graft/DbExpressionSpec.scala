@@ -108,4 +108,49 @@ class DbExpressionSpec extends AnyFunSuite {
     assert(short.eval(null) == null)
     val _ = lit(0) // keep functions import used
   }
+
+  test("graft_runstats: run semantics, codegen/eval parity, empty and null contracts") {
+    import org.apache.spark.sql.functions._
+    // codegen path via SQL over a crafted sorted array
+    val r = spark.sql(
+      """SELECT graft_runstats(array('a','a','a','b','c','c')) AS s,
+                graft_runstats(CAST(array() AS ARRAY<STRING>)) AS e,
+                graft_runstats(CAST(NULL AS ARRAY<STRING>)) AS n,
+                graft_runstats(array('x')) AS one""").collect()(0)
+    val s = r.getStruct(0)
+    assert(s.getLong(0) == 3L && s.getLong(1) == 1L && s.getLong(2) == 3L)
+    val e0 = r.getStruct(1)
+    assert(e0.getLong(0) == 0L && e0.getLong(1) == 0L && e0.getLong(2) == 0L)
+    assert(r.isNullAt(2))
+    val one = r.getStruct(3)
+    assert(one.getLong(0) == 1L && one.getLong(1) == 1L && one.getLong(2) == 1L)
+    // interpreted eval path agrees with codegen on random sorted arrays,
+    // and both match a plain Scala reference
+    val rnd = new scala.util.Random(7)
+    (0 until 50).foreach { _ =>
+      val arr = Array.fill(rnd.nextInt(40))(('a' + rnd.nextInt(4)).toChar.toString).sorted
+      val ref = {
+        val runs = arr.foldLeft(List.empty[(String, Long)]) {
+          case ((v, c) :: t, x) if v == x => (v, c + 1L) :: t
+          case (acc, x) => (x, 1L) :: acc
+        }
+        (runs.length.toLong, runs.count(_._2 == 1L).toLong,
+          if (runs.isEmpty) 0L else runs.map(_._2).max)
+      }
+      val expr = graft.plans.RunStatsExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          arr, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)))
+      val ev = expr.eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+      assert((ev.getLong(0), ev.getLong(1), ev.getLong(2)) == ref, s"eval ${arr.toSeq}")
+      if (arr.nonEmpty) {
+        val viaDf = spark.sql(
+          s"SELECT graft_runstats(array(${arr.map("'" + _ + "'").mkString(",")}))")
+          .collect()(0)
+        val st = viaDf.getStruct(0)
+        assert((st.getLong(0), st.getLong(1), st.getLong(2)) == ref, s"codegen ${arr.toSeq}")
+      }
+    }
+  }
 }
