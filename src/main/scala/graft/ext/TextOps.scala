@@ -1893,6 +1893,17 @@ object TextOps {
     * both engines apply the identical floor, so the emitted order is
     * deterministic and gate-identical either way.
     *
+    * r15 root cause of the r12–r14 driver hash failures: the oracle's
+    * `dl` column was a bare `SUM(tf)` — HUGEINT in DuckDB, the ONLY
+    * HUGEINT-emitting oracle in the whole registry (DESCRIBE audit,
+    * `tools/oracle_types.py`). DuckDB converts HUGEINT to float64 on
+    * the pandas/arrow fetch path (arrow has no int128), so a
+    * dtype/str-sensitive comparer sees `61.0` vs Spark's int64 `61`
+    * and fails every row while rows+schema match — reproduced locally
+    * against the r14 output. The emitted `dl` is now
+    * `CAST(... AS BIGINT)`; every emitted oracle integer must be
+    * BIGINT-typed (machine-gated by `tools/oracle_types.py`).
+    *
     * Scale shape: postings build is one explode+groupBy scan (persisted
     * — feeds the df spine, the doc-length relation, and the candidate
     * join); the ≤[[Bm25Queries]]-row term spine broadcasts into the
@@ -1974,7 +1985,8 @@ object TextOps {
       FROM (SELECT term, COUNT(*) AS df FROM postings GROUP BY 1
             ORDER BY df DESC, term LIMIT $Bm25Queries), stats),
     scored AS (
-      SELECT p.term, p.doc_id, p.tf, dl.dl, idf_num, idf_den,
+      SELECT p.term, p.doc_id, p.tf, CAST(dl.dl AS BIGINT) AS dl,
+        idf_num, idf_den,
         CAST((22 * CAST(p.tf AS HUGEINT) * tot_tokens * 1000000000) //
              (10 * CAST(p.tf AS HUGEINT) * tot_tokens
               + 3 * CAST(tot_tokens AS HUGEINT)
