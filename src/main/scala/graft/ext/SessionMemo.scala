@@ -39,7 +39,11 @@ private[graft] object SessionMemo {
     * identity-hash dependent, so intermittent per JVM. get-then-build-
     * then-putIfAbsent is race-safe here because values are pure in
     * (session, key): a duplicate plan construction under a race is
-    * benign and the first published value wins.
+    * benign and the first published value wins — but build blocks have
+    * one side effect, `.persist()` marks, so the losing thread's
+    * discarded build is swept for persisted Datasets and unpersists
+    * them (r14 ADVICE: without the sweep the loser's cached RDDs leak
+    * for the session's lifetime).
     */
   def get[A <: AnyRef](s: SparkSession, key: String)(build: => A): A = {
     val it = entries.keySet.iterator()
@@ -50,7 +54,22 @@ private[graft] object SessionMemo {
     else {
       val built = build
       val prior = entries.putIfAbsent(k, built)
-      (if (prior != null) prior else built).asInstanceOf[A]
+      if (prior != null) { unpersistAll(built); prior.asInstanceOf[A] }
+      else built.asInstanceOf[A]
     }
+  }
+
+  /** Unpersist every persisted Dataset reachable from a discarded
+    * duplicate build value (the value shapes memo holders use:
+    * Datasets, tuples/case classes of them, collections). Non-Dataset
+    * leaves (models, scalars) are side-effect-free and ignored.
+    */
+  private def unpersistAll(v: Any): Unit = v match {
+    case ds: org.apache.spark.sql.Dataset[_] =>
+      if (ds.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        ds.unpersist(blocking = false)
+    case p: Product => p.productIterator.foreach(unpersistAll)
+    case xs: Iterable[_] => xs.foreach(unpersistAll)
+    case _ => ()
   }
 }

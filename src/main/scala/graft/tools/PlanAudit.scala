@@ -29,9 +29,15 @@ import org.apache.spark.sql.execution.window.WindowExec
   *     A new global window with neither proof fails the audit until it
   *     is re-shaped (the W1/W4/T15 two-phase rank) or documented.
   *
-  * Planning only (AQE off so EnsureRequirements materializes the full
-  * prepared tree — the Bench exchange-audit trick); nothing executes.
-  * Exits nonzero on any violation.
+  * QUERY execution is planning-only (AQE off so EnsureRequirements
+  * materializes the full prepared tree — the Bench exchange-audit
+  * trick): no registry query's output plan executes. BUILDER-side
+  * driver actions DO run, though (r14 ADVICE: the doc previously
+  * claimed "nothing executes"): constructing the s4/s9/s21/s22 plans
+  * fits KMeans and collects the bounded TrainSample/codebook
+  * relations, and memo holders persist shared builds — so a full-
+  * registry audit costs ML-fit minutes, not milliseconds. Exits
+  * nonzero on any violation.
   *
   * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.tools.PlanAudit
   * [name ...]" — no names = the full registry.

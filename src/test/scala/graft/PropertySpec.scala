@@ -230,13 +230,29 @@ class PropertySpec extends AnyFunSuite {
         assert(2 * n + 2 > 0 && 2 * df + 1 > 0)
         val key = tfdlE9(tf, dl, n, tt)
         assert(key.isValidLong && key >= 0)
-        // order preservation: for two docs under the same term, the
-        // true BM25 score idf·tfdl orders exactly as tfdl alone
+        // order preservation vs the TRUE pre-floor tf/dl rational (r14
+        // ADVICE: comparing idf·k1 vs idf·k2 was a tautology). The
+        // exact factor is num/den with num = 22·tf·T,
+        // den = 10·tf·T + 3·T + 9·dl·N; compare two docs by BigInt
+        // cross-multiplication — no floats anywhere.
         val dl2 = dl + 7; val tf2 = math.max(1L, tf - 1)
         val k1 = tfdlE9(tf, dl, n, tt); val k2 = tfdlE9(tf2, dl2, n, tt)
-        val idf = math.log((2.0 * n + 2.0) / (2.0 * df + 1.0))
-        val s1 = idf * k1.toDouble; val s2 = idf * k2.toDouble
-        assert((k1 compare k2).sign == (s1 compare s2).sign)
+        def num(tf: Long) = BigInt(22) * tf * tt
+        def den(tf: Long, dl: Long) =
+          BigInt(10) * tf * tt + BigInt(3) * tt + BigInt(9) * dl * n
+        val (n1, d1) = (num(tf), den(tf, dl))
+        val (n2, d2) = (num(tf2), den(tf2, dl2))
+        val cross = (n1 * d2) compare (n2 * d1) // sign of r1 − r2, exact
+        // floor(r·1e9) is monotone: the key NEVER inverts the true order
+        if (cross > 0) assert(k1 >= k2)
+        if (cross < 0) assert(k1 <= k2)
+        if (cross == 0) assert(k1 == k2)
+        // and whenever the true scores differ by more than the floor's
+        // 1e-9 resolution — (r1−r2)·1e9 > 1, cross-multiplied — the
+        // keys MUST strictly disagree (floor(a)−floor(b) > a−b−1)
+        val gap = (n1 * d2 - n2 * d1) * 1000000000L
+        if (gap > d1 * d2) assert(k1 > k2)
+        if (-gap > d1 * d2) assert(k2 > k1)
       }
     }
   }
