@@ -826,6 +826,7 @@ object SparkEntry {
     Q("s18_relative_contrast", Similarity.relativeContrast, Some(Similarity.relativeContrastSql)),
     Q("s19_norm_length_corr", Similarity.normLengthCorr, Some(Similarity.normLengthCorrSql)),
     Q("s20_knn_accuracy", Similarity.knnAccuracy, Some(Similarity.knnAccuracySql)),
+    Q("s23_sq8_recall", Similarity.sq8Recall, Some(Similarity.sq8RecallSql)),
     Q("m1_multimodal_meta", Multimodal.meta, Some(Multimodal.metaSql)),
     // mapPartitions feature extraction — the byte-nibble histogram IS
     // SQL-expressible (hex trick, see Multimodal.featuresSql), so the

@@ -1515,4 +1515,113 @@ object Similarity {
       ROUND(CAST(SUM(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) AS DOUBLE) /
         CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
     FROM pred GROUP BY 1 ORDER BY 1"""
+
+  // --------------------------------------- S23 scalar quantization (SQ8)
+
+  /** S23: SQ8 shortlist recall — quantize every embedding to per-dim
+    * uint8 codes (min/max linear scaling, the FAISS
+    * `ScalarQuantizer QT_8bit` shape), rank candidates per query by the
+    * integer quantized dot product, and emit each survivor with an
+    * `in_exact` flag against the exact-cosine top-k — the third member
+    * of the quantization family (PQ = s11/s12, IVF-PQ = s21): SQ8 is
+    * the cheap memory-bound tier production stacks try first (4× over
+    * float32 with one multiply per dim, no codebook fit).
+    *
+    * Determinism: per-dim `mn_i`/`mx_i` are exact float MIN/MAX; the
+    * code is `floor(((x−mn_i)/(mx_i−mn_i))·255)` — both engines state
+    * the identical IEEE op sequence on the identical doubles, and
+    * `floor` of the same double is the same integer (a degenerate
+    * `mx_i = mn_i` dim codes 0 by CASE guard, never a NaN — the
+    * CLAUDE.md NaN rule). Codes are integers in [0,255], so every
+    * product ≤ 65 025 and the 64-term sum < 2^53 — the quantized dot is
+    * EXACT in double no matter the fold order, emitted as BIGINT.
+    * Ranking ties break (sq_dot DESC, oid).
+    *
+    * Scale shape: the 1-row per-dim stats relation broadcasts into one
+    * corpus scan that computes codes inline (`transform` + the
+    * [[dot]] codegen node — no shuffle); the bounded query side
+    * broadcasts (the S1/exactTopk plan, corpus never shuffles); the
+    * exact-cosine baseline is the same brute-force pass the rest of
+    * the family embeds, joined on (qid, oid) at ≤NumQueries·k rows.
+    */
+  def sq8Recall(s: SparkSession, dir: String): DataFrame =
+    sq8RecallFrom(t(s, dir))
+
+  /** [[sq8Recall]] over an explicit `(vec_id, embedding, label)`
+    * relation — the spec pins codes and recall on crafted vectors.
+    */
+  def sq8RecallFrom(d: DataFrame): DataFrame = {
+    val emb = withNorm(d)
+    val aggs = (1 to Dim).flatMap(i => Seq(
+      min(element_at(col("embedding"), i)).as(s"mn$i"),
+      max(element_at(col("embedding"), i)).as(s"mx$i")))
+    val stats = d.agg(aggs.head, aggs.drop(1): _*)
+    val mnArr = array((1 to Dim).map(i => col(s"mn$i")): _*).as("mn_arr")
+    val mxArr = array((1 to Dim).map(i => col(s"mx$i")): _*).as("mx_arr")
+    val coded = emb.crossJoin(broadcast(stats.select(mnArr, mxArr)))
+      .withColumn("code", transform(col("embedding"), (x, i) => {
+        val mn = element_at(col("mn_arr"), i + 1).cast("double")
+        val mx = element_at(col("mx_arr"), i + 1).cast("double")
+        when(mx === mn, lit(0L))
+          .otherwise(floor((x.cast("double") - mn) / (mx - mn) * lit(255.0)))
+          .cast("float")
+      }))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("code"))
+    val q = coded.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("code").as("qcode"))
+    val sq = coded.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("oid"),
+        dot(col("qcode"), col("code")).cast("long").as("sq_dot"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sq_dot").desc, col("oid"))))
+      .filter(col("rk") <= TopK)
+    val exact = exactTopk(emb,
+      emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("qn")), TopK)
+      .select(col("qid"), col("oid"), lit(1L).as("hit"))
+    sq.join(exact, Seq("qid", "oid"), "left")
+      .select(col("qid"), col("rk"), col("oid"), col("sq_dot"),
+        coalesce(col("hit"), lit(0L)).as("in_exact"))
+      .orderBy("qid", "rk")
+  }
+
+  /** Oracle quantize chain for dim `i` of vector expr `e` — the exact
+    * dual of the Spark `transform` lambda above.
+    */
+  private def sqTermSql(e: String, i: Int): String =
+    s"(CASE WHEN mx$i = mn$i THEN CAST(0 AS DOUBLE) ELSE " +
+      s"floor(((CAST($e[$i] AS DOUBLE) - CAST(mn$i AS DOUBLE)) / " +
+      s"(CAST(mx$i AS DOUBLE) - CAST(mn$i AS DOUBLE))) * 255.0) END)"
+
+  private def sqDotSql(a: String, b: String): String =
+    (1 to Dim).map(i => s"${sqTermSql(a, i)}*${sqTermSql(b, i)}")
+      .mkString(" + ")
+
+  val sq8RecallSql: String = s"""WITH $normCte,
+    st AS (SELECT ${(1 to Dim).map(i =>
+      s"min(embedding[$i]) AS mn$i, max(embedding[$i]) AS mx$i").mkString(", ")}
+      FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM en
+          WHERE vec_id < $NumQueries),
+    sq AS (
+      SELECT qid, en.vec_id AS oid,
+        CAST(${sqDotSql("qe", "en.embedding")} AS BIGINT) AS sq_dot
+      FROM en CROSS JOIN q CROSS JOIN st WHERE en.vec_id != qid),
+    srk AS (SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY sq_dot DESC, oid) AS rk FROM sq) WHERE rk <= $TopK),
+    cos AS (
+      SELECT qid, en.vec_id AS oid,
+        (${dotSql("qe", "en.embedding")}) / (qn * nrm) AS cos
+      FROM en CROSS JOIN q WHERE en.vec_id != qid),
+    ex AS (SELECT qid, oid FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY cos DESC, oid) AS rk FROM cos) WHERE rk <= $TopK)
+    SELECT srk.qid, srk.rk, srk.oid, srk.sq_dot,
+      CAST(CASE WHEN ex.oid IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_exact
+    FROM srk LEFT JOIN ex ON srk.qid = ex.qid AND srk.oid = ex.oid
+    ORDER BY srk.qid, srk.rk"""
 }

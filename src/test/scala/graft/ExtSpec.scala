@@ -2837,6 +2837,40 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(c.map(_.getDouble(5)).sum - 1.0) < 1e-5)
   }
 
+  test("S23 SQ8 recall: quantized ranking recovers the exact top-k on separated vectors") {
+    import graft.ext.Similarity
+    // 16 unit-ish vectors on two orthogonal axes with tiny per-vector
+    // jitter on a side dim (the s20 fixture shape). SQ is unnormalized,
+    // so only query 0 (zero jitter) has a fully tie-aligned contract:
+    // its quantized dots tie across its own axis (jitter dim codes 0
+    // for the query) and break by oid — exactly the exact-cosine
+    // tie-break — so its shortlist ⊆ the exact set
+    def v(axis: Int, jit: Int): Array[Float] =
+      Array.tabulate(64)(d =>
+        if (d == axis) 1.0f else if (d == 32 + axis) jit * 0.01f else 0.0f)
+    val rows = (0 until 8).map(i => (i.toLong, v(0, i), 0)) ++
+      (8 until 16).map(i => (i.toLong, v(1, i - 8), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val r = Similarity.sq8RecallFrom(df).collect()
+    // every query emits exactly TopK ranked rows
+    assert(r.length == math.min(Similarity.NumQueries, 16) * Similarity.TopK)
+    assert(r.forall(_.getLong(4) >= 0L))
+    // quantized dots are exact integers bounded by 64·255² and ranks
+    // are a permutation of 1..k per query
+    assert(r.forall(x => x.getLong(3) >= 0L && x.getLong(3) <= 64L * 255 * 255))
+    val perQ = r.groupBy(_.getLong(0))
+    assert(perQ.values.forall(_.map(_.getInt(1)).sorted.toSeq == (1 to Similarity.TopK)))
+    // query 0's whole SQ shortlist ties at 255² across its own axis and
+    // breaks by oid — identical to the exact-cosine selection, so every
+    // emitted row is a hit
+    val q0 = r.filter(_.getLong(0) == 0L)
+    assert(q0.length == Similarity.TopK && q0.forall(_.getLong(4) == 1L))
+    // real corpus: bounded output, flags are 0/1
+    val c = Similarity.sq8Recall(spark, Sf0001).collect()
+    assert(c.length == Similarity.NumQueries * Similarity.TopK)
+    assert(c.forall(x => x.getLong(4) == 0L || x.getLong(4) == 1L))
+  }
+
   test("S20 kNN accuracy: two separated clusters classify perfectly") {
     import graft.ext.Similarity
     // 8 vectors per label on orthogonal axes with tiny in-cluster

@@ -379,6 +379,9 @@ class PropertySpec extends AnyFunSuite {
     "s19_norm_length_corr" -> Map("ln" -> 1, "round" -> 4, "sqrt" -> 2),
     "s1_cosine_topk" -> Map("sqrt" -> 1),
     "s20_knn_accuracy" -> Map("round" -> 1, "sqrt" -> 1),
+    // s23: codes are floor() of engine-identical IEEE chains (not in the
+    // risky family); the one sqrt is the shared norm CTE (pattern c)
+    "s23_sq8_recall" -> Map("sqrt" -> 1),
     "s2_lsh_ann_topk" -> Map("sqrt" -> 1),
     "s3_cosine_neardup" -> Map("sqrt" -> 1),
     "s5_centroid_outliers" -> Map("sqrt" -> 2),
