@@ -113,6 +113,8 @@ object Bench {
     // g6 additionally memoizes its CC labels; x16 shares the memoized
     // half-pair support build (Graph.halfPairs) with the graph family
     "g5_communities", "g6_components", "x16_copurchase_pairs",
+    // r15: g7 rides the same memoized co-purchase edge pair
+    "g7_kcore",
     // r12d: d22 persists its signature relation (banding + both verify
     // sides), the d3 shape
     "d22_source_overlap",

@@ -592,4 +592,94 @@ object Graph {
         ORDER BY aw DESC, common_neighbors DESC, b1, b2) AS rk,
       b1 AS p1, b2 AS p2, common_neighbors, ROUND(aw, 6) AS aa_score
     FROM top"""
+
+  // ------------------------------------------------------ G7 k-core peel
+
+  /** Coreness threshold for the G7 peel. */
+  val KcoreK = 3
+  /** Unrolled peel rounds — fixed (not to-fixpoint) so both engines
+    * state the identical bounded iteration; a converged peel just
+    * repeats its fixpoint rows.
+    */
+  val KcoreRounds = 6
+
+  /** G7: truncated k-core decomposition (Seidman 1983) of the
+    * co-purchase graph — [[KcoreRounds]] synchronous peel rounds at
+    * k = [[KcoreK]] (each round drops every node whose degree within
+    * the surviving subgraph is < k — the Batagelj–Zaversnik peel with
+    * a bounded round count instead of a fixpoint loop), emitting one
+    * summary row per round: surviving nodes, directed edge count
+    * (= sum of surviving degrees), min/max degree. The density audit
+    * run before committing to an expensive whole-graph algorithm: a
+    * fast-emptying peel says the graph is a sparse fringe around a
+    * small core.
+    *
+    * Determinism: every cell is an exact integer aggregate of a
+    * deterministic edge subset; empty rounds coalesce to all-zeros
+    * (never a NULL/NaN comparison — the CLAUDE.md NaN rule).
+    *
+    * Scale shape: each round is one map-side-partial degree count plus
+    * two semi-joins on the node key over the [[MinSupport]]-pruned
+    * edge list (the G1 scale argument — the pruned relation grows
+    * with true associations, not corpus chance); the per-round stats
+    * are single-row aggregates. Nothing global-sorts the node set, no
+    * window anywhere. Emitting all rounds makes the later stats legs
+    * re-derive their tiny prefix chains (≤[[KcoreRounds]]² bounded
+    * joins) rather than holding per-round persists.
+    */
+  def kcore(s: SparkSession, dir: String): DataFrame =
+    kcoreCore(edgeRelations(s, dir)._1)
+
+  /** [[kcore]] over an explicit `(l_orderkey, l_partkey)` relation —
+    * the spec pins the peel on a crafted core-plus-fringe graph.
+    */
+  def kcoreFrom(li: DataFrame): DataFrame =
+    kcoreCore(copurchaseEdges(li))
+
+  private def kcoreCore(edges0: DataFrame): DataFrame = {
+    def stats(round: Int, d: DataFrame): DataFrame =
+      d.agg(count(lit(1)).as("n_nodes"),
+        coalesce(sum("d"), lit(0L)).as("n_dir_edges"),
+        coalesce(min("d"), lit(0L)).as("min_deg"),
+        coalesce(max("d"), lit(0L)).as("max_deg"))
+        .select(lit(round.toLong).as("round"), col("n_nodes"),
+          col("n_dir_edges"), col("min_deg"), col("max_deg"))
+    var e = edges0.select(col("u"), col("v"))
+    var d = e.groupBy("u").agg(count(lit(1)).as("d"))
+    var out = stats(0, d)
+    for (r <- 1 to KcoreRounds) {
+      val keep = d.filter(col("d") >= KcoreK).select(col("u").as("node"))
+      e = e.join(keep, col("u") === col("node"), "left_semi")
+        .join(keep, col("v") === col("node"), "left_semi")
+      d = e.groupBy("u").agg(count(lit(1)).as("d"))
+      out = out.unionAll(stats(r, d))
+    }
+    out.orderBy("round")
+  }
+
+  val kcoreSql: String = {
+    // every per-round CTE is referenced twice (next round + its stats
+    // leg), so 7 chained rounds would inline 2^7 copies of the heavy
+    // half-pair join if the engine expands CTEs — MATERIALIZED pins
+    // each round to one evaluation (r15: the inlined form spilled
+    // DuckDB's temp space to death at sf0.1; values are identical)
+    def round(r: Int) =
+      s"""d$r AS MATERIALIZED (SELECT u, COUNT(*) AS d FROM e$r GROUP BY 1),
+    k$r AS MATERIALIZED (SELECT u AS node FROM d$r WHERE d >= $KcoreK),
+    e${r + 1} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e$r e
+      JOIN k$r a ON e.u = a.node JOIN k$r b ON e.v = b.node)"""
+    def stat(r: Int) = s"""SELECT CAST($r AS BIGINT) AS round,
+      COUNT(*) AS n_nodes,
+      CAST(COALESCE(SUM(d), 0) AS BIGINT) AS n_dir_edges,
+      COALESCE(MIN(d), 0) AS min_deg, COALESCE(MAX(d), 0) AS max_deg
+      FROM d$r"""
+    s"""WITH $edgesCte,
+    e0 AS MATERIALIZED (SELECT u, v FROM edges),
+    ${(0 until KcoreRounds).map(round).mkString(",\n    ")},
+    d$KcoreRounds AS MATERIALIZED (
+      SELECT u, COUNT(*) AS d FROM e$KcoreRounds GROUP BY 1)
+    ${(0 to KcoreRounds).map(stat).mkString("\n    UNION ALL\n    ")}
+    ORDER BY round"""
+  }
 }
