@@ -366,7 +366,41 @@ object Dedup {
     * query (the shingleRelations argument applied to the signature
     * tier).
     */
-  private def minhashSig(s: SparkSession, dir: String): DataFrame =
+  /** Per-ROW MinHash signature of one document's text as a 16-element
+    * array column — the same affine-hash family over the same 3-gram
+    * shingle hashes as the corpus-grain [[minhashSig]] (identical
+    * [[TextOps.tokens]]/[[TextOps.ngrams]]/[[TextOps.tokenHash]]
+    * chain and [[hashA]]/[[hashB]]/[[MinhashPrime]] constants), so the
+    * streaming ingest gate and the batch D3 pass CANNOT drift: min
+    * over a doc's exploded shingle rows ≡ array_min over the doc's
+    * shingle array (duplicates are min-idempotent). Stateless — no
+    * shuffle, usable in a streaming projection. Empty/short docs
+    * (< 3 tokens) yield all-null mins, the dual of having no signature
+    * row in the batch relation.
+    */
+  def minhashRowSig(text: Column): Column = {
+    val hs = transform(
+      TextOps.ngrams(TextOps.tokens(text), 3), sh => TextOps.tokenHash(sh))
+    array((0 until NumHashes).map(i =>
+      array_min(transform(hs,
+        h => (lit(hashA(i)) * h + lit(hashB(i))) % MinhashPrime))): _*)
+  }
+
+  /** Full-signature dedup key for the streaming ingest gate: all 16
+    * minhashes joined — docs sharing it have estimated Jaccard 1.0
+    * (the batch D3 pairs with 16/16 matches), the precision-first
+    * near-dup class an ingest gate may drop without the batch pass's
+    * verification join. Short docs (no shingles) get a per-doc
+    * sentinel key, so they are never collapsed together.
+    */
+  def minhashKey(docId: Column, text: Column): Column = {
+    val sig = minhashRowSig(text)
+    when(element_at(sig, 1).isNull, concat(lit("nosig:"), docId))
+      .otherwise(concat_ws("_",
+        (1 to NumHashes).map(i => element_at(sig, i)): _*))
+  }
+
+  private[graft] def minhashSig(s: SparkSession, dir: String): DataFrame =
     SessionMemo.get[DataFrame](s, s"minhash-sig:$dir") {
       val sh = shingleDf(s, dir)
         .select(col("doc_id"), TextOps.tokenHash(col("shingle")).as("h"))

@@ -108,6 +108,26 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("canon_url")
 
+  /** Streaming MinHash near-dup ingest gate (streaming tier of batch
+    * D3): each doc keyed by its FULL 16-minhash signature
+    * ([[graft.ext.Dedup.minhashKey]] — the identical shingle/hash
+    * chain and constants the batch pass groups on, computed as a
+    * stateless per-row projection), then first-winner-kept within the
+    * watermark horizon. Full-signature equality is the estimated-
+    * Jaccard-1.0 class — the precision-first cut an ingest gate may
+    * drop unverified; banded OR-matching and the verification join
+    * remain the batch authority (streaming state cannot hold the
+    * corpus; the watermark bounds it). State is one key per distinct
+    * signature in the horizon, shuffled once on the dedup key.
+    */
+  def minhashDedupStream(docs: DataFrame,
+                         watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("sig_key",
+        graft.ext.Dedup.minhashKey(col("doc_id"), col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("sig_key")
+
   /** Watermarked stream-stream INTERVAL join — the streaming dual of
     * the batch as-of/conversion-latency pair (E4/E15): each purchase
     * matches the clicks by the same user inside the trailing

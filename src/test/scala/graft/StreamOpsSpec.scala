@@ -250,6 +250,42 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("minhashDedupStream drops identical-signature docs, keeps distinct and short ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamOps.minhashDedupStream(df, "10 minutes")
+      .writeStream.format("memory").queryName("mh_dedup_test").outputMode("append").start()
+    try {
+      val long1 = "the quick brown fox jumps over the lazy dog again and again"
+      val long2 = "an entirely different document about spark streaming state stores"
+      mem.addData(
+        (ts(0), "a", long1), (ts(1), "b", long1), // same signature — b dropped
+        (ts(2), "c", long2),                      // distinct — kept
+        (ts(3), "s1", "too short"), (ts(4), "s2", "too short")) // no shingles — both kept
+      q.processAllAvailable()
+      val kept = spark.table("mh_dedup_test").collect().map(_.getString(1)).sorted.toSeq
+      assert(kept == Seq("a", "c", "s1", "s2"))
+    } finally q.stop()
+  }
+
+  test("minhashRowSig equals the corpus-grain batch signature on the real table") {
+    // the can't-drift contract: the stateless per-row signature the
+    // streaming gate keys on reproduces the batch D3 signature
+    // row-for-row over sf0.001 (docs with >= 1 shingle)
+    import graft.ext.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val perRow = docs
+      .select(col("doc_id"), Dedup.minhashRowSig(col("text")).as("sig"))
+      .filter(element_at(col("sig"), 1).isNotNull)
+      .collect().map(r => r.get(0).toString -> r.getSeq[Long](1).toSeq).toMap
+    val batch = Dedup.minhashSig(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.get(0).toString ->
+        (1 until r.length).map(r.getLong).toSeq).toMap
+    assert(perRow.keySet == batch.keySet)
+    assert(perRow.keys.forall(k => perRow(k) == batch(k)))
+  }
+
   test("urlDedupStream keys on the shared batch canonicalization") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
