@@ -692,12 +692,15 @@ object SparkEntry {
       Some(Relational.customerConcentrationSql)),
     Q("x16_copurchase_pairs", Relational.copurchasePairs,
       Some(Relational.copurchasePairsSql)),
+    Q("x17_waiting_suppliers", Relational.waitingSuppliers,
+      Some(Relational.waitingSuppliersSql)),
     Q("g1_pagerank", Graph.pagerank, Some(Graph.pagerankSql)),
     Q("g2_degree_hist", Graph.degreeHist, Some(Graph.degreeHistSql)),
     Q("g3_triangles", Graph.triangles, Some(Graph.trianglesSql)),
     Q("g4_link_prediction", Graph.linkPrediction, Some(Graph.linkPredictionSql)),
     Q("g5_communities", Graph.communities, Some(Graph.communitiesSql)),
-    Q("g6_components", Graph.components, Some(Graph.componentsSql)))
+    Q("g6_components", Graph.components, Some(Graph.componentsSql)),
+    Q("g7_kcore", Graph.kcore, Some(Graph.kcoreSql)))
 
   private val extQueries: Seq[Q] = Seq(
     Q("e1_sessionize", Events.sessionize, Some(Events.sessionizeSql)),

@@ -890,4 +890,89 @@ object Relational {
     SELECT row_number() OVER (ORDER BY n_orders DESC, p1, p2) AS rk,
       p1, p2, n_orders
     FROM pairs"""
+
+  // -------------------------------------------- X17 waiting suppliers
+
+  /** Days after the order date before a shipment counts as late. */
+  val WaitLateDays = 60
+  val WaitTopK = 20
+
+  /** X17: sole-late-supplier wait audit — the TPC-H Q21 plan shape
+    * restated over this schema's columns (the trimmed lineitem has no
+    * commit/receipt dates, so late := shipped > [[WaitLateDays]] days
+    * after `o_orderdate`): in every multi-supplier order whose late
+    * lines all belong to ONE supplier, that supplier takes the blame;
+    * emit the top-[[WaitTopK]] suppliers by blame count with their
+    * nation. Q21's EXISTS/NOT-EXISTS pair collapses into per-order
+    * aggregates: `exists other supplier` = distinct-supplier count ≥ 2,
+    * `not exists other late supplier` = distinct-LATE-supplier count
+    * = 1 — one grouped pass instead of two extra fact joins.
+    *
+    * Scale shape: one fact-fact join on the order key (both sides
+    * shuffle-partitioned on it), then a map-side-partial per-order
+    * aggregate; the in-group distincts are bounded (≤7-line orders —
+    * NOT the d18 hot-key funnel, which is about distinct members of
+    * unbounded groups); blame recount is supplier-grain; nation is a
+    * bounded broadcast; top-k is TakeOrdered re-ranked by a ≤20-row
+    * window.
+    */
+  def waitingSuppliers(s: SparkSession, dir: String): DataFrame =
+    waitingSuppliersFrom(
+      t(s, dir, "lineitem"), t(s, dir, "orders"),
+      t(s, dir, "supplier"), t(s, dir, "nation"))
+
+  /** [[waitingSuppliers]] over explicit relations — the spec pins the
+    * sole-late-blame contract on crafted orders.
+    */
+  def waitingSuppliersFrom(lineitem: DataFrame, orders: DataFrame,
+                           supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val li = lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val ord = orders.select(col("o_orderkey"), col("o_orderdate"))
+    val flagged = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > date_add(col("o_orderdate"), WaitLateDays)).as("late"))
+    val per = flagged.groupBy("l_orderkey").agg(
+      countDistinct(col("l_suppkey")).as("ns"),
+      countDistinct(when(col("late"), col("l_suppkey"))).as("nl"),
+      max(when(col("late"), col("l_suppkey"))).as("culprit"))
+    val blame = per.filter(col("ns") >= 2 && col("nl") === 1)
+      .groupBy(col("culprit").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+    val sup = supplier
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    val nat = nation
+      .select(col("n_nationkey"), col("n_name"))
+    val top = blame.join(sup, "s_suppkey")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(WaitTopK)
+    top.withColumn("rk", row_number().over(
+      Window.orderBy(col("numwait").desc, col("s_name"))))
+      .select(col("rk"), col("s_name"), col("n_name"), col("numwait"))
+  }
+
+  val waitingSuppliersSql: String = s"""WITH flagged AS (
+      SELECT l_orderkey, l_suppkey,
+        l_shipdate > o_orderdate + INTERVAL $WaitLateDays DAY AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    per AS (
+      SELECT l_orderkey,
+        COUNT(DISTINCT l_suppkey) AS ns,
+        COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS nl,
+        MAX(CASE WHEN late THEN l_suppkey END) AS culprit
+      FROM flagged GROUP BY 1),
+    blame AS (
+      SELECT culprit AS s_suppkey, COUNT(*) AS numwait
+      FROM per WHERE ns >= 2 AND nl = 1 GROUP BY 1),
+    top AS (
+      SELECT s_name, n_name, numwait
+      FROM blame
+      JOIN supplier USING (s_suppkey)
+      JOIN nation ON s_nationkey = n_nationkey
+      ORDER BY numwait DESC, s_name LIMIT $WaitTopK)
+    SELECT row_number() OVER (ORDER BY numwait DESC, s_name) AS rk,
+      s_name, n_name, numwait
+    FROM top"""
 }

@@ -2659,6 +2659,37 @@ class ExtSpec extends SparkSpec {
     assert(r.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
   }
 
+  test("X17 waiting suppliers: only the sole late supplier of a multi-supplier order is blamed") {
+    import graft.ext.Relational
+    import java.sql.Date
+    val d0 = Date.valueOf("2024-01-01")
+    val onTime = Date.valueOf("2024-02-01") // +31d
+    val late = Date.valueOf("2024-06-01")   // +152d > 60
+    val li = Seq(
+      // order 100: suppliers 1 (late) and 2 (on time) → supplier 1 blamed
+      (100L, 1L, late), (100L, 2L, onTime),
+      // order 200: both late → nobody blamed
+      (200L, 1L, late), (200L, 2L, late),
+      // order 300: single supplier late → not multi-supplier, no blame
+      (300L, 3L, late),
+      // order 400: supplier 1 late again (with 3 on time) → second blame
+      (400L, 1L, late), (400L, 3L, onTime)
+    ).toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val ord = Seq((100L, d0), (200L, d0), (300L, d0), (400L, d0))
+      .toDF("o_orderkey", "o_orderdate")
+    val sup = Seq((1L, "Supplier#1", 0L), (2L, "Supplier#2", 0L), (3L, "Supplier#3", 1L))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val nat = Seq((0L, "FRANCE"), (1L, "PERU")).toDF("n_nationkey", "n_name")
+    val r = Relational.waitingSuppliersFrom(li, ord, sup, nat).collect()
+    assert(r.map(x => (x.getInt(0), x.getString(1), x.getString(2), x.getLong(3))).toSeq ==
+      Seq((1, "Supplier#1", "FRANCE", 2L)))
+    // real corpus: bounded output, ranks contiguous, counts positive
+    val c = Relational.waitingSuppliers(spark, Sf0001).collect()
+    assert(c.nonEmpty && c.length <= Relational.WaitTopK)
+    assert(c.map(_.getInt(0)).toSeq == (1 to c.length))
+    assert(c.forall(_.getLong(3) >= 1L))
+  }
+
   test("G1 PageRank: star graph ranks hub first, mass conserves") {
     import graft.ext.Graph
     // baskets {hub 0, leaf i} twice each (support ≥ MinSupport):
@@ -2964,6 +2995,33 @@ class ExtSpec extends SparkSpec {
     assert(c.nonEmpty)
     assert(c.forall(_.getLong(2) >= 30L))
     assert(math.abs(c.map(_.getDouble(5)).sum - 1.0) < 1e-4)
+  }
+
+  test("G7 k-core: fringe peels off a K4 core in one round, core is stable") {
+    import graft.ext.Graph
+    // K4 {1,2,3,4} (every degree 3 = KcoreK, survives all rounds) plus
+    // a pendant path 4-5-6 (degrees 2 and 1, peeled in round 1); every
+    // basket twice for support >= MinSupport
+    val baskets = Seq(
+      100L -> Seq(1L, 2L, 3L, 4L), 101L -> Seq(1L, 2L, 3L, 4L),
+      110L -> Seq(4L, 5L), 111L -> Seq(4L, 5L),
+      120L -> Seq(5L, 6L), 121L -> Seq(5L, 6L))
+    val li = baskets.flatMap { case (o, ps) => ps.map(o -> _) }
+      .toDF("l_orderkey", "l_partkey")
+    val r = Graph.kcoreFrom(li).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    // round 0: 6 nodes, 8 undirected edges (16 directed), degrees 1..4;
+    // round 1 on: the K4 alone (4 nodes, 12 directed, all-3 degrees)
+    assert(r.head == ((0L, 6L, 16L, 1L, 4L)))
+    assert(r.tail.toSeq == (1 to Graph.KcoreRounds).map(i => (i.toLong, 4L, 12L, 3L, 3L)))
+    // real corpus: one row per round, survivors monotonically
+    // non-increasing, and every post-peel round's min degree is either
+    // >= k or 0 (empty)
+    val c = Graph.kcore(spark, Sf0001).collect()
+    assert(c.length == Graph.KcoreRounds + 1)
+    val nodes = c.map(_.getLong(1))
+    assert(nodes.sliding(2).forall(p => p(0) >= p(1)))
+    assert(c.drop(1).forall(x => x.getLong(3) >= Graph.KcoreK || x.getLong(1) == 0L))
   }
 
   test("G3 triangles: shared-edge pair and K4 count exactly") {
