@@ -768,6 +768,8 @@ object SparkEntry {
     Q("e25_dup_events", Events.dupEvents, Some(Events.dupEventsSql)),
     Q("e26_retention_curve", Events.retentionCurve, Some(Events.retentionCurveSql)),
     Q("e27_session_gaps", Events.sessionGaps, Some(Events.sessionGapsSql)),
+    Q("e29_linear_attribution", Events.linearAttribution,
+      Some(Events.linearAttributionSql)),
     Q("w1_source_mix", Mix.sourceMix, Some(Mix.sourceMixSql)),
     Q("w2_seq_pack", Mix.seqPack, Some(Mix.seqPackSql)),
     Q("w3_pii_scan", Pii.piiScan, Some(Pii.piiScanSql)),

@@ -1840,4 +1840,111 @@ object Events {
       CAST(n_active AS BIGINT) AS n_active, n_churned,
       ROUND(CAST(n_active AS DOUBLE) / CAST(n_at_risk AS DOUBLE), 6) AS retention
     FROM c ORDER BY cohort_week, day_offset"""
+
+  // ------------------------------------ E29 multi-touch attribution
+
+  /** Touch channel types credited by the E29 attribution model. */
+  val TouchTypes: Seq[String] = Seq("view", "click", "signup")
+  /** Attribution lookback window (same horizon as the session gap). */
+  val AttributionWindowUs: Long = SessionGapUs
+
+  /** E29: LINEAR multi-touch attribution — every purchase splits one
+    * unit of conversion credit equally across the SAME user's touch
+    * events ([[TouchTypes]]) in the trailing
+    * [[AttributionWindowUs]] window (strictly before the purchase);
+    * purchases with no in-window touch credit the `(none)` bucket in
+    * full. Per channel: touch rows credited, distinct conversions
+    * participated in, and the total credit. The multi-touch
+    * counterpart of E21's first-touch view — the two bracketing
+    * models every marketing report shows side by side (first-touch
+    * overweights openers, linear spreads evenly).
+    *
+    * Determinism: credit is the exact integer `1000000 div n` per
+    * touch (n = the purchase's touch count) — the floor loss is part
+    * of the stated contract (credits per conversion sum to ≤ 1e6 and
+    * the deficit is < n), so every emitted cell is an exact BIGINT;
+    * no doubles anywhere.
+    *
+    * Scale shape: purchases join touches on the USER key with the
+    * time-range predicate applied inside the per-user hash-join
+    * partition (the batch dual of the streaming conversionJoin's
+    * interval state); per-user event counts are the bounded
+    * dimension, so no key explodes. The per-channel distinct
+    * conversion count is shaped `.select(type, purchase).distinct()`
+    * then counted (the d18 rule — never a distinct funnel on the
+    * channel key); the final rollup is ≤4-row.
+    */
+  def linearAttribution(s: SparkSession, dir: String): DataFrame =
+    linearAttributionFrom(t(s, dir))
+
+  /** [[linearAttribution]] over an explicit event relation (needs
+    * `us` micros) — the spec pins exact credit splits on a crafted
+    * timeline.
+    */
+  def linearAttributionFrom(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("pid"),
+        col("us").as("pus"))
+    val touches = events
+      .filter(col("event_type").isin(TouchTypes: _*))
+      .select(col("user_id").as("tu"), col("event_type").as("channel"),
+        col("us").as("tus"))
+    val paired = purchases.join(touches,
+      col("pu") === col("tu") &&
+        col("tus") < col("pus") &&
+        col("tus") >= col("pus") - lit(AttributionWindowUs))
+    val perPurchase = paired.groupBy("pid")
+      .agg(count(lit(1)).as("n_touch"))
+    val credited = paired.join(perPurchase, "pid")
+      .select(col("channel"), col("pid"),
+        expr("1000000 div n_touch").as("credit"))
+    val byChannel = credited.groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"),
+        sum("credit").as("credit_micro"))
+    val nConv = credited.select(col("channel"), col("pid")).distinct()
+      .groupBy("channel").agg(count(lit(1)).as("n_conversions"))
+    val untouched = purchases
+      .join(perPurchase, purchases("pid") === perPurchase("pid"), "left_anti")
+      .agg(count(lit(1)).as("n_conversions"))
+      .select(lit("(none)").as("channel"), lit(0L).as("n_touches"),
+        col("n_conversions"),
+        (col("n_conversions") * lit(1000000L)).as("credit_micro"))
+    byChannel.join(nConv, "channel")
+      .select(col("channel"), col("n_touches"), col("n_conversions"),
+        col("credit_micro"))
+      .unionAll(untouched)
+      .orderBy("channel")
+  }
+
+  val linearAttributionSql: String = s"""WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+    p AS (SELECT user_id AS pu, event_id AS pid, us AS pus
+          FROM ev WHERE event_type = 'purchase'),
+    tc AS (SELECT user_id AS tu, event_type AS channel, us AS tus
+           FROM ev WHERE event_type IN (${TouchTypes.map(t => s"'$t'").mkString(", ")})),
+    paired AS (
+      SELECT channel, pid FROM p JOIN tc ON pu = tu
+        AND tus < pus AND tus >= pus - ${AttributionWindowUs}),
+    pp AS (SELECT pid, COUNT(*) AS n_touch FROM paired GROUP BY 1),
+    credited AS (
+      SELECT channel, paired.pid, 1000000 // n_touch AS credit
+      FROM paired JOIN pp ON paired.pid = pp.pid),
+    byc AS (
+      SELECT channel, COUNT(*) AS n_touches,
+        CAST(SUM(credit) AS BIGINT) AS credit_micro
+      FROM credited GROUP BY 1),
+    nconv AS (
+      SELECT channel, COUNT(*) AS n_conversions
+      FROM (SELECT DISTINCT channel, pid FROM credited) GROUP BY 1),
+    untouched AS (
+      SELECT '(none)' AS channel, CAST(0 AS BIGINT) AS n_touches,
+        COUNT(*) AS n_conversions,
+        CAST(COUNT(*) * 1000000 AS BIGINT) AS credit_micro
+      FROM p ANTI JOIN pp ON p.pid = pp.pid)
+    SELECT channel, n_touches, n_conversions, credit_micro
+    FROM (SELECT channel, n_touches, n_conversions, credit_micro
+          FROM byc JOIN nconv USING (channel)
+          UNION ALL
+          SELECT * FROM untouched)
+    ORDER BY channel"""
 }

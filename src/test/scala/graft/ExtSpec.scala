@@ -2659,6 +2659,36 @@ class ExtSpec extends SparkSpec {
     assert(r.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
   }
 
+  test("E29 linear attribution: credits split 1/n with floor, untouched purchases hit (none)") {
+    import graft.ext.Events
+    // user 1: view@0 + click@100 before purchase 500@1000 (n=2, 500000
+    // each); purchase 501@2.5e9 has no touch in its 30-min window;
+    // user 2: signup@0 before purchase 502@500 (n=1, full credit);
+    // view@600 is AFTER the purchase — never credited;
+    // user 3: view@0, view@10, click@20 before purchase 503@100 (n=3,
+    // 333333 each — the floor loss is the stated contract)
+    val ev = Seq(
+      (1L, 10L, "view", 0L), (1L, 11L, "click", 100L),
+      (1L, 500L, "purchase", 1000L), (1L, 501L, "purchase", 2500000000L),
+      (2L, 20L, "signup", 0L), (2L, 502L, "purchase", 500L),
+      (2L, 21L, "view", 600L),
+      (3L, 30L, "view", 0L), (3L, 31L, "view", 10L), (3L, 32L, "click", 20L),
+      (3L, 503L, "purchase", 100L)
+    ).toDF("user_id", "event_id", "event_type", "us")
+    val r = Events.linearAttributionFrom(ev).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      ("(none)", 0L, 1L, 1000000L),
+      ("click", 2L, 2L, 833333L),
+      ("signup", 1L, 1L, 1000000L),
+      ("view", 3L, 2L, 1166666L)))
+    // real corpus: per-conversion credit never exceeds 1e6 in total
+    val c = Events.linearAttribution(spark, Sf0001).collect()
+    assert(c.nonEmpty)
+    val totalConv = c.map(_.getLong(2)).sum // upper bound: touched convs counted per channel
+    assert(c.map(_.getLong(3)).sum <= totalConv * 1000000L)
+  }
+
   test("X17 waiting suppliers: only the sole late supplier of a multi-supplier order is blamed") {
     import graft.ext.Relational
     import java.sql.Date
