@@ -694,6 +694,8 @@ object SparkEntry {
       Some(Relational.copurchasePairsSql)),
     Q("x17_waiting_suppliers", Relational.waitingSuppliers,
       Some(Relational.waitingSuppliersSql)),
+    Q("x18_idle_wealthy", Relational.idleWealthy,
+      Some(Relational.idleWealthySql)),
     Q("g1_pagerank", Graph.pagerank, Some(Graph.pagerankSql)),
     Q("g2_degree_hist", Graph.degreeHist, Some(Graph.degreeHistSql)),
     Q("g3_triangles", Graph.triangles, Some(Graph.trianglesSql)),

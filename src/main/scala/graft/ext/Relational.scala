@@ -975,4 +975,77 @@ object Relational {
     SELECT row_number() OVER (ORDER BY numwait DESC, s_name) AS rk,
       s_name, n_name, numwait
     FROM top"""
+
+  // ---------------------------------------------- X18 idle wealthy
+
+  /** Trailing idle horizon for the X18 audit. */
+  val IdleDays = 90
+
+  /** X18: idle wealthy customers — the TPC-H Q22 plan shape restated
+    * over this schema (no phone country codes; "recently active" =
+    * any order in the trailing [[IdleDays]] days of the dataset's own
+    * timeline): customers whose balance exceeds the positive-balance
+    * average and who placed NO recent order, rolled up per nation
+    * (customer count + total balance) — the dormant-capital report.
+    *
+    * Determinism: balances enter as DECIMAL(18,2); the
+    * above-average test is the cross-multiplied exact comparison
+    * `bal · n > Σbal` (no division anywhere), and the emitted total
+    * is one double conversion of an exact DECIMAL sum (the x-family
+    * protocol). The cutoff is `max(o_orderdate) − 90 days` — exact
+    * date arithmetic, data-derived.
+    *
+    * Scale shape: two 1-row aggregates broadcast (cutoff, threshold
+    * numerator/denominator); the recent-customer set is a distinct
+    * projection of the date-pruned fact; the idle test is one
+    * anti-join on the customer key; nation is a bounded broadcast.
+    * Q22's correlated NOT EXISTS is exactly this anti-join.
+    */
+  def idleWealthy(s: SparkSession, dir: String): DataFrame =
+    idleWealthyFrom(t(s, dir, "customer"), t(s, dir, "orders"),
+      t(s, dir, "nation"))
+
+  /** [[idleWealthy]] over explicit relations — the spec pins the
+    * threshold and idleness cuts on crafted customers.
+    */
+  def idleWealthyFrom(customer: DataFrame, orders: DataFrame,
+                      nation: DataFrame): DataFrame = {
+    val c = customer.select(col("c_custkey"), col("c_nationkey"),
+      col("c_acctbal").cast(DecimalType(18, 2)).as("bal"))
+    val cut = orders.agg(
+      date_sub(max(col("o_orderdate")), IdleDays).as("cutoff"))
+    val recent = orders.crossJoin(broadcast(cut))
+      .filter(col("o_orderdate") > col("cutoff"))
+      .select(col("o_custkey")).distinct()
+    val thr = c.filter(col("bal") > 0)
+      .agg(sum("bal").as("sbal"), count(lit(1)).as("nbal"))
+    val wealthy = c.crossJoin(broadcast(thr))
+      .filter(col("bal") * col("nbal") > col("sbal"))
+    wealthy.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        sum("bal").cast("double").as("totacctbal"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("numcust"), col("totacctbal"))
+      .orderBy("n_name")
+  }
+
+  val idleWealthySql: String = s"""WITH c AS (
+      SELECT c_custkey, c_nationkey,
+        CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      FROM customer),
+    cut AS (
+      SELECT max(o_orderdate) - INTERVAL $IdleDays DAY AS cutoff FROM orders),
+    recent AS (
+      SELECT DISTINCT o_custkey FROM orders, cut WHERE o_orderdate > cutoff),
+    thr AS (
+      SELECT SUM(bal) AS sbal, COUNT(*) AS nbal FROM c WHERE bal > 0),
+    idle AS (
+      SELECT c.* FROM (SELECT c.* FROM c, thr WHERE bal * nbal > sbal) c
+      ANTI JOIN recent ON c.c_custkey = recent.o_custkey)
+    SELECT n_name, COUNT(*) AS numcust,
+      CAST(SUM(bal) AS DOUBLE) AS totacctbal
+    FROM idle JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1 ORDER BY 1"""
 }

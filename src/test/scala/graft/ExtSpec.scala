@@ -2720,6 +2720,31 @@ class ExtSpec extends SparkSpec {
     assert(c.forall(_.getLong(3) >= 1L))
   }
 
+  test("X18 idle wealthy: above-average balance AND no recent order, exact threshold") {
+    import graft.ext.Relational
+    import java.sql.Date
+    val dMax = Date.valueOf("2024-12-31")
+    val cust = Seq(
+      (1L, 0, 100.0), (2L, 0, 200.0), (3L, 1, 600.0), (4L, 1, 50.0),
+      (6L, 0, 800.0), (7L, 0, -10.0) // negative bal excluded from the average
+    ).toDF("c_custkey", "c_nationkey", "c_acctbal")
+    // positive avg = (100+200+600+50+800)/5 = 350 → wealthy = {3, 6};
+    // 6 ordered 10 days before the horizon (active), 3's order is stale
+    val ord = Seq(
+      (900L, 1L, dMax),
+      (901L, 6L, Date.valueOf("2024-12-21")),
+      (902L, 3L, Date.valueOf("2024-06-01"))
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val nat = Seq((0, "FRANCE"), (1, "PERU")).toDF("n_nationkey", "n_name")
+    val r = Relational.idleWealthyFrom(cust, ord, nat).collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1), x.getDouble(2))).toSeq ==
+      Seq(("PERU", 1L, 600.0)))
+    // real corpus: nations bounded, counts positive
+    val c = Relational.idleWealthy(spark, Sf0001).collect()
+    assert(c.nonEmpty && c.length <= 25)
+    assert(c.forall(_.getLong(1) >= 1L))
+  }
+
   test("G1 PageRank: star graph ranks hub first, mass conserves") {
     import graft.ext.Graph
     // baskets {hub 0, leaf i} twice each (support ≥ MinSupport):
