@@ -644,14 +644,28 @@ object Graph {
         coalesce(max("d"), lit(0L)).as("max_deg"))
         .select(lit(round.toLong).as("round"), col("n_nodes"),
           col("n_dir_edges"), col("min_deg"), col("max_deg"))
+    // Iterative-loop discipline (the D7 clusterLabels rule): each
+    // round's plan references the previous round THREE times (the edge
+    // child + both semi-join keep sides), so an un-truncated loop is
+    // EXPONENTIAL in plan size — 3^rounds tree copies took the sweep to
+    // 34 s and, once rounds were persisted, OOMed the driver in AQE's
+    // plan-string rendering (r15, measured). Every round re-roots at an
+    // RDD scan (`createDataFrame(df.rdd, schema)`) and persists: plans
+    // stay constant-size, each round computes once, and the 7 stats
+    // legs read the ≤thousands-row cached rounds. g7 is in
+    // Bench.extraIters per the persist contract.
+    val spark = edges0.sparkSession
+    def truncated(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
     var e = edges0.select(col("u"), col("v"))
-    var d = e.groupBy("u").agg(count(lit(1)).as("d"))
+    var d = truncated(e.groupBy("u").agg(count(lit(1)).as("d"))).persist()
     var out = stats(0, d)
     for (r <- 1 to KcoreRounds) {
       val keep = d.filter(col("d") >= KcoreK).select(col("u").as("node"))
-      e = e.join(keep, col("u") === col("node"), "left_semi")
-        .join(keep, col("v") === col("node"), "left_semi")
-      d = e.groupBy("u").agg(count(lit(1)).as("d"))
+      e = truncated(
+        e.join(keep, col("u") === col("node"), "left_semi")
+          .join(keep, col("v") === col("node"), "left_semi")).persist()
+      d = truncated(e.groupBy("u").agg(count(lit(1)).as("d"))).persist()
       out = out.unionAll(stats(r, d))
     }
     out.orderBy("round")
