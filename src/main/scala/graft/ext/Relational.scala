@@ -932,10 +932,17 @@ object Relational {
     val flagged = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > date_add(col("o_orderdate"), WaitLateDays)).as("late"))
-    val per = flagged.groupBy("l_orderkey").agg(
-      countDistinct(col("l_suppkey")).as("ns"),
-      countDistinct(when(col("late"), col("l_suppkey"))).as("nl"),
-      max(when(col("late"), col("l_suppkey"))).as("culprit"))
+    // two-level aggregation instead of two countDistincts: multiple
+    // distinct aggregates plan as an Expand (3x the fact rows through
+    // the exchange); collapsing to (order, supplier) grain first is
+    // map-side combinable and distinct-free (r15: 2.3 -> faster, same
+    // cells)
+    val perSupp = flagged.groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("late")).as("any_late"))
+    val per = perSupp.groupBy("l_orderkey").agg(
+      count(lit(1)).as("ns"),
+      sum(col("any_late").cast("long")).as("nl"),
+      max(when(col("any_late"), col("l_suppkey"))).as("culprit"))
     val blame = per.filter(col("ns") >= 2 && col("nl") === 1)
       .groupBy(col("culprit").as("s_suppkey"))
       .agg(count(lit(1)).as("numwait"))
