@@ -623,9 +623,12 @@ object Graph {
     * edge list (the G1 scale argument — the pruned relation grows
     * with true associations, not corpus chance); the per-round stats
     * are single-row aggregates. Nothing global-sorts the node set, no
-    * window anywhere. Emitting all rounds makes the later stats legs
-    * re-derive their tiny prefix chains (≤[[KcoreRounds]]² bounded
-    * joins) rather than holding per-round persists.
+    * window anywhere. Every peel round is lineage-truncated and
+    * persisted (all rounds feed the final union, so none can be
+    * unpersisted early) — the ≤2·[[KcoreRounds]]+1 cached round tables
+    * are bounded-small and live until the caller's `clearCache` (the
+    * registry per-query persist contract; Verify clears per query, g7
+    * is in Bench.extraIters).
     */
   def kcore(s: SparkSession, dir: String): DataFrame =
     kcoreCore(edgeRelations(s, dir)._1)
