@@ -79,9 +79,32 @@ def main():
         if bad:
             print(f"FAIL {name}: row {bad[0]} col {bad[1]}: spark={bad[2]!r} duck={bad[3]!r}")
             n_fail += 1
-        else:
-            print(f"PASS {name} ({len(gr)} rows)")
-            n_pass += 1
+            continue
+        # Fetch-path dtype check (the r15 t23 lesson): the driver's
+        # comparer goes through pandas/arrow, where e.g. a DuckDB
+        # HUGEINT becomes float64 while Spark's int64 stays integral —
+        # values equal under fetchall() but '61.0' != '61' under a
+        # str/dtype-sensitive hash. Compare the pandas dtype KIND
+        # (integer/float/other) per column on LIMIT 0 of both sides.
+        try:
+            gdt = con.execute(
+                f"SELECT * FROM read_parquet('{d}/*.parquet') LIMIT 0").df().dtypes
+            edt = con.execute(f"SELECT * FROM ({oracle[name]}) LIMIT 0").df().dtypes
+            kinds = {}
+            for c in gdt.index:
+                a, b = gdt[c].kind, edt[c].kind
+                ak = "int" if a in "iu" else ("float" if a == "f" else "other")
+                bk = "int" if b in "iu" else ("float" if b == "f" else "other")
+                if ak != bk:
+                    kinds[c] = (ak, bk)
+            if kinds:
+                print(f"FAIL {name}: pandas fetch-path dtype mismatch {kinds}")
+                n_fail += 1
+                continue
+        except Exception:
+            pass  # LIMIT-0 pushdown quirks never fail the gate by themselves
+        print(f"PASS {name} ({len(gr)} rows)")
+        n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
