@@ -845,7 +845,8 @@ object SparkEntry {
     Q("m6_frame_overlap", Multimodal.frameOverlap, Some(Multimodal.frameOverlapSql)),
     Q("m7_ahash_neardup", Multimodal.ahashNeardup, Some(Multimodal.ahashNeardupSql)),
     Q("m8_block_dedup", Multimodal.blockDedup, Some(Multimodal.blockDedupSql)),
-    Q("m9_bitrate_audit", Multimodal.bitrateAudit, Some(Multimodal.bitrateAuditSql)))
+    Q("m9_bitrate_audit", Multimodal.bitrateAudit, Some(Multimodal.bitrateAuditSql)),
+    Q("m10_scene_stats", Multimodal.sceneStats, Some(Multimodal.sceneStatsSql)))
 
   // --------------------------------------------------------------- registry
 

@@ -666,6 +666,78 @@ object Multimodal {
       ROUND(CAST(SUM(bytes) AS DOUBLE) / CAST(SUM(w * h) AS DOUBLE), 6) AS bytes_per_pixel
     FROM per GROUP BY modality ORDER BY modality"""
 
+  // ------------------------------------------------ M10 scene statistics
+
+  /** M10: scene/static-segment statistics per payload — the temporal
+    * dual of the M3 frame sample: over each payload's TIME-ORDERED
+    * sampled-frame hash sequence (the exact M3/M6 frame definition, so
+    * the three views cannot drift), count the maximal constant-hash
+    * segments ("scenes" — every hash change is a cut), the
+    * single-frame scenes (rapid cutting / flicker), and the longest
+    * static run (freeze / stuck-sensor detector). The per-title
+    * scene-cadence audit a video ingest pipeline runs before paying
+    * for decode: all-static payloads are dead weight, all-singleton
+    * payloads are noise.
+    *
+    * Implementation: the frame hashes are built as ONE per-row array
+    * expression (`transform(sequence(...))` — no explode, no shuffle,
+    * nothing leaves the row) and the segment pass is the native
+    * codegen'd `graft_runstats` node on the UNSORTED array — its
+    * documented run-local semantics (`plans/RunStatsExpression.scala`:
+    * runs are maximal equal ADJACENT blocks) are exactly scene
+    * segmentation; the same node computes the t13 type counts on
+    * sorted input. The oracle states the per-occurrence form: the M3
+    * frame CTE → lag-based cut flags → running scene ids → per-scene
+    * lengths. Pure integer counting on exact string equality — nothing
+    * can diverge across engines.
+    *
+    * Scale shape: one corpus scan, zero exchanges on the Spark side
+    * (the Sort for the output ORDER BY is the only wide op, and it is
+    * the emission contract, not the compute).
+    */
+  def sceneStats(s: SparkSession, dir: String): DataFrame =
+    sceneStatsFrom(table(s, dir))
+
+  /** [[sceneStats]] over an explicit `(doc_id, payload)` relation —
+    * the spec pins cut/run counts on crafted payloads.
+    */
+  def sceneStatsFrom(tbl: DataFrame): DataFrame =
+    tbl
+      .select(col("doc_id"), col("payload"),
+        length(col("payload")).cast("long").as("len"))
+      .filter(col("len") > 0)
+      .withColumn("nf", least(col("len") % 16 + 1, col("len")))
+      .withColumn("sn", least(col("nf"), lit(MaxSampledFrames.toLong)))
+      .withColumn("w", expr("len div nf"))
+      .withColumn("fh", expr(
+        "transform(sequence(0L, sn - 1), fid -> md5(substring(payload, " +
+          "cast(((fid * nf) div sn) * w + 1 as int), cast(w as int))))"))
+      .select(col("doc_id"), col("sn").as("n_frames"),
+        call_function("graft_runstats", col("fh")).as("st"))
+      .select(col("doc_id"), col("n_frames"),
+        col("st.n_types").as("n_scenes"),
+        col("st.n_hapax").as("n_singleton_scenes"),
+        col("st.max_run").as("max_static_run"))
+      .orderBy("doc_id")
+
+  val sceneStatsSql: String = s"""WITH $frameCtes,
+    chg AS (
+      SELECT doc_id, frame_id,
+        CASE WHEN lag(frame_hash) OVER (PARTITION BY doc_id ORDER BY frame_id)
+          IS DISTINCT FROM frame_hash THEN 1 ELSE 0 END AS new_scene
+      FROM frames),
+    sid AS (
+      SELECT doc_id,
+        SUM(new_scene) OVER (PARTITION BY doc_id ORDER BY frame_id) AS scene
+      FROM chg),
+    sl AS (SELECT doc_id, scene, COUNT(*) AS slen FROM sid GROUP BY 1, 2)
+    SELECT doc_id, CAST(SUM(slen) AS BIGINT) AS n_frames,
+      COUNT(*) AS n_scenes,
+      CAST(SUM(CASE WHEN slen = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_singleton_scenes,
+      CAST(MAX(slen) AS BIGINT) AS max_static_run
+    FROM sl GROUP BY 1 ORDER BY doc_id"""
+
   /** STUB decoder: 16-bin byte histogram normalized by length — a
     * deterministic placeholder for codec + feature model output.
     */

@@ -2591,6 +2591,34 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("M10 scene stats: cuts, singletons, and static runs count exactly") {
+    import graft.sources.Multimodal
+    // len = 4 → nf = 4%16+1 = 5, clamped to len = 4 frames of 1 byte at
+    // offsets 0..3 — the frame grid is byte-per-frame, so scene
+    // structure is the character run structure
+    val rows = Seq(
+      (1L, "aaaa"), // one static scene of 4
+      (2L, "abab"), // 4 cuts, all singletons
+      (3L, "aabb"), // 2 scenes of 2
+      (4L, "")      // empty payload: excluded entirely
+    )
+    val tbl = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val r = Multimodal.sceneStatsFrom(tbl).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(r.toSeq == Seq(
+      (1L, 4L, 1L, 0L, 4L),
+      (2L, 4L, 4L, 4L, 1L),
+      (3L, 4L, 2L, 0L, 2L)))
+    // real corpus: structural invariants per payload
+    val c = Multimodal.sceneStats(spark, Sf0001).collect()
+    assert(c.nonEmpty)
+    assert(c.forall { x =>
+      val (nf, ns, sg, mr) = (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))
+      ns >= 1 && ns <= nf && sg <= ns && mr >= 1 && mr <= nf
+    })
+  }
+
   test("M9 bitrate audit: rate identities hold per modality on sf0.001") {
     val r = Multimodal.bitrateAudit(spark, Sf0001).collect()
     assert(r.nonEmpty)
