@@ -203,6 +203,30 @@ class PropertySpec extends AnyFunSuite {
     val s = math.pow(10, k); math.rint(x * s) / s
   }
 
+  test("s23 SQ8 quantize chain: codes bounded and monotone, integer dot exact in double") {
+    // model of Similarity.sq8RecallFrom's per-dim code:
+    // floor(((x - mn) / (mx - mn)) * 255) over float inputs widened to
+    // double — the identical IEEE chain both engines state
+    def code(x: Float, mn: Float, mx: Float): Double =
+      if (mx == mn) 0.0
+      else math.floor((x.toDouble - mn.toDouble) / (mx.toDouble - mn.toDouble) * 255.0)
+    val gF = Gen.chooseNum(-1000f, 1000f)
+    forAll(Gen.zip(gF, gF, gF, gF)) { case (a, b, x1r, x2r) =>
+      val (mn, mx) = (math.min(a, b), math.max(a, b))
+      def clamp(v: Float) = math.max(mn, math.min(mx, v))
+      val (x1, x2) = (clamp(x1r), clamp(x2r))
+      val (c1, c2) = (code(x1, mn, mx), code(x2, mn, mx))
+      // range: codes live in [0, 255] for in-range x
+      assert(c1 >= 0.0 && c1 <= 255.0 && c1 == math.rint(c1))
+      // monotone: division by a positive constant and floor preserve order
+      if (x1 <= x2) assert(c1 <= c2)
+      // exactness: any 64-term sum of code products is an exact integer
+      // in double (each product <= 255^2, sum < 2^53)
+      val dot = (1 to 64).map(_ => c1 * c2).sum
+      assert(dot == math.rint(dot) && dot <= 64.0 * 255 * 255)
+    }
+  }
+
   test("t23 ln-free emission: rational idf is exact and the rank key preserves BM25 order") {
     // model of TextOps.bm25TopkFrom's r14 emission chain: ZERO
     // transcendentals reach the cells. The idf argument is exactly
