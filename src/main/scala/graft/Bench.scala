@@ -95,8 +95,8 @@ object Bench {
     "x11_rfm_segments", "d14_dedup_sweep", "m7_ahash_neardup",
     "w8_quality_upsample", "s13_matryoshka_recall",
     // r12: t23 persists its postings relation (feeds the query-term
-    // join and the df spine)
-    "t23_bm25_topk",
+    // join and the df spine); r15: the spine probe shares the shape
+    "t23_bm25_topk", "t23a_spine_probe",
     // r12 PersistAudit findings: these five ALWAYS had internal persists
     // (d4 sig, d6 para blocks, e12 event pairs, e13 day-user base, t14
     // source vocab) but were missing from this set — their min-of-2 was

@@ -751,6 +751,7 @@ object SparkEntry {
     Q("t21_readability", TextOps.readability, Some(TextOps.readabilitySql)),
     Q("t22_langid_confusion", TextOps.langidConfusion, Some(TextOps.langidConfusionSql)),
     Q("t23_bm25_topk", TextOps.bm25Topk, Some(TextOps.bm25TopkSql)),
+    Q("t23a_spine_probe", TextOps.bm25SpineProbe, Some(TextOps.bm25SpineProbeSql)),
     Q("t24_fertility", TextOps.fertility, Some(TextOps.fertilitySql)),
     Q("t25_collocations", TextOps.collocations, Some(TextOps.collocationsSql)),
     Q("t26_markup_density", TextOps.markupDensity, Some(TextOps.markupDensitySql)),

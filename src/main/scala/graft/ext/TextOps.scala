@@ -1968,6 +1968,43 @@ object TextOps {
       .orderBy("term", "rk")
   }
 
+  /** T23a: the BM25 spine probe — the df spine + corpus stats layer of
+    * [[bm25Topk]] alone ([[Bm25Queries]] rows of term, df, n_docs,
+    * tot_tokens, every cell BIGINT-cast). Diagnostic insurance for the
+    * driver gate (r15): t23 failed r12–r14 on a fetch-path dtype the
+    * local mirror could not see; should t23 ever hash-fail again, this
+    * probe splits the candidate layers in one driver run — probe red =
+    * tokenization/df/stats diverge; probe green + t23 red = the
+    * candidate join, division, or ranking layer.
+    */
+  def bm25SpineProbe(s: SparkSession, dir: String): DataFrame = {
+    val postings = t(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist() // df spine + both stat legs
+    val stats = postings.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs_postings"))
+      .crossJoin(postings.agg(sum("tf").cast("long").as("tot_tokens")))
+    postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(Bm25Queries)
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("df"), col("n_docs_postings"), col("tot_tokens"))
+      .orderBy(col("df").desc, col("term"))
+  }
+
+  val bm25SpineProbeSql: String = s"""WITH postings AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest($tokensSql) AS term FROM documents)
+      GROUP BY 1, 2),
+    stats AS (
+      SELECT n_docs_postings, tot_tokens
+      FROM (SELECT COUNT(DISTINCT doc_id) AS n_docs_postings FROM postings),
+           (SELECT CAST(SUM(tf) AS BIGINT) AS tot_tokens FROM postings))
+    SELECT term, df, n_docs_postings, tot_tokens
+    FROM (SELECT term, COUNT(*) AS df FROM postings GROUP BY 1
+          ORDER BY df DESC, term LIMIT $Bm25Queries), stats
+    ORDER BY df DESC, term"""
+
   val bm25TopkSql: String =
     s"""WITH postings AS (
       SELECT doc_id, term, COUNT(*) AS tf
