@@ -152,7 +152,17 @@ object Bench {
     // j3 persists its pair relation (cell rollup + distinct-user leg)
     "e23_daily_anomaly", "j3_range_join",
     // r13: e26 persists its per-user (cohort, dur, hor) relation (4 legs)
-    "e26_retention_curve")
+    "e26_retention_curve",
+    // r16: e29 persists its per-user sequenced timeline (slots +
+    // touches + untouched anti-join legs of the capped expansion join)
+    "e29_linear_attribution",
+    // r16: t34 persists its train unigram/bigram tables (2-3 scoring
+    // legs each), the scored-trigram pre-agg (distinct + join-back),
+    // and the per-doc base (tercile rank legs + final join-back)
+    "t34_lm_perplexity",
+    // r16: w15 persists its (doc, bucket) feature pre-agg (bucket
+    // histogram leg + per-doc join-back leg)
+    "w15_dsir_weights")
 
   // The iterative connected-components queries (d7/c1/d8/c3) execute
   // their full label-propagation loop (per-round count() actions) just
@@ -464,7 +474,16 @@ object Bench {
     * and the heavy tail is exactly where inflation distorts grading.
     */
   private val RevalidateAlwaysSec = 2.0
-  /** Upper bound on single-query re-runs per sweep (~40 s each). */
+  /** Upper bound on single-query re-runs per sweep (~40 s each).
+    * r15 judge finding: this cap applies to the RATIO tier only — the
+    * ≥[[RevalidateAlwaysSec]] set is exempt. In r15 the cap was global
+    * and the sort's `prev.getOrElse(n, v/10.0)` default handed every
+    * NEW query inflation-ratio 10, so the round's 20 new entries
+    * consumed the whole budget and the always-set (a4/m6/d17) plus the
+    * real ratio suspects (d9/g1/t6/t11) were truncated out — the
+    * artifact published phantom regressions the judge had to
+    * TimeQ-adjudicate by hand.
+    */
   private val RevalidateMax = 24
 
   /** The `"sf"` field of the tracked bench_full.json, if present —
@@ -545,21 +564,35 @@ object Bench {
     * the isolated number is authoritative and substituted into the
     * artifact, with both recorded under `revalidated`. Raster cases
     * participate like registry queries (they run through the same child
-    * protocol). With no previous artifact (fresh clone) nothing
-    * revalidates — the sweep stands.
+    * protocol). With no previous artifact (fresh clone) the ratio tier
+    * is empty but the ≥2 s always-tier still revalidates.
     */
   private def revalidate(r: SuiteResult, sfDir: String): (SuiteResult, Seq[(String, (Double, Double))]) = {
     val prev = previousArtifactQueries(sfDir)
-    val suspects0 = r.results.filter { case (n, v) =>
-      v >= RevalidateAlwaysSec ||
-        (v >= RevalidateFloorSec &&
-          prev.get(n).exists(p => p >= 0.0 && v > p * RevalidateRatio))
-    }.sortBy { case (n, v) => -(v / math.max(prev.getOrElse(n, v / 10.0), 1e-9)) }
-    if (suspects0.isEmpty) return (r, Nil)
-    val suspects = suspects0.take(RevalidateMax)
-    if (suspects0.length > RevalidateMax)
-      System.err.println(s"BENCH WARN: ${suspects0.length} revalidation " +
-        s"candidates capped at $RevalidateMax (worst-inflation first)")
+    // Two tiers (r15 verdict #1). The ALWAYS tier (sweep ≥2 s) is
+    // selected first and is EXEMPT from the cap — "every ≥2 s entry
+    // revalidates" is an unconditional artifact guarantee, and the
+    // heavy tail is exactly where inflation distorts grading. The
+    // RATIO tier (>1.3× previous sweep, ≥0.4 s) fills the remaining
+    // budget worst-inflation first; entries with no previous-artifact
+    // number are NOT inflation suspects (they've never been measured),
+    // so missing-prev defaults to ratio 1.0 instead of the r15 bug's
+    // implicit ratio 10 that let new queries consume the whole cap.
+    val always = r.results.filter(_._2 >= RevalidateAlwaysSec)
+      .sortBy { case (_, v) => -v }
+    val alwaysNames = always.map(_._1).toSet
+    val ratioTier0 = r.results.filter { case (n, v) =>
+      !alwaysNames(n) && v >= RevalidateFloorSec &&
+        prev.get(n).exists(p => p >= 0.0 && v > p * RevalidateRatio)
+    }.sortBy { case (n, v) => -(v / math.max(prev.getOrElse(n, v), 1e-9)) }
+    val ratioTier = ratioTier0.take(RevalidateMax)
+    if (ratioTier0.length > RevalidateMax)
+      System.err.println(s"BENCH WARN: ${ratioTier0.length} ratio-tier " +
+        s"revalidation candidates capped at $RevalidateMax " +
+        s"(worst-inflation first; the ${always.length}-entry >=2s " +
+        "always-tier is exempt from the cap)")
+    val suspects = always ++ ratioTier
+    if (suspects.isEmpty) return (r, Nil)
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench-reval").toString
     val reruns = suspects.zipWithIndex.flatMap { case ((name, sweep), i) =>
       // warmTarget: the child follows TimeQ's iteration discipline (one
@@ -609,12 +642,17 @@ object Bench {
       "isolated TimeQ runs); per-chunk sentinels listed in 'sentinels', " +
       "'sentinel' is their max. Chunks of 6 REDUCE but do not eliminate " +
       "state inflation (r12 judge: w8 3.14 in-sweep vs 0.55 isolated, a4 " +
-      "7.23 vs 2.4), so the sweep now self-validates: every entry >1.3x " +
-      "its previous-artifact value (>=0.4s), plus every entry >=2s " +
-      "unconditionally, re-ran in its OWN forked " +
-      s"single-query JVM ($nReval this run) and the ISOLATED number is " +
-      "authoritative in 'queries'; both numbers are in 'revalidated' " +
-      "(sweep/isolated). r14 (judge ask #3): the reval children now " +
+      "7.23 vs 2.4), so the sweep now self-validates: every entry >=2s " +
+      "unconditionally (the always-tier, EXEMPT from any cap - r16 fix: " +
+      "in r15 a global cap plus a ratio-10 default for never-measured " +
+      "new entries truncated this set and published phantom " +
+      "regressions), plus every entry >1.3x its previous-artifact " +
+      "sweep value (>=0.4s; this ratio tier alone is capped at 24, " +
+      "worst-inflation first, missing-prev = ratio 1.0), re-ran in its " +
+      s"OWN forked single-query JVM ($nReval this run) and the ISOLATED " +
+      "number is authoritative in 'queries'; both numbers are in " +
+      "'revalidated' (sweep/isolated). " +
+      "r14 (judge ask #3): the reval children now " +
       "follow TimeQ's exact iteration discipline - one UNTIMED full run " +
       "at the TARGET sf before the timed iterations (the sf0.001 warmup " +
       "alone left at-target codegen/broadcast state unpaid: a4's r13 " +
@@ -748,7 +786,15 @@ object Bench {
     // so round artifacts always carry the complete suite.
     val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    val allNames = SparkEntry.queries.keys.toSeq.sorted ++ rasterNames
+    // Diagnostic registry entries excluded from the DEFAULT sweep
+    // (r15 verdict #4): they stay in Verify's correctness gate and can
+    // still be named explicitly via SPARK_GRAFT_BENCH_ONLY, but a
+    // 190+-entry sweep shouldn't spend timing + revalidation budget on
+    // a layer probe whose only job is localizing a driver-gate failure
+    // (t23a exists to split t23's plan if BM25 ever hash-fails again).
+    val demoted = Set("t23a_spine_probe")
+    val allNames = (SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(n => demoted(n) && !only.exists(_.contains(n)))) ++ rasterNames
     // r11 ADVICE: an ONLY name matching nothing silently yielded an
     // empty/partial run that could be mistaken for a real measurement.
     only.foreach { o =>

@@ -761,6 +761,7 @@ object SparkEntry {
     Q("t30_heaps_law", TextOps.heapsLaw, Some(TextOps.heapsLawSql)),
     Q("t31_tfidf_keywords", TextOps.tfidfKeywords, Some(TextOps.tfidfKeywordsSql)),
     Q("t33_sentence_stats", TextOps.sentenceStats, Some(TextOps.sentenceStatsSql)),
+    Q("t34_lm_perplexity", TextOps.lmPerplexity, Some(TextOps.lmPerplexitySql)),
     Q("e19_pareto_share", Events.paretoShare, Some(Events.paretoShareSql)),
     Q("e20_transition_entropy", Events.transitionEntropy, Some(Events.transitionEntropySql)),
     Q("e21_first_touch", Events.firstTouch, Some(Events.firstTouchSql)),
@@ -811,6 +812,7 @@ object SparkEntry {
     Q("w13_dedup_weighted_mix", Mix.dedupWeightedMix, Some(Mix.dedupWeightedMixSql)),
     Q("w14_interleave_schedule", Mix.interleaveSchedule, Some(Mix.interleaveScheduleSql)),
     Q("w8_quality_upsample", Mix.qualityUpsample, Some(Mix.qualityUpsampleSql)),
+    Q("w15_dsir_weights", Mix.dsirWeights, Some(Mix.dsirWeightsSql)),
     Q("s1_cosine_topk", Similarity.cosineTopk, Some(Similarity.cosineTopkSql)),
     Q("s2_lsh_ann_topk", Similarity.lshAnnTopk, Some(Similarity.lshAnnTopkSql)),
     Q("s3_cosine_neardup", Similarity.cosineNeardup, Some(Similarity.cosineNeardupSql)),

@@ -1071,4 +1071,129 @@ object Mix {
         CAST(n_docs AS DOUBLE), 6) AS achieved_rate,
       ROUND(CAST(threshold AS DOUBLE) / ${SampleGrid}.0, 6) AS target_rate
     FROM marked GROUP BY 1, 2, 3 ORDER BY source"""
+
+  // ------------------------------------------- W15 DSIR importance weights
+
+  /** Hashed n-gram feature buckets for W15. The DSIR paper uses 10k
+    * buckets; 4096 keeps the log-ratio relation inside the project's
+    * provably-bounded broadcast contract (CLAUDE.md: ≤4096 rows) with
+    * negligible extra collision mass — collisions merge feature counts
+    * identically in both engines either way.
+    */
+  val DsirBuckets = 4096L
+  /** The W15 target subset — a deterministic stand-in for the curated
+    * high-quality corpus DSIR resamples toward (Xie et al. 2023 use
+    * Wikipedia+books as the target over Pile-CC raw); the machinery is
+    * subset-agnostic.
+    */
+  val DsirTargetSources: Seq[String] = Seq("src0", "src1", "src2", "src3")
+
+  /** W15: DSIR importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): each document's
+    * log importance weight log(p̂(x)/q̂(x)) under bag-of-hashed-ngram
+    * (unigram + bigram) models of a TARGET distribution (the
+    * [[DsirTargetSources]] strata) and the RAW distribution (every
+    * other source), with add-one smoothing per bucket. Raw documents
+    * with high logw look target-like and get upsampled; the weight
+    * pairs with W8/W11's selection machinery. Emits every document's
+    * source, target membership, feature mass, and logw.
+    *
+    * Determinism (the T10 transcendental tier): the per-bucket
+    * log-ratio λ_k = ln(((cp_k+1)·(Tq+B)) / ((cq_k+1)·(Tp+B))) is one
+    * ln of an IEEE product/quotient of exact integer counts, computed
+    * ONCE per bucket on the ≤[[DsirBuckets]]-row relation and
+    * immediately `round(…, 9)`; per-doc sums accumulate those
+    * identical doubles in exact DECIMAL; emission is `round(…, 6)`.
+    * Zero-feature documents emit logw 0.
+    *
+    * Scale shape: ONE corpus scan explodes unigrams+bigrams together
+    * (`concat` of the two arrays) into a doc-local (doc_id, bucket)
+    * pre-agg; the bucket-grain p/q histogram is a single map-side-
+    * combinable aggregate onto ≤[[DsirBuckets]] keys; totals are a
+    * 1-row broadcast; λ joins back by broadcast (provably bounded);
+    * the pre-agg is persisted (histogram leg + join-back leg — w15 is
+    * in Bench.extraIters per the persist contract). No unbounded key
+    * anywhere: the hot dimension is the fixed bucket space.
+    */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    dsirWeightsFrom(docs(s, dir).select(col("doc_id"), col("source"), col("text")))
+
+  /** [[dsirWeights]] over an explicit `(doc_id, source, text)` relation
+    * — the spec pins exact smoothed log-ratios on a crafted two-strata
+    * corpus.
+    */
+  def dsirWeightsFrom(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val B = DsirBuckets
+    val isTargetCol = col("source").isin(DsirTargetSources: _*)
+    val toks = TextOps.tokens(col("text"))
+    val occ = d
+      .select(col("doc_id"), isTargetCol.cast("long").as("is_target"),
+        explode(concat(toks, TextOps.ngrams(toks, 2))).as("g"))
+      .select(col("doc_id"), col("is_target"),
+        pmod(TextOps.tokenHash(col("g")), lit(B)).as("bucket"))
+      .groupBy("doc_id", "is_target", "bucket").agg(count(lit(1)).as("c"))
+      .persist() // bucket-histogram leg + per-doc join-back leg
+    val hist = occ.groupBy("bucket")
+      .agg(sum(when(col("is_target") === 1L, col("c")).otherwise(lit(0L))).as("cp"),
+        sum(when(col("is_target") === 0L, col("c")).otherwise(lit(0L))).as("cq"))
+    val tot = hist.agg(sum("cp").as("tp"), sum("cq").as("tq")) // 1 row
+    val lam = hist.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        round(log(
+          ((col("cp") + lit(1L)).cast("double") * (col("tq") + lit(B)).cast("double")) /
+            ((col("cq") + lit(1L)).cast("double") * (col("tp") + lit(B)).cast("double"))),
+          9).as("lam"))
+    val per = occ.join(broadcast(lam), "bucket")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_feat"),
+        sum(col("lam").cast(DecimalType(20, 10)) *
+          col("c").cast(DecimalType(10, 0))).as("tot"))
+    d.select(col("doc_id"), col("source"), isTargetCol.cast("long").as("is_target"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("is_target"),
+        coalesce(col("n_feat"), lit(0L)).as("n_feat"),
+        when(col("n_feat") > 0, round(col("tot").cast("double"), 6))
+          .otherwise(lit(0.0)).as("logw"))
+      .orderBy("doc_id")
+  }
+
+  val dsirWeightsSql: String = {
+    val targets = DsirTargetSources.map(t => s"'$t'").mkString(", ")
+    val B = DsirBuckets
+    s"""WITH d AS (
+      SELECT doc_id, source,
+        CASE WHEN source IN ($targets) THEN 1 ELSE 0 END AS is_target,
+        ${TextOps.tokensSql} AS toks
+      FROM documents),
+    occ AS (
+      SELECT doc_id, is_target,
+        ${TextOps.tokenHashSql("g")} % $B AS bucket, COUNT(*) AS c
+      FROM (SELECT doc_id, is_target,
+              unnest(list_concat(toks, ${TextOps.ngramsSql("toks", 2)})) AS g
+            FROM d)
+      GROUP BY 1, 2, 3),
+    hist AS (
+      SELECT bucket,
+        CAST(SUM(CASE WHEN is_target = 1 THEN c ELSE 0 END) AS BIGINT) AS cp,
+        CAST(SUM(CASE WHEN is_target = 0 THEN c ELSE 0 END) AS BIGINT) AS cq
+      FROM occ GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS tp, CAST(SUM(cq) AS BIGINT) AS tq
+            FROM hist),
+    lam AS (
+      SELECT bucket,
+        ROUND(ln((CAST(cp + 1 AS DOUBLE) * CAST(tq + $B AS DOUBLE)) /
+                 (CAST(cq + 1 AS DOUBLE) * CAST(tp + $B AS DOUBLE))), 9) AS lam
+      FROM hist CROSS JOIN tot),
+    per AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feat,
+        SUM(CAST(lam AS DECIMAL(20,10)) * CAST(c AS DECIMAL(10,0))) AS tot
+      FROM occ JOIN lam USING (bucket)
+      GROUP BY 1)
+    SELECT d.doc_id, d.source, CAST(d.is_target AS BIGINT) AS is_target,
+      COALESCE(n_feat, 0) AS n_feat,
+      CASE WHEN n_feat > 0 THEN ROUND(CAST(tot AS DOUBLE), 6) ELSE 0.0 END AS logw
+    FROM d LEFT JOIN per ON d.doc_id = per.doc_id
+    ORDER BY d.doc_id"""
+  }
 }

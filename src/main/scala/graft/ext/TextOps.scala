@@ -2611,6 +2611,256 @@ object TextOps {
       ROUND(CAST(n_sentences AS DOUBLE) / CAST(ts AS DOUBLE), 6) AS sent_frac
     FROM bins JOIN tot USING (source) ORDER BY source, band"""
 
+  // ------------------------------------- T34 n-gram LM perplexity filter
+
+  /** Stupid-backoff discount (Brants et al. 2007 "Large Language
+    * Models in Machine Translation" §4: the score-not-probability
+    * backoff whose single fixed discount makes web-scale n-gram LMs
+    * trainable in one MapReduce pass — exactly the regime this
+    * operator targets).
+    */
+  val SbAlpha = 0.4
+  /** Value-range bucket count for the T34 per-source two-phase rank. */
+  val PplBuckets = 64L
+
+  /** T34: n-gram LM perplexity filter — the CCNet stage T10/T11 only
+    * proxy (Wenzek et al. 2020 §4.2 score documents with a KenLM
+    * n-gram model and split each language into head/middle/tail
+    * perplexity terciles; here the model is a hashed-TRIGRAM stupid
+    * backoff trained on the corpus's own T7 'train' split and scored
+    * over the held-out 20%, so backoff genuinely fires on unseen
+    * n-grams). Per scored document: trigram positions scored, how many
+    * resolved at each backoff level (trigram / bigram / unigram-OOV —
+    * the filter-health telemetry), the mean negative log-likelihood in
+    * nats, and the CCNet bucket: per-source terciles of mean NLL
+    * (head = most fluent). Documents under 3 tokens emit
+    * `n_scored = 0`, mean 0, bucket 'unscored'.
+    *
+    * Model: SB(w₃|w₁w₂) = c₃/c₂(w₁w₂) when the trigram was seen in
+    * train, else [[SbAlpha]]·c₂(w₂w₃)/c₁(w₂) when the backoff bigram
+    * was, else [[SbAlpha]]²·max(c₁(w₃),1)/N (the add-one unigram floor
+    * makes OOV tokens finite, the KenLM `<unk>` analog). All n-grams
+    * are MD5-prefix hashed (the T11 convention — collisions merge
+    * counts identically in both engines).
+    *
+    * Determinism (the T10/T11 transcendental tier): every score is a
+    * rational of exact train counts; −ln is taken ONCE per DISTINCT
+    * scored trigram on the vocab-grain relation and immediately
+    * `round(…, 9)`; per-doc totals accumulate those identical doubles
+    * in exact DECIMAL; one IEEE division per doc, `round(…, 6)` at the
+    * emission boundary. The tercile rank key is
+    * `floor(mean·10⁶)` — floor of an identical double is identical —
+    * with doc_id tiebreak, and the tercile split `3·rank ≤ n` is pure
+    * integer arithmetic.
+    *
+    * Scale shape: train counts are three token-grain pre-aggregated
+    * shuffles onto hashed keys; scoring joins run at the DISTINCT
+    * scored-trigram grain (never per occurrence) and join back to the
+    * doc-local pre-agg (the T11 shape); the per-source tercile is the
+    * W1/T15/T28 two-phase bucketed rank — a source with a billion
+    * scored docs never sorts in one partition; the oracle states the
+    * naive per-source window and the identical (key, doc_id) total
+    * order makes them agree. The train bigram/unigram tables feed two
+    * scoring legs each and the scored pre-agg feeds the distinct +
+    * join-back legs — all three persisted (t34 is in Bench.extraIters
+    * per the persist contract).
+    */
+  def lmPerplexity(s: SparkSession, dir: String): DataFrame =
+    lmPerplexityFrom(t(s, dir).select(col("doc_id"), col("source"), col("text")))
+
+  /** [[lmPerplexity]] over an explicit `(doc_id, source, text)`
+    * relation — the spec pins exact backoff levels and nats on a
+    * crafted train/held-out corpus.
+    */
+  def lmPerplexityFrom(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val isTrain = splitOf(col("doc_id")) === "train"
+    val train = d.filter(isTrain)
+    val scoredDocs = d.filter(!isTrain)
+    // train model: hashed unigram/bigram/trigram counts + total mass
+    val uni = train
+      .select(explode(tokens(col("text"))).as("tok"))
+      .select(tokenHash(col("tok")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+      .persist() // u2 + u3 scoring legs (+ the N total)
+    val big = train
+      .select(explode(ngrams(tokens(col("text")), 2)).as("g"))
+      .select(tokenHash(col("g")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+      .persist() // b12 + b23 scoring legs
+    val tri = train
+      .select(explode(ngrams(tokens(col("text")), 3)).as("g"))
+      .select(tokenHash(col("g")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum("c").as("nt")) // 1 row, provably bounded
+    // scored occurrences, pre-aggregated doc-locally at the hashed
+    // quintuple grain (trigram + its two component bigrams + the two
+    // conditioning unigrams — everything a backoff lookup needs)
+    val parts = split(col("g"), " ")
+    val socc = scoredDocs
+      .select(col("doc_id"), explode(ngrams(tokens(col("text")), 3)).as("g"))
+      .select(col("doc_id"), tokenHash(col("g")).as("h3"),
+        tokenHash(concat_ws(" ", parts(0), parts(1))).as("h12"),
+        tokenHash(concat_ws(" ", parts(1), parts(2))).as("h23"),
+        tokenHash(parts(1)).as("h2u"),
+        tokenHash(parts(2)).as("h3u"))
+      .groupBy("doc_id", "h3", "h12", "h23", "h2u", "h3u")
+      .agg(count(lit(1)).as("c"))
+      .persist() // distinct-trigram leg + per-doc join-back leg
+    val keys = Seq("h3", "h12", "h23", "h2u", "h3u")
+    val dist = socc.select(keys.map(col): _*).distinct()
+    val sc = dist
+      .join(tri.select(col("h").as("h3"), col("c").as("c3")), Seq("h3"), "left")
+      .join(big.select(col("h").as("h12"), col("c").as("c12")), Seq("h12"), "left")
+      .join(big.select(col("h").as("h23"), col("c").as("c23")), Seq("h23"), "left")
+      .join(uni.select(col("h").as("h2u"), col("c").as("c2u")), Seq("h2u"), "left")
+      .join(uni.select(col("h").as("h3u"), col("c").as("c3u")), Seq("h3u"), "left")
+      .crossJoin(broadcast(total))
+      .select(keys.map(col) ++ Seq(
+        when(col("c3").isNotNull, lit(3L))
+          .when(col("c23").isNotNull, lit(2L)).otherwise(lit(1L)).as("lvl"),
+        round(-log(
+          when(col("c3").isNotNull,
+            col("c3").cast("double") / col("c12").cast("double"))
+          .when(col("c23").isNotNull,
+            lit(SbAlpha) * (col("c23").cast("double") / col("c2u").cast("double")))
+          .otherwise(lit(SbAlpha * SbAlpha) *
+            (greatest(coalesce(col("c3u"), lit(0L)), lit(1L)).cast("double") /
+              col("nt").cast("double")))), 9).as("nll")): _*)
+    val per = socc.join(sc, keys)
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_scored"),
+        sum(col("nll").cast(DecimalType(20, 10)) *
+          col("c").cast(DecimalType(10, 0))).as("tot"),
+        sum(when(col("lvl") === 3L, col("c")).otherwise(lit(0L))).as("n_tri"),
+        sum(when(col("lvl") === 2L, col("c")).otherwise(lit(0L))).as("n_bi"),
+        sum(when(col("lvl") === 1L, col("c")).otherwise(lit(0L))).as("n_oov"))
+    val base = scoredDocs.select(col("doc_id"), col("source"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("n_bi"), lit(0L)).as("n_bi"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(col("n_scored") > 0,
+          round(col("tot").cast("double") / col("n_scored").cast("double"), 6))
+          .otherwise(lit(0.0)).as("mean_nll"),
+        when(col("n_scored") > 0,
+          floor(col("tot").cast("double") / col("n_scored").cast("double") *
+            lit(1000000.0)).cast("long")).as("anll_e6"))
+      // tercile rank legs + final join-back — and its subtree holds the
+      // only reference to the (unpersisted) train trigram table
+      .persist()
+    val ranked = base.filter(col("anll_e6").isNotNull)
+    // two-phase exact per-source rank on (anll_e6, doc_id) — T28 shape
+    val mx = ranked.groupBy("source")
+      .agg(max("anll_e6").as("mxk"), count(lit(1)).as("ns"))
+    val bucketed = ranked.join(broadcast(mx), "source")
+      .withColumn("vb", least(
+        expr(s"(greatest(anll_e6, 0L) * $PplBuckets) div greatest(mxk, 1L)"),
+        lit(PplBuckets - 1L)))
+    val local = bucketed.withColumn("lrk", row_number().over(
+      Window.partitionBy("source", "vb").orderBy("anll_e6", "doc_id")))
+    val off = local.groupBy("source", "vb").agg(count(lit(1)).as("bn"))
+      .withColumn("boff",
+        coalesce(sum("bn").over(Window.partitionBy("source").orderBy("vb")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tercile = local.join(off.select("source", "vb", "boff"), Seq("source", "vb"))
+      .withColumn("rk", col("boff") + col("lrk"))
+      .select(col("doc_id"),
+        when(col("rk") * 3 <= col("ns"), "head")
+          .when(col("rk") * 3 <= col("ns") * 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+    base.join(tercile, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_scored"), col("n_tri"),
+        col("n_bi"), col("n_oov"), col("mean_nll"),
+        coalesce(col("ppl_bucket"), lit("unscored")).as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
+  val lmPerplexitySql: String = {
+    val h = tokenHashSql(_: String)
+    s"""WITH doc AS (
+      SELECT doc_id, source, $tokensSql AS toks,
+        CASE WHEN ${tokenHashSql("CAST(doc_id AS VARCHAR)")} % 100 < $TrainBuckets
+          THEN 1 ELSE 0 END AS is_train
+      FROM documents),
+    uni AS (SELECT ${h("tok")} AS h, COUNT(*) AS c
+      FROM (SELECT unnest(toks) AS tok FROM doc WHERE is_train = 1) GROUP BY 1),
+    big AS (SELECT ${h("g")} AS h, COUNT(*) AS c
+      FROM (SELECT unnest(${ngramsSql("toks", 2)}) AS g FROM doc WHERE is_train = 1)
+      GROUP BY 1),
+    tri AS (SELECT ${h("g")} AS h, COUNT(*) AS c
+      FROM (SELECT unnest(${ngramsSql("toks", 3)}) AS g FROM doc WHERE is_train = 1)
+      GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM uni),
+    socc AS (
+      SELECT doc_id, h3, h12, h23, h2u, h3u, COUNT(*) AS c FROM (
+        SELECT doc_id, ${h("g")} AS h3,
+          ${h("concat_ws(' ', split_part(g, ' ', 1), split_part(g, ' ', 2))")} AS h12,
+          ${h("concat_ws(' ', split_part(g, ' ', 2), split_part(g, ' ', 3))")} AS h23,
+          ${h("split_part(g, ' ', 2)")} AS h2u,
+          ${h("split_part(g, ' ', 3)")} AS h3u
+        FROM (SELECT doc_id, unnest(${ngramsSql("toks", 3)}) AS g
+              FROM doc WHERE is_train = 0))
+      GROUP BY 1, 2, 3, 4, 5, 6),
+    dist AS (SELECT DISTINCT h3, h12, h23, h2u, h3u FROM socc),
+    sc AS (
+      SELECT d.h3, d.h12, d.h23, d.h2u, d.h3u,
+        CASE WHEN t3.c IS NOT NULL THEN 3
+             WHEN b23.c IS NOT NULL THEN 2 ELSE 1 END AS lvl,
+        ROUND(-ln(CASE
+          WHEN t3.c IS NOT NULL THEN CAST(t3.c AS DOUBLE) / CAST(b12.c AS DOUBLE)
+          WHEN b23.c IS NOT NULL THEN
+            $SbAlpha * (CAST(b23.c AS DOUBLE) / CAST(u2.c AS DOUBLE))
+          ELSE ${SbAlpha * SbAlpha} *
+            (CAST(GREATEST(COALESCE(u3.c, 0), 1) AS DOUBLE) / CAST(nt AS DOUBLE))
+          END), 9) AS nll
+      FROM dist d
+      LEFT JOIN tri t3 ON d.h3 = t3.h
+      LEFT JOIN big b12 ON d.h12 = b12.h
+      LEFT JOIN big b23 ON d.h23 = b23.h
+      LEFT JOIN uni u2 ON d.h2u = u2.h
+      LEFT JOIN uni u3 ON d.h3u = u3.h
+      CROSS JOIN tot),
+    per AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_scored,
+        SUM(CAST(nll AS DECIMAL(20,10)) * CAST(c AS DECIMAL(10,0))) AS tot,
+        CAST(SUM(CASE WHEN lvl = 3 THEN c ELSE 0 END) AS BIGINT) AS n_tri,
+        CAST(SUM(CASE WHEN lvl = 2 THEN c ELSE 0 END) AS BIGINT) AS n_bi,
+        CAST(SUM(CASE WHEN lvl = 1 THEN c ELSE 0 END) AS BIGINT) AS n_oov
+      FROM socc JOIN sc USING (h3, h12, h23, h2u, h3u)
+      GROUP BY 1),
+    base AS (
+      SELECT d.doc_id, d.source,
+        COALESCE(n_scored, 0) AS n_scored,
+        COALESCE(n_tri, 0) AS n_tri,
+        COALESCE(n_bi, 0) AS n_bi,
+        COALESCE(n_oov, 0) AS n_oov,
+        CASE WHEN n_scored > 0
+          THEN ROUND(CAST(tot AS DOUBLE) / CAST(n_scored AS DOUBLE), 6)
+          ELSE 0.0 END AS mean_nll,
+        CASE WHEN n_scored > 0
+          THEN CAST(FLOOR(CAST(tot AS DOUBLE) / CAST(n_scored AS DOUBLE)
+            * 1000000.0) AS BIGINT) END AS anll_e6
+      FROM doc d LEFT JOIN per ON d.doc_id = per.doc_id
+      WHERE d.is_train = 0),
+    tercile AS (
+      SELECT doc_id,
+        CASE WHEN rk * 3 <= ns THEN 'head'
+             WHEN rk * 3 <= ns * 2 THEN 'middle'
+             ELSE 'tail' END AS ppl_bucket
+      FROM (
+        SELECT doc_id,
+          row_number() OVER (PARTITION BY source ORDER BY anll_e6, doc_id) AS rk,
+          COUNT(*) OVER (PARTITION BY source) AS ns
+        FROM base WHERE anll_e6 IS NOT NULL))
+    SELECT b.doc_id, b.source, b.n_scored, b.n_tri, b.n_bi, b.n_oov,
+      b.mean_nll, COALESCE(t.ppl_bucket, 'unscored') AS ppl_bucket
+    FROM base b LEFT JOIN tercile t ON b.doc_id = t.doc_id
+    ORDER BY b.doc_id"""
+  }
+
   val tfidfKeywordsSql: String = s"""WITH tf AS (
       SELECT doc_id, tok, COUNT(*) AS tf
       FROM (SELECT doc_id, unnest($tokensSql) AS tok FROM documents)

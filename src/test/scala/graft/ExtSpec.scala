@@ -2717,6 +2717,105 @@ class ExtSpec extends SparkSpec {
     assert(c.map(_.getLong(3)).sum <= totalConv * 1000000L)
   }
 
+  test("T34 LM perplexity: backoff levels resolve 3/2/1, terciles split per source") {
+    // T7 split buckets (md5-based): ids 1-7 are 'train'; 8, 20 'test';
+    // 16, 19 'val' — so doc 1 trains the model, the rest are scored.
+    // Train "a b c a b c": c3(a b c)=2, c3(b c a)=1, c3(c a b)=1;
+    // c2(a b)=2, c2(b c)=2, c2(c a)=1; c1 = 2 each; N=6.
+    val docs = Seq(
+      (1L, "s", "a b c a b c"),
+      (8L, "s", "x b c a"),   // (x b c): lvl2 0.4·(2/2); (b c a): lvl3 1/2
+      (16L, "s", "q r s"),    // (q r s): lvl1 OOV 0.16·(1/6)
+      (19L, "s", "a b"),      // < 3 tokens → unscored
+      (20L, "s", "a b c a b c")) // lvl3 ×4: two score 1.0, one 1/2, one 1.0
+      .toDF("doc_id", "source", "text")
+    val r = TextOps.lmPerplexityFrom(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getLong(3), x.getLong(4),
+        x.getLong(5), x.getDouble(6), x.getString(7)))
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def mean6(nlls: Seq[Double], n: Int) =
+      (nlls.map(r9).sum / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val m8 = mean6(Seq(-math.log(0.4 * (2.0 / 2.0)), -math.log(1.0 / 2.0)), 2)
+    val m16 = mean6(Seq(-math.log(0.16 * (1.0 / 6.0))), 1)
+    val m20 = mean6(Seq(0.0, 0.0, -math.log(1.0 / 2.0), 0.0), 4)
+    // ascending mean: 20 (head), 8 (middle), 16 (tail); 19 unscored
+    assert(r.toSeq == Seq(
+      (8L, 2L, 1L, 1L, 0L, m8, "middle"),
+      (16L, 1L, 0L, 0L, 1L, m16, "tail"),
+      (19L, 0L, 0L, 0L, 0L, 0.0, "unscored"),
+      (20L, 4L, 4L, 0L, 0L, m20, "head")))
+    // real corpus: scored-split row count, telemetry partitions n_scored
+    val c = TextOps.lmPerplexity(spark, Sf0001).collect()
+    assert(c.nonEmpty)
+    assert(c.forall(x => x.getLong(2) == x.getLong(3) + x.getLong(4) + x.getLong(5)))
+    assert(c.forall(x => Set("head", "middle", "tail", "unscored")(x.getString(7))))
+  }
+
+  test("W15 DSIR weights: smoothed bucket log-ratios, target docs score high") {
+    import graft.ext.Mix
+    val B = Mix.DsirBuckets
+    // target stratum (src0) repeats "alpha", raw (srcX) repeats "beta":
+    // every 'alpha' feature bucket has cp>0/cq=0 (positive λ), every
+    // 'beta' bucket the reverse — so target docs get logw > 0 and raw
+    // docs logw < 0, with exactly computable smoothed ratios.
+    val docs = Seq(
+      (1L, "src0", "alpha alpha alpha"),
+      (2L, "srcX", "beta beta beta"),
+      (3L, "srcX", ""))
+      .toDF("doc_id", "source", "text")
+    val r = Mix.dsirWeightsFrom(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getLong(3), x.getDouble(4)))
+    // features: doc1 = 3×uni(alpha) + 2×bi(alpha alpha) → Tp = 5;
+    // doc2 likewise with beta → Tq = 5; doc3 none.
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def lam(cp: Long, cq: Long) =
+      r9(math.log(((cp + 1).toDouble * (5 + B).toDouble) /
+        ((cq + 1).toDouble * (5 + B).toDouble)))
+    val w1 = (lam(3, 0) * 3 + lam(2, 0) * 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val w2 = (lam(0, 3) * 3 + lam(0, 2) * 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.toSeq == Seq((1L, 1L, 5L, w1), (2L, 0L, 5L, w2), (3L, 0L, 0L, 0.0)))
+    assert(w1 > 0 && w2 < 0 && w1 == -w2)
+    // real corpus: every doc appears; target flag matches the source set
+    val c = Mix.dsirWeights(spark, Sf0001).collect()
+    assert(c.nonEmpty)
+    assert(c.forall(x =>
+      (x.getLong(2) == 1L) == Mix.DsirTargetSources.contains(x.getString(1))))
+  }
+
+  test("E29 touch cap: only the k most recent in-window touches credit; " +
+    "older slots don't steal; equal-timestamp touches excluded") {
+    import graft.ext.Events
+    val k = Events.AttributionTouchCap
+    val W = Events.AttributionWindowUs
+    // user 1: k+6 in-window views then 1 in-window click (the most
+    // recent touch), purchase at t=2000 — cap keeps the click + the
+    // k-1 most recent views; the 7 oldest views fall off.
+    val u1 = (0 until k + 6).map(i => (1L, 100L + i, "view", 10L + i)) ++
+      Seq((1L, 300L, "click", 1500L), (1L, 900L, "purchase", 2000L))
+    // user 2: 70 OUT-of-window views (older than W before the
+    // purchase) then 2 in-window touches — the stale views must not
+    // consume candidate slots: exactly 2 credit.
+    val u2 = (0 until 70).map(i => (2L, 1000L + i, "view", i.toLong)) ++
+      Seq((2L, 1100L, "click", W + 500L), (2L, 1101L, "signup", W + 600L),
+        (2L, 1900L, "purchase", W + 1000L))
+    // user 3: a touch at EXACTLY the purchase timestamp never counts
+    // (strictly-before contract) — purchase is untouched.
+    val u3 = Seq((3L, 1200L, "view", 5000L), (3L, 1901L, "purchase", 5000L))
+    val ev = (u1 ++ u2 ++ u3).toDF("user_id", "event_id", "event_type", "us")
+    val r = Events.linearAttributionFrom(ev).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    // u1: n_touch = k (capped): click 1/k, views (k-1)/k
+    val per = 1000000L / k
+    assert(r("view") == ((k - 1.toLong, 1L, per * (k - 1))))
+    // u2 contributes click+signup at 1/2 each; u1's click adds 1/k
+    assert(r("click") == ((2L, 2L, 500000L + per)))
+    assert(r("signup") == ((1L, 1L, 500000L)))
+    assert(r("(none)") == ((0L, 1L, 1000000L)))
+  }
+
   test("E30 activity streaks: islands split on gaps, same-day repeats collapse") {
     import graft.ext.Events
     val day = Events.DayUs

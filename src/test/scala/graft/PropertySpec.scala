@@ -435,10 +435,22 @@ class PropertySpec extends AnyFunSuite {
     "t30_heaps_law" -> Map("ln" -> 2, "round" -> 1),
     "t31_tfidf_keywords" -> Map("ln" -> 1, "round" -> 2),
     "t33_sentence_stats" -> Map("round" -> 2),
+    // r16: t34's one ln is −ln(stupid-backoff score) computed once per
+    // DISTINCT scored trigram at vocab grain, round(…, 9), DECIMAL
+    // accumulation (a); the second round is the per-doc mean — a single
+    // IEEE division of the exact DECIMAL total by the integer count,
+    // round(x, 6) stated identically on both sides (b). The tercile
+    // rank key is floor(mean·1e6) of that identical double — integer.
+    "t34_lm_perplexity" -> Map("ln" -> 1, "round" -> 2),
     "t5_bpe_token_count" -> Map("round" -> 1),
     "t6_repetition" -> Map("round" -> 2),
     "t9_oov_rate" -> Map("round" -> 1),
     "w10_pack_sweep" -> Map("round" -> 1),
+    // r16: w15's one ln is the per-bucket smoothed log-ratio computed
+    // once on the ≤4096-row bucket relation, round(…, 9), DECIMAL
+    // accumulation (a); the emitted logw is round(exact-DECIMAL cast, 6)
+    // stated identically on both sides (b).
+    "w15_dsir_weights" -> Map("ln" -> 1, "round" -> 2),
     "w11_balanced_sample" -> Map("round" -> 2),
     // r14: W7's audited pattern over pre/post-dedup token counts — √p is
     // IEEE-correctly-rounded (no libm risk), w9 = round(√p, 9) per
