@@ -2668,16 +2668,18 @@ object TextOps {
   def lmPerplexity(s: SparkSession, dir: String): DataFrame =
     lmPerplexityFrom(t(s, dir).select(col("doc_id"), col("source"), col("text")))
 
-  /** [[lmPerplexity]] over an explicit `(doc_id, source, text)`
-    * relation — the spec pins exact backoff levels and nats on a
-    * crafted train/held-out corpus.
+  /** The T34 stupid-backoff model: hashed n-gram count tables + the
+    * 1-row train-token total. `uni` and `big` are persisted by
+    * [[sbModel]] (each feeds 2-3 scoring legs).
     */
-  def lmPerplexityFrom(d: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val isTrain = splitOf(col("doc_id")) === "train"
-    val train = d.filter(isTrain)
-    val scoredDocs = d.filter(!isTrain)
-    // train model: hashed unigram/bigram/trigram counts + total mass
+  private[graft] final case class SbModel(uni: DataFrame, big: DataFrame,
+                                          tri: DataFrame, total: DataFrame)
+
+  /** Trains the [[SbModel]] over a relation with a `text` column —
+    * shared by the batch T34 scorer and the streaming ingest gate so
+    * the model definition cannot drift between tiers.
+    */
+  private[graft] def sbModel(train: DataFrame): SbModel = {
     val uni = train
       .select(explode(tokens(col("text"))).as("tok"))
       .select(tokenHash(col("tok")).as("h"))
@@ -2692,31 +2694,39 @@ object TextOps {
       .select(explode(ngrams(tokens(col("text")), 3)).as("g"))
       .select(tokenHash(col("g")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("c"))
-    val total = uni.agg(sum("c").as("nt")) // 1 row, provably bounded
-    // scored occurrences, pre-aggregated doc-locally at the hashed
-    // quintuple grain (trigram + its two component bigrams + the two
-    // conditioning unigrams — everything a backoff lookup needs)
-    val parts = split(col("g"), " ")
-    val socc = scoredDocs
-      .select(col("doc_id"), explode(ngrams(tokens(col("text")), 3)).as("g"))
-      .select(col("doc_id"), tokenHash(col("g")).as("h3"),
-        tokenHash(concat_ws(" ", parts(0), parts(1))).as("h12"),
-        tokenHash(concat_ws(" ", parts(1), parts(2))).as("h23"),
-        tokenHash(parts(1)).as("h2u"),
-        tokenHash(parts(2)).as("h3u"))
-      .groupBy("doc_id", "h3", "h12", "h23", "h2u", "h3u")
-      .agg(count(lit(1)).as("c"))
-      .persist() // distinct-trigram leg + per-doc join-back leg
-    val keys = Seq("h3", "h12", "h23", "h2u", "h3u")
-    val dist = socc.select(keys.map(col): _*).distinct()
-    val sc = dist
-      .join(tri.select(col("h").as("h3"), col("c").as("c3")), Seq("h3"), "left")
-      .join(big.select(col("h").as("h12"), col("c").as("c12")), Seq("h12"), "left")
-      .join(big.select(col("h").as("h23"), col("c").as("c23")), Seq("h23"), "left")
-      .join(uni.select(col("h").as("h2u"), col("c").as("c2u")), Seq("h2u"), "left")
-      .join(uni.select(col("h").as("h3u"), col("c").as("c3u")), Seq("h3u"), "left")
-      .crossJoin(broadcast(total))
-      .select(keys.map(col) ++ Seq(
+    SbModel(uni, big, tri, uni.agg(sum("c").as("nt"))) // total: 1 row
+  }
+
+  /** The hashed backoff-lookup quintuple of a trigram string column
+    * `g` — the trigram, its two component bigrams, and the two
+    * conditioning unigrams: everything one stupid-backoff score needs.
+    */
+  private[graft] def sbKeyCols(g: Column): Seq[Column] = {
+    val parts = split(g, " ")
+    Seq(tokenHash(g).as("h3"),
+      tokenHash(concat_ws(" ", parts(0), parts(1))).as("h12"),
+      tokenHash(concat_ws(" ", parts(1), parts(2))).as("h23"),
+      tokenHash(parts(1)).as("h2u"),
+      tokenHash(parts(2)).as("h3u"))
+  }
+
+  private[graft] val sbKeys = Seq("h3", "h12", "h23", "h2u", "h3u")
+
+  /** Scores a DISTINCT quintuple relation against the model: appends
+    * the backoff level (3 = trigram hit, 2 = backoff bigram,
+    * 1 = unigram/OOV floor) and the per-occurrence negative
+    * log-likelihood `round(−ln SB, 9)` (the T10 transcendental
+    * discipline — one ln per distinct key, rounded at the source).
+    */
+  private[graft] def sbNll(dist: DataFrame, m: SbModel): DataFrame =
+    dist
+      .join(m.tri.select(col("h").as("h3"), col("c").as("c3")), Seq("h3"), "left")
+      .join(m.big.select(col("h").as("h12"), col("c").as("c12")), Seq("h12"), "left")
+      .join(m.big.select(col("h").as("h23"), col("c").as("c23")), Seq("h23"), "left")
+      .join(m.uni.select(col("h").as("h2u"), col("c").as("c2u")), Seq("h2u"), "left")
+      .join(m.uni.select(col("h").as("h3u"), col("c").as("c3u")), Seq("h3u"), "left")
+      .crossJoin(broadcast(m.total))
+      .select(dist.columns.toIndexedSeq.map(col) ++ Seq(
         when(col("c3").isNotNull, lit(3L))
           .when(col("c23").isNotNull, lit(2L)).otherwise(lit(1L)).as("lvl"),
         round(-log(
@@ -2727,6 +2737,28 @@ object TextOps {
           .otherwise(lit(SbAlpha * SbAlpha) *
             (greatest(coalesce(col("c3u"), lit(0L)), lit(1L)).cast("double") /
               col("nt").cast("double")))), 9).as("nll")): _*)
+
+  /** [[lmPerplexity]] over an explicit `(doc_id, source, text)`
+    * relation — the spec pins exact backoff levels and nats on a
+    * crafted train/held-out corpus.
+    */
+  def lmPerplexityFrom(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val isTrain = splitOf(col("doc_id")) === "train"
+    val m = sbModel(d.filter(isTrain))
+    val scoredDocs = d.filter(!isTrain)
+    // scored occurrences, pre-aggregated doc-locally at the hashed
+    // quintuple grain (trigram + its two component bigrams + the two
+    // conditioning unigrams — everything a backoff lookup needs)
+    val socc = scoredDocs
+      .select(col("doc_id"), explode(ngrams(tokens(col("text")), 3)).as("g"))
+      .select(col("doc_id") +: sbKeyCols(col("g")): _*)
+      .groupBy("doc_id", sbKeys: _*)
+      .agg(count(lit(1)).as("c"))
+      .persist() // distinct-trigram leg + per-doc join-back leg
+    val keys = sbKeys
+    val dist = socc.select(keys.map(col): _*).distinct()
+    val sc = sbNll(dist, m)
     val per = socc.join(sc, keys)
       .groupBy("doc_id")
       .agg(sum("c").as("n_scored"),

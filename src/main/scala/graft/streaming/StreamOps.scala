@@ -128,6 +128,62 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("sig_key")
 
+  /** Streaming LM-perplexity ingest gate (streaming tier of batch T34,
+    * the CCNet filter): documents arriving on the stream are scored
+    * against a STATIC stupid-backoff trigram model trained once from
+    * `trainDocs` via [[graft.ext.TextOps.sbModel]] — the IDENTICAL
+    * count tables, hashes, and `round(−ln SB, 9)` chain the batch
+    * scorer uses, so a document's mean NLL cannot drift between tiers.
+    * Emits one row per (event-time window, doc) at watermark close:
+    * trigram positions scored, backoff-level telemetry, mean NLL, and
+    * the gate verdict `keep = mean ≤ threshold` (documents too short
+    * to score pass with n_scored = 0 — the batch 'unscored' contract).
+    *
+    * Scale shape: the trigram explode and the five model joins are
+    * stream-STATIC equi-joins — stateless, one micro-batch at a time,
+    * against the persisted model relations; the only state is the
+    * per-(window, doc) partial aggregate, bounded by the watermark
+    * horizon. The model is bounded by the training corpus, not the
+    * stream.
+    */
+  def perplexityGateStream(docs: DataFrame, trainDocs: DataFrame,
+                           threshold: Double,
+                           windowDur: String = "5 minutes",
+                           watermark: String = "10 minutes"): DataFrame = {
+    import graft.ext.TextOps
+    val m = TextOps.sbModel(trainDocs)
+    // explode_outer keeps <3-token docs in the stream (they must pass
+    // the gate, not vanish); their null trigram scores as null and the
+    // conditional aggregates below count them as unscored.
+    val occ = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        explode_outer(TextOps.ngrams(TextOps.tokens(col("text")), 3)).as("g"))
+      .select(Seq(col("doc_id"), col("ts"), col("g")) ++
+        TextOps.sbKeyCols(col("g")): _*)
+    val scored = TextOps.sbNll(occ, m)
+    scored
+      .groupBy(window(col("ts"), windowDur), col("doc_id"))
+      .agg(
+        sum(when(col("g").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+        sum(when(col("lvl") === 3L && col("g").isNotNull, 1L).otherwise(0L))
+          .as("n_tri"),
+        sum(when(col("lvl") === 2L && col("g").isNotNull, 1L).otherwise(0L))
+          .as("n_bi"),
+        sum(when(col("lvl") === 1L && col("g").isNotNull, 1L).otherwise(0L))
+          .as("n_oov"),
+        sum(when(col("g").isNotNull, col("nll").cast(DecimalType(20, 10))))
+          .as("tot"))
+      .select(col("window"), col("doc_id"), col("n_scored"), col("n_tri"),
+        col("n_bi"), col("n_oov"),
+        when(col("n_scored") > 0,
+          round(col("tot").cast("double") / col("n_scored").cast("double"), 6))
+          .otherwise(lit(0.0)).as("mean_nll"),
+        (col("n_scored") === 0 ||
+          col("tot").cast("double") / col("n_scored").cast("double")
+            <= lit(threshold)).as("keep"))
+  }
+
   /** Watermarked stream-stream INTERVAL join — the streaming dual of
     * the batch as-of/conversion-latency pair (E4/E15): each purchase
     * matches the clicks by the same user inside the trailing

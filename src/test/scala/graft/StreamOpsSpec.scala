@@ -286,6 +286,42 @@ class StreamOpsSpec extends SparkSpec {
     assert(perRow.keys.forall(k => perRow(k) == batch(k)))
   }
 
+  test("perplexityGateStream scores against the shared batch model and gates on mean NLL") {
+    // Same model corpus and scored texts as ExtSpec's T34 fixture, so
+    // the expected means are the batch scorer's exact values — the
+    // can't-drift contract between the tiers (shared sbModel/sbNll).
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq("a b c a b c").toDF("text")
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamOps.perplexityGateStream(df, train, threshold = 1.0)
+      .writeStream.format("memory").queryName("ppl_gate_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts(0), 8L, "x b c a"),        // lvl2 + lvl3 → mean ≈ 0.805, keep
+        (ts(1), 16L, "q r s"),         // OOV → mean ≈ 3.624, drop
+        (ts(2), 19L, "a b"),           // unscored → keep
+        (ts(3), 20L, "a b c a b c"))   // fluent → mean ≈ 0.173, keep
+      q.processAllAvailable()
+      mem.addData((ts(600), 99L, "z z z z")) // advance watermark, close window
+      q.processAllAvailable()
+      val rows = spark.table("ppl_gate_test").collect()
+        .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6), r.getBoolean(7)))).toMap
+      def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      def mean6(nlls: Seq[Double], n: Int) =
+        (nlls.map(r9).sum / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val m8 = mean6(Seq(-math.log(0.4 * (2.0 / 2.0)), -math.log(1.0 / 2.0)), 2)
+      val m16 = mean6(Seq(-math.log(0.16 * (1.0 / 6.0))), 1)
+      val m20 = mean6(Seq(0.0, 0.0, -math.log(1.0 / 2.0), 0.0), 4)
+      assert(rows(8L) == ((2L, 1L, 1L, 0L, m8, true)))
+      assert(rows(16L) == ((1L, 0L, 0L, 1L, m16, false)))
+      assert(rows(19L) == ((0L, 0L, 0L, 0L, 0.0, true)))
+      assert(rows(20L) == ((4L, 4L, 0L, 0L, m20, true)))
+    } finally q.stop()
+  }
+
   test("urlDedupStream keys on the shared batch canonicalization") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
