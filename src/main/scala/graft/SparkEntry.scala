@@ -696,6 +696,14 @@ object SparkEntry {
       Some(Relational.waitingSuppliersSql)),
     Q("x18_idle_wealthy", Relational.idleWealthy,
       Some(Relational.idleWealthySql)),
+    Q("x19_small_qty_revenue", Relational.smallQtyRevenue,
+      Some(Relational.smallQtyRevenueSql)),
+    Q("x20_discounted_revenue", Relational.discountedRevenue,
+      Some(Relational.discountedRevenueSql)),
+    Q("x21_late_priority", Relational.latePriorityCount,
+      Some(Relational.latePriorityCountSql)),
+    Q("x22_top_supplier", Relational.topSupplier,
+      Some(Relational.topSupplierSql)),
     Q("g1_pagerank", Graph.pagerank, Some(Graph.pagerankSql)),
     Q("g2_degree_hist", Graph.degreeHist, Some(Graph.degreeHistSql)),
     Q("g3_triangles", Graph.triangles, Some(Graph.trianglesSql)),

@@ -1055,4 +1055,247 @@ object Relational {
       CAST(SUM(bal) AS DOUBLE) AS totacctbal
     FROM idle JOIN nation ON c_nationkey = n_nationkey
     GROUP BY 1 ORDER BY 1"""
+
+  /** X19: small-quantity-order revenue per brand — the TPC-H Q17 plan
+    * shape (the canonical correlated scalar subquery: lines whose
+    * quantity is under 20% of their PART's average) decorrelated the
+    * only way that scales: a part-grain pre-aggregate joined back to
+    * the fact, never a per-row subquery. Emits, per brand, the
+    * qualifying line count and Q17's `avg_yearly` measure
+    * (price mass / 7).
+    *
+    * Determinism: the 20%-of-average test never divides — it is the
+    * x18 cross-multiplied DECIMAL comparison
+    * `5·qty·n_part < Σqty_part` over exact DECIMAL(12,2) quantities;
+    * the revenue is one double conversion of an exact DECIMAL sum and
+    * one IEEE division by the constant 7.
+    *
+    * Scale shape: the per-part pre-agg is a map-side-combinable
+    * shuffle on the fact's own join key; the back-join is fact⋈vocab
+    * on l_partkey (AQE-skew-splittable); brand arrives via the part
+    * side; the final rollup is ≤|brands| rows.
+    */
+  def smallQtyRevenue(s: SparkSession, dir: String): DataFrame =
+    smallQtyRevenueFrom(t(s, dir, "lineitem"), t(s, dir, "part"))
+
+  /** [[smallQtyRevenue]] over explicit relations — the spec pins the
+    * threshold algebra on crafted parts.
+    */
+  def smallQtyRevenueFrom(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_partkey"),
+      col("l_quantity").cast(DecimalType(12, 2)).as("qty"),
+      col("l_extendedprice").cast(DecimalType(18, 2)).as("price"))
+    val perPart = li.groupBy("l_partkey")
+      .agg(sum("qty").as("sum_qty"), count(lit(1)).as("n_li"))
+    li.join(perPart, "l_partkey")
+      .filter(col("qty") * lit(5) * col("n_li") < col("sum_qty"))
+      .join(part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small"),
+        (sum("price").cast("double") / lit(7.0)).as("avg_yearly"))
+      .orderBy("p_brand")
+  }
+
+  val smallQtyRevenueSql: String = """WITH li AS (
+      SELECT l_partkey, CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+        CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+      FROM lineitem),
+    pp AS (SELECT l_partkey, SUM(qty) AS sum_qty, COUNT(*) AS n_li
+           FROM li GROUP BY 1)
+    SELECT p_brand, COUNT(*) AS n_small,
+      CAST(SUM(price) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM li
+    JOIN pp USING (l_partkey)
+    JOIN part ON l_partkey = p_partkey
+    WHERE qty * 5 * n_li < sum_qty
+    GROUP BY 1 ORDER BY 1"""
+
+  /** The X20 disjunct table: (branch label, brand, size range, quantity
+    * range) — disjoint by brand, so every qualifying line matches
+    * exactly one branch.
+    */
+  val DiscountBranches: Seq[(String, String, Int, Int, Int, Int)] = Seq(
+    ("small", "Brand#1", 1, 15, 1, 20),
+    ("medium", "Brand#2", 10, 25, 10, 30),
+    ("large", "Brand#3", 20, 50, 20, 50))
+
+  /** X20: disjunctive-predicate revenue — the TPC-H Q19 plan shape:
+    * revenue from lines matching ANY of three (brand, size range,
+    * quantity range) conjunct groups. The planning lesson Q19 exists
+    * for: an OR across conjunct groups must not cost a pass per
+    * branch — one fact⋈part join evaluates the whole disjunction in a
+    * single codegen'd predicate, and the per-table prunable bounds
+    * (the union of brand/size ranges) still reach the scans. Emits
+    * one row per branch (disjoint by brand): line count, quantity
+    * mass, revenue.
+    *
+    * Determinism: branch membership is exact string/integer/DECIMAL
+    * range tests; sums accumulate in DECIMAL, one double conversion
+    * each at emission.
+    *
+    * Scale shape: part projects two columns; the join is fact⋈part on
+    * the part key once; the branch CASE is a projection; the rollup
+    * has ≤3 keys (map-side combinable).
+    */
+  def discountedRevenue(s: SparkSession, dir: String): DataFrame =
+    discountedRevenueFrom(t(s, dir, "lineitem"), t(s, dir, "part"))
+
+  /** [[discountedRevenue]] over explicit relations — the spec pins
+    * branch membership on crafted boundary rows.
+    */
+  def discountedRevenueFrom(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_partkey"),
+      col("l_quantity").cast(DecimalType(12, 2)).as("qty"),
+      col("l_extendedprice").cast(DecimalType(18, 2)).as("price"),
+      col("l_discount").cast(DecimalType(4, 2)).as("disc"))
+    val branch = DiscountBranches.foldLeft(lit(null).cast("string")) {
+      case (acc, (label, brand, s0, s1, q0, q1)) =>
+        when(col("p_brand") === brand &&
+          col("p_size").between(s0, s1) &&
+          col("qty") >= q0 && col("qty") <= q1, label).otherwise(acc)
+    }
+    // the derivable part-side disjunct bound: every branch names one
+    // brand, so parts outside the brand set can never match — a
+    // prefilter Catalyst cannot derive from the post-join CASE (the
+    // Q19 planning lesson); branch-null rows drop either way, so the
+    // oracle's naive join-then-CASE form agrees row-for-row.
+    val parts = part.select(col("p_partkey"), col("p_brand"), col("p_size"))
+      .filter(col("p_brand").isin(DiscountBranches.map(_._2): _*))
+    li.join(parts, col("l_partkey") === col("p_partkey"))
+      .withColumn("branch", branch)
+      .filter(col("branch").isNotNull)
+      .groupBy("branch")
+      .agg(count(lit(1)).as("n_items"),
+        sum("qty").cast("double").as("sum_qty"),
+        sum(col("price") * (lit(1).cast(DecimalType(3, 2)) - col("disc")))
+          .cast("double").as("revenue"))
+      .orderBy("branch")
+  }
+
+  val discountedRevenueSql: String = {
+    val cases = DiscountBranches.map { case (label, brand, s0, s1, q0, q1) =>
+      s"WHEN p_brand = '$brand' AND p_size BETWEEN $s0 AND $s1 " +
+        s"AND qty BETWEEN $q0 AND $q1 THEN '$label'"
+    }.mkString(" ")
+    s"""WITH li AS (
+      SELECT l_partkey, CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+        CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+        CAST(l_discount AS DECIMAL(4,2)) AS disc
+      FROM lineitem),
+    j AS (
+      SELECT CASE $cases END AS branch, qty, price, disc
+      FROM li JOIN part ON l_partkey = p_partkey)
+    SELECT branch, COUNT(*) AS n_items,
+      CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+      CAST(SUM(price * (CAST(1 AS DECIMAL(3,2)) - disc)) AS DOUBLE) AS revenue
+    FROM j WHERE branch IS NOT NULL
+    GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** X21 order-window start and ship-lag threshold (days). */
+  val LateShipWindowStart = "1996-01-01"
+  val LateShipWindowEnd = "1996-04-01"
+  val LateShipLagDays = 30
+
+  /** X21: priority counts of slow orders — the TPC-H Q4 plan shape
+    * over this schema (no commit/receipt dates; "late" = any line
+    * shipped more than [[LateShipLagDays]] days after the order
+    * date): for one order quarter, how many orders per priority had
+    * at least one late line. Q4's correlated EXISTS is exactly a
+    * LEFT SEMI join — the order is counted once no matter how many
+    * lines are late.
+    *
+    * Determinism: pure date arithmetic on midnight-aligned timestamps
+    * and exact counts.
+    *
+    * Scale shape: the quarter filter prunes orders at the scan; the
+    * semi-join shuffles both sides once on the order key and keeps no
+    * duplicate state; the rollup is ≤5 keys.
+    */
+  def latePriorityCount(s: SparkSession, dir: String): DataFrame =
+    latePriorityCountFrom(t(s, dir, "orders"), t(s, dir, "lineitem"))
+
+  /** [[latePriorityCount]] over explicit relations — the spec pins
+    * the lag boundary and the EXISTS-once semantics.
+    */
+  def latePriorityCountFrom(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val ord = orders
+      .filter(col("o_orderdate") >= lit(LateShipWindowStart).cast("timestamp") &&
+        col("o_orderdate") < lit(LateShipWindowEnd).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = lineitem.select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") +
+            expr(s"INTERVAL $LateShipLagDays DAY"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val latePriorityCountSql: String = s"""SELECT o_orderpriority,
+      COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '$LateShipWindowStart'
+      AND o_orderdate < TIMESTAMP '$LateShipWindowEnd'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL $LateShipLagDays DAY)
+    GROUP BY 1 ORDER BY 1"""
+
+  /** X22: top supplier(s) by quarterly revenue — the TPC-H Q15 plan
+    * shape: a revenue-per-supplier view over one ship quarter, then
+    * the suppliers achieving its MAXIMUM (ties all kept — Q15's
+    * stated semantics). The scalar `(SELECT max(...))` subquery
+    * decorrelates to a 1-row aggregate broadcast back onto the view.
+    *
+    * Determinism: the max/equality comparison runs on the exact
+    * DECIMAL revenue (never the double), so ties are exact; the
+    * emitted revenue is the usual one-shot double conversion.
+    *
+    * Scale shape: one date-pruned fact pass pre-aggregates to
+    * supplier grain; the max is a 1-row broadcast; the supplier
+    * dimension joins on the bounded winner set.
+    */
+  def topSupplier(s: SparkSession, dir: String): DataFrame =
+    topSupplierFrom(t(s, dir, "lineitem"), t(s, dir, "supplier"))
+
+  /** [[topSupplier]] over explicit relations — the spec pins the
+    * exact-DECIMAL tie semantics.
+    */
+  def topSupplierFrom(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit(LateShipWindowStart).cast("timestamp") &&
+        col("l_shipdate") < lit(LateShipWindowEnd).cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+        .as("rev"))
+    val mx = rev.agg(max("rev").as("mxrev")) // 1 row, provably bounded
+    rev.crossJoin(broadcast(mx))
+      .filter(col("rev") === col("mxrev"))
+      .join(supplier.select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val topSupplierSql: String = s"""WITH rev AS (
+      SELECT l_suppkey,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '$LateShipWindowStart'
+        AND l_shipdate < TIMESTAMP '$LateShipWindowEnd'
+      GROUP BY 1),
+    mx AS (SELECT MAX(rev) AS mxrev FROM rev)
+    SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+    FROM rev CROSS JOIN mx
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rev = mxrev
+    ORDER BY s_suppkey"""
 }

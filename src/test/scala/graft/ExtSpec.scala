@@ -2751,6 +2751,80 @@ class ExtSpec extends SparkSpec {
     assert(c.forall(x => Set("head", "middle", "tail", "unscored")(x.getString(7))))
   }
 
+  test("X19 small-qty revenue: strict 20%-of-part-average cut, cross-multiplied") {
+    import graft.ext.Relational
+    // part 1: qties (1, 19) → avg 10, threshold 2: qty 1 qualifies
+    // (5·1·2 = 10 < 20), qty 19 doesn't; part 2: qties (2, 18) → the
+    // boundary case: qty 2 is EXACTLY 0.2·avg → strict < excludes it
+    val li = Seq(
+      (1L, 1.0, 700.0), (1L, 19.0, 10.0),
+      (2L, 2.0, 500.0), (2L, 18.0, 10.0)).toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val part = Seq((1L, "B1"), (2L, "B1")).toDF("p_partkey", "p_brand")
+    val r = Relational.smallQtyRevenueFrom(li, part).collect()
+    assert(r.length == 1)
+    assert((r(0).getString(0), r(0).getLong(1), r(0).getDouble(2)) ==
+      ("B1", 1L, 100.0)) // only part 1's qty-1 line: 700/7
+  }
+
+  test("X20 discounted revenue: branch boundaries inclusive, non-matches dropped") {
+    import graft.ext.Relational
+    val li = Seq(
+      (1L, 20.0, 100.0, 0.0),  // Brand#1 size 15, qty 20 = upper bounds → small
+      (2L, 21.0, 100.0, 0.0),  // Brand#1 qty 21 → out of small's range → dropped
+      (3L, 10.0, 200.0, 0.5),  // Brand#2 size 10, qty 10 = lower bounds → medium
+      (4L, 50.0, 300.0, 0.0),  // Brand#3 size 50, qty 50 → large
+      (5L, 10.0, 999.0, 0.0))  // Brand#9 → no branch → dropped
+      .toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val part = Seq((1L, "Brand#1", 15), (2L, "Brand#1", 15), (3L, "Brand#2", 10),
+      (4L, "Brand#3", 50), (5L, "Brand#9", 10))
+      .toDF("p_partkey", "p_brand", "p_size")
+    val r = Relational.discountedRevenueFrom(li, part).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2), x.getDouble(3)))
+    assert(r.toSeq == Seq(
+      ("large", 1L, 50.0, 300.0),
+      ("medium", 1L, 10.0, 100.0),  // 200 · (1 − 0.5)
+      ("small", 1L, 20.0, 100.0)))
+  }
+
+  test("X21 late-priority: EXISTS counts an order once, 30-day lag is strict") {
+    import graft.ext.Relational
+    import java.sql.Timestamp
+    def d(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (1L, d("1996-02-01"), "1-URGENT"),  // two late lines → counted ONCE
+      (2L, d("1996-02-01"), "1-URGENT"),  // line at exactly +30 days → NOT late
+      (3L, d("1996-02-01"), "2-HIGH"),    // one late line → counted
+      (4L, d("1995-06-01"), "2-HIGH"))    // late line but outside the window
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Seq(
+      (1L, d("1996-03-15")), (1L, d("1996-04-15")),
+      (2L, d("1996-03-02")),  // +30 days exactly: strict > excludes
+      (3L, d("1996-03-10")),
+      (4L, d("1995-08-01")))
+      .toDF("l_orderkey", "l_shipdate")
+    val r = Relational.latePriorityCountFrom(orders, li).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r.toSeq == Seq(("1-URGENT", 1L), ("2-HIGH", 1L)))
+  }
+
+  test("X22 top supplier: exact-DECIMAL ties keep all winners, window prunes") {
+    import graft.ext.Relational
+    import java.sql.Timestamp
+    def d(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val li = Seq(
+      (10L, d("1996-02-01"), 100.0, 0.1),   // s10: 90.00
+      (20L, d("1996-02-01"), 50.0, 0.0),    // s20: 50 + 40 = 90.00 — tie
+      (20L, d("1996-03-01"), 50.0, 0.2),
+      (30L, d("1996-02-01"), 10.0, 0.0),    // s30: 10 — loser
+      (10L, d("1996-06-01"), 999.0, 0.0))   // outside the quarter — pruned
+      .toDF("l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val sup = Seq((10L, "S#10"), (20L, "S#20"), (30L, "S#30"))
+      .toDF("s_suppkey", "s_name")
+    val r = Relational.topSupplierFrom(li, sup).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getDouble(2)))
+    assert(r.toSeq == Seq((10L, "S#10", 90.0), (20L, "S#20", 90.0)))
+  }
+
   test("W15 DSIR weights: smoothed bucket log-ratios, target docs score high") {
     import graft.ext.Mix
     val B = Mix.DsirBuckets
