@@ -567,30 +567,42 @@ object Bench {
     * protocol). With no previous artifact (fresh clone) the ratio tier
     * is empty but the ≥2 s always-tier still revalidates.
     */
-  private def revalidate(r: SuiteResult, sfDir: String): (SuiteResult, Seq[(String, (Double, Double))]) = {
-    val prev = previousArtifactQueries(sfDir)
-    // Two tiers (r15 verdict #1). The ALWAYS tier (sweep ≥2 s) is
-    // selected first and is EXEMPT from the cap — "every ≥2 s entry
-    // revalidates" is an unconditional artifact guarantee, and the
-    // heavy tail is exactly where inflation distorts grading. The
-    // RATIO tier (>1.3× previous sweep, ≥0.4 s) fills the remaining
-    // budget worst-inflation first; entries with no previous-artifact
-    // number are NOT inflation suspects (they've never been measured),
-    // so missing-prev defaults to ratio 1.0 instead of the r15 bug's
-    // implicit ratio 10 that let new queries consume the whole cap.
-    val always = r.results.filter(_._2 >= RevalidateAlwaysSec)
+  /** Pure tier selection for [[revalidate]] — split out so the r15
+    * cap-bug class is spec-pinned (BenchSelectionSpec). Two tiers:
+    * the ALWAYS tier (sweep ≥2 s, sorted by time desc) is selected
+    * first and is EXEMPT from any cap — "every ≥2 s entry
+    * revalidates" is an unconditional artifact guarantee, and the
+    * heavy tail is exactly where inflation distorts grading. The
+    * RATIO tier (>1.3× previous sweep, ≥0.4 s) fills a
+    * [[RevalidateMax]] budget worst-inflation first; entries with no
+    * previous-artifact number are NOT inflation suspects (they've
+    * never been measured), so missing-prev entries never enter the
+    * ratio tier — the r15 bug gave them an implicit ratio of 10,
+    * letting each round's new queries consume the whole cap and
+    * truncate the always-set. Failed entries (negative time) never
+    * select.
+    */
+  private[graft] def revalidationTiers(
+      results: Seq[(String, Double)],
+      prev: Map[String, Double]): (Seq[(String, Double)], Seq[(String, Double)]) = {
+    val always = results.filter(_._2 >= RevalidateAlwaysSec)
       .sortBy { case (_, v) => -v }
     val alwaysNames = always.map(_._1).toSet
-    val ratioTier0 = r.results.filter { case (n, v) =>
+    val ratioTier0 = results.filter { case (n, v) =>
       !alwaysNames(n) && v >= RevalidateFloorSec &&
         prev.get(n).exists(p => p >= 0.0 && v > p * RevalidateRatio)
     }.sortBy { case (n, v) => -(v / math.max(prev.getOrElse(n, v), 1e-9)) }
-    val ratioTier = ratioTier0.take(RevalidateMax)
     if (ratioTier0.length > RevalidateMax)
       System.err.println(s"BENCH WARN: ${ratioTier0.length} ratio-tier " +
         s"revalidation candidates capped at $RevalidateMax " +
         s"(worst-inflation first; the ${always.length}-entry >=2s " +
         "always-tier is exempt from the cap)")
+    (always, ratioTier0.take(RevalidateMax))
+  }
+
+  private def revalidate(r: SuiteResult, sfDir: String): (SuiteResult, Seq[(String, (Double, Double))]) = {
+    val prev = previousArtifactQueries(sfDir)
+    val (always, ratioTier) = revalidationTiers(r.results, prev)
     val suspects = always ++ ratioTier
     if (suspects.isEmpty) return (r, Nil)
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench-reval").toString

@@ -704,6 +704,10 @@ object SparkEntry {
       Some(Relational.latePriorityCountSql)),
     Q("x22_top_supplier", Relational.topSupplier,
       Some(Relational.topSupplierSql)),
+    Q("x23_product_profit", Relational.productProfit,
+      Some(Relational.productProfitSql)),
+    Q("x24_supplier_types", Relational.supplierTypeCount,
+      Some(Relational.supplierTypeCountSql)),
     Q("g1_pagerank", Graph.pagerank, Some(Graph.pagerankSql)),
     Q("g2_degree_hist", Graph.degreeHist, Some(Graph.degreeHistSql)),
     Q("g3_triangles", Graph.triangles, Some(Graph.trianglesSql)),

@@ -1284,6 +1284,122 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  /** X23 part-name filter (Q9 filters `p_name LIKE '%green%'`; this
+    * corpus's adjective vocabulary has 'red').
+    */
+  val ProfitNamePrefix = "red"
+
+  /** X23: product profit by nation and year — the TPC-H Q9 plan shape
+    * over this schema (no partsupp: unit cost is restated as 10% of
+    * `p_retailprice`, a stated constant of the measure, not data):
+    * for parts whose name starts with [[ProfitNamePrefix]], profit =
+    * revenue − quantity·cost, rolled up to the supplier's nation per
+    * order year. The Q9 lesson: a 5-table snowflake join whose ONLY
+    * fact-sized joins are on the fact's own keys — part prunes at the
+    * scan, supplier/nation are dimension hops, orders joins once on
+    * the order key.
+    *
+    * Determinism: the whole measure is a DECIMAL chain — each term is
+    * cast to DECIMAL(25,6) (value-exact: inputs carry ≤6 decimal
+    * places) and their difference sums exactly; one double conversion
+    * at emission. The year is exact integer date arithmetic.
+    */
+  def productProfit(s: SparkSession, dir: String): DataFrame =
+    productProfitFrom(t(s, dir, "lineitem"), t(s, dir, "part"),
+      t(s, dir, "supplier"), t(s, dir, "nation"), t(s, dir, "orders"))
+
+  /** [[productProfit]] over explicit relations — the spec pins the
+    * cost algebra and the name prefix cut.
+    */
+  def productProfitFrom(lineitem: DataFrame, part: DataFrame,
+                        supplier: DataFrame, nation: DataFrame,
+                        orders: DataFrame): DataFrame = {
+    val p = part.filter(col("p_name").startsWith(ProfitNamePrefix))
+      .select(col("p_partkey"),
+        col("p_retailprice").cast(DecimalType(18, 2)).as("retail"))
+    val amount =
+      (col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(3, 2)) -
+          col("l_discount").cast(DecimalType(4, 2)))).cast(DecimalType(25, 6)) -
+      ((col("l_quantity").cast(DecimalType(12, 2)) * col("retail"))
+        .cast(DecimalType(25, 6)) * lit("0.10").cast(DecimalType(3, 2)))
+        .cast(DecimalType(25, 6))
+    lineitem
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(amount).cast("double").as("profit"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  val productProfitSql: String = s"""SELECT n_name,
+      CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      CAST(SUM(
+        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+          AS DECIMAL(25,6)) -
+        CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) *
+            CAST(p_retailprice AS DECIMAL(18,2)) AS DECIMAL(25,6)) *
+          CAST('0.10' AS DECIMAL(3,2)) AS DECIMAL(25,6))
+      ) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '$ProfitNamePrefix%'
+    GROUP BY 1, 2 ORDER BY n_name, o_year DESC"""
+
+  /** X24: distinct shipping suppliers per part (brand, type) — the
+    * TPC-H Q16 plan shape over this schema (no partsupp: the
+    * part↔supplier relationship is the shipped fact itself; the
+    * "complaints" exclusion is restated as negative-balance
+    * suppliers). The Q16 lesson is the d18 distinct-count discipline:
+    * NEVER `countDistinct` on the group key — project
+    * (brand, type, suppkey), `.distinct()` (the exchange hash-spreads
+    * on all three columns), then a map-side-combinable count.
+    *
+    * Determinism: exact counts over exact string/DECIMAL predicates.
+    */
+  def supplierTypeCount(s: SparkSession, dir: String): DataFrame =
+    supplierTypeCountFrom(t(s, dir, "lineitem"), t(s, dir, "part"),
+      t(s, dir, "supplier"))
+
+  /** [[supplierTypeCount]] over explicit relations — the spec pins
+    * the dedup grain and the exclusion.
+    */
+  def supplierTypeCountFrom(lineitem: DataFrame, part: DataFrame,
+                            supplier: DataFrame): DataFrame = {
+    val ok = supplier
+      .filter(col("s_acctbal").cast(DecimalType(18, 2)) >= 0)
+      .select(col("s_suppkey"))
+    lineitem.select(col("l_partkey"), col("l_suppkey"))
+      .join(ok, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .join(part.select(col("p_partkey"), col("p_brand"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("p_type"), col("l_suppkey"))
+      .distinct()
+      .groupBy("p_brand", "p_type")
+      .agg(count(lit(1)).as("supplier_cnt"))
+      .orderBy("p_brand", "p_type")
+  }
+
+  val supplierTypeCountSql: String = """SELECT p_brand, p_type,
+      COUNT(*) AS supplier_cnt
+    FROM (
+      SELECT DISTINCT p_brand, p_type, l_suppkey
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE l_suppkey IN (
+        SELECT s_suppkey FROM supplier
+        WHERE CAST(s_acctbal AS DECIMAL(18,2)) >= 0))
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val topSupplierSql: String = s"""WITH rev AS (
       SELECT l_suppkey,
         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench revalidation tier selection — the r15 artifact bug
+  * class: a global cap plus an implicit ratio-10 default for
+  * never-measured entries let each round's NEW queries consume the
+  * whole revalidation budget, truncating the "every ≥2 s entry
+  * revalidates" guarantee and publishing phantom regressions the judge
+  * had to re-measure by hand. Pure-function spec; no Spark session.
+  */
+class BenchSelectionSpec extends AnyFunSuite {
+
+  test("always-tier (>=2s) is selected in full and exempt from the cap") {
+    // 30 ratio suspects (> RevalidateMax = 24) AND three >=2s entries:
+    // the r15 bug starved the always-set; now it must survive intact.
+    val ratioSuspects = (1 to 30).map(i => (f"q$i%02d", 1.0 + i * 0.01))
+    val results = ratioSuspects ++ Seq(("a4", 2.6), ("m6", 2.1), ("d17", 2.0))
+    val prev = ratioSuspects.map { case (n, v) => n -> v / 2.0 }.toMap
+    val (always, ratio) = Bench.revalidationTiers(results, prev)
+    assert(always.map(_._1) == Seq("a4", "m6", "d17")) // time-desc, all kept
+    assert(ratio.length == 24) // the cap applies to the ratio tier only
+    assert(ratio.forall(e => !Set("a4", "m6", "d17")(e._1)))
+  }
+
+  test("never-measured entries are not ratio suspects") {
+    // new queries (absent from prev) below 2s must not select at all —
+    // the r15 bug treated them as ratio-10 inflation suspects.
+    val results = Seq(("new1", 1.5), ("new2", 0.9), ("old", 1.0))
+    val prev = Map("old" -> 0.5) // old inflated 2x -> genuine suspect
+    val (always, ratio) = Bench.revalidationTiers(results, prev)
+    assert(always.isEmpty)
+    assert(ratio.map(_._1) == Seq("old"))
+  }
+
+  test("ratio tier: threshold, floor, worst-inflation ordering, cap") {
+    val results = Seq(
+      ("flat", 1.0),      // prev 1.0 -> ratio 1.0, not a suspect
+      ("mild", 1.2),      // prev 1.0 -> 1.2x, under the 1.3 threshold
+      ("inflated", 1.4),  // prev 1.0 -> 1.4x, suspect
+      ("worse", 3.0),     // >=2s -> always-tier, NOT a ratio suspect
+      ("tiny", 0.39),     // prev 0.1 -> 3.9x but under the 0.4s floor
+      ("big", 1.9))       // prev 1.0 -> 1.9x, suspect, worse than 1.4x
+    val prev = Map("flat" -> 1.0, "mild" -> 1.0, "inflated" -> 1.0,
+      "worse" -> 1.0, "tiny" -> 0.1, "big" -> 1.0)
+    val (always, ratio) = Bench.revalidationTiers(results, prev)
+    assert(always.map(_._1) == Seq("worse"))
+    assert(ratio.map(_._1) == Seq("big", "inflated")) // worst inflation first
+  }
+
+  test("failed entries (negative time) never select; fresh clone selects only >=2s") {
+    val results = Seq(("dead", -1.0), ("slow", 2.2), ("fine", 1.0))
+    val (always, ratio) = Bench.revalidationTiers(results, Map.empty)
+    assert(always.map(_._1) == Seq("slow"))
+    assert(ratio.isEmpty)
+  }
+}

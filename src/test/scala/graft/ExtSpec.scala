@@ -2825,6 +2825,44 @@ class ExtSpec extends SparkSpec {
     assert(r.toSeq == Seq((10L, "S#10", 90.0), (20L, "S#20", 90.0)))
   }
 
+  test("X23 product profit: revenue minus 10%-of-retail cost, name-prefix cut") {
+    import graft.ext.Relational
+    import java.sql.Timestamp
+    def d(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val li = Seq(
+      (1L, 10L, 100L, 2.0, 500.0, 0.1),  // red part: 450 − 2·1000·0.1 = 250
+      (2L, 10L, 100L, 1.0, 100.0, 0.0),  // blue part — excluded by prefix
+      (1L, 20L, 200L, 1.0, 1000.0, 0.0)) // red, other supplier/year: 1000−100=900
+      .toDF("l_partkey", "l_suppkey", "l_orderkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+    val part = Seq((1L, "red bolt", 1000.0), (2L, "blue bolt", 1000.0))
+      .toDF("p_partkey", "p_name", "p_retailprice")
+    val sup = Seq((10L, 5L), (20L, 6L)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((5L, "ALPHA"), (6L, "BETA")).toDF("n_nationkey", "n_name")
+    val ord = Seq((100L, d("1996-03-01")), (200L, d("1997-03-01")))
+      .toDF("o_orderkey", "o_orderdate")
+    val r = Relational.productProfitFrom(li, part, sup, nat, ord).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2)))
+    assert(r.toSeq == Seq(("ALPHA", 1996L, 250.0), ("BETA", 1997L, 900.0)))
+  }
+
+  test("X24 supplier types: distinct (brand,type,supplier) grain, negative-balance excluded") {
+    import graft.ext.Relational
+    val li = Seq(
+      (1L, 10L), (1L, 10L),  // repeat shipment — one distinct pair
+      (1L, 20L),             // second supplier for part 1
+      (2L, 10L),             // same supplier, other (brand,type)
+      (1L, 30L))             // negative-balance supplier — excluded
+      .toDF("l_partkey", "l_suppkey")
+    val part = Seq((1L, "B1", "SMALL"), (2L, "B2", "LARGE"))
+      .toDF("p_partkey", "p_brand", "p_type")
+    val sup = Seq((10L, 5.0), (20L, 0.0), (30L, -1.0))
+      .toDF("s_suppkey", "s_acctbal")
+    val r = Relational.supplierTypeCountFrom(li, part, sup).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    assert(r.toSeq == Seq(("B1", "SMALL", 2L), ("B2", "LARGE", 1L)))
+  }
+
   test("W15 DSIR weights: smoothed bucket log-ratios, target docs score high") {
     import graft.ext.Mix
     val B = Mix.DsirBuckets
