@@ -2678,6 +2678,16 @@ object TextOps {
   /** Trains the [[SbModel]] over a relation with a `text` column —
     * shared by the batch T34 scorer and the streaming ingest gate so
     * the model definition cannot drift between tiers.
+    *
+    * Three separate explode→count passes, one per n-gram order — the
+    * MEASURED winner over the tempting single-pass fusion
+    * (explode(concat(tagged uni/bi/tri arrays))): the fused form
+    * materializes a 3n-element struct array per document before the
+    * generate and scans the 3×-larger fused cache on every scoring
+    * leg, and ran consistently SLOWER at sf0.1 (warm 1.75 s vs
+    * 1.51 s, cold 12.4 s vs 9.5 s, min-of-3 TimeQ, r16). Each explode
+    * here is a streamed codegen'd Generate; the exchanged row count
+    * is identical either way.
     */
   private[graft] def sbModel(train: DataFrame): SbModel = {
     val uni = train
