@@ -600,6 +600,27 @@ object Bench {
     (always, ratioTier0.take(RevalidateMax))
   }
 
+  /** Idle-machine ceiling for a child's contention sentinel (the
+    * fixed 100M-row count job runs ~0.1-0.2 s at local[32]; CLAUDE.md
+    * documents 0.1-0.3 as the sane band).
+    */
+  private[graft] val SentinelSaneSec = 0.3
+
+  /** Whether a revalidation child's isolated number may REPLACE the
+    * sweep number — pure, spec-pinned (BenchSelectionSpec). An
+    * isolated number that is FASTER than the sweep is always valid
+    * (contention cannot make a query faster, so a min that beats the
+    * sweep stands on any machine). An isolated number that is SLOWER
+    * than the sweep is only believed when the child's own sentinel
+    * shows an idle machine — r16 finding: d17's reval child ran
+    * during a 0.42 s-sentinel load spike and published 3.1 s for a
+    * query whose quiet-machine TimeQ floor is ~1.4-2.0 s; the sweep's
+    * own 2.1 s (measured on a quieter chunk) was the better number.
+    */
+  private[graft] def substituteIsolated(sweep: Double, iso: Double,
+                                        childSentinelMax: Double): Boolean =
+    iso >= 0 && (iso <= sweep || childSentinelMax <= SentinelSaneSec)
+
   private def revalidate(r: SuiteResult, sfDir: String): (SuiteResult, Seq[(String, (Double, Double))]) = {
     val prev = previousArtifactQueries(sfDir)
     val (always, ratioTier) = revalidationTiers(r.results, prev)
@@ -628,7 +649,18 @@ object Bench {
           None
       }
     }
-    val isoResults = reruns.collect { case (n, (_, iso), _) if iso >= 0 => n -> iso }.toMap
+    val isoResults = reruns.collect {
+      case (n, (sweep, iso), cr)
+        if substituteIsolated(sweep, iso,
+          if (cr.sentinels.isEmpty) 0.0 else cr.sentinels.max) => n -> iso
+    }.toMap
+    reruns.foreach { case (n, (sweep, iso), cr) =>
+      val snt = if (cr.sentinels.isEmpty) 0.0 else cr.sentinels.max
+      if (iso >= 0 && !substituteIsolated(sweep, iso, snt))
+        System.err.println(f"BENCH WARN: isolated rerun of $n ($iso%.2f) ran " +
+          f"on a CONTENDED machine (child sentinel $snt%.2f > $SentinelSaneSec) " +
+          f"and is slower than the sweep ($sweep%.2f); sweep number kept")
+    }
     val isoFlaky = reruns.collect { case (n, (_, iso), _) if iso < 0 => n }
     // NOTE: the children's `cold` numbers are NOT merged — a warm-target
     // child's first timed iteration replays retained lineage after the
@@ -670,7 +702,13 @@ object Bench {
       "alone left at-target codegen/broadcast state unpaid: a4's r13 " +
       "child published 4.46s vs TimeQ 2.25) and min-of-3 - and a child " +
       "whose query fails isolated keeps the sweep number (flagged " +
-      "flaky) instead of publishing -1. Ratio-rule baselines are also " +
+      "flaky) instead of publishing -1. r16: a child whose isolated " +
+      "number is SLOWER than the sweep substitutes only when its own " +
+      "sentinel shows an idle machine (<=0.3s) - a load-spiked child " +
+      "once published 3.1s for a query whose quiet TimeQ floor is " +
+      "~1.4-2.0s; a faster-than-sweep isolated number substitutes " +
+      "unconditionally (contention cannot speed a query up). " +
+      "Ratio-rule baselines are also " +
       "sf-guarded: a bench_full.json recorded at a different sf no " +
       "longer drives re-runs or gets overwritten. " +
       "tools/TimeQ remains the manual cross-check and " +

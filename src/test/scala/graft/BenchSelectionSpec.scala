@@ -48,6 +48,18 @@ class BenchSelectionSpec extends AnyFunSuite {
     assert(ratio.map(_._1) == Seq("big", "inflated")) // worst inflation first
   }
 
+  test("isolated substitution: slower-than-sweep numbers need an idle child") {
+    // faster than sweep: always believed (contention can't speed a query up)
+    assert(Bench.substituteIsolated(sweep = 2.0, iso = 1.5, childSentinelMax = 0.9))
+    // slower than sweep on an idle child: genuine (sweep was the inflated one)
+    assert(Bench.substituteIsolated(sweep = 2.0, iso = 2.5, childSentinelMax = 0.15))
+    // slower than sweep on a CONTENDED child: rejected — the r16 d17 case
+    // (load-spiked child published 3.1s for a ~1.8s query)
+    assert(!Bench.substituteIsolated(sweep = 2.1, iso = 3.1, childSentinelMax = 0.42))
+    // failed isolated runs never substitute
+    assert(!Bench.substituteIsolated(sweep = 2.0, iso = -1.0, childSentinelMax = 0.1))
+  }
+
   test("failed entries (negative time) never select; fresh clone selects only >=2s") {
     val results = Seq(("dead", -1.0), ("slow", 2.2), ("fine", 1.0))
     val (always, ratio) = Bench.revalidationTiers(results, Map.empty)
