@@ -2928,6 +2928,65 @@ class ExtSpec extends SparkSpec {
     assert(r("(none)") == ((0L, 1L, 1000000L)))
   }
 
+  test("E29 property: expansion join equals the naive capped reference on random timelines") {
+    // The r16 rewrite's equivalence argument (candidate slots ∩ time
+    // window = the k most recent in-window touches) is subtle enough
+    // to deserve a randomized pin: 10 seeded timelines — dense
+    // timestamp collisions (W/10 grid), per-trial bot users whose one
+    // purchase has MORE than k in-window touches (the cap binds) and
+    // another has none — all batched into ONE invocation via disjoint
+    // user ranges, compared row-for-row against a plain-Scala
+    // reference that implements the stated contract directly.
+    import graft.ext.Events
+    val k = Events.AttributionTouchCap
+    val W = Events.AttributionWindowUs
+    val rnd = new scala.util.Random(42)
+    val types = Vector("view", "click", "signup", "purchase")
+    val evs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Long)]
+    var id = 0L
+    for (trial <- 0 until 10) {
+      val base = trial * 100L
+      for (_ <- 0 until 60) {
+        id += 1
+        evs += ((base + rnd.nextInt(6), id, types(rnd.nextInt(4)),
+          rnd.nextInt(55).toLong * (W / 10)))
+      }
+      val bot = base + 50
+      for (i <- 0 until k + 16) {
+        id += 1; evs += ((bot, id, types(rnd.nextInt(3)), W + i.toLong))
+      }
+      id += 1; evs += ((bot, id, "purchase", W + k + 500L)) // cap binds: k+16 in window
+      id += 1; evs += ((bot, id, "purchase", 2 * W + k + 16L)) // window empty: untouched
+    }
+    val all = evs.toVector
+    val purchases = all.filter(_._3 == "purchase")
+    val touches = all.filter(e => Events.TouchTypes.contains(e._3))
+    val perPurchase = purchases.map { case (u, pid, _, pus) =>
+      val inw = touches
+        .filter { case (tu, _, _, tus) => tu == u && tus < pus && tus >= pus - W }
+        .sortBy { case (_, tid, _, tus) => (-tus, -tid) }.take(k)
+      pid -> inw
+    }
+    val credited = perPurchase.flatMap { case (pid, inw) =>
+      inw.map { case (_, _, ch, _) => (ch, pid, inw.size) }
+    }
+    val byCh = credited.groupBy(_._1).map { case (ch, xs) =>
+      ch -> ((xs.size.toLong, xs.map(_._2).distinct.size.toLong,
+        xs.map(x => 1000000L / x._3).sum))
+    }
+    val nNone = perPurchase.count(_._2.isEmpty).toLong
+    val expected = byCh + ("(none)" -> ((0L, nNone, nNone * 1000000L)))
+    val out = Events.linearAttributionFrom(
+        all.toDF("user_id", "event_id", "event_type", "us"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == expected)
+    // the generator really exercised both edges
+    assert(perPurchase.exists(_._2.size == k), "cap never bound")
+    assert(nNone >= 10L, "no untouched purchases generated")
+  }
+
   test("E30 activity streaks: islands split on gaps, same-day repeats collapse") {
     import graft.ext.Events
     val day = Events.DayUs
