@@ -1300,7 +1300,7 @@ object TextOps {
       (col("n_stop_distinct") >= 2).as("f_stop"),
       (col("dup_line_frac") <= 0.3).as("f_dup_line"))
     sig.select(
-      (col("doc_id") +: sig.columns.tail.map(col) :+
+      (col("doc_id") +: sig.columns.tail.toIndexedSeq.map(col) :+
         flags.map(_.cast("int")).reduce(_ + _).as("n_pass")): _*)
       .withColumn("keep", (col("n_pass") === flags.size).cast("int"))
       .orderBy("doc_id")

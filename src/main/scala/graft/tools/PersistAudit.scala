@@ -48,7 +48,7 @@ object PersistAudit {
         false
       }
       if (ok) {
-        val leftover = spark.sparkContext.getPersistentRDDs.keySet -- before
+        val leftover = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
         val expected = documented(name)
         if (leftover.nonEmpty && !expected) undocumented ::= name
         println(s"AUDIT $name leftover=${leftover.size} " +

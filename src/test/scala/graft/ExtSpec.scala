@@ -1648,7 +1648,7 @@ class ExtSpec extends SparkSpec {
     }
     // monetary mass conserved vs the raw DECIMAL total
     val tot = ords.agg(sum(col("o_totalprice")
-      .cast(org.apache.spark.sql.types.DecimalType(18, 2))).cast("double")).head.getDouble(0)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 2))).cast("double")).head().getDouble(0)
     assert(math.abs(seg.map(_.getDouble(4)).sum - tot) < 1e-6 * tot)
   }
 
