@@ -118,6 +118,9 @@ object Bench {
     // r12d: d22 persists its signature relation (banding + both verify
     // sides), the d3 shape
     "d22_source_overlap",
+    // r17 ADVICE: x22 persists its supplier-grain rev pre-agg (max leg
+    // + winner-filter leg)
+    "x22_top_supplier",
     // r12b: s14 persists its ≤40-row bin relation (total + spine join
     // legs would otherwise each replay the corpus cross pass); c4 rides
     // the memoized D7 labels like c1/c3
@@ -621,6 +624,18 @@ object Bench {
                                         childSentinelMax: Double): Boolean =
     iso >= 0 && (iso <= sweep || childSentinelMax <= SentinelSaneSec)
 
+  /** Contention evidence for a revalidation child: the max of its
+    * parsed sentinels, or CONTENDED (+∞) when the child reported none.
+    * r17 ADVICE fix: the call sites previously defaulted an empty
+    * sentinel list to 0.0 — "no evidence" substituted as if the
+    * machine were PROVEN idle, the opposite of the r16 guard's intent.
+    * Missing evidence now rejects slower-than-sweep substitution (a
+    * faster-than-sweep isolated number still substitutes — contention
+    * cannot speed a query up, so no sentinel is needed for it).
+    */
+  private[graft] def childSentinel(sentinels: Seq[Double]): Double =
+    if (sentinels.isEmpty) Double.PositiveInfinity else sentinels.max
+
   private def revalidate(r: SuiteResult, sfDir: String): (SuiteResult, Seq[(String, (Double, Double))]) = {
     val prev = previousArtifactQueries(sfDir)
     val (always, ratioTier) = revalidationTiers(r.results, prev)
@@ -651,15 +666,17 @@ object Bench {
     }
     val isoResults = reruns.collect {
       case (n, (sweep, iso), cr)
-        if substituteIsolated(sweep, iso,
-          if (cr.sentinels.isEmpty) 0.0 else cr.sentinels.max) => n -> iso
+        if substituteIsolated(sweep, iso, childSentinel(cr.sentinels)) => n -> iso
     }.toMap
     reruns.foreach { case (n, (sweep, iso), cr) =>
-      val snt = if (cr.sentinels.isEmpty) 0.0 else cr.sentinels.max
-      if (iso >= 0 && !substituteIsolated(sweep, iso, snt))
-        System.err.println(f"BENCH WARN: isolated rerun of $n ($iso%.2f) ran " +
-          f"on a CONTENDED machine (child sentinel $snt%.2f > $SentinelSaneSec) " +
+      val snt = childSentinel(cr.sentinels)
+      if (iso >= 0 && !substituteIsolated(sweep, iso, snt)) {
+        val why = if (cr.sentinels.isEmpty)
+          "reported NO sentinel (missing evidence counts as contended)"
+        else f"ran on a CONTENDED machine (child sentinel $snt%.2f > $SentinelSaneSec)"
+        System.err.println(f"BENCH WARN: isolated rerun of $n ($iso%.2f) $why " +
           f"and is slower than the sweep ($sweep%.2f); sweep number kept")
+      }
     }
     val isoFlaky = reruns.collect { case (n, (_, iso), _) if iso < 0 => n }
     // NOTE: the children's `cold` numbers are NOT merged — a warm-target
@@ -781,36 +798,39 @@ object Bench {
     else
       System.err.println("BENCH: subset run — bench_full.json NOT updated " +
         "(revalidation baseline is full-suite only)")
-    // Compact artifact schema (v2, r10): integer CENTISECONDS (10 ms
-    // resolution — perf grading targets ≥0.3 s numbers). Keys:
-    // u="cs" (unit marker), tcs=total, qcs=per-query min,
-    // fast_n/fast_tcs=the aggregated sub-threshold remainder,
-    // sncs=sentinel, sf=scale-factor dir basename; failed/flaky LAST
-    // (tail truncation eats the line's HEAD, so the failure signal
-    // survives even if some entries don't). The driver keeps only the
-    // final ~2000 chars of stdout INCLUDING sbt's trailing [success]
-    // line, and a truncated JSON head parses as nothing — so the line
-    // must stay well under 1900 chars as the registry grows. qcs
-    // therefore lists individually only (a) queries at/above
-    // [[FastCs]] (the ones perf grading can distinguish from job
-    // overhead), (b) every raster_* case (the BASELINE comparables),
-    // and (c) failures; the fast remainder collapses to a count + sum.
-    // A fast query that regresses past the threshold automatically
-    // surfaces by name on the next run. Full per-query detail always
-    // lands in bench_full.json (git-tracked).
+    // Compact artifact schema (v3, r17): the DRIVER CONTRACT keys —
+    // {"metric","value","unit":"sec","queries":{name:sec},"sf"} — with
+    // per-query seconds at 10 ms resolution, plus the v2 auxiliary
+    // keys (fast_n/fast_sec remainder, sentinel_sec, chunks,
+    // failed/flaky LAST so tail truncation can't eat the failure
+    // signal). WHY v3: every BENCH_r{10..16}.json shows
+    // "parsed": null — the only line carrying the contract's "metric"
+    // key was the full detail line, which at 200 queries exceeds the
+    // driver's ~2000-char stdout tail and loses its HEAD (the exact
+    // round-9 failure), while the v2 compact line that DID survive the
+    // tail used private keys (u/tcs/qcs) the driver's parser does not
+    // recognize. The compact line now IS a contract line, sized well
+    // under 1900 chars. Listing policy unchanged: individually only
+    // (a) queries at/above [[FastCs]] (the ones perf grading can
+    // distinguish from job overhead), (b) every raster_* case (the
+    // BASELINE comparables), and (c) failures; the fast remainder
+    // collapses to a count + sum. A fast query that regresses past the
+    // threshold automatically surfaces by name on the next run. Full
+    // per-query detail always lands in bench_full.json (git-tracked).
     def cs(v: Double): Long = math.round(v * 100.0)
+    def sec2(v: Double): Double = cs(v) / 100.0
     val FastCs = 50L
     def render(threshold: Long): String = {
       val (listed, fast) = all.partition { case (k, v) =>
         cs(v) >= threshold || v < 0 || k.startsWith("raster_") }
-      val qsCompact = listed.map { case (k, v) => s"\"" + k + "\":" + cs(v) }
+      val qsCompact = listed.map { case (k, v) => s"\"" + k + "\":" + sec2(v) }
         .mkString("{", ",", "}")
       val issues = (if (r.failed.isEmpty) "" else s""","failed":$failedJson""") +
         (if (r.flaky.isEmpty) "" else s""","flaky":$flakyJson""")
       val sfShort = sfDir.split('/').last
-      s"""{"u":"cs","tcs":${cs(total)},"qcs":$qsCompact,""" +
-        s""""fast_n":${fast.length},"fast_tcs":${cs(fast.map(_._2).sum)},""" +
-        s""""sncs":${cs(sentinel)},"chunks":$nChunks,"sf":"$sfShort"$issues}"""
+      s"""{"metric":"total","value":${sec2(total)},"unit":"sec","queries":$qsCompact,""" +
+        s""""fast_n":${fast.length},"fast_sec":${sec2(fast.map(_._2).sum)},""" +
+        s""""sentinel_sec":${sec2(sentinel)},"chunks":$nChunks,"sf":"$sfShort"$issues}"""
     }
     // Degrade, never overflow (r10 ADVICE): if the line would risk the
     // driver's 2000-char stdout tail (which truncates the JSON HEAD —

@@ -708,6 +708,8 @@ object SparkEntry {
       Some(Relational.productProfitSql)),
     Q("x24_supplier_types", Relational.supplierTypeCount,
       Some(Relational.supplierTypeCountSql)),
+    Q("x25_forecast_revenue", Relational.forecastRevenue,
+      Some(Relational.forecastRevenueSql)),
     Q("g1_pagerank", Graph.pagerank, Some(Graph.pagerankSql)),
     Q("g2_degree_hist", Graph.degreeHist, Some(Graph.degreeHistSql)),
     Q("g3_triangles", Graph.triangles, Some(Graph.trianglesSql)),

@@ -1258,7 +1258,13 @@ object Relational {
     *
     * Scale shape: one date-pruned fact pass pre-aggregates to
     * supplier grain; the max is a 1-row broadcast; the supplier
-    * dimension joins on the bounded winner set.
+    * dimension joins on the bounded winner set. The supplier-grain
+    * `rev` pre-agg feeds TWO plan legs (the max aggregate and the
+    * winner filter) that AQE does not dedupe, so it is persisted —
+    * the CLAUDE.md two-leg rule (r17 ADVICE: unpersisted, the
+    * quarter-pruned fact scan + supplier aggregation executed twice
+    * per run). Per the registry persist contract the persist is left
+    * for the session (x22 is in Bench.extraIters; PersistAudit knows).
     */
   def topSupplier(s: SparkSession, dir: String): DataFrame =
     topSupplierFrom(t(s, dir, "lineitem"), t(s, dir, "supplier"))
@@ -1274,6 +1280,7 @@ object Relational {
       .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
         (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(4, 2))))
         .as("rev"))
+      .persist() // supplier-grain (bounded); consumed by 2 plan legs
     val mx = rev.agg(max("rev").as("mxrev")) // 1 row, provably bounded
     rev.crossJoin(broadcast(mx))
       .filter(col("rev") === col("mxrev"))
@@ -1399,6 +1406,68 @@ object Relational {
         SELECT s_suppkey FROM supplier
         WHERE CAST(s_acctbal AS DECIMAL(18,2)) >= 0))
     GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // ------------------------------------------------ X25 forecast revenue
+
+  /** X25 window + predicate constants (the Q6 grid: one ship year, a
+    * 3-cent discount band, small quantities).
+    */
+  val ForecastYearStart = "1995-01-01"
+  val ForecastYearEnd = "1996-01-01"
+  val ForecastMaxQty = 24
+  val ForecastDiscLoCents = 5
+  val ForecastDiscHiCents = 7
+
+  /** X25: forecast-revenue change — the TPC-H Q6 plan shape (the last
+    * TPC-H query expressible over this schema that the registry
+    * lacked; Q2/Q11/Q20 need the absent partsupp table): the revenue
+    * that would have been gained had a discount band been eliminated —
+    * sum of extendedprice·discount over one ship year
+    * ([[ForecastYearStart]]..[[ForecastYearEnd]]), a 3-cent discount
+    * band, and quantities under [[ForecastMaxQty]]. The Q6 lesson is
+    * pure pushdown: the shipdate/quantity predicates reach the parquet
+    * scan (`PushedFilters`; at lake scale the date range additionally
+    * prunes row groups / date partitions), the scan reads 4 columns,
+    * and the only exchange is the 1-row final aggregate — a query
+    * whose cost at 100 TB is I/O, not shuffle.
+    *
+    * Determinism: the discount-band predicate compares an exact
+    * integer (`round(l_discount·100)` — the corpus discount grid is
+    * whole cents, so the rounded product is exact in both engines;
+    * a raw `BETWEEN 0.05 AND 0.07` on doubles would hinge on literal
+    * typing at the band edges); the measure is an exact DECIMAL
+    * product summed in DECIMAL with one double conversion at
+    * emission; the count is BIGINT.
+    */
+  def forecastRevenue(s: SparkSession, dir: String): DataFrame =
+    forecastRevenueFrom(t(s, dir, "lineitem"))
+
+  /** [[forecastRevenue]] over an explicit relation — the spec pins the
+    * band edges and the exact-DECIMAL measure.
+    */
+  def forecastRevenueFrom(lineitem: DataFrame): DataFrame = {
+    val cents = round(col("l_discount") * 100, 0).cast("long")
+    lineitem
+      .filter(col("l_shipdate") >= lit(ForecastYearStart).cast("timestamp") &&
+        col("l_shipdate") < lit(ForecastYearEnd).cast("timestamp") &&
+        cents >= ForecastDiscLoCents && cents <= ForecastDiscHiCents &&
+        col("l_quantity") < ForecastMaxQty)
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          col("l_discount").cast(DecimalType(4, 2)))
+          .cast("double").as("forecast_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val forecastRevenueSql: String = s"""SELECT
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS forecast_revenue,
+      COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '$ForecastYearStart'
+      AND l_shipdate < TIMESTAMP '$ForecastYearEnd'
+      AND CAST(round(l_discount * 100) AS BIGINT)
+        BETWEEN $ForecastDiscLoCents AND $ForecastDiscHiCents
+      AND l_quantity < $ForecastMaxQty"""
 
   val topSupplierSql: String = s"""WITH rev AS (
       SELECT l_suppkey,

@@ -60,6 +60,20 @@ class BenchSelectionSpec extends AnyFunSuite {
     assert(!Bench.substituteIsolated(sweep = 2.0, iso = -1.0, childSentinelMax = 0.1))
   }
 
+  test("a child reporting no sentinel counts as contended (r17 advice)") {
+    // "no evidence" must not substitute as if the machine were PROVEN
+    // idle — the pre-r17 call sites defaulted an empty sentinel list
+    // to 0.0, the opposite of the r16 guard's intent.
+    assert(Bench.childSentinel(Nil).isPosInfinity)
+    assert(Bench.childSentinel(Seq(0.1, 0.25)) == 0.25)
+    // slower than sweep + missing sentinel: rejected
+    assert(!Bench.substituteIsolated(sweep = 2.0, iso = 2.5,
+      childSentinelMax = Bench.childSentinel(Nil)))
+    // faster than sweep needs no sentinel evidence at all
+    assert(Bench.substituteIsolated(sweep = 2.0, iso = 1.5,
+      childSentinelMax = Bench.childSentinel(Nil)))
+  }
+
   test("failed entries (negative time) never select; fresh clone selects only >=2s") {
     val results = Seq(("dead", -1.0), ("slow", 2.2), ("fine", 1.0))
     val (always, ratio) = Bench.revalidationTiers(results, Map.empty)

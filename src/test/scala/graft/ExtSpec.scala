@@ -2825,6 +2825,23 @@ class ExtSpec extends SparkSpec {
     assert(r.toSeq == Seq((10L, "S#10", 90.0), (20L, "S#20", 90.0)))
   }
 
+  test("X25 forecast revenue: band edges inclusive in cents, strict qty, window prunes") {
+    import graft.ext.Relational
+    import java.sql.Timestamp
+    def d(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val li = Seq(
+      (d("1995-02-01"), 10.0, 100.0, 0.05),  // lower band edge → 5.00
+      (d("1995-02-01"), 10.0, 100.0, 0.07),  // upper band edge → 7.00
+      (d("1995-02-01"), 10.0, 100.0, 0.04),  // below band — dropped
+      (d("1995-02-01"), 10.0, 100.0, 0.08),  // above band — dropped
+      (d("1995-02-01"), 24.0, 100.0, 0.06),  // qty = 24: strict < excludes
+      (d("1996-01-01"), 10.0, 100.0, 0.06))  // window end exclusive — pruned
+      .toDF("l_shipdate", "l_quantity", "l_extendedprice", "l_discount")
+    val r = Relational.forecastRevenueFrom(li).collect()
+    assert(r.length == 1)
+    assert((r(0).getDouble(0), r(0).getLong(1)) == (12.0, 2L))
+  }
+
   test("X23 product profit: revenue minus 10%-of-retail cost, name-prefix cut") {
     import graft.ext.Relational
     import java.sql.Timestamp

@@ -467,6 +467,10 @@ class PropertySpec extends AnyFunSuite {
     "x12_promo_revenue" -> Map("round" -> 1),
     "x13_fulfillment" -> Map("round" -> 2),
     "x15_customer_concentration" -> Map("round" -> 2),
+    // x25: pattern (c) — the round is PREDICATE-only (whole-cent
+    // discount grid ·100 rounded to an exact integer band compare),
+    // never an emitted cell; emissions are a DECIMAL sum + BIGINT count
+    "x25_forecast_revenue" -> Map("round" -> 1),
     "x6_monthly_revenue" -> Map("round" -> 1),
     "x8_market_share" -> Map("round" -> 1)
   )
