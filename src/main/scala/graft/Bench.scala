@@ -798,52 +798,59 @@ object Bench {
     else
       System.err.println("BENCH: subset run — bench_full.json NOT updated " +
         "(revalidation baseline is full-suite only)")
-    // Compact artifact schema (v3, r17): the DRIVER CONTRACT keys —
-    // {"metric","value","unit":"sec","queries":{name:sec},"sf"} — with
-    // per-query seconds at 10 ms resolution, plus the v2 auxiliary
-    // keys (fast_n/fast_sec remainder, sentinel_sec, chunks,
-    // failed/flaky LAST so tail truncation can't eat the failure
-    // signal). WHY v3: every BENCH_r{10..16}.json shows
-    // "parsed": null — the only line carrying the contract's "metric"
-    // key was the full detail line, which at 200 queries exceeds the
-    // driver's ~2000-char stdout tail and loses its HEAD (the exact
-    // round-9 failure), while the v2 compact line that DID survive the
-    // tail used private keys (u/tcs/qcs) the driver's parser does not
-    // recognize. The compact line now IS a contract line, sized well
-    // under 1900 chars. Listing policy unchanged: individually only
-    // (a) queries at/above [[FastCs]] (the ones perf grading can
-    // distinguish from job overhead), (b) every raster_* case (the
-    // BASELINE comparables), and (c) failures; the fast remainder
-    // collapses to a count + sum. A fast query that regresses past the
-    // threshold automatically surfaces by name on the next run. Full
-    // per-query detail always lands in bench_full.json (git-tracked).
+    println(compactContractLine(all, r.failed, r.flaky, sentinel, nChunks, sfDir))
+  }
+
+  /** Compact last-stdout-line renderer (schema v3, r17) — pure and
+    * spec-pinned (BenchSelectionSpec). Emits the DRIVER CONTRACT keys
+    * — `{"metric","value","unit":"sec","queries":{name:sec},"sf"}` —
+    * with per-query seconds at 10 ms resolution, plus auxiliary keys
+    * (fast_n/fast_sec remainder, sentinel_sec, chunks, failed/flaky
+    * LAST so tail truncation can't eat the failure signal). WHY v3:
+    * every BENCH_r{10..16}.json shows "parsed": null — the only line
+    * carrying the contract's "metric" key was the full detail line,
+    * which at 200 queries exceeds the driver's ~2000-char stdout tail
+    * and loses its HEAD (the exact round-9 failure), while the v2
+    * compact line that DID survive the tail used private keys
+    * (u/tcs/qcs) the driver's parser does not recognize. Listing
+    * policy unchanged from v2: individually only (a) queries at/above
+    * the 0.5 s floor (the ones perf grading can distinguish from job
+    * overhead), (b) every raster_* case (the BASELINE comparables),
+    * and (c) failures; the fast remainder collapses to a count + sum,
+    * and a fast query that regresses past the threshold automatically
+    * surfaces by name on the next run. Degrade, never overflow (r10
+    * ADVICE): if the line would risk the 2000-char tail window, the
+    * listing threshold doubles until it fits (raster_* and failures
+    * always stay listed). Full per-query detail always lands in
+    * bench_full.json (git-tracked).
+    */
+  private[graft] def compactContractLine(
+      all: Seq[(String, Double)], failed: Seq[String], flaky: Seq[String],
+      sentinel: Double, nChunks: Int, sfDir: String): String = {
     def cs(v: Double): Long = math.round(v * 100.0)
     def sec2(v: Double): Double = cs(v) / 100.0
+    val total = all.map(_._2).filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
     val FastCs = 50L
     def render(threshold: Long): String = {
       val (listed, fast) = all.partition { case (k, v) =>
         cs(v) >= threshold || v < 0 || k.startsWith("raster_") }
       val qsCompact = listed.map { case (k, v) => s"\"" + k + "\":" + sec2(v) }
         .mkString("{", ",", "}")
-      val issues = (if (r.failed.isEmpty) "" else s""","failed":$failedJson""") +
-        (if (r.flaky.isEmpty) "" else s""","flaky":$flakyJson""")
+      val issues = (if (failed.isEmpty) "" else s""","failed":$failedJson""") +
+        (if (flaky.isEmpty) "" else s""","flaky":$flakyJson""")
       val sfShort = sfDir.split('/').last
       s"""{"metric":"total","value":${sec2(total)},"unit":"sec","queries":$qsCompact,""" +
         s""""fast_n":${fast.length},"fast_sec":${sec2(fast.map(_._2).sum)},""" +
         s""""sentinel_sec":${sec2(sentinel)},"chunks":$nChunks,"sf":"$sfShort"$issues}"""
     }
-    // Degrade, never overflow (r10 ADVICE): if the line would risk the
-    // driver's 2000-char stdout tail (which truncates the JSON HEAD —
-    // the exact round-9 failure), double the listing threshold until it
-    // fits; raster_* comparables and failures always stay listed, the
-    // demoted queries fold into the fast_n/fast_tcs remainder.
-    val compact = LazyList.iterate(FastCs)(_ * 2).take(12)
+    LazyList.iterate(FastCs)(_ * 2).take(12)
       .map(render).find(_.length <= 1900)
       .getOrElse {
         System.err.println("BENCH WARN: compact line irreducible below 1900 chars")
         render(Long.MaxValue / 2)
       }
-    println(compact)
   }
 
   // --------------------------------------------------------------- main

@@ -74,6 +74,39 @@ class BenchSelectionSpec extends AnyFunSuite {
       childSentinelMax = Bench.childSentinel(Nil)))
   }
 
+  test("compact line: driver-contract keys, valid JSON, fits the stdout tail") {
+    // r17: BENCH_r10..r16 all show "parsed": null — the driver's tail
+    // window only ever saw the v2 cs-int line, whose private keys its
+    // parser does not recognize. The last stdout line must now (a) be
+    // valid JSON, (b) carry the contract keys with seconds, (c) stay
+    // under 1900 chars even at 300 registry entries + failures, and
+    // (d) always list raster_* comparables individually.
+    val qs = (1 to 300).map(i => (f"query_with_a_long_name_$i%03d", 0.6 + i * 0.01)) ++
+      Seq(("raster_pushdown_400mp", 0.43), ("raster_warp_utm_16mp", 0.81),
+        ("dead_query", -1.0))
+    val line = Bench.compactContractLine(qs, failed = Seq("dead_query"),
+      flaky = Nil, sentinel = 0.15, nChunks = 34, sfDir = "/root/testdata/sf0.1")
+    assert(line.length <= 1900)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper // on the Spark classpath
+    val node = om.readTree(line)
+    assert(node.get("metric").asText == "total")
+    assert(node.get("unit").asText == "sec")
+    assert(math.abs(node.get("value").asDouble -
+      qs.map(_._2).filter(_ >= 0).sum) < 0.02)
+    assert(node.get("sf").asText == "sf0.1")
+    assert(node.get("queries").has("raster_pushdown_400mp"))
+    assert(node.get("queries").has("raster_warp_utm_16mp"))
+    assert(node.get("failed").get(0).asText == "dead_query")
+    // listed + aggregated remainder partitions the suite exactly
+    assert(node.get("queries").size + node.get("fast_n").asInt == qs.length)
+    // a small suite lists everything by name at the base threshold
+    val small = Bench.compactContractLine(Seq(("q1", 1.23), ("q2", 0.1)),
+      Nil, Nil, 0.1, 1, "sf0.01")
+    val smallNode = om.readTree(small)
+    assert(smallNode.get("queries").get("q1").asDouble == 1.23)
+    assert(smallNode.get("fast_n").asInt == 1)
+  }
+
   test("failed entries (negative time) never select; fresh clone selects only >=2s") {
     val results = Seq(("dead", -1.0), ("slow", 2.2), ("fine", 1.0))
     val (always, ratio) = Bench.revalidationTiers(results, Map.empty)
