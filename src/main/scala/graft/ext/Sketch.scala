@@ -1,0 +1,138 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Mergeable cardinality sketches — the distinct-count primitive that
+  * replaces exact `COUNT(DISTINCT …)` at 100 TB (Flajolet et al. 2007,
+  * HyperLogLog; the reference has no sketch surface — its roadmap stops
+  * at exact batch stats, `/root/reference/ROADMAP.md:16`).
+  *
+  * Unlike Spark's built-in `approx_count_distinct` (whose HLL++ register
+  * layout is engine-private and therefore un-oracle-able — the reason
+  * E13 computes DAU exactly, [[Events.activeUsers]]), these registers
+  * are built EXPLICITLY from md5, so DuckDB reproduces them bit-for-bit:
+  *
+  *   - bucket = first 2 hex digits of `md5(CAST(user_id AS VARCHAR))`
+  *     (m = 256 registers);
+  *   - w = next 14 hex digits (a 56-bit non-negative integer);
+  *   - rho = 57 − length(bin(w)) for w > 0, else 57 — `bin()` emits the
+  *     minimal binary string in BOTH engines, so the leading-zero count
+  *     is an exact string-length computation, never a `log2`.
+  *
+  * Determinism discipline: registers are exact integers; the harmonic
+  * denominator S = Σ 2^(57−rho) (empty registers contribute 2^57)
+  * accumulates exact powers of two in DECIMAL (order-free); the raw
+  * estimate α·m²/S is one literal-IEEE chain over exact inputs, rounded
+  * at the boundary; the small-range (linear-counting) correction needs
+  * `ln(m/V)` and is deliberately NOT emitted (the repo's no-transcendental
+  * oracle rule) — `v_empty` is emitted instead so a consumer applies the
+  * correction downstream, and SketchSpec pins the corrected estimate's
+  * accuracy in Scala where no cross-engine hash is at stake.
+  */
+object Sketch {
+
+  /** Register count m (2^[[BucketHexDigits]]·4). 256 keeps the register
+    * relation trivially broadcastable-per-group while the ±1.04/√m ≈ 6.5%
+    * standard error is enough to audit against the exact leg.
+    */
+  val Registers = 256
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+
+  /** HLL-256 register relation `(event_type, bucket, rho)` for the
+    * distinct-`user_id` sketch — only OCCUPIED registers appear (empty
+    * ones are reconstructed arithmetically as `256 − COUNT(*)`).
+    *
+    * Scale shape: one scan → `groupBy(event_type, bucket) max(rho)` — a
+    * map-side-combinable partial max whose exchange carries at most
+    * 256·|types| cells regardless of corpus size. The register relation
+    * is MERGEABLE by register-wise max (SketchSpec pins
+    * sketch(A ∪ B) = max-merge(sketch(A), sketch(B)) exactly), which is
+    * what lets per-day / per-shard sketches roll up without rescanning —
+    * the property exact distinct counting fundamentally lacks.
+    */
+  def registers(ev: DataFrame): DataFrame = {
+    val h = md5(col("user_id").cast("string"))
+    ev.filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        conv(substring(h, 1, 2), 16, 10).cast("long").as("bucket"),
+        conv(substring(h, 3, 14), 16, 10).cast("long").as("w"))
+      .select(col("event_type"), col("bucket"),
+        when(col("w") === 0L, lit(57L))
+          .otherwise(lit(57L) - length(bin(col("w"))).cast("long")).as("rho"))
+      .groupBy("event_type", "bucket")
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** E31: per-event-type distinct-user HLL sketch audited against the
+    * exact count — `(event_type, n_exact, hll_est, v_empty, rel_err)`.
+    *
+    * The exact leg is the d18 shape (`distinct(type, user)` spreading
+    * the exchange over both columns, then a map-side-combinable count) —
+    * it exists HERE as the audit; at 100 TB it is precisely the leg you
+    * drop, keeping only the register build.
+    *
+    * `hll_est` is the raw HLL estimator α₂₅₆·m²/S: S sums exact
+    * DECIMAL powers of two (the V empty registers contribute 2^57 each,
+    * multiplied at ≤3-digit × 2^57 grain — never a wide decimal
+    * product), and the estimate divides literal-folded IEEE constants by
+    * one exact-decimal cast, rounded at 6. `rel_err` reuses the rounded
+    * estimate so both engines subtract identical doubles.
+    */
+  def hllUsers(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val sketch = registers(ev)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_regs"),
+        sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(57 - rho AS INT)) AS DECIMAL(38,0))"))
+          .as("s_occ"))
+      .select(col("event_type"),
+        (lit(Registers.toLong) - col("n_regs")).as("v_empty"),
+        ((lit(Registers.toLong) - col("n_regs")).cast(DecimalType(10, 0)) *
+          lit(144115188075855872L).cast(DecimalType(20, 0)) +
+          col("s_occ")).as("s_scaled"))
+    val exact = ev.filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id")).distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+    val est = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+      lit(65536.0) * lit(144115188075855872.0) / col("s_scaled").cast("double")
+    exact.join(sketch, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"),
+        round(est, 6).as("hll_est"), col("v_empty"))
+      .select(col("event_type"), col("n_exact"), col("hll_est"), col("v_empty"),
+        round(abs(col("hll_est") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"), 6).as("rel_err"))
+      .orderBy("event_type")
+  }
+
+  val hllUsersSql: String = """WITH regs AS (
+      SELECT event_type,
+        CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT) AS bucket,
+        MAX(CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 3, 14)) AS BIGINT) = 0 THEN 57
+                 ELSE 57 - length(bin(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 3, 14)) AS BIGINT))) END) AS rho
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1, 2),
+    sk AS (
+      SELECT event_type,
+        256 - COUNT(*) AS v_empty,
+        CAST(256 - COUNT(*) AS DECIMAL(10,0)) * CAST(144115188075855872 AS DECIMAL(20,0)) +
+          SUM(CAST((CAST(1 AS BIGINT) << CAST(57 - rho AS INT)) AS DECIMAL(38,0))) AS s_scaled
+      FROM regs GROUP BY 1),
+    ex AS (
+      SELECT event_type, COUNT(*) AS n_exact
+      FROM (SELECT DISTINCT event_type, user_id FROM events WHERE user_id IS NOT NULL)
+      GROUP BY 1),
+    est AS (
+      SELECT event_type, n_exact,
+        ROUND(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 144115188075855872.0 /
+          CAST(s_scaled AS DOUBLE), 6) AS hll_est,
+        CAST(v_empty AS BIGINT) AS v_empty
+      FROM ex JOIN sk USING (event_type))
+    SELECT event_type, n_exact, hll_est, v_empty,
+      ROUND(abs(hll_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6) AS rel_err
+    FROM est ORDER BY event_type"""
+}
