@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -108,6 +109,113 @@ object Sketch {
           col("n_exact").cast("double"), 6).as("rel_err"))
       .orderBy("event_type")
   }
+
+  /** Count-Min rows d (disjoint 5-hex-digit md5 slices). */
+  val CmsRows = 4
+
+  /** Count-Min width w per row (low 10 bits of each 20-bit slice). */
+  val CmsWidth = 1024
+
+  /** Heavy hitters audited against the sketch. */
+  val CmsTopK = 50
+
+  /** Two-phase-rank buckets for the exact top-k leg (W1/T15 idiom). */
+  val CmsRankBuckets = 64L
+
+  /** The d=[[CmsRows]] per-token CMS coordinates `(r, bucket)` — row r
+    * reads hex digits 1+5r..5+5r of `md5(tok)` (disjoint 20-bit slices,
+    * so the rows are independent hashes of one digest) and keeps the
+    * low 10 bits. Exact string/integer ops in both engines.
+    */
+  private def cmsCoords(tok: Column): Column = array(
+    (0 until CmsRows).map { r =>
+      struct(lit(r).as("r"),
+        pmod(conv(substring(md5(tok), 1 + 5 * r, 5), 16, 10).cast("long"),
+          lit(CmsWidth.toLong)).as("bucket"))
+    }: _*)
+
+  private def cmsCoordsSql(tok: String): String =
+    s"CAST(concat('0x', substr(md5($tok), 1 + 5 * r, 5)) AS BIGINT) % $CmsWidth"
+
+  /** The ≤ d·w-row CMS cell table `(r, bucket, cell)` from a vocab-grain
+    * `(tok, cnt)` relation. Mergeable ACROSS corpus shards by additive
+    * union (SketchSpec pins cells(A ∪ B) = cells(A) + cells(B) exactly).
+    */
+  def cmsCellsOf(vocab: DataFrame): DataFrame = vocab
+    .select(col("cnt"), explode(cmsCoords(col("tok"))).as("rb"))
+    .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    .agg(sum("cnt").as("cell"))
+
+  /** T35: Count-Min frequency sketch (Cormode & Muthukrishnan 2005)
+    * audited on the exact token heavy hitters —
+    * `(rk, tok, cnt_exact, cms_est, overest)`, all exact integers (the
+    * only sketch family with a transcendental-free estimator, so the
+    * WHOLE oracle is hash-exact with zero float discipline needed).
+    * `cms_est ≥ cnt_exact` always (counters only over-count — the
+    * one-sided error CMS guarantees; SketchSpec pins it row-by-row and
+    * on an adversarial all-collision fixture).
+    *
+    * Scale shape: occurrences collapse to vocab grain FIRST (the
+    * CLAUDE.md repeated-value rule — cell updates commute, so counting
+    * per distinct token and summing counts into cells is identical to
+    * per-occurrence increments); the cell table is ≤ d·w = 4096 rows
+    * regardless of corpus size — the mergeable, broadcastable artifact
+    * a 100 TB pipeline ships instead of a vocabulary. The exact top-k
+    * leg is the two-phase bucketed rank; the probe joins the 4096-cell
+    * table broadcast. The vocab pre-agg feeds three legs (cells, rank,
+    * probe) and is persisted for the query's lifetime (registry persist
+    * contract; in Bench.extraIters).
+    */
+  def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val vocab = s.read.parquet(s"$dir/documents.parquet")
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .persist()
+    val cells = cmsCellsOf(vocab)
+    val w1 = Window
+      .partitionBy(pmod(TextOps.tokenHash(col("tok")), lit(CmsRankBuckets)))
+      .orderBy(col("cnt").desc, col("tok"))
+    val pre = vocab.withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= CmsTopK)
+    // global window over ≤ CmsRankBuckets·CmsTopK phase-1 survivors
+    val w2 = Window.orderBy(col("cnt").desc, col("tok"))
+    val top = pre.withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= CmsTopK)
+      .select(col("rk"), col("tok"), col("cnt"))
+    top
+      .select(col("rk"), col("tok"), col("cnt"),
+        explode(cmsCoords(col("tok"))).as("rb"))
+      .select(col("rk"), col("tok"), col("cnt"),
+        col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .join(broadcast(cells), Seq("r", "bucket")) // ≤4096 rows: bounded
+      .groupBy("rk", "tok", "cnt")
+      .agg(min("cell").as("cms_est"))
+      .select(col("rk"), col("tok"), col("cnt").as("cnt_exact"),
+        col("cms_est"), (col("cms_est") - col("cnt")).as("overest"))
+      .orderBy("rk")
+  }
+
+  val cmsHeavyHittersSql: String = s"""WITH vocab AS (
+      SELECT tok, COUNT(*) AS cnt
+      FROM (SELECT unnest(${TextOps.tokensSql}) AS tok FROM documents)
+      GROUP BY 1),
+    rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    cells AS (
+      SELECT r, ${cmsCoordsSql("tok")} AS bucket,
+        CAST(SUM(cnt) AS BIGINT) AS cell
+      FROM vocab, rws GROUP BY 1, 2),
+    top AS (
+      SELECT rk, tok, cnt FROM (
+        SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rk
+        FROM vocab)
+      WHERE rk <= $CmsTopK),
+    probes AS (
+      SELECT rk, tok, cnt, r, ${cmsCoordsSql("tok")} AS bucket
+      FROM top, rws)
+    SELECT rk, tok, cnt AS cnt_exact, MIN(cell) AS cms_est,
+      MIN(cell) - cnt AS overest
+    FROM probes JOIN cells USING (r, bucket)
+    GROUP BY 1, 2, 3 ORDER BY rk"""
 
   val hllUsersSql: String = """WITH regs AS (
       SELECT event_type,

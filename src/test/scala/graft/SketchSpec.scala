@@ -68,6 +68,67 @@ class SketchSpec extends SparkSpec {
     0.7213 / (1.0 + 1.079 / 256.0) * Sketch.Registers * Sketch.Registers / s
   }
 
+  test("t35 on sf0.001: CMS never under-counts, and is exact when no bucket collides") {
+    val out = Sketch.cmsHeavyHitters(spark, Sf0001).collect()
+    val nVocab = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(explode(graft.ext.TextOps.tokens(col("text"))).as("tok"))
+      .distinct().count()
+    assert(out.length == math.min(Sketch.CmsTopK.toLong, nVocab))
+    out.foreach { r =>
+      assert(r.getLong(4) >= 0L, s"${r.getString(1)} under-counted") // overest ≥ 0
+      assert(r.getLong(3) == r.getLong(2) + r.getLong(4))
+    }
+    // ranks are 1..|out| by descending exact count
+    assert(out.map(_.getInt(0)).toSeq == (1 to out.length))
+    val cnts = out.map(_.getLong(2)).toSeq
+    assert(cnts == cnts.sorted.reverse)
+  }
+
+  test("t35 estimate is exact on a tiny vocabulary (collision-free regime)") {
+    // 8 distinct tokens into 4x1024 cells: a same-bucket collision in
+    // EVERY row is cosmically unlikely; min-of-rows must be exact.
+    val docs = Seq.tabulate(8)(i => (i.toLong, (s"tok$i " * (i + 1)).trim))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("t35docs")
+    val dir = s"/tmp/t35tiny${System.nanoTime()}"
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = Sketch.cmsHeavyHitters(spark, dir).collect()
+    assert(out.length == 8)
+    out.foreach(r => assert(r.getLong(4) == 0L, s"${r.getString(1)} overest"))
+  }
+
+  test("t35 stays one-sided under forced collisions (vocab ≫ width)") {
+    // 5000 distinct tokens into w=1024 buckets per row: pigeonhole
+    // forces multi-token cells in EVERY row, so estimates over-count —
+    // but must never under-count (the CMS guarantee under load).
+    val docs = (1 to 5000).map(i => (i.toLong, s"w$i")).toDF("doc_id", "text")
+    val dir = s"/tmp/t35coll${System.nanoTime()}"
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = Sketch.cmsHeavyHitters(spark, dir).collect()
+    assert(out.length == Sketch.CmsTopK)
+    out.foreach(r => assert(r.getLong(4) >= 0L, s"${r.getString(1)} under-counted"))
+    assert(out.exists(_.getLong(4) > 0L), "expected at least one collision")
+  }
+
+  test("CMS cell tables merge additively across corpus shards (real table)") {
+    // the mergeability contract: cells(A ∪ B) = cells(A) + cells(B) —
+    // what lets per-shard sketches roll up without a vocabulary union.
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    def cells(df: org.apache.spark.sql.DataFrame) = {
+      val vocab = df
+        .select(explode(graft.ext.TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      Sketch.cmsCellsOf(vocab).collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    }
+    val a = cells(docs.filter(col("doc_id") % 2 === 0))
+    val b = cells(docs.filter(col("doc_id") % 2 === 1))
+    val whole = cells(docs)
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == whole)
+  }
+
   test("e31 on sf0.001: audit columns consistent with an independent exact count") {
     val out = Sketch.hllUsers(spark, Sf0001).collect()
     assert(out.nonEmpty)
