@@ -55,17 +55,24 @@ object Sketch {
     * what lets per-day / per-shard sketches roll up without rescanning —
     * the property exact distinct counting fundamentally lacks.
     */
-  def registers(ev: DataFrame): DataFrame = {
-    val h = md5(col("user_id").cast("string"))
-    ev.filter(col("user_id").isNotNull)
-      .select(col("event_type"),
-        conv(substring(h, 1, 2), 16, 10).cast("long").as("bucket"),
-        conv(substring(h, 3, 14), 16, 10).cast("long").as("w"))
-      .select(col("event_type"), col("bucket"),
-        when(col("w") === 0L, lit(57L))
-          .otherwise(lit(57L) - length(bin(col("w"))).cast("long")).as("rho"))
+  def registers(ev: DataFrame): DataFrame =
+    withRegisterCoords(ev)
       .groupBy("event_type", "bucket")
       .agg(max(col("rho")).as("rho"))
+
+  /** The stateless per-row register projection behind [[registers]]:
+    * keeps every input column and adds `(bucket, rho)` — the form the
+    * streaming tier needs (event-time columns survive to the watermark).
+    */
+  def withRegisterCoords(ev: DataFrame): DataFrame = {
+    val h = md5(col("user_id").cast("string"))
+    ev.filter(col("user_id").isNotNull)
+      .withColumn("bucket", conv(substring(h, 1, 2), 16, 10).cast("long"))
+      .withColumn("hllw", conv(substring(h, 3, 14), 16, 10).cast("long"))
+      .withColumn("rho",
+        when(col("hllw") === 0L, lit(57L))
+          .otherwise(lit(57L) - length(bin(col("hllw"))).cast("long")))
+      .drop("hllw")
   }
 
   /** E31: per-event-type distinct-user HLL sketch audited against the

@@ -108,6 +108,27 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("canon_url")
 
+  /** Streaming HLL register build (streaming tier of batch E31): per
+    * event-time window, the distinct-user HLL-256 register relation
+    * `(window, event_type, bucket, rho)` — the IDENTICAL md5/bin chain
+    * [[graft.ext.Sketch.registers]] computes in batch (spec-pinned
+    * row-for-row), so a windowed stream register and a batch backfill
+    * register can never disagree. Append mode emits each register at
+    * watermark close; consecutive windows (or stream vs batch shards)
+    * roll up by register-wise MAX — the sketch's merge law — which is
+    * exactly why a sketch, not an exact distinct, is the streaming
+    * cardinality primitive: state is ≤ 256·|types| registers per open
+    * window, independent of user cardinality, where
+    * `dropDuplicatesWithinWatermark`-style exact counting holds one
+    * state row PER DISTINCT USER in the horizon.
+    */
+  def hllRegisterStream(events: DataFrame, windowDur: String = "1 hour",
+                        watermark: String = "10 minutes"): DataFrame =
+    graft.ext.Sketch.withRegisterCoords(events)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"), col("bucket"))
+      .agg(max("rho").as("rho"))
+
   /** Streaming MinHash near-dup ingest gate (streaming tier of batch
     * D3): each doc keyed by its FULL 16-minhash signature
     * ([[graft.ext.Dedup.minhashKey]] — the identical shingle/hash

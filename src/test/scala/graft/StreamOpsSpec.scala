@@ -269,6 +269,32 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hllRegisterStream: closed-window registers equal the batch build row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "user_id", "event_type")
+    val q = StreamOps.hllRegisterStream(df, "10 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("hll_reg_test").outputMode("append").start()
+    try {
+      // window [ts(0), ts(10)): 4 users across 2 types; user 7 repeats
+      val inWindow = Seq((ts(0), 7L, "click"), (ts(1), 42L, "click"),
+        (ts(2), 7L, "click"), (ts(3), 999999L, "view"), (ts(4), 123L, "view"))
+      mem.addData(inWindow: _*)
+      q.processAllAvailable()
+      mem.addData((ts(60), 1L, "click")) // advance watermark, close the window
+      q.processAllAvailable()
+      // append mode: only the closed first window is emitted (the
+      // advancer's window stays open), so every emitted row is ours
+      val streamed = spark.table("hll_reg_test").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = graft.ext.Sketch.registers(
+          inWindow.toDF("ts", "user_id", "event_type")
+            .select(col("user_id"), col("event_type")))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("minhashRowSig equals the corpus-grain batch signature on the real table") {
     // the can't-drift contract: the stateless per-row signature the
     // streaming gate keys on reproduces the batch D3 signature
