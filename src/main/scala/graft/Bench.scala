@@ -97,8 +97,9 @@ object Bench {
     // r12: t23 persists its postings relation (feeds the query-term
     // join and the df spine); r15: the spine probe shares the shape
     "t23_bm25_topk", "t23a_spine_probe",
-    // r17: t35 persists its vocab pre-agg (cells + rank + probe legs)
-    "t35_cms_heavy_hitters",
+    // r17: t35 persists its vocab pre-agg (cells + rank + probe legs);
+    // d23 persists its distinct (source, h) relation (4 legs)
+    "t35_cms_heavy_hitters", "d23_kmv_overlap",
     // r12 PersistAudit findings: these five ALWAYS had internal persists
     // (d4 sig, d6 para blocks, e12 event pairs, e13 day-user base, t14
     // source vocab) but were missing from this set — their min-of-2 was

@@ -793,6 +793,7 @@ object SparkEntry {
     Q("e31_hll_users", Sketch.hllUsers, Some(Sketch.hllUsersSql)),
     Q("t35_cms_heavy_hitters", Sketch.cmsHeavyHitters,
       Some(Sketch.cmsHeavyHittersSql)),
+    Q("d23_kmv_overlap", Sketch.kmvOverlap, Some(Sketch.kmvOverlapSql)),
     Q("w1_source_mix", Mix.sourceMix, Some(Mix.sourceMixSql)),
     Q("w2_seq_pack", Mix.seqPack, Some(Mix.seqPackSql)),
     Q("w3_pii_scan", Pii.piiScan, Some(Pii.piiScanSql)),

@@ -202,6 +202,123 @@ object Sketch {
       .orderBy("rk")
   }
 
+  /** KMV sketch size k (bottom-k distinct hash values per source). */
+  val KmvK = 64
+
+  /** Two-phase buckets for the per-source bottom-k (top 4 bits of the
+    * 56-bit hash — a VALUE-monotone bucketing, so the k global minima
+    * per source are exactly the k minima of the per-bucket minima).
+    */
+  val KmvBuckets = 16
+
+  /** D23: KMV (bottom-k) cross-source similarity — the set-INTERSECTION
+    * sketch HLL fundamentally cannot provide (Bar-Yossef et al. 2002;
+    * Beyer et al. 2007): per source, the k smallest distinct 56-bit
+    * md5(text) values; per source pair, the standard bottom-k Jaccard
+    * estimator (shared members among the k smallest of the union,
+    * divided by k) audited against the exact distinct-text Jaccard.
+    * Where D22 needs the full MinHash-LSH machinery over the corpus,
+    * the KMV artifact is ≤ |sources|·k rows — the "ship the sketch,
+    * not the corpus" path for cross-shard overlap at 100 TB. When
+    * |A ∪ B| ≤ k the sketch IS the set and the estimate is exact
+    * (spec-pinned, along with the bottom-k merge law).
+    *
+    * Determinism: hashes, ranks, memberships, and counts are exact
+    * integers; the two Jaccards are single IEEE divisions rounded at 6.
+    *
+    * Scale shape: the distinct (source, h) relation is the d18 shape;
+    * the bottom-k per source is the value-bucketed two-phase rank
+    * (never a whole-source sort in one task); the pair grid joins two
+    * ≤|sources|-row array relations (broadcast — a bounded categorical
+    * domain, the x14 nation-spine argument); the exact-intersection
+    * audit leg equi-joins on the hash value. The distinct relation
+    * feeds four legs (n-counts, sketch, both intersect sides) and is
+    * persisted for the query's lifetime (registry contract;
+    * Bench.extraIters).
+    */
+  def kmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sh = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"),
+        conv(substring(md5(col("text")), 1, 14), 16, 10).cast("long").as("h"))
+      .distinct().persist()
+    val nPer = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val w1 = Window
+      .partitionBy(col("source"), shiftright(col("h"), 52))
+      .orderBy("h")
+    val w2 = Window.partitionBy("source").orderBy("h")
+    val sk = sh.withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= KmvK) // ≤ KmvBuckets·KmvK rows enter w2
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= KmvK)
+    val arr = sk.groupBy("source")
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+    val inter = sh.as("x")
+      .join(sh.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val u = array_sort(array_union(col("ha"), col("hb")))
+    val pairs = arr.select(col("source").as("source_a"), col("hs").as("ha"))
+      .join(broadcast(
+          arr.select(col("source").as("source_b"), col("hs").as("hb"))),
+        col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        least(size(u), lit(KmvK)).as("k_used"),
+        size(array_intersect(array_intersect(
+          slice(u, lit(1), least(size(u), lit(KmvK))), col("ha")), col("hb")))
+          .as("kmv_shared"))
+    pairs
+      .join(nPer.select(col("source").as("source_a"), col("n").as("n_a")), "source_a")
+      .join(nPer.select(col("source").as("source_b"), col("n").as("n_b")), "source_b")
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("k_used"), col("kmv_shared"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6)
+          .as("jacc_exact"),
+        col("k_used"), col("kmv_shared"),
+        round(col("kmv_shared").cast("double") / col("k_used").cast("double"), 6)
+          .as("jacc_kmv"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val kmvOverlapSql: String = s"""WITH sh AS (
+      SELECT DISTINCT source,
+        CAST(concat('0x', substr(md5(text), 1, 14)) AS BIGINT) AS h
+      FROM documents),
+    np AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1),
+    sk AS (
+      SELECT source, h FROM (
+        SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+        FROM sh)
+      WHERE rk <= $KmvK),
+    arr AS (SELECT source, list_sort(list(h)) AS hs FROM sk GROUP BY 1),
+    inter AS (
+      SELECT x.source AS source_a, y.source AS source_b, COUNT(*) AS n_shared
+      FROM sh x JOIN sh y ON x.h = y.h AND x.source < y.source
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+        LEAST(len(list_distinct(a.hs || b.hs)), $KmvK) AS k_used,
+        len(list_filter(
+          (list_sort(list_distinct(a.hs || b.hs)))[1:LEAST(len(list_distinct(a.hs || b.hs)), $KmvK)],
+          v -> list_contains(a.hs, v) AND list_contains(b.hs, v))) AS kmv_shared
+      FROM arr a JOIN arr b ON a.source < b.source)
+    SELECT source_a, source_b, na.n AS n_a, nb.n AS n_b,
+      COALESCE(inter.n_shared, 0) AS n_shared,
+      ROUND(CAST(COALESCE(inter.n_shared, 0) AS DOUBLE) /
+        CAST(na.n + nb.n - COALESCE(inter.n_shared, 0) AS DOUBLE), 6) AS jacc_exact,
+      k_used, kmv_shared,
+      ROUND(CAST(kmv_shared AS DOUBLE) / CAST(k_used AS DOUBLE), 6) AS jacc_kmv
+    FROM pairs
+      JOIN np na ON pairs.source_a = na.source
+      JOIN np nb ON pairs.source_b = nb.source
+      LEFT JOIN inter USING (source_a, source_b)
+    ORDER BY source_a, source_b"""
+
   val cmsHeavyHittersSql: String = s"""WITH vocab AS (
       SELECT tok, COUNT(*) AS cnt
       FROM (SELECT unnest(${TextOps.tokensSql}) AS tok FROM documents)

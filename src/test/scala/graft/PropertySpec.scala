@@ -348,6 +348,9 @@ class PropertySpec extends AnyFunSuite {
     "d19_template_prefix" -> Map("round" -> 1),
     "d20_band_tuning" -> Map("round" -> 1),
     "d22_source_overlap" -> Map("round" -> 1),
+    // d23: pattern (b) twice — both Jaccards are single IEEE divisions
+    // of exact integer counts, round(x, 6) stated identically both sides
+    "d23_kmv_overlap" -> Map("round" -> 2),
     "d5_contamination" -> Map("round" -> 1),
     "d6_paragraph_dedup" -> Map("round" -> 1),
     "d9_minhash_calibration" -> Map("round" -> 3),

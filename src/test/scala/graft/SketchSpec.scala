@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.ext.Sketch
 
@@ -127,6 +128,54 @@ class SketchSpec extends SparkSpec {
     val merged = (a.keySet ++ b.keySet).map(k =>
       k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
     assert(merged == whole)
+  }
+
+  test("d23 on sf0.001: audit invariants — kmv within bounds, exact regime exact") {
+    val out = Sketch.kmvOverlap(spark, Sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (na, nb, sh) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(sh <= math.min(na, nb))
+      val kUsed = r.getInt(6).toLong
+      val kmvShared = r.getInt(7).toLong
+      assert(kUsed >= 1 && kUsed <= Sketch.KmvK)
+      assert(kmvShared >= 0 && kmvShared <= kUsed)
+      // exact regime: |A ∪ B| <= k means the sketch IS the set
+      if (na + nb - sh <= Sketch.KmvK) {
+        assert(kmvShared == sh, s"${r.getString(0)}/${r.getString(1)}")
+        assert(kUsed == na + nb - sh)
+      }
+    }
+  }
+
+  test("d23 estimator lands near truth when the union exceeds k (constructed overlap)") {
+    // two sources of 400 distinct texts sharing 200: true J = 200/600.
+    val shared = (1 to 200).map(i => s"shared doc $i")
+    val rows = (shared ++ (1 to 200).map(i => s"only a $i")).map(("sa", _)) ++
+      (shared ++ (1 to 200).map(i => s"only b $i")).map(("sb", _))
+    val dir = s"/tmp/d23acc${System.nanoTime()}"
+    rows.toDF("source", "text").write.parquet(s"$dir/documents.parquet")
+    val r = Sketch.kmvOverlap(spark, dir).collect().head
+    assert(r.getLong(4) == 200L && r.getDouble(5) == math.rint(200.0 / 600.0 * 1e6) / 1e6)
+    val est = r.getDouble(8)
+    // k=64 bottom-k Jaccard: sigma ~ sqrt(J(1-J)/k) ~ 0.059; allow 3 sigma
+    assert(math.abs(est - 200.0 / 600.0) < 0.18, s"jacc_kmv $est")
+  }
+
+  test("bottom-k sketches merge: bottomK(A ∪ B) == bottomK(bottomK(A) ∪ bottomK(B))") {
+    // the merge law that lets per-shard sketches roll up (real table)
+    def hs(src: Column => Column): Seq[Long] = {
+      val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+        .filter(src(col("doc_id")))
+        .select(conv(substring(md5(col("text")), 1, 14), 16, 10)
+          .cast("long").as("h"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      docs.sorted.take(Sketch.KmvK)
+    }
+    val a = hs(_ % 2 === 0)
+    val b = hs(_ % 2 === 1)
+    val whole = hs(_ >= Long.MinValue)
+    assert((a ++ b).distinct.sorted.take(Sketch.KmvK) == whole)
   }
 
   test("e31 on sf0.001: audit columns consistent with an independent exact count") {
