@@ -250,8 +250,12 @@ object Sketch {
       .filter(col("r1") <= KmvK) // ≤ KmvBuckets·KmvK rows enter w2
       .withColumn("rk", row_number().over(w2))
       .filter(col("rk") <= KmvK)
+    // ≤|sources| rows, but it feeds BOTH pair-grid sides: without the
+    // persist the two-phase rank over the corpus-distinct relation
+    // executes twice (the CLAUDE.md two-leg rule)
     val arr = sk.groupBy("source")
       .agg(sort_array(collect_list(col("h"))).as("hs"))
+      .persist()
     val inter = sh.as("x")
       .join(sh.as("y"),
         col("x.h") === col("y.h") && col("x.source") < col("y.source"))
