@@ -205,18 +205,25 @@ object Sketch {
   /** KMV sketch size k (bottom-k distinct hash values per source). */
   val KmvK = 64
 
-  /** Two-phase buckets for the per-source bottom-k (top 4 bits of the
+  /** Two-phase buckets for the per-source bottom-k (top bits of the
     * 56-bit hash — a VALUE-monotone bucketing, so the k global minima
     * per source are exactly the k minima of the per-bucket minima).
     */
   val KmvBuckets = 16
+
+  /** Shift that realizes [[KmvBuckets]] from the 56-bit hash. */
+  val KmvShift: Int = 56 - Integer.numberOfTrailingZeros(KmvBuckets)
 
   /** D23: KMV (bottom-k) cross-source similarity — the set-INTERSECTION
     * sketch HLL fundamentally cannot provide (Bar-Yossef et al. 2002;
     * Beyer et al. 2007): per source, the k smallest distinct 56-bit
     * md5(text) values; per source pair, the standard bottom-k Jaccard
     * estimator (shared members among the k smallest of the union,
-    * divided by k) audited against the exact distinct-text Jaccard.
+    * divided by k) audited against the exact distinct HASH-grain
+    * Jaccard (both legs live at the 56-bit-prefix grain: collision-free
+    * at test scale, and identically conflated in both engines past
+    * ~2^28 distinct texts — the audit compares sketch vs full-set at
+    * the same grain, not text identity).
     * Where D22 needs the full MinHash-LSH machinery over the corpus,
     * the KMV artifact is ≤ |sources|·k rows — the "ship the sketch,
     * not the corpus" path for cross-shard overlap at 100 TB. When
@@ -243,7 +250,7 @@ object Sketch {
       .distinct().persist()
     val nPer = sh.groupBy("source").agg(count(lit(1)).as("n"))
     val w1 = Window
-      .partitionBy(col("source"), shiftright(col("h"), 52))
+      .partitionBy(col("source"), shiftright(col("h"), KmvShift))
       .orderBy("h")
     val w2 = Window.partitionBy("source").orderBy("h")
     val sk = sh.withColumn("r1", row_number().over(w1))

@@ -90,9 +90,8 @@ class SketchSpec extends SparkSpec {
     // EVERY row is cosmically unlikely; min-of-rows must be exact.
     val docs = Seq.tabulate(8)(i => (i.toLong, (s"tok$i " * (i + 1)).trim))
       .toDF("doc_id", "text")
-    docs.createOrReplaceTempView("t35docs")
-    val dir = s"/tmp/t35tiny${System.nanoTime()}"
-    docs.write.parquet(s"$dir/documents.parquet")
+    val dir = "/tmp/graft-fixtures/t35tiny"
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = Sketch.cmsHeavyHitters(spark, dir).collect()
     assert(out.length == 8)
     out.foreach(r => assert(r.getLong(4) == 0L, s"${r.getString(1)} overest"))
@@ -103,8 +102,8 @@ class SketchSpec extends SparkSpec {
     // forces multi-token cells in EVERY row, so estimates over-count —
     // but must never under-count (the CMS guarantee under load).
     val docs = (1 to 5000).map(i => (i.toLong, s"w$i")).toDF("doc_id", "text")
-    val dir = s"/tmp/t35coll${System.nanoTime()}"
-    docs.write.parquet(s"$dir/documents.parquet")
+    val dir = "/tmp/graft-fixtures/t35coll"
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = Sketch.cmsHeavyHitters(spark, dir).collect()
     assert(out.length == Sketch.CmsTopK)
     out.foreach(r => assert(r.getLong(4) >= 0L, s"${r.getString(1)} under-counted"))
@@ -153,8 +152,9 @@ class SketchSpec extends SparkSpec {
     val shared = (1 to 200).map(i => s"shared doc $i")
     val rows = (shared ++ (1 to 200).map(i => s"only a $i")).map(("sa", _)) ++
       (shared ++ (1 to 200).map(i => s"only b $i")).map(("sb", _))
-    val dir = s"/tmp/d23acc${System.nanoTime()}"
-    rows.toDF("source", "text").write.parquet(s"$dir/documents.parquet")
+    val dir = "/tmp/graft-fixtures/d23acc"
+    rows.toDF("source", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
     val r = Sketch.kmvOverlap(spark, dir).collect().head
     assert(r.getLong(4) == 200L && r.getDouble(5) == math.rint(200.0 / 600.0 * 1e6) / 1e6)
     val est = r.getDouble(8)
