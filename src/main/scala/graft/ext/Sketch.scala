@@ -134,7 +134,7 @@ object Sketch {
     * so the rows are independent hashes of one digest) and keeps the
     * low 10 bits. Exact string/integer ops in both engines.
     */
-  private def cmsCoords(tok: Column): Column = array(
+  def cmsCoordsOf(tok: Column): Column = array(
     (0 until CmsRows).map { r =>
       struct(lit(r).as("r"),
         pmod(conv(substring(md5(tok), 1 + 5 * r, 5), 16, 10).cast("long"),
@@ -149,7 +149,7 @@ object Sketch {
     * union (SketchSpec pins cells(A ∪ B) = cells(A) + cells(B) exactly).
     */
   def cmsCellsOf(vocab: DataFrame): DataFrame = vocab
-    .select(col("cnt"), explode(cmsCoords(col("tok"))).as("rb"))
+    .select(col("cnt"), explode(cmsCoordsOf(col("tok"))).as("rb"))
     .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
     .agg(sum("cnt").as("cell"))
 
@@ -191,7 +191,7 @@ object Sketch {
       .select(col("rk"), col("tok"), col("cnt"))
     top
       .select(col("rk"), col("tok"), col("cnt"),
-        explode(cmsCoords(col("tok"))).as("rb"))
+        explode(cmsCoordsOf(col("tok"))).as("rb"))
       .select(col("rk"), col("tok"), col("cnt"),
         col("rb.r").as("r"), col("rb.bucket").as("bucket"))
       .join(broadcast(cells), Seq("r", "bucket")) // ≤4096 rows: bounded

@@ -129,6 +129,31 @@ object StreamOps {
       .groupBy(window(col("ts"), windowDur), col("event_type"), col("bucket"))
       .agg(max("rho").as("rho"))
 
+  /** Streaming CMS cell build (streaming tier of batch T35): per
+    * event-time window, the Count-Min cell table
+    * `(window, r, bucket, cell)` over the documents' token stream —
+    * the IDENTICAL md5-slice coordinates batch
+    * [[graft.ext.Sketch.cmsCellsOf]] uses (spec-pinned cell-for-cell),
+    * so a windowed stream sketch and a batch backfill can never
+    * disagree. Append mode emits each cell at watermark close;
+    * windows (or stream vs batch shards) roll up by cell-wise ADD —
+    * the CMS merge law, dual to the HLL register stream's max-merge.
+    * The per-occurrence explode feeds a map-side-combinable count
+    * whose key domain is ≤ d·w = 4096 per open window — the exchange
+    * carries cells, not tokens (the batch vocab-grain collapse is
+    * unnecessary here because the cell domain is already bounded).
+    */
+  def cmsCellStream(docs: DataFrame, windowDur: String = "1 hour",
+                    watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        explode(graft.ext.TextOps.tokens(col("text"))).as("tok"))
+      .select(col("ts"), explode(graft.ext.Sketch.cmsCoordsOf(col("tok"))).as("rb"))
+      .groupBy(window(col("ts"), windowDur),
+        col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cell"))
+
   /** Streaming MinHash near-dup ingest gate (streaming tier of batch
     * D3): each doc keyed by its FULL 16-minhash signature
     * ([[graft.ext.Dedup.minhashKey]] — the identical shingle/hash

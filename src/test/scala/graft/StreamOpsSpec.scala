@@ -295,6 +295,30 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cmsCellStream: closed-window cells equal the batch cell build cell-for-cell") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "text")
+    val q = StreamOps.cmsCellStream(df, "10 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("cms_cell_test").outputMode("append").start()
+    try {
+      val texts = Seq("spark shuffles the big table", "the table joins spark",
+        "shuffles shuffles shuffles")
+      mem.addData(texts.zipWithIndex.map { case (t, i) => (ts(i.toLong), t) }: _*)
+      q.processAllAvailable()
+      mem.addData((ts(60), "advance")) // close the first window
+      q.processAllAvailable()
+      val streamed = spark.table("cms_cell_test").collect()
+        .map(r => ((r.getInt(1), r.getLong(2)), r.getLong(3))).toMap
+      val vocab = texts.toDF("text")
+        .select(explode(graft.ext.TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val batch = graft.ext.Sketch.cmsCellsOf(vocab).collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("minhashRowSig equals the corpus-grain batch signature on the real table") {
     // the can't-drift contract: the stateless per-row signature the
     // streaming gate keys on reproduces the batch D3 signature
