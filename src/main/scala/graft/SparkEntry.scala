@@ -634,6 +634,14 @@ object SparkEntry {
       // Exact decimal domain: raw values are 2-dp, so double→DECIMAL(p,2)
       // rounds identically in Spark and DuckDB and every product/sum below
       // is exact — partition-order independent by construction.
+      // Cost accounting (tools/Q1Prof, sf0.1 warm min): scan+count 0.11s,
+      // the same agg over raw doubles 0.28s, this exact-DECIMAL body
+      // 1.02s — the 3.5× is the BigDecimal-backed sum buffer
+      // (DecimalType(18,2) input ⇒ (28,2) buffer > Spark's 18-digit
+      // compact-long ceiling). Narrower input decimals would go compact
+      // and fast but overflow the buffer at the 100 TB row count, so the
+      // wide path IS the scale-correct one; exactness, not the plan, is
+      // the floor here.
       val price = col("l_extendedprice").cast(DecimalType(18, 2))
       val disc = col("l_discount").cast(DecimalType(4, 2))
       val tax = col("l_tax").cast(DecimalType(4, 2))
