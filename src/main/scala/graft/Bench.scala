@@ -134,8 +134,15 @@ object Bench {
     // r12c: t27 persists its vocab pre-agg (max/total leg + rank leg);
     // w9 rides the memoized D7 labels like c1/c3/c4
     "t27_vocab_coverage", "w9_dedup_source_mix",
-    // r14: w13 rides the memoized D7 labels like w9/c1/c3/c4
+    // r14: w13 rides the memoized D7 labels like w9/c1/c3/c4; r17: it
+    // also persists its source-grain per pre-agg (total + scored legs)
     "w13_dedup_weighted_mix",
+    // r17: s12 persists its query×codeword ADC distance table (one
+    // broadcast leg per subspace)
+    "s12_pq_adc_recall",
+    // r17 DupSubtreeAudit sweep: two-leg pre-agg persists (total leg +
+    // final projection shared one corpus pass)
+    "w7_mixture_temperature", "e27_session_gaps", "s7_centroid_separation",
     // r14: s21 persists its emb scan, composed PQ+cell index, and the
     // queries×k result relation (output + recall-guard legs), like s4;
     // s22 rides the same memoized index base + its nSub-row comparison

@@ -160,10 +160,14 @@ object SparkEntry {
     (s, dir) => {
       val px = liPixels(s, dir)
       val st = HistStats.stats(px.filter(PixelOps.validMask(col("db"))))
+      // q feeds BOTH the min/max agg and the final projection — without
+      // the persist the scan+dB+stats+quantize subtree executes twice
+      // (DupSubtreeAudit: 90-node duplicate; the two-leg rule)
       val q = px.crossJoin(broadcast(st)).select(
         col("l_orderkey"), col("l_linenumber"),
         PixelOps.clipQuantizeMasked(col("db"), PixelOps.validMask(col("db")),
           col("p05"), col("p95"), lit(1.0), lit(255.0)).as("q"))
+        .persist()
       val mm = q.agg(min(col("q")).as("mn"), max(col("q")).as("mx"))
       q.crossJoin(broadcast(mm)).select(
         col("l_orderkey"), col("l_linenumber"),

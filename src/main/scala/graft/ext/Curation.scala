@@ -266,9 +266,12 @@ object Curation {
         when(col("doc_id") === col("lbl"), "kept").otherwise("dropped").as("status"),
         when(col("q") >= 0.66, "high").when(col("q") >= 0.33, "mid")
           .otherwise("low").as("band"))
+    // <=6 rows, but it feeds the status total AND the final join:
+    // unpersisted, the corpus scan + labels join + agg executed twice
     val g = marked.groupBy("status", "band")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("q").cast(DecimalType(20, 6))).as("sq"))
+      .persist()
     val st = g.groupBy("status").agg(sum("n_docs").as("tn")) // <=2 rows
     g.join(st, "status")
       .select(col("status"), col("band"), col("n_docs"),

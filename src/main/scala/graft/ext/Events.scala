@@ -1569,8 +1569,14 @@ object Events {
     val clipped = days.select(col("day"),
       greatest(col("s_us"), expr(s"day * $DayUs")).as("cs"),
       least(col("e_us"), expr(s"(day + 1) * $DayUs - 1")).as("ce"))
-    val deltas = clipped.select(col("day"), col("cs").as("at"), lit(1L).as("p"), lit(0L).as("m"))
-      .union(clipped.select(col("day"), col("ce").as("at"), lit(0L).as("p"), lit(1L).as("m")))
+    // ONE pass: each clipped interval explodes into its open/close
+    // deltas in-row — the union form re-executed the whole sessionize
+    // chain once per leg (DupSubtreeAudit; rows are identical)
+    val deltas = clipped.select(col("day"),
+        explode(array(
+          struct(col("cs").as("at"), lit(1L).as("p"), lit(0L).as("m")),
+          struct(col("ce").as("at"), lit(0L).as("p"), lit(1L).as("m")))).as("d"))
+      .select(col("day"), col("d.at").as("at"), col("d.p").as("p"), col("d.m").as("m"))
       .groupBy("day", "at")
       .agg(sum("p").as("p"), sum("m").as("m"))
     val w = Window.partitionBy("day").orderBy("at")
@@ -1705,11 +1711,15 @@ object Events {
       .withColumn("prev_e", lag(col("e_us"), 1).over(w))
       .filter(col("prev_e").isNotNull)
       .select(expr(s"(s_us - prev_e) div $MinuteUs").as("gap_min"))
+    // band-grain (<=~40 rows), but it feeds the total leg AND the
+    // final projection: unpersisted, the sessionize chain executed
+    // twice (DupSubtreeAudit; the two-leg rule)
     val bins = gaps
       .withColumn("band", (length(conv(col("gap_min"), 10, 2)) - 1).cast("long"))
       .groupBy("band")
       .agg(count(lit(1)).as("n_gaps"), sum("gap_min").as("tot_min"),
         min("gap_min").as("min_gap_min"), max("gap_min").as("max_gap_min"))
+      .persist()
     val tot = bins.agg(sum("n_gaps").as("tg"))
     bins.crossJoin(broadcast(tot))
       .select(col("band"), col("n_gaps"), col("min_gap_min"), col("max_gap_min"),

@@ -238,9 +238,12 @@ object Mix {
     */
   def mixtureTemperatureFrom(d: DataFrame, budget: Long): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // source-grain, but it feeds the total leg and the scored chain:
+    // unpersisted, the corpus scan + agg executed once per leg
     val per = d.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum("ntok").as("available_tokens"))
+      .persist()
     val tot = per.agg(sum("available_tokens").as("nn")) // 1 row, bounded
     val scored = per.crossJoin(broadcast(tot))
       .withColumn("p",
@@ -400,6 +403,9 @@ object Mix {
     val base = docs(s, dir).select(col("doc_id"), col("source"),
       size(TextOps.tokens(col("text"))).cast("long").as("ntok"))
     val labels = Dedup.clusterIds(s, dir) // (id, lbl), memoized
+    // ≤|sources| rows, but it feeds the total leg AND the scored chain
+    // (which itself fans out twice) — unpersisted, the corpus scan +
+    // labels join + agg executed once per leg (DupSubtreeAudit)
     val per = base.join(labels, col("doc_id") === col("id"))
       .withColumn("keep", (col("doc_id") === col("lbl")).cast("long"))
       .groupBy("source").agg(
@@ -407,6 +413,7 @@ object Mix {
         sum("keep").as("n_kept"),
         sum("ntok").as("tokens_pre"),
         sum(col("keep") * col("ntok")).as("tokens_post"))
+      .persist()
     val tot = per.agg(sum("tokens_pre").as("tp"), sum("tokens_post").as("tq")) // 1 row
     val scored = per.crossJoin(broadcast(tot))
       .withColumn("w9_pre",
@@ -758,6 +765,10 @@ object Mix {
       .groupBy(col("source"), col("phase"))
       .agg(count(lit(1)).as("n_docs"), sum("ntok").as("available_tokens"))
       .withColumn("mult", phaseMult(col("phase")))
+      // (source, phase)-grain, but it feeds the total leg AND the
+      // final projection: unpersisted, the curriculum chain over the
+      // corpus executed twice (DupSubtreeAudit: 51-node duplicate)
+      .persist()
     val tot = per.agg(sum(col("mult") * col("available_tokens")).as("tot")) // 1 row
     per.crossJoin(broadcast(tot))
       .withColumn("target_tokens", expr(s"($budget * (mult * available_tokens)) div tot"))
@@ -948,6 +959,9 @@ object Mix {
       .withColumn("k", weightK(col("source")))
       .withColumn("wpre", col("k") * col("tokens_all"))
       .withColumn("wpost", col("k") * col("tokens_canonical"))
+      // source-grain two-leg pre-agg (total + final): persisted per the
+      // same rule as w7/w13
+      .persist()
     val tot = per.agg(sum("wpre").as("tpre"), sum("wpost").as("tpost"))
     per.crossJoin(broadcast(tot))
       .select(col("source"),

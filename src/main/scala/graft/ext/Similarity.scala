@@ -453,7 +453,10 @@ object Similarity {
       .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
         x => x("c").cast("float")).as("centroid"))
     val members = emb.groupBy("label").agg(count(lit(1)).as("n"))
-    val cents = centroids.join(members, "label")
+    // label-grain, but consumed by BOTH pair sides: unpersisted, the
+    // posexplode centroid build over the corpus executed twice
+    // (DupSubtreeAudit; the two-leg rule)
+    val cents = centroids.join(members, "label").persist()
     val a = cents.select(col("label").as("label_a"), col("centroid").as("ca"),
       col("n").as("n_a"))
     val b = cents.select(col("label").as("label_b"), col("centroid").as("cb"),
@@ -807,11 +810,14 @@ object Similarity {
     val q = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     // (query × codeword) subspace distances — 20×16 rows, provably bounded
+    // NumQueries·PqCodes rows, but it feeds one broadcast leg PER
+    // subspace below — unpersisted, the query scan + distance table
+    // rebuilt once per subspace join (DupSubtreeAudit)
     val qcd = q.crossJoin(broadcast(codes)).select(
       Seq(col("qid"), col("cid")) ++ (0 until PqSubSpaces).map { m =>
         val qs = sub(col("qe"), m); val cs = sub(col("ce"), m)
         (dot(qs, qs) + dot(cs, cs) - lit(2.0) * dot(qs, cs)).as(s"qd$m")
-      }: _*)
+      }: _*).persist()
     val db = pqEncodeFrom(emb)
       .select(col("vec_id") +: (0 until PqSubSpaces).map(m => col(s"code$m")): _*)
     val cand = db.crossJoin(broadcast(q.select(col("qid"))))
