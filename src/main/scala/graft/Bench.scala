@@ -839,13 +839,19 @@ object Bench {
       sentinel: Double, nChunks: Int, sfDir: String): String = {
     def cs(v: Double): Long = math.round(v * 100.0)
     def sec2(v: Double): Double = cs(v) / 100.0
-    val total = all.map(_._2).filter(_ >= 0).sum
+    // Failed queries arrive as v = -1.0 sentinels; they are carried by
+    // name in the "failed" array and must NOT surface as negative
+    // seconds inside "queries" — a driver that sums or validates the
+    // {name: sec} map per the contract schema would miscount (r17
+    // ADVICE). Spec-pinned by BenchSelectionSpec.
+    val timed = all.filter(_._2 >= 0)
+    val total = timed.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
     val FastCs = 50L
     def render(threshold: Long): String = {
-      val (listed, fast) = all.partition { case (k, v) =>
-        cs(v) >= threshold || v < 0 || k.startsWith("raster_") }
+      val (listed, fast) = timed.partition { case (k, v) =>
+        cs(v) >= threshold || k.startsWith("raster_") }
       val qsCompact = listed.map { case (k, v) => s"\"" + k + "\":" + sec2(v) }
         .mkString("{", ",", "}")
       val issues = (if (failed.isEmpty) "" else s""","failed":$failedJson""") +

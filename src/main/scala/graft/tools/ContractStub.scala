@@ -1,0 +1,30 @@
+package graft.tools
+
+/** Driver-contract pipeline stub (r18).
+  *
+  * The driver captures `sbt -batch "runMain graft.Bench"` stdout, keeps
+  * the last 2000 chars, and json-parses the LAST line. Whether that line
+  * arrives bare depends on build.sbt's forked-run output settings
+  * (`outputStrategy := Some(StdoutOutput)`, `Global / showSuccess :=
+  * false`) — sbt's default LoggedOutput prefixed it with "[info] " and
+  * appended a "[success] Total time …" footer, which kept every
+  * BENCH_r{1..17} artifact at "parsed": null.
+  *
+  * This main exists so `tools/contract_check.py` can exercise the REAL
+  * sbt pipeline (same settings, same fork path) in seconds without
+  * paying a Spark bench run: it prints decoy lines (to prove earlier
+  * output doesn't matter) and then one line in the exact driver-contract
+  * schema produced by `Bench.compactContractLine`. The checker asserts
+  * the final stdout line of the sbt invocation `json.loads` cleanly and
+  * carries the metric/value/unit/queries keys.
+  */
+object ContractStub {
+  def main(args: Array[String]): Unit = {
+    println("ContractStub: decoy line 1 (must not be last)")
+    System.err.println("ContractStub: stderr noise (must not reach stdout tail)")
+    println(graft.Bench.compactContractLine(
+      all = Seq("q_stub_slow" -> 1.23, "raster_stub" -> 0.07, "q_stub_fast" -> 0.11),
+      failed = Seq.empty, flaky = Seq.empty,
+      sentinel = 0.05, nChunks = 1, sfDir = "/root/testdata/sf0.001"))
+  }
+}

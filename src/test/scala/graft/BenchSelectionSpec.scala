@@ -97,8 +97,15 @@ class BenchSelectionSpec extends AnyFunSuite {
     assert(node.get("queries").has("raster_pushdown_400mp"))
     assert(node.get("queries").has("raster_warp_utm_16mp"))
     assert(node.get("failed").get(0).asText == "dead_query")
-    // listed + aggregated remainder partitions the suite exactly
-    assert(node.get("queries").size + node.get("fast_n").asInt == qs.length)
+    // r17 ADVICE: a failure is carried by NAME in "failed" only — never
+    // as negative seconds inside the {name: sec} queries map, which a
+    // schema-validating driver could reject or missum.
+    assert(!node.get("queries").has("dead_query"))
+    val qVals = node.get("queries").elements()
+    while (qVals.hasNext) assert(qVals.next().asDouble >= 0.0)
+    // listed + aggregated remainder partitions the TIMED suite exactly
+    // (the one failed entry is excluded from both sides)
+    assert(node.get("queries").size + node.get("fast_n").asInt == qs.length - 1)
     // a small suite lists everything by name at the base threshold
     val small = Bench.compactContractLine(Seq(("q1", 1.23), ("q2", 0.1)),
       Nil, Nil, 0.1, 1, "sf0.01")

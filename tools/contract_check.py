@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Driver bench-contract check (r18).
+
+The driver runs `sbt -batch "runMain graft.Bench"`, keeps the last 2000
+chars of stdout, and json-parses the LAST line into BENCH_r{N}.json's
+"parsed" field. That contract depends on build.sbt settings
+(outputStrategy := StdoutOutput, Global / showSuccess := false) that sbt
+upgrades or a stray setting could silently revert — which is exactly what
+kept BENCH_r1..r17 at "parsed": null (LoggedOutput's "[info] " prefix +
+the "[success] Total time" footer).
+
+This script runs graft.tools.ContractStub (no Spark, seconds) through the
+SAME sbt pipeline and asserts, on the captured stdout:
+  1. the last non-empty line json.loads cleanly (no "[info] " prefix,
+     no trailing "[success]" footer after it);
+  2. it carries the contract keys: metric, value, unit == "sec",
+     queries (dict of name -> seconds);
+  3. every queries value is a non-negative number (failures belong in
+     "failed", never as negative seconds — r17 ADVICE);
+  4. the line also survives the driver's exact tail discipline
+     (last 2000 chars -> last line).
+
+Exit 0 = contract green; nonzero with a diagnostic otherwise.
+Usage: python3 tools/contract_check.py   (run from the repo root)
+"""
+import json
+import subprocess
+import sys
+
+CMD = ["sbt", "-batch", "runMain graft.tools.ContractStub"]
+
+
+def fail(msg, out=None):
+    print(f"CONTRACT FAIL: {msg}")
+    if out is not None:
+        print("--- last 2000 chars of stdout ---")
+        print(out[-2000:])
+    sys.exit(1)
+
+
+def main():
+    proc = subprocess.run(CMD, capture_output=True, text=True, timeout=600)
+    out = proc.stdout
+    if proc.returncode != 0:
+        fail(f"sbt exited {proc.returncode}", out + "\n--- stderr ---\n" + proc.stderr)
+
+    # The driver's discipline: tail 2000 chars, then take the last line.
+    tail = out[-2000:]
+    lines = [l for l in tail.splitlines() if l.strip()]
+    if not lines:
+        fail("no non-empty stdout lines in the 2000-char tail", out)
+    last = lines[-1]
+
+    try:
+        obj = json.loads(last)
+    except json.JSONDecodeError as e:
+        fail(f"last stdout line is not bare JSON ({e}): {last!r}", out)
+
+    for key in ("metric", "value", "unit", "queries"):
+        if key not in obj:
+            fail(f"contract key {key!r} missing from parsed line: {obj}")
+    if obj["unit"] != "sec":
+        fail(f'unit is {obj["unit"]!r}, expected "sec"')
+    if not isinstance(obj["queries"], dict):
+        fail(f'queries is {type(obj["queries"]).__name__}, expected object')
+    bad = {k: v for k, v in obj["queries"].items()
+           if not isinstance(v, (int, float)) or v < 0}
+    if bad:
+        fail(f"negative/non-numeric query timings in queries map: {bad}")
+    if not isinstance(obj["value"], (int, float)) or obj["value"] < 0:
+        fail(f'value is {obj["value"]!r}, expected non-negative number')
+
+    print(f"CONTRACT OK: last stdout line parses; keys={sorted(obj)}; "
+          f"queries={len(obj['queries'])}")
+    sys.exit(0)
+
+
+if __name__ == "__main__":
+    main()
