@@ -25,12 +25,16 @@ import org.apache.spark.sql.types.DecimalType
   * Determinism discipline: registers are exact integers; the harmonic
   * denominator S = Σ 2^(57−rho) (empty registers contribute 2^57)
   * accumulates exact powers of two in DECIMAL (order-free); the raw
-  * estimate α·m²/S is one literal-IEEE chain over exact inputs, rounded
-  * at the boundary; the small-range (linear-counting) correction needs
-  * `ln(m/V)` and is deliberately NOT emitted (the repo's no-transcendental
-  * oracle rule) — `v_empty` is emitted instead so a consumer applies the
-  * correction downstream, and SketchSpec pins the corrected estimate's
-  * accuracy in Scala where no cross-engine hash is at stake.
+  * estimate α·m²/S is restated at 1e-6 grain as ONE integer
+  * floor-division of the frozen integer literal [[HllNumE6]] by the
+  * exact S·2^57 — no emitted cell ever touches a float (the t23
+  * integer idiom; r17 ADVICE killed the previous float form's
+  * decimal→double cast, a 1-ulp cross-engine hazard at ~2^65); the
+  * small-range (linear-counting) correction needs `ln(m/V)` and is
+  * deliberately NOT emitted (the repo's no-transcendental oracle rule)
+  * — `v_empty` is emitted instead so a consumer applies the correction
+  * downstream, and SketchSpec pins the corrected estimate's accuracy
+  * in Scala where no cross-engine hash is at stake.
   */
 object Sketch {
 
@@ -75,20 +79,38 @@ object Sketch {
       .drop("hllw")
   }
 
+  /** Exact integer numerator of the e6-scaled raw HLL estimator:
+    * ⌊α₂₅₆ · m² · 2⁵⁷ · 10⁶⌉ with α₂₅₆ = 0.7213/(1 + 1.079/256), computed
+    * once as a rational (7213·256000/(10000·257079) · 65536 · 2⁵⁷ · 10⁶)
+    * and frozen as a literal. The constant is part of THIS estimator's
+    * definition — both engines floor-divide the identical integer, so
+    * the emitted cells never touch a float (r17 ADVICE: the previous
+    * float form divided a ~2⁶⁵ DECIMAL cast to double, where DuckDB's
+    * hugeint→double two-step conversion can differ from Java's
+    * correctly-rounded cast by 1 ulp — the t23 driver-only-fail class).
+    */
+  val HllNumE6 = "6783892839851034302417270557"
+
   /** E31: per-event-type distinct-user HLL sketch audited against the
-    * exact count — `(event_type, n_exact, hll_est, v_empty, rel_err)`.
+    * exact count — `(event_type, n_exact, hll_est_e6, v_empty,
+    * rel_err_e6)`, ALL exact BIGINTs (the t23 integer idiom: no float
+    * ever reaches an emitted cell).
     *
     * The exact leg is the d18 shape (`distinct(type, user)` spreading
     * the exchange over both columns, then a map-side-combinable count) —
     * it exists HERE as the audit; at 100 TB it is precisely the leg you
     * drop, keeping only the register build.
     *
-    * `hll_est` is the raw HLL estimator α₂₅₆·m²/S: S sums exact
-    * DECIMAL powers of two (the V empty registers contribute 2^57 each,
-    * multiplied at ≤3-digit × 2^57 grain — never a wide decimal
-    * product), and the estimate divides literal-folded IEEE constants by
-    * one exact-decimal cast, rounded at 6. `rel_err` reuses the rounded
-    * estimate so both engines subtract identical doubles.
+    * `hll_est_e6` is the raw HLL estimator α₂₅₆·m²/S at 1e-6 resolution,
+    * restated as one integer floor-division: S_scaled = S·2⁵⁷ sums exact
+    * DECIMAL powers of two (the V empty registers contribute 2⁵⁷ each,
+    * multiplied at ≤3-digit × 2⁵⁷ grain — never a wide decimal product),
+    * and the estimate is ⌊[[HllNumE6]] / S_scaled⌋ — Spark's `div` on
+    * DECIMAL(38,0) and DuckDB's HUGEINT `//` truncate the same positive
+    * exact quotient. `rel_err_e6` = ⌊|est_e6 − n·10⁶| / n⌋, again pure
+    * BIGINT arithmetic. The ln-based linear-counting correction stays
+    * un-emitted (SketchSpec pins it Scala-side); `v_empty` lets a
+    * consumer apply it downstream.
     */
   def hllUsers(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
@@ -106,14 +128,14 @@ object Sketch {
     val exact = ev.filter(col("user_id").isNotNull)
       .select(col("event_type"), col("user_id")).distinct()
       .groupBy("event_type").agg(count(lit(1)).as("n_exact"))
-    val est = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
-      lit(65536.0) * lit(144115188075855872.0) / col("s_scaled").cast("double")
     exact.join(sketch, Seq("event_type"))
       .select(col("event_type"), col("n_exact"),
-        round(est, 6).as("hll_est"), col("v_empty"))
-      .select(col("event_type"), col("n_exact"), col("hll_est"), col("v_empty"),
-        round(abs(col("hll_est") - col("n_exact").cast("double")) /
-          col("n_exact").cast("double"), 6).as("rel_err"))
+        expr(s"CAST(CAST($HllNumE6 AS DECIMAL(38,0)) div s_scaled AS BIGINT)")
+          .as("hll_est_e6"),
+        col("v_empty"))
+      .select(col("event_type"), col("n_exact"), col("hll_est_e6"), col("v_empty"),
+        expr("abs(hll_est_e6 - n_exact * CAST(1000000 AS BIGINT)) div n_exact")
+          .as("rel_err_e6"))
       .orderBy("event_type")
   }
 
@@ -371,11 +393,11 @@ object Sketch {
       GROUP BY 1),
     est AS (
       SELECT event_type, n_exact,
-        ROUND(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 144115188075855872.0 /
-          CAST(s_scaled AS DOUBLE), 6) AS hll_est,
+        CAST(CAST('""" + HllNumE6 + """' AS HUGEINT) // CAST(s_scaled AS HUGEINT)
+          AS BIGINT) AS hll_est_e6,
         CAST(v_empty AS BIGINT) AS v_empty
       FROM ex JOIN sk USING (event_type))
-    SELECT event_type, n_exact, hll_est, v_empty,
-      ROUND(abs(hll_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6) AS rel_err
+    SELECT event_type, n_exact, hll_est_e6, v_empty,
+      CAST(abs(hll_est_e6 - n_exact * CAST(1000000 AS BIGINT)) // n_exact AS BIGINT) AS rel_err_e6
     FROM est ORDER BY event_type"""
 }

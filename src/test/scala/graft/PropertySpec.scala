@@ -369,10 +369,10 @@ class PropertySpec extends AnyFunSuite {
     "e25_dup_events" -> Map("round" -> 1),
     "e26_retention_curve" -> Map("round" -> 1),
     "e27_session_gaps" -> Map("round" -> 2),
-    // e31: pattern (b) twice — hll_est is one IEEE division of a folded
-    // literal constant by an exact-DECIMAL cast (round 6 both sides);
-    // rel_err re-divides the already-rounded estimate by an exact BIGINT
-    "e31_hll_users" -> Map("round" -> 2),
+    // e31 (r18): NO emission sites — the estimator is restated as exact
+    // BIGINT floor-divisions (HllNumE6 // s_scaled, |diff| // n_exact);
+    // the r17 float form's decimal→double cast was the t23 risk class
+    // (r17 ADVICE) and is gone
     "e7_conversion_funnel" -> Map("round" -> 1),
     "e8_cohort_retention" -> Map("round" -> 1),
     "e9_user_anomaly" -> Map("round" -> 4, "sqrt" -> 4),

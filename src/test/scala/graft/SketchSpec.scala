@@ -189,10 +189,29 @@ class SketchSpec extends SparkSpec {
       assert(r.getLong(1) == exact, s"$et n_exact")
       val v = r.getLong(3)
       assert(v >= 0 && v <= Sketch.Registers, s"$et v_empty $v")
-      val relErr = r.getDouble(4)
-      assert(relErr >= 0.0, s"$et rel_err")
+      // r18: the emitted cells are exact e6-scaled BIGINTs (t23 idiom)
+      val estE6 = r.getLong(2)
+      val relErrE6 = r.getLong(4)
+      assert(estE6 > 0L, s"$et hll_est_e6")
+      assert(relErrE6 >= 0L, s"$et rel_err_e6")
+      assert(relErrE6 ==
+        math.abs(estE6 - exact * 1000000L) / exact, s"$et rel_err_e6 defn")
       // raw-regime types must audit within 3 sigma + small slack
-      if (exact > 640) assert(relErr < 0.25, s"$et rel_err $relErr at n=$exact")
+      if (exact > 640) assert(relErrE6 < 250000L, s"$et rel_err_e6 $relErrE6 at n=$exact")
     }
+  }
+
+  test("e31 integer estimator equals the float raw estimator to 1e-6 (fixture)") {
+    // the r18 restatement must be the SAME estimator, just exact: on a
+    // 5000-distinct fixture the e6 integer floor-division lands within
+    // one ulp-of-grain of the IEEE alpha*m^2/S chain it replaced
+    val big = (1L to 5000L).toDF("user_id").withColumn("event_type", lit("big"))
+    val float = rawEstimate(big)
+    val dir = "/tmp/graft-fixtures/e31int"
+    big.withColumn("event_id", col("user_id"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val estE6 = Sketch.hllUsers(spark, dir).collect().head.getLong(2)
+    assert(math.abs(estE6 / 1e6 - float) < 2e-6,
+      s"int $estE6 vs float ${float * 1e6}")
   }
 }
