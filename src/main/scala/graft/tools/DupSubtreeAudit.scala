@@ -93,11 +93,22 @@ object DupSubtreeAudit {
           vs.length >= 2 && size(k) >= MinNodes && hasScan(k)
         }.keySet
         // report only MAXIMAL duplicated subtrees (skip ones whose
-        // parent is itself an equally-duplicated subtree)
-        val parentOf = nodes.flatMap(n => n.children.map(c =>
-          c.canonicalized -> n.canonicalized)).toMap
-        val maximal = dupKeys.filterNot(k =>
-          parentOf.get(k).exists(dupKeys.contains))
+        // EVERY parent occurrence is itself an equally-duplicated
+        // subtree). A canonical child can appear under DIFFERENT
+        // parents — e.g. one occurrence inside a duplicated join leg
+        // and another under a unique aggregate — so the parent relation
+        // must be a set per child: collapsing it to one parent (r17's
+        // toMap kept only the last) could misclassify a genuine
+        // duplicate as non-maximal and hide its report site (r17
+        // ADVICE; the gate still fired via the parent, but the named
+        // subtree could be wrong).
+        val parentsOf = nodes
+          .flatMap(n => n.children.map(c => c.canonicalized -> n.canonicalized))
+          .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+        val maximal = dupKeys.filterNot { k =>
+          val ps = parentsOf.getOrElse(k, Set.empty)
+          ps.nonEmpty && ps.forall(dupKeys.contains)
+        }
         if (maximal.isEmpty)
           println(s"DUP $name clean")
         else {
