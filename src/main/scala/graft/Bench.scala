@@ -758,7 +758,20 @@ object Bench {
       "execution 2.3s in ONE fused stage (grid cache scan -> broadcast " +
       "corner join -> bilinear project -> partial agg; 1 shuffle + 1 " +
       "broadcast) - a compute floor over the 6.25M-pixel grid, not plan " +
-      "overhead"
+      "overhead. " +
+      "raster_pushdown_400mp floor verdict (r18, closes the r17 #7 " +
+      "item): the remaining ~1.2-1.5x gap to the 348ms native baseline " +
+      "is two-JOB structure, not compute - exact-histogram autoscale " +
+      "REQUIRES a second pass (quantize params are pass-1 min/max " +
+      "functions; the reference streams the same two passes, " +
+      "autoscale.rs), so the decimate-8 read materializes the float " +
+      "cache in the stats job and the quantize+resize+collect job " +
+      "rereads it; folding them would need sampled (inexact) stats, " +
+      "which breaks the oracle's exact-percentile contract. Per " +
+      "PushProf the per-job Spark scheduling+collect overhead (~0.2s " +
+      "across the two jobs at 6.25M cached pixels) IS the gap, and it " +
+      "amortizes to noise at cluster scale where a job carries " +
+      "thousands of tasks. Floor documented final"
 
   def emitArtifacts(r: SuiteResult, sfDir: String, nChunks: Int,
                     reval: Seq[(String, (Double, Double))] = Nil,

@@ -59,13 +59,11 @@ object PlanAudit {
     "a6_hist_floor" -> "combined 4096-bin spine",
     "p7_quantize_default" -> "4096-bin CDF spine",
     "p7_quantize_legacy" -> "4096-bin CDF spine",
-    "p8_u16_to_u8" -> "4096-bin CDF spine",
     "p12_synrgb_suppressed" -> "≤256-value CDF spine",
     "a5_local_median_range" -> "data-derived grid-bucket spine (≤4096)",
     "a5b_local_enhanced_quantize" -> "data-derived grid-bucket spine (≤4096)",
     // two-phase-rank bucket-offset spines (≤64-row exclusive sums)
     "w4_curriculum" -> "bucket-offset spine, ≤64 rows",
-    "w8_quality_upsample" -> "bucket-offset spine, ≤64 rows",
     "t15_quality_winsor" -> "bucket-offset spine, ≤64 rows",
     "x11_rfm_segments" -> "value-bucket offset spine, ≤64 rows",
     "x15_customer_concentration" -> "value-bucket spine, ≤64 rows",
