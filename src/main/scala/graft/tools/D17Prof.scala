@@ -83,6 +83,18 @@ object D17Prof {
       val wall = (System.nanoTime() - t0) / 1e9
       val gcd = gcMs - gc0
       val jitd = jitMs - jit0
+      // The listener bus is async: the final stage-completed events can
+      // still be queued when collect() returns, which would attribute
+      // them to the NEXT iteration (or drop them at clear()). Settle
+      // until the buffer stops growing before reading — wall time is
+      // already captured above, so the wait costs nothing measured.
+      var prevN = -1
+      var curN = stageRun.synchronized(stageRun.length)
+      while (curN != prevN) {
+        Thread.sleep(100)
+        prevN = curN
+        curN = stageRun.synchronized(stageRun.length)
+      }
       val stages = stageRun.synchronized(stageRun.toList)
       val exec = stages.map(_._2).sum
       val shuf = stages.map(_._3).sum

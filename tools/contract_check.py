@@ -39,7 +39,16 @@ def fail(msg, out=None):
 
 
 def main():
-    proc = subprocess.run(CMD, capture_output=True, text=True, timeout=600)
+    try:
+        proc = subprocess.run(CMD, capture_output=True, text=True, timeout=900)
+    except subprocess.TimeoutExpired as e:
+        # A cold clone on a loaded box can spend minutes compiling before
+        # ContractStub runs; die with the gate's own diagnostic (and the
+        # tail), never a bare traceback.
+        out = (e.stdout or b"")
+        if isinstance(out, bytes):
+            out = out.decode("utf-8", "replace")
+        fail(f"sbt did not finish within {e.timeout}s", out)
     out = proc.stdout
     if proc.returncode != 0:
         fail(f"sbt exited {proc.returncode}", out + "\n--- stderr ---\n" + proc.stderr)
