@@ -236,6 +236,15 @@ object Sketch {
   /** Shift that realizes [[KmvBuckets]] from the 56-bit hash. */
   val KmvShift: Int = 56 - Integer.numberOfTrailingZeros(KmvBuckets)
 
+  /** The 56-bit md5-prefix text hash the KMV sketch ranks — shared by
+    * the batch build ([[kmvOverlap]]) and the streaming dual
+    * (`StreamOps.kmvBottomKStream`), so a stream sketch and a batch
+    * backfill can never disagree on a hash (the same can't-drift
+    * contract as `withRegisterCoords` / `cmsCoordsOf`).
+    */
+  def kmvHash(text: Column): Column =
+    conv(substring(md5(text), 1, 14), 16, 10).cast("long")
+
   /** D23: KMV (bottom-k) cross-source similarity — the set-INTERSECTION
     * sketch HLL fundamentally cannot provide (Bar-Yossef et al. 2002;
     * Beyer et al. 2007): per source, the k smallest distinct 56-bit
@@ -267,8 +276,7 @@ object Sketch {
     */
   def kmvOverlap(s: SparkSession, dir: String): DataFrame = {
     val sh = s.read.parquet(s"$dir/documents.parquet")
-      .select(col("source"),
-        conv(substring(md5(col("text")), 1, 14), 16, 10).cast("long").as("h"))
+      .select(col("source"), kmvHash(col("text")).as("h"))
       .distinct().persist()
     val nPer = sh.groupBy("source").agg(count(lit(1)).as("n"))
     val w1 = Window

@@ -154,6 +154,61 @@ object StreamOps {
         col("rb.r").as("r"), col("rb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cell"))
 
+  /** Streaming KMV bottom-k sketch build (streaming tier of batch D23's
+    * per-source sketch — completes the sketch tier's streaming triad:
+    * HLL registers max-merge, CMS cells add, KMV bottom-k-of-union).
+    * Per (event-time window, source), maintains the k smallest DISTINCT
+    * 56-bit md5(text) prefixes via `flatMapGroupsWithState`: state per
+    * open key is ONE sorted array of ≤ k longs REGARDLESS of stream
+    * size — the same bounded-state story as the register/cell streams,
+    * and the property an exact distinct-set build fundamentally lacks.
+    * Each micro-batch folds in by the bottom-k-of-union merge law
+    * SketchSpec pins for the batch sketch; one row per (window, source)
+    * emits at watermark close: `(window_start_ms, source, hs)`.
+    *
+    * The hash chain is [[graft.ext.Sketch.kmvHash]] — IDENTICAL to the
+    * batch build's, so a windowed stream sketch and a batch backfill
+    * can never disagree (spec-pinned sketch-for-sketch). Windows align
+    * to the epoch grid like Spark's `window()`. Downstream pair-Jaccard
+    * estimation stays the batch authority ([[graft.ext.Sketch.kmvOverlap]]);
+    * the stream ships the mergeable ≤ k-row artifact per source per
+    * window — "ship the sketch, not the corpus" at ingest time.
+    */
+  def kmvBottomKStream(docs: DataFrame, k: Int = graft.ext.Sketch.KmvK,
+                       windowMs: Long = 3600000L,
+                       watermark: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val typed = docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("source"),
+        graft.ext.Sketch.kmvHash(col("text")).as("h"))
+      .as[(java.sql.Timestamp, String, Long)]
+    typed.groupByKey { case (t, src, _) =>
+        (t.getTime / windowMs * windowMs, src) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (Long, String), rows: Iterator[(java.sql.Timestamp, String, Long)],
+         state: GroupState[KmvSketchState]) => {
+          if (state.hasTimedOut) {
+            // watermark passed the window end: the sketch is final
+            val out = state.getOption.map(s => KmvSketchOut(key._1, key._2, s.hs))
+            state.remove()
+            out.iterator
+          } else {
+            // bottom-k of union: merging the batch's hashes into the
+            // held bottom-k equals the bottom-k of all hashes seen —
+            // the SketchSpec merge law, applied incrementally
+            val merged = (state.getOption.map(_.hs).getOrElse(Seq.empty) ++
+              rows.map(_._3)).distinct.sorted.take(k)
+            state.update(KmvSketchState(merged))
+            state.setTimeoutTimestamp(key._1 + windowMs)
+            Iterator.empty
+          }
+        })
+      .toDF()
+  }
+
   /** Streaming MinHash near-dup ingest gate (streaming tier of batch
     * D3): each doc keyed by its FULL 16-minhash signature
     * ([[graft.ext.Dedup.minhashKey]] — the identical shingle/hash
@@ -318,6 +373,15 @@ object StreamOps {
       .toDF()
   }
 }
+
+/** Bottom-k state for [[StreamOps.kmvBottomKStream]] — at most k sorted
+  * distinct hashes per open (window, source), by construction.
+  */
+final case class KmvSketchState(hs: Seq[Long])
+
+/** Closed-window KMV sketch row for [[StreamOps.kmvBottomKStream]]. */
+final case class KmvSketchOut(window_start_ms: Long, source: String,
+                              hs: Seq[Long])
 
 /** Open-session state for [[StreamOps.sessionizeWithState]]. */
 final case class SessionState(start: Long, end: Long, n: Long, sum: Double,

@@ -319,6 +319,43 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kmvBottomKStream: closed-window bottom-k equals the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val df = mem.toDF().toDF("ts", "source", "text")
+    // small k so the 30-doc fixture exercises truncation; 10-min grid
+    val q = StreamOps.kmvBottomKStream(df, k = 8, windowMs = 600000L,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("kmv_stream_test")
+      .outputMode("append").start()
+    try {
+      // 30 distinct texts across 2 sources, all inside ONE 10-min window
+      // (ts(0) sits mid-grid; the next boundary is ~ts(6.7), so stay at
+      // ts(0..6)); one duplicate text exercises the DISTINCT contract.
+      // Split across two addData calls so the bottom-k-of-union merge
+      // law is exercised across REAL micro-batches, not one fold.
+      val rows = (1 to 30).map(i =>
+        (ts(i % 7L), if (i % 3 == 0) "sa" else "sb", s"doc number $i"))
+      mem.addData(rows.take(13): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(13) :+ ((ts(0), "sa", "doc number 3")): _*)
+      q.processAllAvailable()
+      mem.addData((ts(60), "sx", "advance")) // close the window
+      q.processAllAvailable()
+      val streamed = spark.table("kmv_stream_test").collect()
+        .map(r => (r.getString(1), r.getSeq[Long](2).toSeq)).toMap
+      // batch authority: distinct kmvHash per source, sorted, take k
+      val batch = rows.toDF("ts", "source", "text")
+        .select(col("source"), graft.ext.Sketch.kmvHash(col("text")).as("h"))
+        .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (s, hs) =>
+          s -> hs.map(_._2).toSeq.sorted.take(8) }
+      assert(streamed.keySet == Set("sa", "sb"))
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed.values.forall(_.length == 8)) // truncation exercised
+    } finally q.stop()
+  }
+
   test("minhashRowSig equals the corpus-grain batch signature on the real table") {
     // the can't-drift contract: the stateless per-row signature the
     // streaming gate keys on reproduces the batch D3 signature
