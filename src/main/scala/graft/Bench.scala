@@ -284,10 +284,18 @@ object Bench {
     def timed(name: String, f: () => Unit): Double = {
       // rasters are the BASELINE.md comparables and the chunk's min-of-2
       // swung 0.46↔0.78s run-to-run (r12) — min-of-4 stabilizes them for
-      // ~12s of extra sweep time
-      val iters = if (extraIters(name)) 3
+      // ~12s of extra sweep time. In a warm-target reval child the parent
+      // may raise the count via SPARK_GRAFT_BENCH_WARMTARGET_ITERS (r19:
+      // min-of-4 for entries whose previous artifact shows cold/warm > 3 —
+      // the a4/g7 JIT compile-lag class needs one more iteration to reach
+      // steady state; see revalChildIters).
+      val warmTargetIters = sys.env.get("SPARK_GRAFT_BENCH_WARMTARGET_ITERS")
+        .flatMap(_.toIntOption).getOrElse(3)
+      val iters =
+        if (warmAtTarget) // TimeQ's min-of-3 in reval children (min-of-4 raster/cold-heavy)
+          math.max(warmTargetIters, if (name.startsWith("raster_")) 4 else 3)
+        else if (extraIters(name)) 3
         else if (name.startsWith("raster_")) 4
-        else if (warmAtTarget) 3 // TimeQ's min-of-3 in reval children
         else BenchIters
       val keepBetween = extraIters(name)
       iterCounts(name) = iters
@@ -430,7 +438,8 @@ object Bench {
     */
   private def forkChunk(tmp: String, tag: String,
                         chunk: Seq[String],
-                        warmTarget: Boolean = false): Option[SuiteResult] = {
+                        warmTarget: Boolean = false,
+                        warmIters: Int = 3): Option[SuiteResult] = {
     import scala.jdk.CollectionConverters._
     val javaBin = java.nio.file.Paths.get(System.getProperty("java.home"), "bin", "java").toString
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -442,7 +451,10 @@ object Bench {
     val pb = new ProcessBuilder(cmd)
     pb.environment().put("SPARK_GRAFT_BENCH_ONLY", chunk.mkString(","))
     pb.environment().put("SPARK_GRAFT_BENCH_OUT", out)
-    if (warmTarget) pb.environment().put("SPARK_GRAFT_BENCH_WARMTARGET", "1")
+    if (warmTarget) {
+      pb.environment().put("SPARK_GRAFT_BENCH_WARMTARGET", "1")
+      pb.environment().put("SPARK_GRAFT_BENCH_WARMTARGET_ITERS", warmIters.toString)
+    }
     pb.redirectOutput(new java.io.File(log))
     pb.redirectErrorStream(true)
     val proc = pb.start()
@@ -534,31 +546,49 @@ object Bench {
     * applies) when the artifact was recorded at a DIFFERENT sf than
     * `sfDir` — cross-sf timing ratios are meaningless.
     */
-  private def previousArtifactQueries(sfDir: String): Map[String, Double] = {
+  /** Raw text of the tracked bench_full.json, None when absent or
+    * recorded at a different sf than this sweep (cross-sf timings are
+    * meaningless for both the ratio rule and the cold/warm rule).
+    */
+  private def previousArtifactString(sfDir: String): Option[String] = {
     val p = java.nio.file.Paths.get("bench_full.json")
-    if (!java.nio.file.Files.exists(p)) return Map.empty
+    if (!java.nio.file.Files.exists(p)) return None
     previousArtifactSf() match {
       case Some(prevSf) if prevSf != sfDir =>
         System.err.println(s"BENCH WARN: bench_full.json is for sf '$prevSf' " +
           s"but this sweep is at '$sfDir'; ratio-based revalidation skipped")
-        return Map.empty
-      case _ => ()
+        None
+      case _ =>
+        try Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        catch { case scala.util.control.NonFatal(_) => None }
     }
+  }
+
+  /** Flat `"key":{"name":num,...}` object scan from the artifact text
+    * (machine-written by [[emitArtifacts]]; tolerates whitespace after
+    * key/colon for hand-edited files). Empty map when absent.
+    */
+  private[graft] def artifactNumberMap(s: String, key: String): Map[String, Double] = {
+    val m = ("\"" + key + "\"\\s*:\\s*\\{").r.findFirstMatchIn(s)
+      .getOrElse(return Map.empty)
+    val body = s.substring(m.end)
+    val end = body.indexOf('}')
+    if (end < 0) return Map.empty
+    body.substring(0, end).split(',').flatMap { kv =>
+      kv.split(':') match {
+        case Array(k, v) => v.trim.toDoubleOption
+          .map(k.trim.stripPrefix("\"").stripSuffix("\"") -> _)
+        case _ => None
+      }
+    }.toMap
+  }
+
+  private def previousArtifactQueries(sfDir: String): Map[String, Double] = {
+    val sOpt = previousArtifactString(sfDir)
+    if (sOpt.isEmpty) return Map.empty
     try {
-      val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      // tolerate whitespace after the key/colon (hand-edited or
-      // re-serialized files), not just this code's own compact output
-      val m = "\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(s)
-        .getOrElse(return Map.empty)
-      val body = s.substring(m.end)
-      val end = body.indexOf('}')
-      if (end < 0) return Map.empty
-      val published = body.substring(0, end).split(',').flatMap { kv =>
-        kv.split(':') match {
-          case Array(k, v) => Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.toDouble)
-          case _ => None
-        }
-      }.toMap
+      val s = sOpt.get
+      val published = artifactNumberMap(s, "queries")
       // overlay the per-entry sweep numbers from the revalidated object
       val revalSweeps =
         "\"([^\"]+)\"\\s*:\\s*\\{\\s*\"sweep\"\\s*:\\s*([0-9.Ee+-]+)\\s*,\\s*\"isolated\""
@@ -574,8 +604,9 @@ object Bench {
     * exceeds its previous-artifact value by >[[RevalidateRatio]] (and is
     * ≥[[RevalidateFloorSec]]), plus every entry ≥[[RevalidateAlwaysSec]]
     * unconditionally, re-runs in its OWN forked single-query JVM;
-    * the isolated number is authoritative and substituted into the
-    * artifact, with both recorded under `revalidated`. Raster cases
+    * the artifact publishes min(sweep, isolated) (r19 rule, see
+    * [[publishedRevalidation]]), with both raw numbers recorded
+    * under `revalidated`. Raster cases
     * participate like registry queries (they run through the same child
     * protocol). With no previous artifact (fresh clone) the ratio tier
     * is empty but the ≥2 s always-tier still revalidates.
@@ -619,29 +650,53 @@ object Bench {
     */
   private[graft] val SentinelSaneSec = 0.3
 
-  /** Whether a revalidation child's isolated number may REPLACE the
-    * sweep number — pure, spec-pinned (BenchSelectionSpec). An
-    * isolated number that is FASTER than the sweep is always valid
-    * (contention cannot make a query faster, so a min that beats the
-    * sweep stands on any machine). An isolated number that is SLOWER
-    * than the sweep is only believed when the child's own sentinel
-    * shows an idle machine — r16 finding: d17's reval child ran
-    * during a 0.42 s-sentinel load spike and published 3.1 s for a
-    * query whose quiet-machine TimeQ floor is ~1.4-2.0 s; the sweep's
-    * own 2.1 s (measured on a quieter chunk) was the better number.
+  /** The value the artifact publishes for a revalidated entry — pure,
+    * spec-pinned (BenchSelectionSpec). r19 rule (r18 verdict #1):
+    * publish **min(sweep, isolated)**. Both numbers are measurements
+    * of the same code and every known distortion — chunk-mate JVM
+    * state, host contention, JIT compile-lag — can only INFLATE a
+    * wall time, never deflate it, so the min of two valid
+    * measurements is the better floor estimator (exactly why TimeQ
+    * is min-of-3). The r16/r17 rule believed a slower-than-sweep
+    * isolated number whenever the child's sentinel showed an idle
+    * machine, but an idle sentinel does not prove JIT steady state:
+    * in BENCH_r18 the reval children published cold-class 9.57 s
+    * (a4, sweep 3.17, TimeQ warm 2.74) and 3.47 s (g7, sweep 4.51
+    * inflated, TimeQ warm 1.40). A failed isolated run (iso < 0)
+    * keeps the sweep number (flagged flaky by the caller). Both raw
+    * numbers stay in the artifact under `revalidated`.
     */
-  private[graft] def substituteIsolated(sweep: Double, iso: Double,
-                                        childSentinelMax: Double): Boolean =
-    iso >= 0 && (iso <= sweep || childSentinelMax <= SentinelSaneSec)
+  private[graft] def publishedRevalidation(sweep: Double, iso: Double): Double =
+    if (iso < 0) sweep else math.min(sweep, iso)
+
+  /** Cold/warm ratio above which an entry's revalidation child gets
+    * one extra warm iteration (min-of-4) — r18 verdict #2: a4
+    * (cold 9.16 / warm 2.74) and g7 (4.62 / 1.40) both sit >3; one
+    * more iteration lets the JIT reach steady state independently of
+    * the min-publication rule.
+    */
+  private[graft] val ColdHeavyRatio = 3.0
+
+  /** Timed-iteration count for a revalidation child — pure,
+    * spec-pinned. `prevCold` / `prevWarm` come from the previous
+    * artifact's `cold` map and its warm floor (min of published and
+    * recorded sweep); entries with no cold history (only extraIters
+    * entries record cold) or no warm floor stay at TimeQ's min-of-3.
+    */
+  private[graft] def revalChildIters(prevCold: Option[Double],
+                                     prevWarm: Option[Double]): Int = {
+    val heavy = for { c <- prevCold; w <- prevWarm }
+      yield w > 0 && c / w > ColdHeavyRatio
+    if (heavy.getOrElse(false)) 4 else 3
+  }
 
   /** Contention evidence for a revalidation child: the max of its
-    * parsed sentinels, or CONTENDED (+∞) when the child reported none.
-    * r17 ADVICE fix: the call sites previously defaulted an empty
-    * sentinel list to 0.0 — "no evidence" substituted as if the
-    * machine were PROVEN idle, the opposite of the r16 guard's intent.
-    * Missing evidence now rejects slower-than-sweep substitution (a
-    * faster-than-sweep isolated number still substitutes — contention
-    * cannot speed a query up, so no sentinel is needed for it).
+    * parsed sentinels, or CONTENDED (+∞) when the child reported none
+    * (r17 ADVICE fix: "no evidence" must not read as PROVEN idle).
+    * Since the r19 min-publication rule this no longer gates
+    * substitution — it only classifies the stderr diagnostic when an
+    * isolated number comes back slower than the sweep (contended
+    * child vs the idle-but-JIT-lagged r18 a4/g7 class).
     */
   private[graft] def childSentinel(sentinels: Seq[Double]): Double =
     if (sentinels.isEmpty) Double.PositiveInfinity else sentinels.max
@@ -651,11 +706,30 @@ object Bench {
     val (always, ratioTier) = revalidationTiers(r.results, prev)
     val suspects = always ++ ratioTier
     if (suspects.isEmpty) return (r, Nil)
+    // Cold/warm history for the child-iteration rule: `cold` map plus a
+    // warm floor = min(published, recorded sweep) — after r18 the
+    // published number can be the cold-class isolated one (a4 9.57 with
+    // sweep 3.17), so neither field alone is the warm estimate.
+    val prevStr = previousArtifactString(sfDir)
+    val prevCold = prevStr.map(artifactNumberMap(_, "cold"))
+      .getOrElse(Map.empty[String, Double])
+    val prevPub = prevStr.map(artifactNumberMap(_, "queries"))
+      .getOrElse(Map.empty[String, Double])
+    def prevWarmFloor(n: String): Option[Double] = {
+      val cands = Seq(prevPub.get(n), prev.get(n)).flatten.filter(_ >= 0)
+      if (cands.isEmpty) None else Some(cands.min)
+    }
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench-reval").toString
     val reruns = suspects.zipWithIndex.flatMap { case ((name, sweep), i) =>
       // warmTarget: the child follows TimeQ's iteration discipline (one
-      // untimed at-target run, then min-of-3 warm) — r13 verdict #3
-      forkChunk(tmp, s"reval$i", Seq(name), warmTarget = true) match {
+      // untimed at-target run, then min-of-3 warm; min-of-4 for entries
+      // whose history shows cold/warm > ColdHeavyRatio) — r13 verdict
+      // #3 + r18 verdict #2
+      val childIters = revalChildIters(prevCold.get(name), prevWarmFloor(name))
+      if (childIters > 3) System.err.println(s"BENCH revalidate $name: " +
+        s"cold-heavy history (cold/warm > $ColdHeavyRatio), child runs min-of-$childIters")
+      forkChunk(tmp, s"reval$i", Seq(name), warmTarget = true,
+                warmIters = childIters) match {
         // r13 ADVICE: only substitute a SUCCESSFUL isolated number. A
         // child that runs but whose query fails inside it records -1.0;
         // blindly substituting that turned a fine sweep measurement
@@ -674,18 +748,27 @@ object Bench {
           None
       }
     }
+    // r19 (r18 verdict #1): publish min(sweep, isolated) — see
+    // publishedRevalidation. The sentinel only classifies the stderr
+    // note when the child came back slower.
     val isoResults = reruns.collect {
-      case (n, (sweep, iso), cr)
-        if substituteIsolated(sweep, iso, childSentinel(cr.sentinels)) => n -> iso
+      case (n, (sweep, iso), _) if iso >= 0 =>
+        n -> publishedRevalidation(sweep, iso)
     }.toMap
+    val isoWins = reruns.collect {
+      case (n, (sweep, iso), _) if iso >= 0 && iso <= sweep => n
+    }.toSet
     reruns.foreach { case (n, (sweep, iso), cr) =>
-      val snt = childSentinel(cr.sentinels)
-      if (iso >= 0 && !substituteIsolated(sweep, iso, snt)) {
+      if (iso >= 0 && iso > sweep) {
+        val snt = childSentinel(cr.sentinels)
         val why = if (cr.sentinels.isEmpty)
-          "reported NO sentinel (missing evidence counts as contended)"
-        else f"ran on a CONTENDED machine (child sentinel $snt%.2f > $SentinelSaneSec)"
-        System.err.println(f"BENCH WARN: isolated rerun of $n ($iso%.2f) $why " +
-          f"and is slower than the sweep ($sweep%.2f); sweep number kept")
+          "reported NO sentinel (counts as contended)"
+        else if (snt > SentinelSaneSec)
+          f"ran on a CONTENDED machine (child sentinel $snt%.2f > $SentinelSaneSec)"
+        else
+          f"was idle (sentinel $snt%.2f) — the r18 a4/g7 JIT compile-lag class"
+        System.err.println(f"BENCH note: isolated rerun of $n ($iso%.2f) is " +
+          f"slower than the sweep ($sweep%.2f) and $why; min published")
       }
     }
     val isoFlaky = reruns.collect { case (n, (_, iso), _) if iso < 0 => n }
@@ -693,7 +776,9 @@ object Bench {
     // child's first timed iteration replays retained lineage after the
     // untimed at-target run, so its "cold" is not a first-at-target
     // execution; the sweep chunks' cold numbers keep that meaning.
-    val isoIters = reruns.flatMap(_._3.iters.filter(c => isoResults.contains(c._1))).toMap
+    // iteration counts follow whichever number won the min: the child's
+    // when the isolated number published, the sweep's otherwise
+    val isoIters = reruns.flatMap(_._3.iters.filter(c => isoWins.contains(c._1))).toMap
     val merged = r.copy(
       results = r.results.map { case (n, v) => n -> isoResults.getOrElse(n, v) },
       iters = r.iters.map { case (n, v) => n -> isoIters.getOrElse(n, v) },
@@ -720,21 +805,26 @@ object Bench {
       "regressions), plus every entry >1.3x its previous-artifact " +
       "sweep value (>=0.4s; this ratio tier alone is capped at 24, " +
       "worst-inflation first, missing-prev = ratio 1.0), re-ran in its " +
-      s"OWN forked single-query JVM ($nReval this run) and the ISOLATED " +
-      "number is authoritative in 'queries'; both numbers are in " +
-      "'revalidated' (sweep/isolated). " +
+      s"OWN forked single-query JVM ($nReval this run); 'queries' " +
+      "publishes MIN(sweep, isolated) (r19 rule - both are measurements " +
+      "of the same code and chunk-state/contention/JIT-lag only " +
+      "INFLATE, so the min is the better floor estimator; in r18 the " +
+      "old idle-sentinel rule published cold-class isolated numbers " +
+      "a4 9.57/g7 3.47 whose TimeQ warm floors are 2.74/1.40); both " +
+      "raw numbers are in 'revalidated' (sweep/isolated). " +
+      "Reval children for entries whose previous artifact shows " +
+      "cold/warm > 3 run min-of-4 (one extra warm iteration for the " +
+      "JIT compile-lag class; others keep TimeQ's min-of-3). " +
       "r14 (judge ask #3): the reval children now " +
       "follow TimeQ's exact iteration discipline - one UNTIMED full run " +
       "at the TARGET sf before the timed iterations (the sf0.001 warmup " +
       "alone left at-target codegen/broadcast state unpaid: a4's r13 " +
       "child published 4.46s vs TimeQ 2.25) and min-of-3 - and a child " +
       "whose query fails isolated keeps the sweep number (flagged " +
-      "flaky) instead of publishing -1. r16: a child whose isolated " +
-      "number is SLOWER than the sweep substitutes only when its own " +
-      "sentinel shows an idle machine (<=0.3s) - a load-spiked child " +
-      "once published 3.1s for a query whose quiet TimeQ floor is " +
-      "~1.4-2.0s; a faster-than-sweep isolated number substitutes " +
-      "unconditionally (contention cannot speed a query up). " +
+      "flaky) instead of publishing -1. Child sentinels are now " +
+      "diagnostic only (they classify slower-than-sweep children as " +
+      "contended vs JIT-lagged on stderr); the min rule subsumes the " +
+      "r16 idle-sentinel gate. " +
       "Ratio-rule baselines are also " +
       "sf-guarded: a bench_full.json recorded at a different sf no " +
       "longer drives re-runs or gets overwritten. " +

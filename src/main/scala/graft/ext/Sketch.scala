@@ -94,7 +94,13 @@ object Sketch {
   /** E31: per-event-type distinct-user HLL sketch audited against the
     * exact count — `(event_type, n_exact, hll_est_e6, v_empty,
     * rel_err_e6)`, ALL exact BIGINTs (the t23 integer idiom: no float
-    * ever reaches an emitted cell).
+    * ever reaches an emitted cell). Bound of the e6 encoding (r18
+    * ADVICE): `hll_est_e6` fits BIGINT while the raw estimate stays
+    * under ~9.2e12 distinct keys (Long.MaxValue/10⁶); beyond that the
+    * engines would diverge differently (Spark's non-ANSI `div` → NULL,
+    * DuckDB's HUGEINT→BIGINT cast errors) — far above any gate corpus,
+    * and a 256-register raw estimator is out of its accuracy regime
+    * long before that anyway.
     *
     * The exact leg is the d18 shape (`distinct(type, user)` spreading
     * the exchange over both columns, then a map-side-combinable count) —

@@ -185,8 +185,11 @@ object StreamOps {
       .select(col("ts"), col("source"),
         graft.ext.Sketch.kmvHash(col("text")).as("h"))
       .as[(java.sql.Timestamp, String, Long)]
+    // floorDiv, not `/`: epoch-floor window assignment must match
+    // Spark's window() for pre-1970 timestamps too (`/` truncates
+    // toward zero and would misalign negative epochs) — r18 ADVICE
     typed.groupByKey { case (t, src, _) =>
-        (t.getTime / windowMs * windowMs, src) }
+        (Math.floorDiv(t.getTime, windowMs) * windowMs, src) }
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (key: (Long, String), rows: Iterator[(java.sql.Timestamp, String, Long)],
          state: GroupState[KmvSketchState]) => {

@@ -48,30 +48,47 @@ class BenchSelectionSpec extends AnyFunSuite {
     assert(ratio.map(_._1) == Seq("big", "inflated")) // worst inflation first
   }
 
-  test("isolated substitution: slower-than-sweep numbers need an idle child") {
-    // faster than sweep: always believed (contention can't speed a query up)
-    assert(Bench.substituteIsolated(sweep = 2.0, iso = 1.5, childSentinelMax = 0.9))
-    // slower than sweep on an idle child: genuine (sweep was the inflated one)
-    assert(Bench.substituteIsolated(sweep = 2.0, iso = 2.5, childSentinelMax = 0.15))
-    // slower than sweep on a CONTENDED child: rejected — the r16 d17 case
-    // (load-spiked child published 3.1s for a ~1.8s query)
-    assert(!Bench.substituteIsolated(sweep = 2.1, iso = 3.1, childSentinelMax = 0.42))
-    // failed isolated runs never substitute
-    assert(!Bench.substituteIsolated(sweep = 2.0, iso = -1.0, childSentinelMax = 0.1))
+  test("revalidation publishes min(sweep, isolated) — r19 rule") {
+    // Both numbers measure the same code; chunk-state, contention and
+    // JIT compile-lag only INFLATE a wall time, so the min of two valid
+    // measurements is the better floor estimator.
+    // faster than sweep: the isolated number wins
+    assert(Bench.publishedRevalidation(sweep = 2.0, iso = 1.5) == 1.5)
+    // the r18 a4 case: an idle-sentinel child published cold-class
+    // 9.57s over a 3.17s sweep (TimeQ warm floor 2.74) — the old
+    // idle-sentinel gate believed it; the min rule keeps the sweep.
+    assert(Bench.publishedRevalidation(sweep = 3.17, iso = 9.57) == 3.17)
+    // the r16 d17 case (load-spiked child, 3.1s for a ~1.8s query):
+    // min keeps the sweep here too — the sentinel is diagnostic only.
+    assert(Bench.publishedRevalidation(sweep = 2.1, iso = 3.1) == 2.1)
+    // failed isolated runs keep the sweep number
+    assert(Bench.publishedRevalidation(sweep = 2.0, iso = -1.0) == 2.0)
   }
 
-  test("a child reporting no sentinel counts as contended (r17 advice)") {
-    // "no evidence" must not substitute as if the machine were PROVEN
-    // idle — the pre-r17 call sites defaulted an empty sentinel list
-    // to 0.0, the opposite of the r16 guard's intent.
+  test("childSentinel: no sentinel counts as contended (r17 advice, diagnostic)") {
     assert(Bench.childSentinel(Nil).isPosInfinity)
     assert(Bench.childSentinel(Seq(0.1, 0.25)) == 0.25)
-    // slower than sweep + missing sentinel: rejected
-    assert(!Bench.substituteIsolated(sweep = 2.0, iso = 2.5,
-      childSentinelMax = Bench.childSentinel(Nil)))
-    // faster than sweep needs no sentinel evidence at all
-    assert(Bench.substituteIsolated(sweep = 2.0, iso = 1.5,
-      childSentinelMax = Bench.childSentinel(Nil)))
+  }
+
+  test("cold-heavy entries get a min-of-4 reval child (r18 verdict #2)") {
+    // a4: cold 9.16 / warm 2.74 and g7: 4.62 / 1.40 — both >3x, the JIT
+    // compile-lag class that needs one extra warm iteration.
+    assert(Bench.revalChildIters(prevCold = Some(9.16), prevWarm = Some(2.74)) == 4)
+    assert(Bench.revalChildIters(prevCold = Some(4.62), prevWarm = Some(1.40)) == 4)
+    // ordinary fixture-build cold ratios stay at TimeQ's min-of-3
+    assert(Bench.revalChildIters(prevCold = Some(2.0), prevWarm = Some(1.5)) == 3)
+    // no history (non-extraIters entries record no cold) -> min-of-3
+    assert(Bench.revalChildIters(prevCold = None, prevWarm = Some(1.0)) == 3)
+    assert(Bench.revalChildIters(prevCold = Some(5.0), prevWarm = None) == 3)
+    // degenerate zero warm floor must not divide
+    assert(Bench.revalChildIters(prevCold = Some(5.0), prevWarm = Some(0.0)) == 3)
+  }
+
+  test("artifactNumberMap: flat object scan used for queries/cold history") {
+    val s = """{"metric":"total","queries":{"a":1.5,"b":0.25},"cold":{"a":9.0},"sf":"x"}"""
+    assert(Bench.artifactNumberMap(s, "queries") == Map("a" -> 1.5, "b" -> 0.25))
+    assert(Bench.artifactNumberMap(s, "cold") == Map("a" -> 9.0))
+    assert(Bench.artifactNumberMap(s, "missing").isEmpty)
   }
 
   test("compact line: driver-contract keys, valid JSON, fits the stdout tail") {

@@ -53,12 +53,18 @@ def main():
     if proc.returncode != 0:
         fail(f"sbt exited {proc.returncode}", out + "\n--- stderr ---\n" + proc.stderr)
 
-    # The driver's discipline: tail 2000 chars, then take the last line.
+    # The driver's discipline: tail 2000 chars, then json-parse the
+    # LITERAL final line. r18 ADVICE: mirror it exactly — strip at most
+    # the single trailing newline, never skip trailing blank lines (a
+    # future change printing a blank line after the JSON would pass a
+    # laxer check here but still leave the driver at parsed:null).
     tail = out[-2000:]
-    lines = [l for l in tail.splitlines() if l.strip()]
-    if not lines:
-        fail("no non-empty stdout lines in the 2000-char tail", out)
-    last = lines[-1]
+    if tail.endswith("\n"):
+        tail = tail[:-1]
+    last = tail.rsplit("\n", 1)[-1]
+    if not last.strip():
+        fail("the literal final stdout line is empty/whitespace "
+             "(the driver would see parsed:null)", out)
 
     try:
         obj = json.loads(last)

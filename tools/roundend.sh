@@ -36,17 +36,31 @@ echo "== 3/6 Oracle output-type audit"
 python3 tools/oracle_types.py /root/testdata/${SFS[0]} /tmp/roundend_${SFS[0]} | tail -1
 
 echo "== 4/6 Plan / Persist / DupSubtree audits"
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 sbt -batch \
-  "runMain graft.tools.PlanAudit" 2>/dev/null | tail -1
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 sbt -batch \
-  "runMain graft.tools.PersistAudit" 2>/dev/null | tail -1
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 sbt -batch \
-  "runMain graft.tools.DupSubtreeAudit" 2>/dev/null | tail -1
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch \
-  "runMain graft.tools.DupSubtreeAudit" 2>/dev/null | tail -1
+# r18 ADVICE: keep the audits' full output (incl. the flagged query /
+# subtree diagnostic lines and stderr) in a log and surface its tail on
+# a red gate instead of suppressing everything but the last line.
+audit() {
+  local tag="$1"; shift
+  local log="/tmp/roundend_${tag}.log"
+  if "$@" > "$log" 2>&1; then
+    grep -v '^\[' "$log" | tail -1
+  else
+    echo "AUDIT $tag FAILED — last 20 lines of $log:"
+    tail -20 "$log"
+    exit 1
+  fi
+}
+audit planaudit env SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 \
+  sbt -batch "runMain graft.tools.PlanAudit"
+audit persistaudit env SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 \
+  sbt -batch "runMain graft.tools.PersistAudit"
+audit dupsubtree_sf001 env SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 \
+  sbt -batch "runMain graft.tools.DupSubtreeAudit"
+audit dupsubtree_sf01 env SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  sbt -batch "runMain graft.tools.DupSubtreeAudit"
 
 echo "== 5/6 Registry/oracle entry check"
-sbt -batch "runMain graft.tools.EntryCheck" 2>/dev/null | tail -1
+audit entrycheck sbt -batch "runMain graft.tools.EntryCheck"
 
 echo "== 6/6 Driver bench-contract check"
 python3 tools/contract_check.py
