@@ -21,9 +21,17 @@ import scala.collection.mutable
   *     is JVM-side.
   *
   * Diagnostic only — not in the bench sweep or the registry.
+  *
+  * r19: takes an optional registry-query argument (default
+  * d17_method_agreement) — the same compile-lag signature turned up in
+  * a4_clahe and g7_kcore (r18 verdict slack item #6), so the profiler
+  * now runs against any registry entry:
+  * `sbt "runMain graft.tools.D17Prof a4_clahe"`.
   */
 object D17Prof {
   def main(args: Array[String]): Unit = {
+    val query = args.headOption.getOrElse("d17_method_agreement")
+    require(graft.SparkEntry.queries.contains(query), s"unknown registry query: $query")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "10").toInt
@@ -59,9 +67,20 @@ object D17Prof {
     def jitMs: Long =
       java.lang.management.ManagementFactory.getCompilationMXBean
         .getTotalCompilationTime
+    // Whole-process CPU nanos (all threads): discriminates an inflated
+    // iteration that is COMPUTING (procCpu ≈ inflation × cores-busy)
+    // from one that is OFF-CPU — blocked or descheduled by host
+    // contention (procCpu ≪ wall). r19: a4's warm inflation showed
+    // ~8 s wall with ~1 s stage execRun, so the missing time needed
+    // this attribution.
+    def procCpuMs: Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1000000L
+        case _ => -1L
+      }
 
     def run(): Unit = {
-      val d = graft.SparkEntry.queries("d17_method_agreement")(spark, sfDir)
+      val d = graft.SparkEntry.queries(query)(spark, sfDir)
       d.select(bit_xor(xxhash64(struct(d.columns.toIndexedSeq.map(col): _*)))).collect()
       ()
     }
@@ -73,16 +92,18 @@ object D17Prof {
     // every time and hide the warm modes entirely).
     run()
     spark.catalog.clearCache()
-    println(f"${"iter"}%4s ${"wall_s"}%8s ${"gc_ms"}%7s ${"jit_ms"}%7s ${"execRun_ms"}%11s ${"shufWr_ms"}%10s  stages top-3 execRun")
+    println(f"${"iter"}%4s ${"wall_s"}%8s ${"gc_ms"}%7s ${"jit_ms"}%7s ${"procCpu_ms"}%11s ${"execRun_ms"}%11s ${"shufWr_ms"}%10s  stages top-3 execRun")
     (1 to iters).foreach { i =>
       stageRun.synchronized(stageRun.clear())
       val gc0 = gcMs
       val jit0 = jitMs
+      val cpu0 = procCpuMs
       val t0 = System.nanoTime()
       run()
       val wall = (System.nanoTime() - t0) / 1e9
       val gcd = gcMs - gc0
       val jitd = jitMs - jit0
+      val cpud = if (cpu0 < 0) -1L else procCpuMs - cpu0
       // The listener bus is async: the final stage-completed events can
       // still be queued when collect() returns, which would attribute
       // them to the NEXT iteration (or drop them at clear()). Settle
@@ -101,7 +122,7 @@ object D17Prof {
       val top = stages.sortBy(-_._2).take(3)
         .map { case (id, r, _, cpu, nm) => s"s$id:${r}ms(cpu${cpu}ms,$nm)" }
         .mkString(" ")
-      println(f"$i%4d $wall%8.3f $gcd%7d $jitd%7d $exec%11d $shuf%10d  $top")
+      println(f"$i%4d $wall%8.3f $gcd%7d $jitd%7d $cpud%11d $exec%11d $shuf%10d  $top")
     }
     spark.catalog.clearCache()
     spark.stop()
