@@ -43,7 +43,8 @@ audit() {
   local tag="$1"; shift
   local log="/tmp/roundend_${tag}.log"
   if "$@" > "$log" 2>&1; then
-    grep -v '^\[' "$log" | tail -1
+    # grep may match nothing (exit 1) without that being a red gate
+    { grep -v '^\[' "$log" || true; } | tail -1
   else
     echo "AUDIT $tag FAILED — last 20 lines of $log:"
     tail -20 "$log"
