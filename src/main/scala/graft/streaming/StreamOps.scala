@@ -174,6 +174,15 @@ object StreamOps {
     * the stream ships the mergeable ≤ k-row artifact per source per
     * window — "ship the sketch, not the corpus" at ingest time.
     */
+  /** Epoch-floor window-start assignment, identical to Spark's
+    * `window(col, dur)` bucketing for ANY timestamp including pre-1970
+    * (negative epoch millis): floorDiv rounds toward negative infinity
+    * where `/` truncates toward zero and would misalign negative
+    * epochs by one window (r18 ADVICE). Pure; spec-pinned.
+    */
+  private[graft] def windowStartMs(epochMs: Long, windowMs: Long): Long =
+    Math.floorDiv(epochMs, windowMs) * windowMs
+
   def kmvBottomKStream(docs: DataFrame, k: Int = graft.ext.Sketch.KmvK,
                        windowMs: Long = 3600000L,
                        watermark: String = "10 minutes"): DataFrame = {
@@ -185,11 +194,8 @@ object StreamOps {
       .select(col("ts"), col("source"),
         graft.ext.Sketch.kmvHash(col("text")).as("h"))
       .as[(java.sql.Timestamp, String, Long)]
-    // floorDiv, not `/`: epoch-floor window assignment must match
-    // Spark's window() for pre-1970 timestamps too (`/` truncates
-    // toward zero and would misalign negative epochs) — r18 ADVICE
     typed.groupByKey { case (t, src, _) =>
-        (Math.floorDiv(t.getTime, windowMs) * windowMs, src) }
+        (windowStartMs(t.getTime, windowMs), src) }
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (key: (Long, String), rows: Iterator[(java.sql.Timestamp, String, Long)],
          state: GroupState[KmvSketchState]) => {

@@ -472,4 +472,29 @@ class StreamOpsSpec extends SparkSpec {
       assert(u2.exists(r => r.getLong(3) == 1 && r.getInt(4) == 0))
     } finally q.stop()
   }
+
+  test("windowStartMs matches Spark's window() epoch-floor for pre-1970 timestamps too") {
+    // r18 ADVICE: `t.getTime / windowMs * windowMs` truncates toward
+    // zero, misaligning negative epochs by one window; floorDiv is the
+    // window() semantics. Pin both sides against Spark's own bucketing.
+    val windowMs = 3600000L
+    val samples = Seq(
+      -1L,                 // 1969-12-31T23:59:59.999 — the divergence case
+      -windowMs,           // exact negative boundary
+      -windowMs - 1L,
+      0L, 1L, windowMs - 1L, windowMs,
+      1700000123456L)
+    val sparkStarts = samples.map { ms =>
+      val df = Seq(new Timestamp(ms)).toDF("ts")
+        .select(window(col("ts"), "1 hour").getField("start").as("start"))
+      ms -> df.head().getTimestamp(0).getTime
+    }.toMap
+    samples.foreach { ms =>
+      assert(StreamOps.windowStartMs(ms, windowMs) == sparkStarts(ms),
+        s"window start diverges from Spark window() at epochMs=$ms")
+      // and the old idiom really is wrong for negative non-boundary epochs
+      if (ms < 0 && ms % windowMs != 0)
+        assert(ms / windowMs * windowMs != sparkStarts(ms))
+    }
+  }
 }
