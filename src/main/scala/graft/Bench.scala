@@ -44,6 +44,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // r19 (tools/PlanPhase on a4_clahe): AQE posts a plan-DESCRIPTION
+      // string per stage update, rendered + regex-redacted on the driver
+      // thread; for queries whose cached lineage is large (a4's ~60 grid
+      // copies, the memoized dedup/graph bases) that rendering was
+      // ~0.8 s/action of pure driver CPU — the warm floor itself, since
+      // task wall is ~0.3 s. Capping the string bounds the cost with no
+      // effect on plans or results (a4 warm min 1.89 s → 1.10 s).
+      .config("spark.sql.maxPlanStringLength", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.register(spark)

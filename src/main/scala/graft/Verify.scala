@@ -18,6 +18,9 @@ object Verify {
       // events.parquet is TIMESTAMP(NANOS): read as long nanos (Events
       // converts to exact integer micros).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bound AQE's per-stage plan-description rendering (r19, see
+      // Bench.buildSession) — string-only, no effect on plans/results
+      .config("spark.sql.maxPlanStringLength", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // fused-dB optimizer rule + graft_db function active in the oracle

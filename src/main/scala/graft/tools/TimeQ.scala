@@ -23,6 +23,8 @@ object TimeQ {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // match Bench.buildSession (r19): bound AQE plan-string rendering
+      .config("spark.sql.maxPlanStringLength", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.register(spark)
