@@ -356,8 +356,17 @@ object Clahe {
   * in the last ulp).
   */
 object LocalStats {
+  /** Prepared-query memo, same contract as [[Clahe.query]] (r19,
+    * tools/PlanPhase): constructing the statsOf(Grid.df) tree costs
+    * ~0.4 s of eager per-operation analysis plus the Grid bucket-sizing
+    * driver action per call; the built Dataset is pure in
+    * (session, dir), so build once per live pair. No persists to
+    * re-arm on this path.
+    */
   def query(s: SparkSession, dir: String): DataFrame =
-    statsOf(Grid.df(s, dir))
+    graft.ext.SessionMemo.get[DataFrame](s, s"enhance-a5:$dir") {
+      statsOf(Grid.df(s, dir))
+    }
 
   /** The shared 9-neighbor fold over any `grid(y, x, db, valid)`
     * relation: valid pixels explode to their stencil positions; ONE
@@ -415,6 +424,18 @@ object LocalStats {
     * bounds check, in-grid invalid centers pass with a null `cdb`.
     */
   def enhancedQuantize(s: SparkSession, dir: String): DataFrame = {
+    // prepared-query memo, same contract as Clahe.query (r19,
+    // tools/PlanPhase: construction was ~0.6 s/call of driver analysis +
+    // the Grid bucket-sizing action); g's persist is re-armed per call
+    val (q, g) = graft.ext.SessionMemo.get[(DataFrame, DataFrame)](
+      s, s"enhance-a5b:$dir") {
+      buildEnhancedQuantize(s, dir)
+    }
+    graft.ext.SessionMemo.rearm(g)
+    q
+  }
+
+  private def buildEnhancedQuantize(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val g = Grid.df(s, dir).persist()
     val st = HistStats.stats(g.filter(col("valid")).select(col("db")))
     val params = st.select(col("p05").as("low"), col("p95").as("high"),
@@ -425,12 +446,13 @@ object LocalStats {
     val q = floor(least(greatest(
       pow((clipped - col("low")) / col("rng"), lit(1.0)) * lit(65535.0),
       lit(0.0)), lit(65535.0))).cast("int")
-    neighborhood(g).crossJoin(broadcast(dims)).crossJoin(broadcast(params))
+    val out = neighborhood(g).crossJoin(broadcast(dims)).crossJoin(broadcast(params))
       .filter(col("cy") >= 0 && col("cy") < col("rows_") &&
         col("cx") >= 0 && col("cx") < lit(Grid.Cols))
       .select(col("cy").as("y"), col("cx").as("x"),
         when(col("cdb").isNotNull, q).otherwise(lit(0)).as("q"))
       .orderBy("y", "x")
+    (out, g)
   }
 
   val enhancedQuantizeSql: String = {

@@ -998,7 +998,18 @@ object Dedup {
     * candidates from 12-bit block equality (pigeonhole-complete for
     * hamming ≤ 3); emits candidate pairs with hamming ≤ 20.
     */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
+  def simhash(s: SparkSession, dir: String): DataFrame = simhashParts(s, dir)._1
+
+  /** [[simhash]] plus its internal persisted relation (the `sim`
+    * signature table feeding both block-join sides), for callers that
+    * memoize a composed plan over this subtree and must re-arm EVERY
+    * persist inside it per call (r19 lesson, [[methodAgreement]]: a
+    * persist buried in a helper is armed only at memo-build time, so
+    * after a clearCache the memoized plan silently recomputes the
+    * helper's whole subtree on every action — d17 warm went 1.3 s →
+    * 5.5 s before the re-arm was wired through).
+    */
+  private[graft] def simhashParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // distinct on the 48-bit hash, not the token string: the exchange
     // carries longs, and the (engine-identical) hash is what the bit
     // sums consume anyway
@@ -1020,13 +1031,14 @@ object Dedup {
       (0 until SimhashBlocks).map(b => struct(lit(b).as("blk"),
         shiftright(col("simhash"), b * BlockBits).bitwiseAND(lit((1L << BlockBits) - 1)).as("bval"))): _*)).as("e"))
       .select(col("doc_id"), col("simhash"), col("e.blk"), col("e.bval"))
-    blocks.as("x").join(blocks.as("y"), Seq("blk", "bval"))
+    val pairs = blocks.as("x").join(blocks.as("y"), Seq("blk", "bval"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 20)
       .orderBy("doc_a", "doc_b")
+    (pairs, sim)
   }
 
   val simhashSql: String = {
@@ -1532,13 +1544,29 @@ object Dedup {
     * map-side-combinable onto ≤3 keys. No new quadratic surface.
     */
   def methodAgreement(s: SparkSession, dir: String): DataFrame = {
+    // prepared-query memo, same contract as Clahe.query (r19,
+    // tools/PlanPhase: composing the minhash-band × simhash-block
+    // candidate union costs ~0.4 s of driver analysis per call); EVERY
+    // persist inside the composed plan — sig AND simhash's internal sim
+    // table — is re-armed per call (see [[simhashParts]] for what
+    // happens when one is missed)
+    val (q, persisted) = SessionMemo.get[(DataFrame, Seq[DataFrame])](
+      s, s"dedup-d17:$dir") {
+      buildMethodAgreement(s, dir)
+    }
+    persisted.foreach(SessionMemo.rearm)
+    q
+  }
+
+  private def buildMethodAgreement(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     val sig = minhashSig(s, dir).persist() // band self-join's two sides
     val mcand = bandCandidates(sig).withColumn("in_m", lit(1))
-    val scand = simhash(s, dir).select(col("doc_a"), col("doc_b"))
+    val (spairs, sim) = simhashParts(s, dir)
+    val scand = spairs.select(col("doc_a"), col("doc_b"))
       .withColumn("in_s", lit(1))
     val h = t(s, dir).select(col("doc_id"), md5(col("text")).as("h"))
     val u = mcand.join(scand, Seq("doc_a", "doc_b"), "full_outer")
-    u.join(h.select(col("doc_id").as("doc_a"), col("h").as("hx")), "doc_a")
+    val out = u.join(h.select(col("doc_id").as("doc_a"), col("h").as("hx")), "doc_a")
       .join(h.select(col("doc_id").as("doc_b"), col("h").as("hy")), "doc_b")
       .select(
         when(col("in_m").isNotNull && col("in_s").isNotNull, "both")
@@ -1551,6 +1579,7 @@ object Dedup {
         round(col("n_exact").cast("double") / col("n_pairs").cast("double"), 6)
           .as("exact_frac"))
       .orderBy("method")
+    (out, Seq(sig, sim))
   }
 
   val methodAgreementSql: String = {
