@@ -912,11 +912,30 @@ object SparkEntry {
     * clearCache costs their consumers one lineage replay, not a
     * rebuild. The set of queries allowed to leave persists behind is
     * machine-checked by `tools/PersistAudit` against `Bench.extraIters`.
+    *
+    * Prepared-query memo (r19): registry fns are pure in
+    * (session, dir) and eager per-operation analysis makes steady-state
+    * CONSTRUCTION alone cost 100–600 ms for most entries
+    * (tools/BuildCensus: 24 s summed across the registry — paid again
+    * on every bench iteration), so built Datasets are memoized per
+    * (session, name, dir). Generic memoization is only safe for fns
+    * that touch NO persisted relation: a persist armed inside a
+    * memoized build is never re-armed after a clearCache and its
+    * subtree silently recomputes on every action (the d17 lesson,
+    * `Dedup.simhashParts`). The exact "touches persists" set is the
+    * machine-checked `Bench.extraIters ++ Bench.auditSkip`
+    * (PersistAudit: leftover=0 for everything else), so those entries
+    * keep per-call construction — except the ones that carry their own
+    * hand-written memo with explicit re-arms (Clahe/LocalStats/Dedup
+    * d17 style).
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> { (s: SparkSession, dir: String) =>
       graft.plans.GraftExtensions.register(s)
-      q.fn(s, dir)
+      if (Bench.extraIters(q.name) || Bench.auditSkip(q.name)) q.fn(s, dir)
+      else graft.ext.SessionMemo.get[DataFrame](s, s"registry:${q.name}:$dir") {
+        q.fn(s, dir)
+      }
     }).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
