@@ -1137,8 +1137,18 @@ object Dedup {
     * operator here that needs none. Coverage explodes duplicated
     * positions ×k only (bounded blowup on the duplicated subset).
     */
-  def substringSpans(s: SparkSession, dir: String): DataFrame =
-    substringSpansFrom(t(s, dir).select(col("doc_id"), col("text")))
+  def substringSpans(s: SparkSession, dir: String): DataFrame = {
+    // prepared-query memo (r19, tools/BuildCensus: ~0.34 s of driver
+    // analysis per call — the unrolled SpanK polynomial fold is a big
+    // tree); BOTH internal persists (g, dupg) are re-armed per call —
+    // the d17 buried-persist lesson, see [[simhashParts]]
+    val (q, persisted) = SessionMemo.get[(DataFrame, Seq[DataFrame])](
+      s, s"dedup-d12:$dir") {
+      substringSpansParts(t(s, dir).select(col("doc_id"), col("text")))
+    }
+    persisted.foreach(SessionMemo.rearm)
+    q
+  }
 
   /** [[substringSpans]] over an explicit `(doc_id, text)` relation —
     * the spec pins coverage arithmetic on planted shared spans.
@@ -1151,7 +1161,12 @@ object Dedup {
     * identical arithmetic, so any collision merges the same spans in
     * both engines.
     */
-  def substringSpansFrom(d: DataFrame): DataFrame = {
+  def substringSpansFrom(d: DataFrame): DataFrame = substringSpansParts(d)._1
+
+  /** [[substringSpansFrom]] plus its persisted relations, for the
+    * memoizing caller's per-call re-arm.
+    */
+  private[graft] def substringSpansParts(d: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val toks = TextOps.tokens(col("text"))
     val base = d.select(col("doc_id"),
       size(toks).as("n_tokens"),
@@ -1179,7 +1194,7 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("covered"))
     val counts = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val dcounts = dupg.groupBy("doc_id").agg(count(lit(1)).as("n_dup_grams"))
-    base.select("doc_id", "n_tokens")
+    val out = base.select("doc_id", "n_tokens")
       .join(counts, Seq("doc_id"), "left")
       .join(dcounts, Seq("doc_id"), "left")
       .join(cov, Seq("doc_id"), "left")
@@ -1192,6 +1207,7 @@ object Dedup {
             col("n_tokens").cast("double"), 6))
           .otherwise(lit(0.0)).as("dup_span_frac"))
       .orderBy("doc_id")
+    (out, Seq(g, dupg))
   }
 
   val substringSpansSql: String = {
@@ -1317,6 +1333,20 @@ object Dedup {
     * Nothing re-probes, nothing rescans the corpus per point.
     */
   def dedupSweep(s: SparkSession, dir: String): DataFrame = {
+    // prepared-query memo (r19, tools/BuildCensus: ~0.2 s of driver
+    // analysis per call); per call the shared shingle accessor runs for
+    // its re-arm side effect and the query's own j persist is re-armed
+    // explicitly — the d17 buried-persist lesson, see [[simhashParts]]
+    val (q, j) = SessionMemo.get[(DataFrame, DataFrame)](
+      s, s"dedup-d14:$dir") {
+      buildDedupSweep(s, dir)
+    }
+    cappedShingles(s, dir) // memo hit; re-arms the shared shingle persists
+    SessionMemo.rearm(j)
+    q
+  }
+
+  private def buildDedupSweep(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val sh = cappedShingles(s, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val pairs = sh.as("a").join(sh.as("b"), "sh")
@@ -1339,7 +1369,7 @@ object Dedup {
       .distinct() // spread before the combinable per-threshold count
       .groupBy("thr_pct").agg(count(lit(1)).as("n_docs_affected"))
     val total = t(s, dir).agg(count(lit(1)).as("n_corpus")) // 1 row
-    spine
+    val out = spine
       .join(nPairs, Seq("thr_pct"), "left")
       .join(nDocs, Seq("thr_pct"), "left")
       .crossJoin(broadcast(total))
@@ -1349,6 +1379,7 @@ object Dedup {
         round(coalesce(col("n_docs_affected"), lit(0L)).cast("double") /
           col("n_corpus").cast("double"), 6).as("affected_rate"))
       .orderBy("thr_pct")
+    (out, j)
   }
 
   val dedupSweepSql: String = s"""WITH $shingleCte,

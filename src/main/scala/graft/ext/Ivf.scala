@@ -261,6 +261,21 @@ object Ivf {
     * bounded shortlist, the point of PQ at 100 TB.
     */
   def ivfpqTopk(s: SparkSession, dir: String): DataFrame = {
+    // prepared-query memo (r19, tools/BuildCensus: ~0.45 s of driver
+    // analysis + codebook composition per call); per call the shared
+    // index base accessor runs for its re-arm side effect and the
+    // query's own persists (codes, db) are re-armed explicitly — the
+    // d17 buried-persist lesson, see Dedup.simhashParts
+    val (q, persisted) = graft.ext.SessionMemo.get[(DataFrame, Seq[DataFrame])](
+      s, s"ivf-s21:$dir") {
+      buildIvfpqTopk(s, dir)
+    }
+    indexBase(s, dir) // memo hit; re-arms the shared emb/cell persists
+    persisted.foreach(graft.ext.SessionMemo.rearm)
+    q
+  }
+
+  private def buildIvfpqTopk(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     val (emb, model, corpusCells) = indexBase(s, dir)
     val cells = corpusCells.select(col("vec_id"), col("cell"))
     // ONE codebook build serves both the corpus encode and the ADC
@@ -354,10 +369,11 @@ object Ivf {
         (col("nq") * TopK).cast("double")).as("mean_recall"))
       .filter(col("mean_recall") > PqMinRecall)
       .select(lit(true).as("recall_ok"))
-    res.crossJoin(broadcast(guard))
+    val out = res.crossJoin(broadcast(guard))
       .select(col("qid"), col("rk"), col("oid"), col("adc"), col("d2"),
         col("exact_hit"), col("recall3"), col("recall_ok"))
       .orderBy("qid", "rk")
+    (out, Seq(codes, db, res))
   }
 
   /** The nprobe values S9 sweeps (≤ [[NList]]). */

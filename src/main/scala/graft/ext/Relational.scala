@@ -787,6 +787,18 @@ object Relational {
     * decile relation. The oracle states the naive single window.
     */
   def customerConcentration(s: SparkSession, dir: String): DataFrame = {
+    // prepared-query memo (r19, tools/BuildCensus: ~0.27 s of driver
+    // analysis per call); the cust persist is re-armed per call — the
+    // d17 buried-persist lesson, see Dedup.simhashParts
+    val (q, cust) = graft.ext.SessionMemo.get[(DataFrame, DataFrame)](
+      s, s"rel-x15:$dir") {
+      buildCustomerConcentration(s, dir)
+    }
+    graft.ext.SessionMemo.rearm(cust)
+    q
+  }
+
+  private def buildCustomerConcentration(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val cust = t(s, dir, "orders")
       .groupBy("o_custkey")
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"),
@@ -812,7 +824,7 @@ object Relational {
         sum("n_orders").as("n_orders"),
         sum(col("cents").cast(DecimalType(38, 0))).as("rc"))
     val tot = deciles.agg(sum("rc").as("tc"))
-    deciles.crossJoin(broadcast(tot))
+    val out = deciles.crossJoin(broadcast(tot))
       .withColumn("cum", sum("rc").over(Window.orderBy("decile")
         .rowsBetween(Window.unboundedPreceding, 0)))
       .select(col("decile"), col("n_customers"), col("n_orders"),
@@ -820,6 +832,7 @@ object Relational {
         round(col("rc").cast("double") / col("tc").cast("double"), 6).as("share"),
         round(col("cum").cast("double") / col("tc").cast("double"), 6).as("cum_share"))
       .orderBy("decile")
+    (out, cust)
   }
 
   val customerConcentrationSql: String = """WITH cust AS (
@@ -1266,13 +1279,27 @@ object Relational {
     * per run). Per the registry persist contract the persist is left
     * for the session (x22 is in Bench.extraIters; PersistAudit knows).
     */
-  def topSupplier(s: SparkSession, dir: String): DataFrame =
-    topSupplierFrom(t(s, dir, "lineitem"), t(s, dir, "supplier"))
+  def topSupplier(s: SparkSession, dir: String): DataFrame = {
+    // prepared-query memo (r19, tools/BuildCensus: ~0.18 s of driver
+    // analysis per call); the rev persist is re-armed per call
+    val (q, rev) = graft.ext.SessionMemo.get[(DataFrame, DataFrame)](
+      s, s"rel-x22:$dir") {
+      topSupplierParts(t(s, dir, "lineitem"), t(s, dir, "supplier"))
+    }
+    graft.ext.SessionMemo.rearm(rev)
+    q
+  }
 
   /** [[topSupplier]] over explicit relations — the spec pins the
     * exact-DECIMAL tie semantics.
     */
-  def topSupplierFrom(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+  def topSupplierFrom(lineitem: DataFrame, supplier: DataFrame): DataFrame =
+    topSupplierParts(lineitem, supplier)._1
+
+  /** [[topSupplierFrom]] plus its persisted rev pre-agg, for the
+    * memoizing caller's per-call re-arm.
+    */
+  private def topSupplierParts(lineitem: DataFrame, supplier: DataFrame): (DataFrame, DataFrame) = {
     val rev = lineitem
       .filter(col("l_shipdate") >= lit(LateShipWindowStart).cast("timestamp") &&
         col("l_shipdate") < lit(LateShipWindowEnd).cast("timestamp"))
@@ -1282,13 +1309,14 @@ object Relational {
         .as("rev"))
       .persist() // supplier-grain (bounded); consumed by 2 plan legs
     val mx = rev.agg(max("rev").as("mxrev")) // 1 row, provably bounded
-    rev.crossJoin(broadcast(mx))
+    val out = rev.crossJoin(broadcast(mx))
       .filter(col("rev") === col("mxrev"))
       .join(supplier.select(col("s_suppkey"), col("s_name")),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         col("rev").cast("double").as("total_revenue"))
       .orderBy("s_suppkey")
+    (out, rev)
   }
 
   /** X23 part-name filter (Q9 filters `p_name LIKE '%green%'`; this

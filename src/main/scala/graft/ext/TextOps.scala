@@ -2665,8 +2665,19 @@ object TextOps {
     * join-back legs — all three persisted (t34 is in Bench.extraIters
     * per the persist contract).
     */
-  def lmPerplexity(s: SparkSession, dir: String): DataFrame =
-    lmPerplexityFrom(t(s, dir).select(col("doc_id"), col("source"), col("text")))
+  def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    // prepared-query memo (r19, tools/BuildCensus: ~0.8 s of driver
+    // analysis per call — the registry's largest non-loop construction);
+    // EVERY persist in the composed plan (model uni/big, the scored
+    // occurrence pre-agg, the ranked base) is re-armed per call — the
+    // d17 buried-persist lesson, see Dedup.simhashParts
+    val (q, persisted) = SessionMemo.get[(DataFrame, Seq[DataFrame])](
+      s, s"textops-t34:$dir") {
+      lmPerplexityParts(t(s, dir).select(col("doc_id"), col("source"), col("text")))
+    }
+    persisted.foreach(SessionMemo.rearm)
+    q
+  }
 
   /** The T34 stupid-backoff model: hashed n-gram count tables + the
     * 1-row train-token total. `uni` and `big` are persisted by
@@ -2752,7 +2763,12 @@ object TextOps {
     * relation — the spec pins exact backoff levels and nats on a
     * crafted train/held-out corpus.
     */
-  def lmPerplexityFrom(d: DataFrame): DataFrame = {
+  def lmPerplexityFrom(d: DataFrame): DataFrame = lmPerplexityParts(d)._1
+
+  /** [[lmPerplexityFrom]] plus every persisted relation inside the
+    * composed plan, for the memoizing caller's per-call re-arm.
+    */
+  private[graft] def lmPerplexityParts(d: DataFrame): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.types.DecimalType
     val isTrain = splitOf(col("doc_id")) === "train"
     val m = sbModel(d.filter(isTrain))
@@ -2813,11 +2829,12 @@ object TextOps {
         when(col("rk") * 3 <= col("ns"), "head")
           .when(col("rk") * 3 <= col("ns") * 2, "middle")
           .otherwise("tail").as("ppl_bucket"))
-    base.join(tercile, Seq("doc_id"), "left")
+    val out = base.join(tercile, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("n_scored"), col("n_tri"),
         col("n_bi"), col("n_oov"), col("mean_nll"),
         coalesce(col("ppl_bucket"), lit("unscored")).as("ppl_bucket"))
       .orderBy("doc_id")
+    (out, Seq(m.uni, m.big, socc, base))
   }
 
   val lmPerplexitySql: String = {
