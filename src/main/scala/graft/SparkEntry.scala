@@ -938,6 +938,19 @@ object SparkEntry {
       }
     }).toMap
 
+  /** The registry WITHOUT the prepared-query memo (r19 ADVICE item):
+    * every call pays real Dataset construction. Diagnostics only —
+    * `tools/BuildCensus` measures steady-state construction cost, and
+    * through the memoized [[queries]] a second call would measure the
+    * memo hit (~0 ms), hiding a construction-cost regression for the
+    * memoized majority. Production callers use [[queries]].
+    */
+  private[graft] def rawQueries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> { (s: SparkSession, dir: String) =>
+      graft.plans.GraftExtensions.register(s)
+      q.fn(s, dir)
+    }).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */

@@ -28,7 +28,11 @@ object BuildCensus {
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftExtensions.register(spark)
 
-    val results = graft.SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // rawQueries, NOT queries (r19 ADVICE): the prepared-query memo
+    // would make every second call a map hit (~0 ms) and the census
+    // could no longer surface a construction-cost regression for the
+    // memoized majority — the raw registry measures real construction.
+    val results = graft.SparkEntry.rawQueries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       fn(spark, sfDir)
       val first = (System.nanoTime() - t0) / 1000000L

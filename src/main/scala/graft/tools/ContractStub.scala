@@ -25,6 +25,11 @@ object ContractStub {
     println(graft.Bench.compactContractLine(
       all = Seq("q_stub_slow" -> 1.23, "raster_stub" -> 0.07, "q_stub_fast" -> 0.11),
       failed = Seq.empty, flaky = Seq.empty,
-      sentinel = 0.05, nChunks = 1, sfDir = "/root/testdata/sf0.001"))
+      sentinel = 0.05, nChunks = 1, sfDir = "/root/testdata/sf0.001",
+      // r20: harness self-description keys ride the contract line; the
+      // checker asserts they parse (harness_sec/sweep_sec/reval_sec
+      // numeric, reval_dropped/skipped_n non-negative ints)
+      stats = graft.Bench.HarnessStats(harnessSec = 12.3, sweepSec = 10.0,
+        revalSec = 2.3, revalDropped = Seq("q_dropped"), skipped = Nil)))
   }
 }

@@ -115,6 +115,16 @@ object D17Prof {
     // executorCpuTime is flat but whose steal delta spikes is host
     // contention, not engine work — the discriminator the bench
     // artifact-validity protocol needs on shared hosts.
+    // Tick length from the kernel's CLK_TCK (r19 ADVICE: the previous
+    // hardcoded *10 assumed USER_HZ=100; on a kernel exposing a
+    // different USER_HZ the printed steal/iowait ms would be scaled
+    // wrong). getconf once at startup; 100 Hz fallback on any failure.
+    val tickMs: Long = try {
+      val p = new ProcessBuilder("getconf", "CLK_TCK").start()
+      val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+      p.waitFor()
+      1000L / math.max(1L, out.toLong)
+    } catch { case _: Exception => 10L }
     def stealIowaitTicks(): (Long, Long) = {
       try {
         val src = scala.io.Source.fromFile("/proc/stat")
@@ -198,7 +208,7 @@ object D17Prof {
       val byFam = tc1.map { case (fam, v) => fam -> (v - tc0.getOrElse(fam, 0L)) }
         .filter(_._2 > 50).toList.sortBy(-_._2).take(5)
       println("      thread-cpu: " + byFam.map { case (f, ms) => s"$f=${ms}ms" }.mkString(" ") +
-        s"  steal=${(st1 - st0) * 10}ms iowait=${(io1 - io0) * 10}ms")
+        s"  steal=${(st1 - st0) * tickMs}ms iowait=${(io1 - io0) * tickMs}ms")
     }
     spark.catalog.clearCache()
     spark.stop()

@@ -137,4 +137,77 @@ class BenchSelectionSpec extends AnyFunSuite {
     assert(always.map(_._1) == Seq("slow"))
     assert(ratio.isEmpty)
   }
+
+  // ------------------------------------------------ r20 deadline logic
+  // BENCH_r19 was rc=124/"parsed":null: 35 unbounded chunk forks under
+  // host steal (~3,450 s) plus 42 queued ~40 s reval children, with the
+  // contract line printed only after everything finished. The harness
+  // is now deadline-bounded; these pin the pure shedding decisions.
+
+  test("reval admission: tier-dropping under an artificially small deadline") {
+    // 5 suspects at ~40s actual each, initial estimate 60s:
+    // budget 50  -> 0 admitted (even the first projected child won't fit)
+    assert(Bench.revalAdmissions(Seq.fill(5)(40.0), budgetSec = 50.0,
+      initialEstSec = 60.0) == 0)
+    // budget 100 -> first admits on the 60s estimate (spent 40), then
+    // the measured 40s average lets a second fit (80 <= 100), not a third
+    assert(Bench.revalAdmissions(Seq.fill(5)(40.0), budgetSec = 100.0,
+      initialEstSec = 60.0) == 2)
+    // an ample budget admits everyone
+    assert(Bench.revalAdmissions(Seq.fill(5)(40.0), budgetSec = 1000.0,
+      initialEstSec = 60.0) == 5)
+    // cheap children adapt the estimate upward in admissions: 10s actual
+    // lets 10 through a 100s budget despite the 60s initial estimate
+    assert(Bench.revalAdmissions(Seq.fill(20)(10.0), budgetSec = 100.0,
+      initialEstSec = 60.0) == 10)
+    // once one child is dropped, all later ones drop too (priority
+    // order — a cheaper-looking later child has no claim on the budget)
+    assert(Bench.revalAdmissions(Seq(90.0, 90.0, 1.0, 1.0), budgetSec = 100.0,
+      initialEstSec = 60.0) == 1)
+  }
+
+  test("reval child estimate: initial until measured, then the running average") {
+    assert(Bench.revalChildEstimate(Nil, 60.0) == 60.0)
+    assert(Bench.revalChildEstimate(Seq(10.0, 20.0), 60.0) == 15.0)
+  }
+
+  test("sweep fallback: first fleet always forks; then pace-projection decides") {
+    // no measurement yet -> never bail before the first fleet
+    assert(!Bench.sweepGoInProcess(0, 0.0, 200, 10.0))
+    // 36 queries took 360s (10s/q); 100 remain; 500s budget -> in-process
+    assert(Bench.sweepGoInProcess(36, 360.0, 100, 500.0))
+    // same pace with a 1500s budget -> keep forking
+    assert(!Bench.sweepGoInProcess(36, 360.0, 100, 1500.0))
+  }
+
+  test("reval reserve scales down with small deadlines") {
+    assert(Bench.revalReserveSec(2400.0) == 600.0)
+    assert(Bench.revalReserveSec(1200.0) == 300.0)
+    assert(Bench.revalReserveSec(4000.0) == 600.0) // capped
+  }
+
+  test("compact line carries the harness self-description keys (r19 verdict #3)") {
+    val stats = Bench.HarnessStats(harnessSec = 1234.5, sweepSec = 1000.0,
+      revalSec = 234.5, revalDropped = Seq("a4_clahe", "g7_kcore"),
+      skipped = Seq("m6_frame_overlap"))
+    val line = Bench.compactContractLine(Seq(("q1", 1.0)), Nil, Nil,
+      0.1, 35, "/root/testdata/sf0.1", stats)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper
+    val node = om.readTree(line)
+    assert(node.get("harness_sec").asDouble == 1234.5)
+    assert(node.get("sweep_sec").asDouble == 1000.0)
+    assert(node.get("reval_sec").asDouble == 234.5)
+    // counts in the compact line (names live in bench_full.json — the
+    // line must stay under the driver's 2000-char stdout tail)
+    assert(node.get("reval_dropped").asInt == 2)
+    assert(node.get("skipped_n").asInt == 1)
+    assert(!node.has("partial"))
+    // the shutdown-hook emission marks itself partial
+    val partial = Bench.compactContractLine(Seq(("q1", 1.0)), Nil, Nil,
+      0.1, 35, "/root/testdata/sf0.1", stats.copy(partial = true))
+    assert(om.readTree(partial).get("partial").asBoolean)
+    // contract keys still intact alongside the new ones
+    assert(node.get("metric").asText == "total")
+    assert(node.get("unit").asText == "sec")
+  }
 }

@@ -85,6 +85,16 @@ def main():
     if not isinstance(obj["value"], (int, float)) or obj["value"] < 0:
         fail(f'value is {obj["value"]!r}, expected non-negative number')
 
+    # r20 (r19 verdict #3): the artifact self-describes its harness
+    # timing so a slow-host round is diagnosable from the parsed JSON
+    # alone (r19's rc=124 was reconstructable only from stderr tails).
+    for key in ("harness_sec", "sweep_sec", "reval_sec"):
+        if key not in obj or not isinstance(obj[key], (int, float)):
+            fail(f"harness key {key!r} missing/non-numeric: {obj.get(key)!r}")
+    for key in ("reval_dropped", "skipped_n"):
+        if key not in obj or not isinstance(obj[key], int) or obj[key] < 0:
+            fail(f"harness key {key!r} missing/invalid: {obj.get(key)!r}")
+
     print(f"CONTRACT OK: last stdout line parses; keys={sorted(obj)}; "
           f"queries={len(obj['queries'])}")
     sys.exit(0)
