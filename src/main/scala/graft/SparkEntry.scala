@@ -928,6 +928,16 @@ object SparkEntry {
     * keep per-call construction — except the ones that carry their own
     * hand-written memo with explicit re-arms (Clahe/LocalStats/Dedup
     * d17 style).
+    *
+    * Why no in-JVM assertion that a generically memoized build armed no
+    * persist (r19 ADVICE item, considered and declined): the only
+    * reliable arm-detection point is Spark's CacheManager, which is
+    * `private[sql]` — reaching it would need a package-injection shim,
+    * and `sparkContext.getPersistentRDDs` only sees persists after
+    * materialization, not at build time. The invariant is instead
+    * machine-checked out-of-band by `tools/PersistAudit` (exits nonzero
+    * if ANY query outside the boundary set leaves cached relations),
+    * which `tools/roundend.sh` runs on every round-end.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> { (s: SparkSession, dir: String) =>
