@@ -1230,16 +1230,19 @@ object Bench {
       "bench_full.json baseline), and a JVM shutdown hook prints a " +
       "best-effort contract line (partial:true) on SIGTERM. " +
       "harness_sec/sweep_sec/reval_sec record the wall split. " +
-      "m6_frame_overlap floor verdict (r20, closes the r19 #6 item): " +
-      "sweep and isolated agree (~3.0/3.2s in the baseline window) so " +
-      "it is not state inflation; PlanPhase splits the warm iteration " +
-      "as execute 2.1-3.1s with the driver parked (build 0.27s, all " +
-      "other plan phases <0.1s - not plan-string/driver CPU), and " +
-      "D17Prof shows the d17 signature: per-stage task run >> task cpu " +
-      "(s114 33.6s run vs 4.5s cpu) with seconds-order /proc/stat " +
-      "steal deltas (13-48s per iteration) - host interference over " +
-      "the df-capped frame pair join, not engine work. Warm floor " +
-      "~2.1-2.4s quiet; no engine change applicable"
+      "m6_frame_overlap verdict (r20, closes the r19 #6 item): " +
+      "tools/ReProf showed the published number was NOT engine compute " +
+      "- a same-instance re-collect ran 0.07s while a fresh " +
+      "construction over the SAME armed caches ran 1.9-2.3s, i.e. the " +
+      "min-of-3 was dominated by re-running ~8 tiny-data exchange " +
+      "stages downstream of the fh persist (keep-join, self-join, pair " +
+      "agg, two sizes joins). Fixed by attaching the per-doc frame " +
+      "counts to the postings BEFORE the self-join and persisting that " +
+      "enriched relation: a fresh plan now re-runs 2 exchanges " +
+      "(self-join + pair agg). TimeQ 2.72 -> 0.65s; oracle unchanged " +
+      "and hash-green; same scale shape (doc_id enrichment join is " +
+      "bounded <=MaxSampledFrames rows/key, nothing new broadcast or " +
+      "windowed)"
 
   private[graft] def emitArtifacts(r: SuiteResult, sfDir: String, nChunks: Int,
                     reval: Seq[(String, (Double, Double))] = Nil,
