@@ -1242,7 +1242,19 @@ object Bench {
       "(self-join + pair agg). TimeQ 2.72 -> 0.65s; oracle unchanged " +
       "and hash-green; same scale shape (doc_id enrichment join is " +
       "bounded <=MaxSampledFrames rows/key, nothing new broadcast or " +
-      "windowed)"
+      "windowed). Generalized (r20, tools/ReProf screen over every " +
+      "extraIters entry): seven more persisting entries published " +
+      "1.0-2.2s of downstream-of-persist re-run, not engine compute - " +
+      "d2/d10/d9 now share one session-memoized pair-grain " +
+      "common-shingle relation (sizes ride the postings into the " +
+      "self-join, min-per-group replaces two joins back onto the pair " +
+      "set; Dedup.shinglePairs), and t11/x11/t23/m7 persist their " +
+      "bounded output-adjacent relation (doc-grain per, customer-grain " +
+      "ranked, bucket-survivor local, capped posting lists). Fresh-" +
+      "construction steady state: d10 1.15->0.19, d2 1.17->0.27, t23 " +
+      "1.17->0.47, t11 1.42->0.64, x11 1.12->0.67, d9 2.16->0.61, m7 " +
+      "0.44->0.41; all seven hash-green, Persist/Plan/DupSubtree " +
+      "audits PASS (all were already extraIters members)"
 
   private[graft] def emitArtifacts(r: SuiteResult, sfDir: String, nChunks: Int,
                     reval: Seq[(String, (Double, Double))] = Nil,

@@ -262,16 +262,49 @@ object Dedup {
       JOIN (SELECT sh FROM shraw GROUP BY sh HAVING COUNT(*) <= $MaxShingleDf) k USING (sh)),
     sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shh GROUP BY 1)"""
 
+  /** Session-lifetime memo of the pair-grain common-shingle relation
+    * `(doc_a, doc_b, common, na, nb)` — the inverted-index self-join +
+    * pair aggregate shared DEFINITIONALLY by D2 (Jaccard), D10
+    * (containment) and D9 (exact side of the calibration curve), in the
+    * same re-armed-persist pattern as [[shingleRelations]]. Two r20
+    * changes rolled together (tools/ReProf, the m6 pattern):
+    *
+    *  1. Per-doc set sizes ride the postings INTO the self-join
+    *     (`min(a.nsh)`/`min(b.nsh)` are group constants), replacing the
+    *     two sizes joins BACK onto the corpus-sized pair set.
+    *     Equivalence: pairs come from an INNER self-join on `shh`, so
+    *     both docs are in `sizes` and min-over-group equals the joined
+    *     value; a pair absent from this relation was absent from the
+    *     old `pairs` too.
+    *  2. The pair relation is memoized + persisted once per
+    *     (session, dir): before, every fresh d2/d10/d9 construction
+    *     re-ran the sizes agg, self-join, pair agg and both joins over
+    *     armed shingle caches (~1.1–1.2 s each, 42× their same-instance
+    *     warm floor); now steady state is one top-k / rollup exchange
+    *     over the cached pairs.
+    *
+    * Scale shape unchanged: the self-join is bounded per shingle bucket
+    * by [[MaxShingleDf]]² and the enrichment join is on doc_id at
+    * posting grain; the persisted relation is the same pair set every
+    * consumer already materialized per run.
+    */
+  private def shinglePairs(s: SparkSession, dir: String): DataFrame = {
+    val pairs = SessionMemo.get[DataFrame](s, s"shingle-pairs:$dir") {
+      val sh = cappedShingles(s, dir)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val shhN = sh.join(sizes, "doc_id")
+      shhN.as("a").join(shhN.as("b"), "sh")
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("common"),
+          min(col("a.nsh")).as("na"), min(col("b.nsh")).as("nb"))
+    }
+    cappedShingles(s, dir) // memo hit; re-arms the shared shingle persists
+    SessionMemo.rearm(pairs)
+  }
+
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = cappedShingles(s, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val pairs = sh.as("a").join(sh.as("b"), "sh")
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    val j = pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
+    val j = shinglePairs(s, dir)
       .select(col("doc_a"), col("doc_b"),
         (col("common").cast("double") /
           (col("na") + col("nb") - col("common")).cast("double")).as("jaccard"))
@@ -314,15 +347,7 @@ object Dedup {
     * TakeOrdered, never a corpus-sized single-partition window.
     */
   def containment(s: SparkSession, dir: String): DataFrame = {
-    val sh = cappedShingles(s, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val pairs = sh.as("a").join(sh.as("b"), "sh")
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    val o = pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
+    val o = shinglePairs(s, dir)
       .select(col("doc_a"), col("doc_b"), col("common"), col("na"), col("nb"),
         (col("common").cast("double") / least(col("na"), col("nb")).cast("double"))
           .as("overlap"))
@@ -721,22 +746,26 @@ object Dedup {
       .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (matches.cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))
-    val shh = cappedShingles(s, dir)
-    val sizes = shh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val com = shh.as("a").join(shh.as("b"), "sh")
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
+    // r20 (tools/ReProf, the m6 pattern): the exact side reads the
+    // shared memoized pair-grain relation, which carries na/nb as group
+    // constants instead of LEFT-joining sizes back onto the pair set
+    // twice. Equivalence: a pair in `com` always has na, nb ≥ 1 (it
+    // shares a shingle) and denom = na+nb-common ≥ 1; a pair NOT in
+    // `com` had exact_j = 0.0 under BOTH shapes (old: common coalesced
+    // to 0 makes the numerator 0; new: denom coalesces to 0 and the
+    // guard emits 0.0).
+    val com = shinglePairs(s, dir)
     val denom = coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L)) -
       coalesce(col("common"), lit(0L))
     val ex = est
       .join(com, Seq("doc_a", "doc_b"), "left")
-      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), Seq("doc_a"), "left")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), Seq("doc_b"), "left")
       .select(col("est_jaccard"),
         when(denom > 0,
           round(coalesce(col("common"), lit(0L)).cast("double") / denom.cast("double"), 9))
           .otherwise(lit(0.0)).as("exact_j"))
+      // pair-grain calibration scatter: the prepared relation a fresh
+      // rollup re-reads (steady state = one agg exchange + sort)
+      .persist()
     ex.groupBy("est_jaccard")
       .agg(count(lit(1)).as("n_pairs"),
         round(sum(col("exact_j").cast(DecimalType(20, 10))).cast("double") /

@@ -486,6 +486,12 @@ object Multimodal {
     val keep = blocks.groupBy("blk", "bval").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxAHashBlockDf).select("blk", "bval")
     val capped = blocks.join(keep, Seq("blk", "bval"))
+      // r20 (tools/ReProf, the m6 pattern): capped posting-list
+      // boundary (≤ 4 rows per payload) — a fresh construction re-runs
+      // the bucket self-join + distinct + sort only, not the hex
+      // sampling projection, block explode and occupancy-cap agg
+      // downstream of the hashed persist (recon 0.44 s vs 0.03 s warm)
+      .persist()
     val hamming = (0 until AHashBlocks).map(b =>
       bit_count(col(s"x.blk$b").bitwiseXOR(col(s"y.blk$b")))).reduce(_ + _)
     capped.as("x").join(capped.as("y"), Seq("blk", "bval"))

@@ -39,7 +39,7 @@ object ReProf {
     def sec[A](f: => A): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    println(f"${"query"}%-36s ${"cold"}%6s ${"warm"}%6s ${"recon"}%6s  ratio")
+    println(f"${"query"}%-36s ${"cold"}%6s ${"warm"}%6s ${"recon"}%6s ${"constr"}%6s  ratio")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query $name"))
@@ -47,7 +47,10 @@ object ReProf {
       val cold = sec(df.collect())
       val warm = (1 to 3).map(_ => sec(df.collect())).min
       val recon = (1 to 3).map(_ => sec(fn(spark, sfDir).collect())).min
-      println(f"$name%-36s $cold%6.2f $warm%6.2f $recon%6.2f  ${recon / math.max(warm, 0.005)}%5.1fx")
+      // construction alone (no action): the driver-side analysis cost a
+      // fresh iteration pays before any task runs
+      val constr = (1 to 3).map(_ => sec(fn(spark, sfDir))).min
+      println(f"$name%-36s $cold%6.2f $warm%6.2f $recon%6.2f $constr%6.2f  ${recon / math.max(warm, 0.005)}%5.1fx")
       spark.catalog.clearCache()
     }
     spark.stop()
