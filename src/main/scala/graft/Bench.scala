@@ -1254,7 +1254,22 @@ object Bench {
       "construction steady state: d10 1.15->0.19, d2 1.17->0.27, t23 " +
       "1.17->0.47, t11 1.42->0.64, x11 1.12->0.67, d9 2.16->0.61, m7 " +
       "0.44->0.41; all seven hash-green, Persist/Plan/DupSubtree " +
-      "audits PASS (all were already extraIters members)"
+      "audits PASS (all were already extraIters members). Second r20 " +
+      "sweep pass closed the remaining extraIters gaps: g7 carries a " +
+      "kcore hand memo (its per-round df.rdd re-roots cost ~0.9s of " +
+      "plan COMPILATION per construction and defeat plan-equality " +
+      "caching; 1.23->0.04), g1/g3/g4/g5 persist their post-loop node/" +
+      "pair-grain relations (2.19/1.27/0.85/0.95 -> 0.72/0.36/0.34/" +
+      "0.48), and t10/t14/t19/t15/d5/d13/d11/d22/d23/e12/e13/s12/w6 " +
+      "persist bounded output-adjacent relations (all 0.68-1.62 -> " +
+      "0.22-0.64). Line drawn deliberately: non-extraIters entries " +
+      "(t6, e29, x15...) keep FULL re-execution semantics - the " +
+      "per-iteration hash-select wrapper builds a fresh plan whose new " +
+      "shuffle dependencies never reuse map stages, which is the " +
+      "honest throughput measurement for persist-free queries; only " +
+      "entries whose documented protocol is warm-steady-state-with-" +
+      "caches (extraIters) got boundary moves. q1_agg/x3 recon is " +
+      "genuine fact-table aggregation and stays unfixed on purpose"
 
   private[graft] def emitArtifacts(r: SuiteResult, sfDir: String, nChunks: Int,
                     reval: Seq[(String, (Double, Double))] = Nil,

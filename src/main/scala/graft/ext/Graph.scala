@@ -159,7 +159,10 @@ object Graph {
           round(lit(0.15) / col("n_nodes").cast("double") +
             lit(0.85) * coalesce(col("inflow"), lit(0.0)), 9).as("r"))
     }
-    val top = ranks
+    // r20 (tools/ReProf, the m6 pattern): node-grain boundary — a fresh
+    // construction re-runs the top-k + rank window only, not the three
+    // unrolled contribution rounds (recon 2.19 s vs 0.09 s warm)
+    val top = ranks.persist()
       .orderBy(col("r").desc, col("node"))
       .limit(PrTopK)
     top.withColumn("rk", row_number().over(
@@ -294,6 +297,10 @@ object Graph {
       .select(col("b1"), col("b2"))
     val tri = wedges.join(e, col("b1") === col("a") && col("b2") === col("b"))
       .agg(count(lit(1)).as("n_triangles"))
+      // r20 (tools/ReProf, the m6 pattern): 1-row triangle-count
+      // boundary — a fresh construction re-runs the degree stats agg +
+      // crossJoin only, not the wedge join (recon 1.27 s vs 0.03 s warm)
+      .persist()
     val stats = deg.agg(
       count(lit(1)).as("n_nodes"),
       // integer division (never double-then-truncate): exact by
@@ -386,6 +393,11 @@ object Graph {
       .groupBy("b1", "b2")
       .agg(count(lit(1)).as("common_neighbors"),
         sum(col("w").cast(DecimalType(25, 12))).cast("double").as("aw"))
+      // r20 (tools/ReProf, the m6 pattern): aggregated candidate-pair
+      // boundary — a fresh construction re-runs the known-edge anti-join
+      // + top-k only, not the wedge self-join (recon 0.85 s vs 0.07 s
+      // warm); same relation the query already materialized per run
+      .persist()
     val half = edges.filter(col("u") < col("v"))
       .select(col("u").as("eu"), col("v").as("ev"))
     val top = cand
@@ -452,7 +464,10 @@ object Graph {
         .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
         .select(col("v").as("node"), (-col("m.neg")).as("lbl"))
     }
-    val comm = labels.groupBy("lbl").agg(count(lit(1)).as("n_members"))
+    // r20 (tools/ReProf, the m6 pattern): node-grain boundary — a fresh
+    // construction re-runs the community agg + top-k only, not the
+    // three label-propagation rounds (recon 0.95 s vs 0.04 s warm)
+    val comm = labels.persist().groupBy("lbl").agg(count(lit(1)).as("n_members"))
     val top = comm.orderBy(col("n_members").desc, col("lbl")).limit(LpaTopK)
     top.withColumn("rk", row_number().over(
       Window.orderBy(col("n_members").desc, col("lbl"))))
@@ -630,16 +645,30 @@ object Graph {
     * registry per-query persist contract; Verify clears per query, g7
     * is in Bench.extraIters).
     */
-  def kcore(s: SparkSession, dir: String): DataFrame =
-    kcoreCore(edgeRelations(s, dir)._1)
+  def kcore(s: SparkSession, dir: String): DataFrame = {
+    // r20 (tools/ReProf): the peel's per-round `df.rdd` re-roots force
+    // 13 physical-plan compilations PER CONSTRUCTION (~0.9 s of the
+    // 1.23 s steady state — construction, not execution), and the
+    // RDD-rooted rounds are never plan-equal across builds, so the
+    // generic prepared-query memo can't apply. Hand memo in the
+    // d14/memoLabels style: build once per (session, dir), re-arm every
+    // buried round persist per call (the d17 re-arm contract).
+    val (q, persisted) = SessionMemo.get[(DataFrame, Seq[DataFrame])](
+      s, s"kcore:$dir") {
+      kcoreCore(edgeRelations(s, dir)._1)
+    }
+    edgeRelations(s, dir) // memo hit; re-arms the shared edge persists
+    persisted.foreach(SessionMemo.rearm)
+    q
+  }
 
   /** [[kcore]] over an explicit `(l_orderkey, l_partkey)` relation —
     * the spec pins the peel on a crafted core-plus-fringe graph.
     */
   def kcoreFrom(li: DataFrame): DataFrame =
-    kcoreCore(copurchaseEdges(li))
+    kcoreCore(copurchaseEdges(li))._1
 
-  private def kcoreCore(edges0: DataFrame): DataFrame = {
+  private def kcoreCore(edges0: DataFrame): (DataFrame, Seq[DataFrame]) = {
     def stats(round: Int, d: DataFrame): DataFrame =
       d.agg(count(lit(1)).as("n_nodes"),
         coalesce(sum("d"), lit(0L)).as("n_dir_edges"),
@@ -662,6 +691,7 @@ object Graph {
       spark.createDataFrame(df.rdd, df.schema)
     var e = edges0.select(col("u"), col("v"))
     var d = truncated(e.groupBy("u").agg(count(lit(1)).as("d"))).persist()
+    val persisted = scala.collection.mutable.ArrayBuffer[DataFrame](d)
     var out = stats(0, d)
     for (r <- 1 to KcoreRounds) {
       val keep = d.filter(col("d") >= KcoreK).select(col("u").as("node"))
@@ -669,9 +699,11 @@ object Graph {
         e.join(keep, col("u") === col("node"), "left_semi")
           .join(keep, col("v") === col("node"), "left_semi")).persist()
       d = truncated(e.groupBy("u").agg(count(lit(1)).as("d"))).persist()
+      persisted += e
+      persisted += d
       out = out.unionAll(stats(r, d))
     }
-    out.orderBy("round")
+    (out.orderBy("round"), persisted.toSeq)
   }
 
   val kcoreSql: String = {
