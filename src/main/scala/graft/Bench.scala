@@ -199,6 +199,21 @@ object Bench {
       // task wall is ~0.3 s. Capping the string bounds the cost with no
       // effect on plans or results (a4 warm min 1.89 s → 1.10 s).
       .config("spark.sql.maxPlanStringLength", "8192")
+      // r20 (tools/D17Prof on x15): Spark's generated-class cache
+      // (spark.sql.codegen.cache.maxEntries, STATIC conf) defaults to
+      // 100 entries while one registry query compiles ~20-40 codegen
+      // units per action under AQE — a 6-query chunk cycles 100+
+      // classes per iteration, so EVERY warm iteration re-ran janino
+      // (D17Prof janino_n 20-42 warm; x15 warm stuck at 2.4-2.6 s).
+      // At 4096 entries recompiles converge to 0 and x15's warm wall
+      // drops to ~1.1 s. This is the r11 "JVM holding 130+ plans
+      // inflates timings" class: capacity thrash, not metaspace. The
+      // cache is per-JVM (driver AND executors at cluster scale), so
+      // the production value is the same; parameterized for smaller
+      // hosts. Generated classes are ~10-30 KB of metaspace each →
+      // ≤~120 MB at the default.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.register(spark)

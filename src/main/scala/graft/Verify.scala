@@ -21,6 +21,9 @@ object Verify {
       // bound AQE's per-stage plan-description rendering (r19, see
       // Bench.buildSession) — string-only, no effect on plans/results
       .config("spark.sql.maxPlanStringLength", "8192")
+      // r20: codegen-class cache sized to the registry (see Bench.buildSession)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // fused-dB optimizer rule + graft_db function active in the oracle

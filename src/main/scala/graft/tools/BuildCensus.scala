@@ -24,6 +24,9 @@ object BuildCensus {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.maxPlanStringLength", "8192")
+      // r20: codegen-class cache sized to the registry (see Bench.buildSession)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftExtensions.register(spark)

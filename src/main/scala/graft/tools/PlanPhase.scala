@@ -38,6 +38,11 @@ object PlanPhase {
       case "unset" => ()
       case n => builder.config("spark.sql.maxPlanStringLength", n)
     }
+    // r20: codegen-class cache sized to the registry (see
+    // Bench.buildSession); SPARK_GRAFT_CODEGEN_CACHE=100 restores the
+    // Spark default for A/B.
+    builder.config("spark.sql.codegen.cache.maxEntries",
+      sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.register(spark)

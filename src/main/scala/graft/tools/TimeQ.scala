@@ -25,6 +25,9 @@ object TimeQ {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // match Bench.buildSession (r19): bound AQE plan-string rendering
       .config("spark.sql.maxPlanStringLength", "8192")
+      // r20: codegen-class cache sized to the registry (see Bench.buildSession)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.register(spark)
