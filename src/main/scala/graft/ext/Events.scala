@@ -1963,23 +1963,34 @@ object Events {
     val paired = slots.join(touches, Seq("user_id", "ti"))
       .filter(col("tus") >= col("pus") - lit(AttributionWindowUs))
       .select(col("channel"), col("pid"))
-    val perPurchase = paired.groupBy("pid")
-      .agg(count(lit(1)).as("n_touch"))
-    val credited = paired.join(perPurchase, "pid")
-      .select(col("channel"), col("pid"),
-        expr("1000000 div n_touch").as("credit"))
-    val byChannel = credited.groupBy("channel")
-      .agg(count(lit(1)).as("n_touches"),
-        sum("credit").as("credit_micro"))
-    val nConv = credited.select(col("channel"), col("pid")).distinct()
-      .groupBy("channel").agg(count(lit(1)).as("n_conversions"))
+    // r20 (guide §2.4): ONE pass over the paired set at (channel, pid)
+    // grain replaces the old perPurchase agg + credit join-back +
+    // byChannel agg + distinct-pair recount — `paired` (the expansion
+    // join over the cached timeline) was consumed by two plan legs and
+    // re-ran twice per action. Equivalence is exact-integer: every
+    // paired row of one pid carries the same credit
+    // 1000000 div n_touch, so per channel
+    //   n_touches    = Σ nt_cp            (= old COUNT of paired rows),
+    //   n_conversions = COUNT of cpid rows (= old COUNT DISTINCT pid),
+    //   credit_micro = Σ nt_cp·credit     (= old SUM over paired rows).
+    val cpid = paired.groupBy("channel", "pid")
+      .agg(count(lit(1)).as("nt_cp"))
+    val perPurchase = cpid.groupBy("pid")
+      .agg(sum("nt_cp").as("n_touch"))
+    val byChannel = cpid.join(perPurchase, "pid")
+      .select(col("channel"), col("nt_cp"),
+        (col("nt_cp") * expr("1000000 div n_touch")).as("credit_cp"))
+      .groupBy("channel")
+      .agg(sum("nt_cp").as("n_touches"),
+        count(lit(1)).as("n_conversions"),
+        sum("credit_cp").as("credit_micro"))
     val untouched = purchases
       .join(perPurchase, purchases("pid") === perPurchase("pid"), "left_anti")
       .agg(count(lit(1)).as("n_conversions"))
       .select(lit("(none)").as("channel"), lit(0L).as("n_touches"),
         col("n_conversions"),
         (col("n_conversions") * lit(1000000L)).as("credit_micro"))
-    byChannel.join(nConv, "channel")
+    byChannel
       .select(col("channel"), col("n_touches"), col("n_conversions"),
         col("credit_micro"))
       .unionAll(untouched)
