@@ -1318,10 +1318,10 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum((col("doc_id") === col("first_doc")).cast("long")).as("n_novel"))
-      // r20 (tools/ReProf, the t11 pattern): doc-grain boundary — a
-      // fresh construction re-runs the ids join + sort, not the
-      // first-appearance agg + join-back (recon 0.86 s vs 0.03 s warm)
-      .persist()
+    // r21 (verdict r20 item 1): the r20 doc-grain persist on `per` is
+    // REMOVED — single consumer (the ids left join), bench-iteration-only
+    // reuse at a doc-grain materialization cost in a one-shot run
+    // (guide §5). The shared shingle base stays memoized upstream.
     ids
       .join(per, Seq("doc_id"), "left")
       .select(col("doc_id"),

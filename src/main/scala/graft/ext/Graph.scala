@@ -159,10 +159,13 @@ object Graph {
           round(lit(0.15) / col("n_nodes").cast("double") +
             lit(0.85) * coalesce(col("inflow"), lit(0.0)), 9).as("r"))
     }
-    // r20 (tools/ReProf, the m6 pattern): node-grain boundary — a fresh
-    // construction re-runs the top-k + rank window only, not the three
-    // unrolled contribution rounds (recon 2.19 s vs 0.09 s warm)
-    val top = ranks.persist()
+    // r21 (verdict r20 item 1): the r20 node-grain `ranks.persist()` is
+    // REMOVED — `ranks` feeds exactly one consumer (the top-k chain), so
+    // the persist avoided recompute only across bench iterations while a
+    // one-shot production run would pay a full node-grain
+    // materialization for zero reuse (guide §5). The published bench
+    // number is the honest recompute again.
+    val top = ranks
       .orderBy(col("r").desc, col("node"))
       .limit(PrTopK)
     top.withColumn("rk", row_number().over(
@@ -464,10 +467,11 @@ object Graph {
         .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
         .select(col("v").as("node"), (-col("m.neg")).as("lbl"))
     }
-    // r20 (tools/ReProf, the m6 pattern): node-grain boundary — a fresh
-    // construction re-runs the community agg + top-k only, not the
-    // three label-propagation rounds (recon 0.95 s vs 0.04 s warm)
-    val comm = labels.persist().groupBy("lbl").agg(count(lit(1)).as("n_members"))
+    // r21 (verdict r20 item 1): the r20 node-grain `labels.persist()` is
+    // REMOVED — single consumer (the community rollup), so it bought only
+    // bench-iteration reuse at the cost of a node-grain materialization
+    // in a one-shot run (guide §5 anti-pattern).
+    val comm = labels.groupBy("lbl").agg(count(lit(1)).as("n_members"))
     val top = comm.orderBy(col("n_members").desc, col("lbl")).limit(LpaTopK)
     top.withColumn("rk", row_number().over(
       Window.orderBy(col("n_members").desc, col("lbl"))))

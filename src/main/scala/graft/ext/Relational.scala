@@ -544,11 +544,11 @@ object Relational {
         expr("1L + ((off_rb + rr - 1) * 4) div n").as("r_q"),
         expr("1L + ((off_fb + rf - 1) * 4) div n").as("f_q"),
         expr("1L + ((off_mb + rm - 1) * 4) div n").as("m_q"))
-      // r20 (tools/ReProf, the m6 pattern): customer-grain quartile
-      // boundary — a fresh construction re-runs one segment agg + sort,
-      // not the three bucket windows + offset joins downstream of the
-      // b persist (recon 1.12 s vs 0.05 s warm)
-      .persist()
+    // r21 (verdict r20 item 1): the r20 customer-grain persist on
+    // `ranked` is REMOVED — single consumer (the segment rollup), so it
+    // bought only bench-iteration reuse while a one-shot run pays a
+    // customer-grain materialization (guide §5). The `pc` and `b`
+    // persists above stay: both are genuinely multi-leg.
     ranked.groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(
         count(lit(1)).as("n_customers"),

@@ -719,10 +719,11 @@ object TextOps {
         sum(col("surp").cast(DecimalType(20, 10)) *
           col("c").cast(DecimalType(10, 0))).as("tot"),
         max("surp").as("max_surprisal"))
-      // r20 (tools/ReProf, the m6/t11 pattern): doc-grain boundary — a
-      // fresh construction re-runs the documents scan + left join +
-      // sort, not the vocab/surprisal joins (recon 1.00 s vs 0.04 warm)
-      .persist()
+    // r21 (verdict r20 item 1): the r20 doc-grain persist on `per` is
+    // REMOVED — single consumer (the left join back onto the doc ids),
+    // so it was a bench-iteration-only saving that a one-shot run pays
+    // as a doc-grain materialization (guide §5). The multi-leg `occ`
+    // persist above stays: it genuinely feeds 3 plan legs.
     d.select(col("doc_id"))
       .join(per, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -819,11 +820,9 @@ object TextOps {
         sum(col("surp").cast(DecimalType(20, 10)) *
           col("c").cast(DecimalType(10, 0))).as("tot"),
         max("surp").as("max_bigram_surprisal"))
-      // r20 (tools/ReProf, the m6 pattern): doc-grain boundary — a
-      // fresh construction re-runs only the documents scan + left join
-      // + sort, not the vocab/prefix aggs and the per-doc scoring join
-      // downstream of the occ persist (recon 1.42 s vs 0.04 s warm)
-      .persist()
+    // r21 (verdict r20 item 1): the r20 doc-grain persist on `per` is
+    // REMOVED (single consumer — bench-iteration-only reuse, guide §5);
+    // the multi-leg `occ` persist above stays (vocab leg + per-doc join).
     d.select(col("doc_id"))
       .join(per, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1496,10 +1495,11 @@ object TextOps {
         when(col("tercile") === 1, "head")
           .when(col("tercile") === 2, "middle").otherwise("tail"))
       .drop("tercile")
-      // r20 (tools/ReProf): doc-grain rank assembly boundary — a fresh
-      // construction re-runs the sort only, not the per-lang offset +
-      // rank windows over the base cache (recon 1.31 s vs 0.06 s warm)
-      .persist()
+      // r21 (verdict r20 item 1): the r20 doc-grain persist on the final
+      // rank assembly is REMOVED — single consumer (the output orderBy),
+      // i.e. bench-iteration-only reuse at a doc-grain materialization
+      // cost in a one-shot run (guide §5). The `base` persist above
+      // stays: it feeds the offset, per-lang-count, and ranked legs.
       .orderBy("doc_id")
   }
 
