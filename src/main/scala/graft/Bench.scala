@@ -96,6 +96,24 @@ object Bench {
     */
   private[graft] val InitialRevalChildEstSec = 60.0
 
+  /** Projected seconds PER SUSPECT inside a revalidation fleet before
+    * any fleet has been measured (r21): the ~10 s JVM boot amortizes
+    * over [[ChunksPerJvm]] suspects, leaving warmup + warm-target
+    * iterations (~15-25 s quiet per 1-2 s query).
+    */
+  private[graft] val InitialRevalFleetEntryEstSec = 30.0
+
+  /** How many of the next (priority-ordered) pending suspects the next
+    * revalidation fleet admits — pure, spec-pinned: at most
+    * `maxPerFleet`, at most what the remaining budget fits at the
+    * current per-suspect estimate, never negative. 0 = drop everything
+    * left (the caller applies the once-dropped-all-drop rule).
+    */
+  private[graft] def fleetAdmitCount(pendingN: Int, perEntryEstSec: Double,
+      remainingSec: Double, maxPerFleet: Int): Int =
+    math.max(0, math.min(math.min(pendingN, maxPerFleet),
+      math.floor(remainingSec / math.max(perEntryEstSec, 1e-9)).toInt))
+
   /** Elapsed/remaining tracker from main() entry. */
   private[graft] final class Budget(startNanos: Long, val deadlineSec: Double) {
     def elapsedSec: Double = (System.nanoTime() - startNanos) / 1e9
@@ -135,7 +153,7 @@ object Bench {
     bestEffortLine = Some(() => compactContractLine(
       snapshot.results, snapshot.failed, snapshot.flaky,
       if (snapshot.sentinels.isEmpty) -1.0 else snapshot.sentinels.max,
-      nChunks, sfDir, stats.copy(partial = true)))
+      nChunks, sfDir, stats.copy(partial = true), snapshot.cold.toMap))
   }
 
   private def armShutdownHook(): Unit =
@@ -413,7 +431,8 @@ object Bench {
     * the small SF, sentinel, static exchange audit, timed iterations.
     */
   def runSuite(spark: SparkSession, sfDir: String,
-               names: String => Boolean): SuiteResult = {
+               names: String => Boolean,
+               warmItersOverride: Option[Int] = None): SuiteResult = {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1).filter(q => names(q._1))
     // Warmup at the smallest SF: triggers codegen compilation + JIT for
     // every plan shape so the timed pass measures steady-state execution,
@@ -459,8 +478,9 @@ object Bench {
       // min-of-4 for entries whose previous artifact shows cold/warm > 3 —
       // the a4/g7 JIT compile-lag class needs one more iteration to reach
       // steady state; see revalChildIters).
-      val warmTargetIters = sys.env.get("SPARK_GRAFT_BENCH_WARMTARGET_ITERS")
-        .flatMap(_.toIntOption).getOrElse(3)
+      val warmTargetIters = warmItersOverride
+        .orElse(sys.env.get("SPARK_GRAFT_BENCH_WARMTARGET_ITERS")
+          .flatMap(_.toIntOption)).getOrElse(3)
       val iters =
         if (warmAtTarget) // TimeQ's min-of-3 in reval children (min-of-4 raster/cold-heavy)
           math.max(warmTargetIters, if (name.startsWith("raster_")) 4 else 3)
@@ -617,8 +637,10 @@ object Bench {
     env.foreach { case (k, v) => pb.environment().put(k, v) }
     // a parent run forced into fork mode for a subset must not leak its
     // own ONLY/MULTI selection into children beyond what we set here
-    if (!env.contains("SPARK_GRAFT_BENCH_MULTI"))
-      pb.environment().remove("SPARK_GRAFT_BENCH_MULTI")
+    Seq("SPARK_GRAFT_BENCH_MULTI", "SPARK_GRAFT_BENCH_MULTI_ITERS",
+        "SPARK_GRAFT_BENCH_WARMTARGET").foreach { k =>
+      if (!env.contains(k)) pb.environment().remove(k)
+    }
     pb.redirectOutput(new java.io.File(log))
     pb.redirectErrorStream(true)
     val p = pb.start()
@@ -675,6 +697,38 @@ object Bench {
       System.err.println(f"BENCH WARN: fleet $tag exceeded its $timeoutSec%.0f s " +
         s"window; killed (completed chunk protocols are still harvested)")
     chunks.indices.map(i => readProtocol(s"$out.$i"))
+  }
+
+  /** Forks ONE child JVM over several SINGLE-QUERY warm-target chunks —
+    * the r21 revalidation fleet (r20 verdict #6: 20 reval children were
+    * budget-dropped at the default deadline because each suspect paid
+    * its own ~10 s JVM+Spark boot). The child restarts its SparkSession
+    * between queries (fresh session state per suspect — the fleet-child
+    * semantics) and follows TimeQ's warm-target iteration discipline,
+    * with a per-suspect iteration count (min-of-3 / min-of-4 per the
+    * cold-heavy history rule) carried in `SPARK_GRAFT_BENCH_MULTI_ITERS`.
+    * JVM-level JIT/codegen state survives across the fleet's queries —
+    * a distortion that can only INFLATE a wall time, which the
+    * min(sweep, isolated) publication rule absorbs by construction
+    * (r19), and whose dominant cross-query source (codegen class-cache
+    * thrash) the r20 cache sizing removed. Returns one entry per name,
+    * None where the protocol file is missing/truncated.
+    */
+  private def forkRevalFleet(tmp: String, tag: String, names: Seq[String],
+                             iters: Seq[Int], timeoutSec: Double)
+      : Seq[Option[SuiteResult]] = {
+    val out = s"$tmp/$tag.tsv"
+    val env = Map(
+      "SPARK_GRAFT_BENCH_MULTI" -> names.mkString("|"),
+      "SPARK_GRAFT_BENCH_MULTI_ITERS" -> iters.mkString("|"),
+      "SPARK_GRAFT_BENCH_WARMTARGET" -> "1",
+      "SPARK_GRAFT_BENCH_OUT" -> out)
+    val proc = spawnChild(env, s"$tmp/$tag.log")
+    val finished = awaitChild(proc, timeoutSec)
+    if (!finished)
+      System.err.println(f"BENCH WARN: reval fleet $tag exceeded its " +
+        f"$timeoutSec%.0f s window; killed (finished suspects still harvested)")
+    names.indices.map(i => readProtocol(s"$out.$i"))
   }
 
   /** Pure sweep-degradation decision (spec-pinned): after at least one
@@ -1064,47 +1118,86 @@ object Bench {
     // Time-budgeted admission (r19 verdict #1b): r19 queued 42 children
     // (~40 s each, far more under steal) with nothing bounding them and
     // the driver's timeout killed the run 4 children in — before the
-    // artifact ever printed. Children now fork in priority order only
+    // artifact ever printed. Suspects admit in priority order only
     // while the projected spend fits the remaining budget; the rest
     // publish their sweep numbers and are listed in `reval_dropped`.
+    //
+    // r21 (r20 verdict #6: reval_dropped=20 at the default deadline —
+    // per-suspect JVM boots ate the reserve): the ALWAYS tier (≥2 s,
+    // where grading accuracy matters most) keeps its own fully-isolated
+    // single-query JVM per suspect; the RATIO tier runs in FLEETS of
+    // [[ChunksPerJvm]] single-query warm-target chunks per child JVM
+    // (fresh SparkSession per suspect, one boot per fleet) — see
+    // [[forkRevalFleet]] for why surviving JVM state stays valid under
+    // the min(sweep, isolated) rule.
     val measuredChild = scala.collection.mutable.ArrayBuffer.empty[Double]
     val dropped = scala.collection.mutable.ArrayBuffer.empty[String]
-    val reruns = suspects.zipWithIndex.flatMap { case ((name, sweep), i) =>
+    val reruns = scala.collection.mutable.ArrayBuffer.empty[(String, (Double, Double), SuiteResult)]
+    // warmTarget: children follow TimeQ's iteration discipline (one
+    // untimed at-target run, then min-of-3 warm; min-of-4 for entries
+    // whose history shows cold/warm > ColdHeavyRatio) — r13 verdict
+    // #3 + r18 verdict #2
+    def childIters(name: String): Int = {
+      val it = revalChildIters(prevCold.get(name), prevWarmFloor(name))
+      if (it > 3) System.err.println(s"BENCH revalidate $name: " +
+        s"cold-heavy history (cold/warm > $ColdHeavyRatio), child runs min-of-$it")
+      it
+    }
+    // r13 ADVICE: only substitute a SUCCESSFUL isolated number. A child
+    // that runs but whose query fails inside it records -1.0; blindly
+    // substituting that turned a fine sweep measurement into a phantom
+    // failure value. Keep the sweep number, mark the entry flaky (it
+    // DID fail once), and still record the pair so the artifact shows
+    // what happened.
+    def harvest(name: String, sweep: Double, res: Option[SuiteResult],
+                log: String): Unit = res match {
+      case Some(cr) => cr.results.find(_._1 == name).foreach { case (_, iso) =>
+        System.err.println(f"BENCH revalidate $name: sweep $sweep%.2f -> isolated $iso%.2f")
+        if (iso < 0) System.err.println(s"BENCH WARN: isolated rerun of $name " +
+          s"FAILED inside the child (log: $log); sweep number kept")
+        reruns += ((name, (sweep, iso), cr))
+      }
+      case None =>
+        System.err.println(s"BENCH WARN: revalidation child for $name failed " +
+          s"(log: $log); sweep number kept")
+    }
+    always.zipWithIndex.foreach { case ((name, sweep), i) =>
       val remaining = budget.remainingSec - EmitReserveSec
       val est = revalChildEstimate(measuredChild.toSeq)
-      if (dropped.nonEmpty || est > remaining) {
-        dropped += name
-        None
-      } else {
-      // warmTarget: the child follows TimeQ's iteration discipline (one
-      // untimed at-target run, then min-of-3 warm; min-of-4 for entries
-      // whose history shows cold/warm > ColdHeavyRatio) — r13 verdict
-      // #3 + r18 verdict #2
-      val childIters = revalChildIters(prevCold.get(name), prevWarmFloor(name))
-      if (childIters > 3) System.err.println(s"BENCH revalidate $name: " +
-        s"cold-heavy history (cold/warm > $ColdHeavyRatio), child runs min-of-$childIters")
-      val t0 = System.nanoTime()
-      val res = forkChunk(tmp, s"reval$i", Seq(name), warmTarget = true,
-                warmIters = childIters, timeoutSec = math.min(1800.0, remaining)) match {
-        // r13 ADVICE: only substitute a SUCCESSFUL isolated number. A
-        // child that runs but whose query fails inside it records -1.0;
-        // blindly substituting that turned a fine sweep measurement
-        // into a phantom failure value. Keep the sweep number, mark
-        // the entry flaky (it DID fail once), and still record the
-        // pair so the artifact shows what happened.
-        case Some(cr) => cr.results.find(_._1 == name).map { case (_, iso) =>
-          System.err.println(f"BENCH revalidate $name: sweep $sweep%.2f -> isolated $iso%.2f")
-          if (iso < 0) System.err.println(s"BENCH WARN: isolated rerun of $name " +
-            s"FAILED inside the child (log: $tmp/reval$i.log); sweep number kept")
-          (name, (sweep, iso), cr)
-        }
-        case None =>
-          System.err.println(s"BENCH WARN: revalidation child for $name failed " +
-            s"(log: $tmp/reval$i.log); sweep number kept")
-          None
+      if (dropped.nonEmpty || est > remaining) dropped += name
+      else {
+        val t0 = System.nanoTime()
+        harvest(name, sweep, forkChunk(tmp, s"reval$i", Seq(name),
+          warmTarget = true, warmIters = childIters(name),
+          timeoutSec = math.min(1800.0, remaining)), s"$tmp/reval$i.log")
+        measuredChild += (System.nanoTime() - t0) / 1e9
       }
-      measuredChild += (System.nanoTime() - t0) / 1e9
-      res
+    }
+    val measuredFleetEntry = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val pending = scala.collection.mutable.Queue(ratioTier: _*)
+    var fleetI = 0
+    while (pending.nonEmpty) {
+      val remaining = budget.remainingSec - EmitReserveSec
+      val est = revalChildEstimate(measuredFleetEntry.toSeq,
+        InitialRevalFleetEntryEstSec)
+      val admit =
+        if (dropped.nonEmpty) 0
+        else fleetAdmitCount(pending.length, est, remaining, ChunksPerJvm)
+      if (admit == 0) {
+        dropped ++= pending.map(_._1)
+        pending.clear()
+      } else {
+        val batch = (1 to admit).map(_ => pending.dequeue())
+        val names = batch.map(_._1)
+        val t0 = System.nanoTime()
+        val rs = forkRevalFleet(tmp, s"revalfleet$fleetI", names,
+          names.map(childIters), timeoutSec = math.min(1800.0, remaining))
+        val dt = (System.nanoTime() - t0) / 1e9
+        names.foreach(_ => measuredFleetEntry += dt / names.length)
+        batch.zip(rs).foreach { case ((name, sweep), res) =>
+          harvest(name, sweep, res, s"$tmp/revalfleet$fleetI.log")
+        }
+        fleetI += 1
       }
     }
     if (dropped.nonEmpty)
@@ -1147,7 +1240,7 @@ object Bench {
       iters = r.iters.map { case (n, v) => n -> isoIters.getOrElse(n, v) },
       flaky = (r.flaky ++ isoFlaky).distinct,
       sentinels = r.sentinels ++ reruns.flatMap(_._3.sentinels))
-    (merged, reruns.map { case (n, sv, _) => n -> sv }, dropped.toSeq)
+    (merged, reruns.toSeq.map { case (n, sv, _) => n -> sv }, dropped.toSeq)
   }
 
   // ---------------------------------------------------------- artifact
@@ -1284,7 +1377,27 @@ object Bench {
       "honest throughput measurement for persist-free queries; only " +
       "entries whose documented protocol is warm-steady-state-with-" +
       "caches (extraIters) got boundary moves. q1_agg/x3 recon is " +
-      "genuine fact-table aggregation and stays unfixed on purpose"
+      "genuine fact-table aggregation and stays unfixed on purpose. " +
+      "r21 measurement honesty (r20 verdict #1): the seven CORPUS-GRAIN " +
+      "single-consumer output-adjacent persists the r20 pass added " +
+      "(g1 ranks, g5 labels, t10/t11/d13 per-doc, t19 final, x11 " +
+      "ranked) are REMOVED - they saved recompute only across bench " +
+      "iterations while a one-shot run would pay a corpus-grain " +
+      "materialization for zero reuse; persists remain only where a " +
+      "relation is multi-consumer within one execution, shared across " +
+      "queries (SessionMemo), or provably bounded. The artifact now " +
+      "states the total BOTH ways: 'value' sums the published warm " +
+      "mins, 'cold_value' substitutes each entry's recorded " +
+      "first-iteration (cold) cost where one exists - extraIters " +
+      "entries publish warm-steady-state-with-caches numbers by " +
+      "protocol, and optimization claims must cite the cold column " +
+      "('cold' per-entry map here and in the compact line for listed " +
+      "entries). r21 reval fleets (r20 verdict #6, reval_dropped 20 -> " +
+      "target 0): the >=2s always-tier keeps one fully-isolated JVM " +
+      "per suspect; the ratio tier forks in fleets of ChunksPerJvm " +
+      "single-query warm-target chunks per child JVM (fresh session " +
+      "per suspect, one boot per fleet; surviving JVM state can only " +
+      "inflate, which min(sweep, isolated) absorbs)"
 
   private[graft] def emitArtifacts(r: SuiteResult, sfDir: String, nChunks: Int,
                     reval: Seq[(String, (Double, Double))] = Nil,
@@ -1313,7 +1426,14 @@ object Bench {
     val harnessJson = s""""harness_sec":${f"${stats.harnessSec}%.1f"},""" +
       s""""sweep_sec":${f"${stats.sweepSec}%.1f"},"reval_sec":${f"${stats.revalSec}%.1f"},""" +
       s""""reval_dropped":$droppedJson,"skipped":$skippedJson"""
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$coldJson,"iters":$itersJson,"exchanges":$exchJson,"failed":$failedJson,"flaky":$flakyJson,"sentinel":$sentinel,"sentinels":$sentinelsJson,"chunks":$nChunks,"revalidated":$revalJson,$harnessJson,"notes":"${notes(nChunks, reval.length)}","sf":"$sfDir"}"""
+    // r21: the sweep total stated both ways — `value` sums the published
+    // (warm-min) numbers, `cold_value` substitutes each entry's recorded
+    // first-iteration cost where one exists (extraIters entries), i.e.
+    // the fresh-construction estimate optimization claims must cite.
+    val coldMap = r.cold.toMap
+    val coldValue = all.filter(_._2 >= 0)
+      .map { case (k, v) => math.max(coldMap.getOrElse(k, v), v) }.sum
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldValue,"queries":$qs,"cold":$coldJson,"iters":$itersJson,"exchanges":$exchJson,"failed":$failedJson,"flaky":$flakyJson,"sentinel":$sentinel,"sentinels":$sentinelsJson,"chunks":$nChunks,"revalidated":$revalJson,$harnessJson,"notes":"${notes(nChunks, reval.length)}","sf":"$sfDir"}"""
     println(fullLine)
     // The driver keeps only the last 2 000 chars of stdout: round 9's
     // ~6 KB detail line lost its HEAD (all per-query timings) to that
@@ -1347,7 +1467,7 @@ object Bench {
       System.err.println("BENCH: subset run — bench_full.json NOT updated " +
         "(revalidation baseline is full-suite only)")
     println(compactContractLine(all, r.failed, r.flaky, sentinel, nChunks, sfDir,
-      stats))
+      stats, coldMap))
     contractEmitted.set(true)
   }
 
@@ -1377,7 +1497,8 @@ object Bench {
   private[graft] def compactContractLine(
       all: Seq[(String, Double)], failed: Seq[String], flaky: Seq[String],
       sentinel: Double, nChunks: Int, sfDir: String,
-      stats: HarnessStats = HarnessStats()): String = {
+      stats: HarnessStats = HarnessStats(),
+      cold: Map[String, Double] = Map.empty): String = {
     def cs(v: Double): Long = math.round(v * 100.0)
     def sec2(v: Double): Double = cs(v) / 100.0
     // Failed queries arrive as v = -1.0 sentinels; they are carried by
@@ -1387,6 +1508,14 @@ object Bench {
     // ADVICE). Spec-pinned by BenchSelectionSpec.
     val timed = all.filter(_._2 >= 0)
     val total = timed.map(_._2).sum
+    // r21 (r20 verdict #1, measurement honesty): the published warm min
+    // measures warm-steady-state-with-caches for extraIters entries; a
+    // fresh one-shot construction costs their recorded FIRST (cold)
+    // iteration. The line states the sweep total BOTH ways
+    // (value = warm mins, cold_value = cold-where-recorded) and lists
+    // per-entry cold for every individually-listed entry that has one;
+    // the complete per-entry cold map is in bench_full.json ("cold").
+    val coldTotal = timed.map { case (k, v) => math.max(cold.getOrElse(k, v), v) }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
     val FastCs = 50L
@@ -1394,6 +1523,9 @@ object Bench {
       val (listed, fast) = timed.partition { case (k, v) =>
         cs(v) >= threshold || k.startsWith("raster_") }
       val qsCompact = listed.map { case (k, v) => s"\"" + k + "\":" + sec2(v) }
+        .mkString("{", ",", "}")
+      val coldCompact = listed.flatMap { case (k, _) =>
+        cold.get(k).map(c => s"\"" + k + "\":" + sec2(c)) }
         .mkString("{", ",", "}")
       val issues = (if (failed.isEmpty) "" else s""","failed":$failedJson""") +
         (if (flaky.isEmpty) "" else s""","flaky":$flakyJson""")
@@ -1407,6 +1539,7 @@ object Bench {
         s""""reval_dropped":${stats.revalDropped.length},"skipped_n":${stats.skipped.length}""" +
         (if (stats.partial) ""","partial":true""" else "")
       s"""{"metric":"total","value":${sec2(total)},"unit":"sec","queries":$qsCompact,""" +
+        s""""cold_value":${sec2(coldTotal)},"cold":$coldCompact,""" +
         s""""fast_n":${fast.length},"fast_sec":${sec2(fast.map(_._2).sum)},""" +
         s""""sentinel_sec":${sec2(sentinel)},"chunks":$nChunks$harness,"sf":"$sfShort"$issues}"""
     }
@@ -1454,9 +1587,15 @@ object Bench {
         // yields its finished chunks.
         val chunkSpecs = sys.env("SPARK_GRAFT_BENCH_MULTI").split('|').toSeq
           .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+        // r21 reval fleets: a per-chunk warm-target iteration count
+        // (min-of-3 vs min-of-4 per the cold-heavy rule) rides a
+        // parallel '|'-separated list; absent for sweep fleets.
+        val chunkIters = sys.env.get("SPARK_GRAFT_BENCH_MULTI_ITERS")
+          .map(_.split('|').toSeq.flatMap(_.trim.toIntOption))
         chunkSpecs.zipWithIndex.foreach { case (chunk, i) =>
           val spark = buildSession()
-          val r = runSuite(spark, sfDir, chunk.toSet)
+          val r = runSuite(spark, sfDir, chunk.toSet,
+            chunkIters.flatMap(_.lift(i)))
           writeProtocol(s"$out.$i", r)
           spark.stop()
         }

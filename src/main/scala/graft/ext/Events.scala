@@ -1919,10 +1919,12 @@ object Events {
     * can explode, bot or not. The timeline relation feeds three plan
     * legs (slots, touches, untouched anti-join) and is persisted for
     * the query's lifetime (e29 is in Bench.extraIters per the
-    * persist contract). The per-channel distinct conversion count is
-    * shaped `.select(type, purchase).distinct()` then counted (the
-    * d18 rule — never a distinct funnel on the channel key); the
-    * final rollup is ≤4-row.
+    * persist contract). The per-channel distinct conversion count
+    * comes from the (channel, pid)-grain `cpid` groupBy (r20): the
+    * exchange hash-spreads on BOTH columns — the same property the
+    * d18 `.select(k, m).distinct()` shaping guarantees — and the
+    * channel rollup then counts cpid rows distinct-free; the final
+    * rollup is ≤4-row.
     */
   def linearAttribution(s: SparkSession, dir: String): DataFrame =
     linearAttributionFrom(t(s, dir))

@@ -30,6 +30,10 @@ object ContractStub {
       // checker asserts they parse (harness_sec/sweep_sec/reval_sec
       // numeric, reval_dropped/skipped_n non-negative ints)
       stats = graft.Bench.HarnessStats(harnessSec = 12.3, sweepSec = 10.0,
-        revalSec = 2.3, revalDropped = Seq("q_dropped"), skipped = Nil)))
+        revalSec = 2.3, revalDropped = Seq("q_dropped"), skipped = Nil),
+      // r21: per-entry cold (first-iteration) numbers ride the line for
+      // listed entries plus the cold_value total — the checker asserts
+      // both parse (measurement-honesty keys, r20 verdict #1)
+      cold = Map("q_stub_slow" -> 2.46)))
   }
 }

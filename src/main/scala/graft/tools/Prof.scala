@@ -13,6 +13,11 @@ object Prof {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      // r21 (ADVICE r20 #2): timing sessions must carry BOTH comparability
+      // confs (CLAUDE.md rule) or isolated numbers drift vs Bench/TimeQ
+      .config("spark.sql.maxPlanStringLength", "8192")
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time[A](label: String)(f: => A): A = {

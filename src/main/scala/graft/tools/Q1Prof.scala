@@ -14,6 +14,11 @@ object Q1Prof {
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // r21 (ADVICE r20 #2): timing sessions must carry BOTH comparability
+      // confs (CLAUDE.md rule) or isolated numbers drift vs Bench/TimeQ
+      .config("spark.sql.maxPlanStringLength", "8192")
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def t(label: String)(f: => Unit): Unit = {

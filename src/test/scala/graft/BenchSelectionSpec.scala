@@ -171,6 +171,37 @@ class BenchSelectionSpec extends AnyFunSuite {
     assert(Bench.revalChildEstimate(Seq(10.0, 20.0), 60.0) == 15.0)
   }
 
+  test("reval fleet admission: capped by fleet size, budget, and pending (r21)") {
+    // plenty of budget: the fleet takes min(pending, ChunksPerJvm-style cap)
+    assert(Bench.fleetAdmitCount(10, 30.0, 10000.0, 6) == 6)
+    assert(Bench.fleetAdmitCount(3, 30.0, 10000.0, 6) == 3)
+    // tight budget: only what the per-entry estimate fits (90/30 = 3)
+    assert(Bench.fleetAdmitCount(10, 30.0, 90.0, 6) == 3)
+    // no budget at all -> 0 (caller then drops everything left)
+    assert(Bench.fleetAdmitCount(10, 30.0, 20.0, 6) == 0)
+    // never negative, degenerate estimate guarded
+    assert(Bench.fleetAdmitCount(10, 0.0, -5.0, 6) == 0)
+  }
+
+  test("compact line states the total both ways and lists per-entry cold (r21)") {
+    val qs = Seq(("q_heavy", 1.5), ("q_fast", 0.1), ("raster_x", 0.4))
+    val cold = Map("q_heavy" -> 4.0) // extraIters-style first iteration
+    val line = Bench.compactContractLine(qs, Nil, Nil, 0.1, 1, "sf0.1",
+      Bench.HarnessStats(), cold)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper
+    val node = om.readTree(line)
+    // value = published warm mins; cold_value substitutes recorded colds
+    assert(math.abs(node.get("value").asDouble - 2.0) < 0.02)
+    assert(math.abs(node.get("cold_value").asDouble - 4.5) < 0.02)
+    assert(node.get("cold").get("q_heavy").asDouble == 4.0)
+    // entries without a cold record don't appear in the cold map
+    assert(!node.get("cold").has("raster_x"))
+    // a cold below the published value never DEFLATES cold_value
+    val weird = Bench.compactContractLine(Seq(("q", 2.0)), Nil, Nil, 0.1, 1,
+      "sf0.1", Bench.HarnessStats(), Map("q" -> 1.0))
+    assert(om.readTree(weird).get("cold_value").asDouble >= 2.0)
+  }
+
   test("sweep fallback: first fleet always forks; then pace-projection decides") {
     // no measurement yet -> never bail before the first fleet
     assert(!Bench.sweepGoInProcess(0, 0.0, 200, 10.0))

@@ -95,6 +95,21 @@ def main():
         if key not in obj or not isinstance(obj[key], int) or obj[key] < 0:
             fail(f"harness key {key!r} missing/invalid: {obj.get(key)!r}")
 
+    # r21 (r20 verdict #1, measurement honesty): the line must state the
+    # total both ways — published warm mins ("value") and with each
+    # entry's recorded cold first iteration substituted ("cold_value",
+    # always >= value) — plus a per-entry "cold" map for listed entries.
+    if "cold_value" not in obj or not isinstance(obj["cold_value"], (int, float)):
+        fail(f'cold_value missing/non-numeric: {obj.get("cold_value")!r}')
+    if obj["cold_value"] + 1e-9 < obj["value"]:
+        fail(f'cold_value {obj["cold_value"]} < value {obj["value"]}')
+    if "cold" not in obj or not isinstance(obj["cold"], dict):
+        fail(f'cold map missing/invalid: {obj.get("cold")!r}')
+    badc = {k: v for k, v in obj["cold"].items()
+            if not isinstance(v, (int, float)) or v < 0}
+    if badc:
+        fail(f"negative/non-numeric cold timings: {badc}")
+
     print(f"CONTRACT OK: last stdout line parses; keys={sorted(obj)}; "
           f"queries={len(obj['queries'])}")
     sys.exit(0)
