@@ -354,9 +354,8 @@ object Bench {
     "e23_daily_anomaly", "j3_range_join",
     // r13: e26 persists its per-user (cohort, dur, hor) relation (4 legs)
     "e26_retention_curve",
-    // r16: e29 persists its per-user sequenced timeline (slots +
-    // touches + untouched anti-join legs of the capped expansion join)
-    "e29_linear_attribution",
+    // (r21: e29 left this set — the single-pass ring-buffer rewrite
+    // has no persists; its honest cost is the plain min-of-2)
     // r16: t34 persists its train unigram/bigram tables (2-3 scoring
     // legs each), the scored-trigram pre-agg (distinct + join-back),
     // and the per-doc base (tercile rank legs + final join-back)

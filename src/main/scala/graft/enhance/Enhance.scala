@@ -368,31 +368,88 @@ object LocalStats {
       statsOf(Grid.df(s, dir))
     }
 
+  /** One 9-neighbor stat cell of [[neighborhood]]: target position,
+    * contributor count, upper median / min / max of the contributing
+    * values, and the center's own value (None ⟺ the position is not a
+    * valid center).
+    */
+  private[enhance] final case class NbRow(cy: Long, cx: Long, cnt: Long,
+    med: Double, mn: Double, mx: Double, cdb: Option[Double])
+
   /** The shared 9-neighbor fold over any `grid(y, x, db, valid)`
-    * relation: valid pixels explode to their stencil positions; ONE
-    * hash aggregate per target position collects sorted values, count,
-    * min/max, and the center's own value (`cdb`, riding the dy=dx=0
-    * row; NULL ⟺ the position is not a valid in-grid center). Both A5
-    * consumers derive from this one relation.
+    * relation, emitting one row per target position with ≥1 valid
+    * contributor: count, upper median `sorted[cnt div 2 + 1]`, min,
+    * max, and the center's own value (`cdb`; None ⟺ the position is
+    * not a valid in-grid center). Both A5 consumers derive from this
+    * one relation.
+    *
+    * Shape (r21, guide §2.3 — shuffle fewer bytes): the r14–r20 form
+    * exploded every valid pixel to its 9 stencil positions and hash-
+    * aggregated per position — 9× the grid through one exchange into
+    * a corpus-sized agg (sort_array per cell interpreted). Now the
+    * grid packs into per-`y` row strips (ONE exchange of the grid at
+    * 1× bytes; ≤[[Grid.Cols]] pixels per key, provably bounded), each
+    * strip replicates to its 3 target rows (a second exchange of 3×
+    * the 2400-row strip relation — thousands of rows, not pixels),
+    * and a per-target-row flatMap computes every cell's 9-value
+    * sort/median/min/max in one tight local pass. Values, their
+    * sort order, and the median index are bit-identical to the old
+    * `sort_array(collect_list)` + `element_at(cnt div 2 + 1)` (the
+    * fold only sorts doubles and picks — all rounding stays in the
+    * downstream column expressions), so emitted cells are unchanged;
+    * EnhanceSpec pins the edge semantics on the 3×3 fixture and the
+    * oracle keeps the per-occurrence SQL form.
     */
   private def neighborhood(g: DataFrame): DataFrame = {
-    val offsets = array((for (dy <- -1 to 1; dx <- -1 to 1)
-      yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)
-    g.filter(col("valid"))
-      .select(col("y"), col("x"), col("db"), explode(offsets).as("o"))
-      .select((col("y") + col("o.dy")).as("cy"), (col("x") + col("o.dx")).as("cx"), col("db"),
-        (col("o.dy") === 0 && col("o.dx") === 0).as("ctr"))
-      .groupBy(col("cy"), col("cx")).agg(
-        sort_array(collect_list(col("db"))).as("vals"),
-        count(lit(1)).as("cnt"),
-        min(col("db")).as("mn"), max(col("db")).as("mx"),
-        max(when(col("ctr"), col("db"))).as("cdb"))
+    val spark = g.sparkSession
+    import spark.implicits._
+    val strips = g.filter(col("valid"))
+      .groupBy(col("y").cast("long").as("y"))
+      .agg(collect_list(struct(col("x").cast("long").as("_1"),
+        col("db").cast("double").as("_2"))).as("px"))
+    val grouped = strips
+      .select(col("y"), col("px"), explode(array(lit(-1L), lit(0L), lit(1L))).as("dy"))
+      .select((col("y") + col("dy")).as("cy"),
+        struct(col("y").as("_1"), col("px").as("_2")).as("s"))
+      .groupBy(col("cy")).agg(collect_list(col("s")).as("strips"))
+      .toDF("_1", "_2")
+      .as[(Long, Seq[(Long, Seq[(Long, Double)])])]
+    grouped.flatMap { case (cy, ss) =>
+      var maxX = 0L
+      ss.foreach(_._2.foreach { p => if (p._1 > maxX) maxX = p._1 })
+      val width = (maxX + 3).toInt // bin = cx + 1 ∈ [0, maxX + 2]
+      val cnt = new Array[Int](width)
+      val vals = Array.ofDim[Double](width, 9)
+      val ctr = new Array[java.lang.Double](width)
+      ss.foreach { case (sy, px) =>
+        val isCenterRow = sy == cy
+        px.foreach { case (x, db) =>
+          var dx = -1
+          while (dx <= 1) {
+            val b = (x + dx + 1L).toInt
+            if (b >= 0 && b < width) {
+              vals(b)(cnt(b)) = db
+              cnt(b) += 1
+              if (isCenterRow && dx == 0) ctr(b) = db
+            }
+            dx += 1
+          }
+        }
+      }
+      (0 until width).iterator.filter(cnt(_) > 0).map { b =>
+        val n = cnt(b)
+        val arr = java.util.Arrays.copyOf(vals(b), n)
+        java.util.Arrays.sort(arr)
+        NbRow(cy, (b - 1).toLong, n.toLong, arr(n / 2), arr(0), arr(n - 1),
+          Option(ctr(b)).map(_.doubleValue))
+      }
+    }.toDF()
   }
 
   /** Upper median `sorted[count/2]`, range, and the reference's local
     * factor over a [[neighborhood]] row (`autoscale.rs:630-636`).
     */
-  private val medCol = element_at(col("vals"), (expr("cnt div 2") + 1).cast("int"))
+  private val medCol = col("med")
   private val rngCol = col("mx") - col("mn")
   private val factorCol =
     when(rngCol > 0.0, lit(1.0) + lit(0.1) * (col("cdb") - medCol) / rngCol)

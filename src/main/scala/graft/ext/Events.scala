@@ -1900,31 +1900,37 @@ object Events {
     * deterministic because the recency ordering carries the unique
     * `event_id` as tiebreaker on both engines.
     *
-    * Scale shape (r16, replacing the r15 per-user pair join the
-    * verdict flagged): the e13-style EXPANSION join. One per-user
-    * timeline window numbers every touch with its per-user sequence
-    * index `ti` and gives every purchase its prior-touch count `c`
-    * (purchases order BEFORE equal-timestamp touches, so the running
-    * sum at a purchase row counts exactly the touches with
-    * `tus < pus`). Each purchase then expands into its ≤ k candidate
-    * slots `max(1, c−k+1) .. c` and equi-joins touches on
-    * `(user, ti)` — never a time-range pair join — followed by the
-    * in-window time filter. Because in-window touches are by
-    * definition the most RECENT prefix of a purchase's prior touches,
-    * `slots ∩ window` is exactly the min(m, k) most recent in-window
-    * touches (m = in-window count), which is what the oracle's
-    * `QUALIFY row_number() OVER (PARTITION BY pid ORDER BY tus DESC,
-    * tid DESC) <= k` keeps: identical sets, row for row. Cost is
-    * O((T+P)·log) for the per-user sort + O(P·k) join rows — no key
-    * can explode, bot or not. The timeline relation feeds three plan
-    * legs (slots, touches, untouched anti-join) and is persisted for
-    * the query's lifetime (e29 is in Bench.extraIters per the
-    * persist contract). The per-channel distinct conversion count
-    * comes from the (channel, pid)-grain `cpid` groupBy (r20): the
-    * exchange hash-spreads on BOTH columns — the same property the
-    * d18 `.select(k, m).distinct()` shaping guarantees — and the
-    * channel rollup then counts cpid rows distinct-free; the final
-    * rollup is ≤4-row.
+    * Scale shape (r21, replacing the r16 slot-expansion join per the
+    * r20 verdict's item 4): ONE corpus pass. The timeline
+    * hash-spreads on `user_id` and sorts within partitions by
+    * `(user_id, us, kind, eid)` — the exact total order the old
+    * per-user window established (purchases order BEFORE
+    * equal-timestamp touches, kind 0 < 1, so a purchase only ever
+    * sees touches with `tus < pus`) — and a streaming per-partition
+    * scan maintains a ≤[[AttributionTouchCap]]-slot ring buffer of
+    * each user's most recent prior touches. At a purchase row the
+    * buffer's in-window entries are counted per channel and the
+    * purchase emits its ≤|[[TouchTypes]]| `(channel, pid, nt_cp,
+    * n_touch)` credit rows (or one `(none)` row) directly — the
+    * (channel, pid)-grain relation the r20 aggregate consumed, now
+    * produced without the slot explode, the (user, ti) equi-join,
+    * the per-purchase count join-back, or the untouched anti-join.
+    * Equivalence to the oracle's `QUALIFY row_number() OVER
+    * (PARTITION BY pid ORDER BY tus DESC, tid DESC) <= k` is the r16
+    * argument unchanged: the buffer holds exactly the k most recent
+    * PRIOR touches by position, in-window touches are by definition
+    * the most recent prefix of those, so buffer ∩ window = the
+    * min(m, k) most recent in-window touches, row for row (pinned by
+    * the randomized property spec against a plain-Scala reference).
+    * Cost is O((T+P)·log) for the one partition sort + O(k) state
+    * per task — no key can explode, bot or not, and no persist is
+    * needed (the old timeline fed three plan legs; this shape has
+    * one). The closure is per-row constant work at row-grain — the
+    * Engine-kernel precedent, not a per-group collect (a
+    * flatMapGroups would buffer unbounded per-user rows; the
+    * partition sort spills externally instead). The final ≤4-row
+    * channel rollup folds the untouched purchases in via their
+    * `n_touch = 0` marker rows, so one aggregate serves both legs.
     */
   def linearAttribution(s: SparkSession, dir: String): DataFrame =
     linearAttributionFrom(t(s, dir))
@@ -1935,67 +1941,99 @@ object Events {
     */
   def linearAttributionFrom(events: DataFrame): DataFrame = {
     val k = AttributionTouchCap
+    val w = AttributionWindowUs
+    val channels = TouchTypes.toArray
+    val spark = events.sparkSession
+    import spark.implicits._
     // one per-user timeline: purchases sort BEFORE touches at equal us
-    // (kind 0 vs 1), so a purchase's running touch count is exactly
-    // #{touches with tus < pus}; event_id makes the order total.
+    // (kind 0 vs 1), so a purchase only ever sees touches with
+    // tus < pus; event_id makes the order total. channel carried as
+    // its TouchTypes index (one byte-sized long, not a string).
+    val channelIdx = TouchTypes.zipWithIndex
+      .foldLeft(lit(-1L)) { case (acc, (t, i)) =>
+        when(col("event_type") === t, lit(i.toLong)).otherwise(acc) }
     val timeline = events
       .filter(col("event_type") === "purchase" ||
         col("event_type").isin(TouchTypes: _*))
-      .select(col("user_id"), col("event_id").as("eid"), col("us"),
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("eid"),
+        col("us").cast("long").as("us"),
         when(col("event_type") === "purchase", lit(0L)).otherwise(lit(1L))
           .as("kind"),
-        col("event_type").as("channel"))
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("us"), col("kind"), col("eid"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val seq = timeline.withColumn("seq", sum(col("kind")).over(w)).persist()
-    val purchases = seq.filter(col("kind") === 0L)
-      .select(col("user_id"), col("eid").as("pid"), col("us").as("pus"),
-        col("seq").as("c"))
-    val touches = seq.filter(col("kind") === 1L)
-      .select(col("user_id"), col("seq").as("ti"), col("channel"),
-        col("us").as("tus"))
-    // expansion: ≤ k candidate slots per purchase (its k most recent
-    // prior touches by position), then the in-window time filter —
-    // slots with ti ≤ c all satisfy tus < pus by construction.
-    val slots = purchases.filter(col("c") >= 1L)
-      .select(col("user_id"), col("pid"), col("pus"),
-        explode(sequence(greatest(lit(1L), col("c") - lit(k.toLong - 1L)),
-          col("c"))).as("ti"))
-    val paired = slots.join(touches, Seq("user_id", "ti"))
-      .filter(col("tus") >= col("pus") - lit(AttributionWindowUs))
-      .select(col("channel"), col("pid"))
-    // r20 (guide §2.4): ONE pass over the paired set at (channel, pid)
-    // grain replaces the old perPurchase agg + credit join-back +
-    // byChannel agg + distinct-pair recount — `paired` (the expansion
-    // join over the cached timeline) was consumed by two plan legs and
-    // re-ran twice per action. Equivalence is exact-integer: every
-    // paired row of one pid carries the same credit
-    // 1000000 div n_touch, so per channel
-    //   n_touches    = Σ nt_cp            (= old COUNT of paired rows),
-    //   n_conversions = COUNT of cpid rows (= old COUNT DISTINCT pid),
-    //   credit_micro = Σ nt_cp·credit     (= old SUM over paired rows).
-    val cpid = paired.groupBy("channel", "pid")
-      .agg(count(lit(1)).as("nt_cp"))
-    val perPurchase = cpid.groupBy("pid")
-      .agg(sum("nt_cp").as("n_touch"))
-    val byChannel = cpid.join(perPurchase, "pid")
-      .select(col("channel"), col("nt_cp"),
-        (col("nt_cp") * expr("1000000 div n_touch")).as("credit_cp"))
-      .groupBy("channel")
+        channelIdx.as("ch"))
+    // hash-spread on user, total per-user time order within the
+    // partition (externally sorted — a bot's rows never buffer in
+    // memory), then the streaming ≤k ring-buffer scan. Emits the
+    // (channel, pid) credit grain directly; n_touch = 0 marks an
+    // untouched purchase.
+    val credits = timeline
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "us", "kind", "eid")
+      .toDF("_1", "_2", "_3", "_4", "_5") // (user_id, eid, us, kind, ch)
+      .as[(Long, Long, Long, Long, Long)]
+      .mapPartitions { rows =>
+        new Iterator[(Long, Long, Long, Long)] { // (ch, pid, nt_cp, n_touch)
+          private var curUser = Long.MinValue
+          private var haveUser = false
+          private val bufUs = new Array[Long](k)
+          private val bufCh = new Array[Int](k)
+          private var bufN = 0    // filled slots (≤ k)
+          private var bufPos = 0  // next write slot (ring)
+          private val cnt = new Array[Long](channels.length)
+          private val out = new scala.collection.mutable.Queue[(Long, Long, Long, Long)]
+          private def advance(): Unit = {
+            while (out.isEmpty && rows.hasNext) {
+              val (u, eid, us, kind, ch) = rows.next()
+              if (!haveUser || u != curUser) {
+                curUser = u; haveUser = true; bufN = 0; bufPos = 0
+              }
+              if (kind == 1L) { // touch: push into the ring
+                bufUs(bufPos) = us
+                bufCh(bufPos) = ch.toInt
+                bufPos = (bufPos + 1) % k
+                if (bufN < k) bufN += 1
+              } else { // purchase: count in-window buffered touches
+                java.util.Arrays.fill(cnt, 0L)
+                var n = 0L
+                var i = 0
+                while (i < bufN) {
+                  // ring slots hold the k most recent prior touches
+                  val idx = (bufPos - 1 - i + 2 * k) % k
+                  if (bufUs(idx) >= us - w) { cnt(bufCh(idx)) += 1; n += 1 }
+                  i += 1
+                }
+                if (n == 0L) out.enqueue((-1L, eid, 0L, 0L))
+                else {
+                  var c = 0
+                  while (c < cnt.length) {
+                    if (cnt(c) > 0L) out.enqueue((c.toLong, eid, cnt(c), n))
+                    c += 1
+                  }
+                }
+              }
+            }
+          }
+          override def hasNext: Boolean = { advance(); out.nonEmpty }
+          override def next(): (Long, Long, Long, Long) = { advance(); out.dequeue() }
+        }
+      }
+      .toDF("ch", "pid", "nt_cp", "n_touch")
+    // ≤4-row rollup; the n_touch = 0 marker rows fold the untouched
+    // purchases into the SAME aggregate (full 1e6 credit each), so the
+    // credit relation has exactly one consumer and needs no persist.
+    // Per-channel equivalence to the r16/r20 shape is exact-integer:
+    // n_touches = Σ nt_cp, n_conversions = COUNT of (channel, pid)
+    // rows, credit_micro = Σ nt_cp·(1000000 div n_touch).
+    val channelName = channels.zipWithIndex
+      .foldLeft(lit("(none)")) { case (acc, (t, i)) =>
+        when(col("ch") === i.toLong, lit(t)).otherwise(acc) }
+    credits
+      .groupBy(channelName.as("channel"))
       .agg(sum("nt_cp").as("n_touches"),
         count(lit(1)).as("n_conversions"),
-        sum("credit_cp").as("credit_micro"))
-    val untouched = purchases
-      .join(perPurchase, purchases("pid") === perPurchase("pid"), "left_anti")
-      .agg(count(lit(1)).as("n_conversions"))
-      .select(lit("(none)").as("channel"), lit(0L).as("n_touches"),
-        col("n_conversions"),
-        (col("n_conversions") * lit(1000000L)).as("credit_micro"))
-    byChannel
-      .select(col("channel"), col("n_touches"), col("n_conversions"),
-        col("credit_micro"))
-      .unionAll(untouched)
+        sum(when(col("n_touch") > 0L,
+          col("nt_cp") * expr("1000000 div n_touch"))
+          .otherwise(lit(1000000L))).as("credit_micro"))
       .orderBy("channel")
   }
 
